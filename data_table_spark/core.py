@@ -1,0 +1,343 @@
+"""Core table abstraction: a thin, immutable wrapper over a Spark DataFrame
+that reproduces data.table's query surface ``DT[i, j, by]``.
+
+Reference lifecycle being reproduced: ``"[.data.table"`` at
+/root/reference/R/data.table.R:524 (capture i/j/by, evaluate i to a row
+selection, group by `by`, evaluate j per group). Here the three clauses
+compile to a declarative DataFrame plan — filter/join (i), select or agg
+(j), groupBy (by) — and Catalyst replaces forder/bmerge/GForce
+(/root/reference/src/forder.c, src/bmerge.c, src/gsumm.c) as the physical
+engine. Mutation-by-reference (``:=``, /root/reference/src/assign.c:355)
+becomes rebind-returning-new-DT (SURVEY §1.1).
+
+Ordering: Spark DataFrames are unordered, but many reference operators are
+order-sensitive (shift, roll joins, rleid — SURVEY §1.1). A DT therefore
+carries an explicit ``order_by`` column list (its "row order"), set at
+construction or via ``setkey``. Ordered operators require it and raise if
+absent. This is deliberate: at 100 TB there is no meaningful "file order",
+only declared order — a global row-number would serialize through one
+reducer, so we never materialize one unless an operator truly needs it
+(and then only per-group).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["DT", "N", "GRP", "fread_parquet"]
+
+def N() -> Column:
+    """data.table special symbol .N (group size) — man/special-symbols.Rd:14.
+    Lazy (a function) because Columns need an active SparkContext."""
+    return F.count(F.lit(1))
+
+
+def GRP() -> Column:
+    """.GRP — dense group counter; resolved inside grouped j as dense_rank
+    over the grouping columns (man/special-symbols.Rd:20)."""
+    raise NotImplementedError("use dense_rank over group cols; see operators.grouping")
+
+
+def _to_col(c: Column | str) -> Column:
+    return F.expr(c) if isinstance(c, str) else c
+
+
+def _namelist(x: str | Sequence[str] | None) -> list[str]:
+    if x is None:
+        return []
+    if isinstance(x, str):
+        return [x]
+    return list(x)
+
+
+class DT:
+    """data.table-equivalent handle.
+
+    ``dt[i]`` / ``dt[i, j]`` / ``dt[i, j, by]``:
+
+    - ``i``: None (all rows), bool Column / SQL string (filter), or a DT /
+      DataFrame (right-lookup join ``X[Y]`` — see operators.joins.lookup).
+    - ``j``: None (all cols), list of names/Columns (select), or a Mapping
+      name → Column/str (compute; with ``by`` it is the aggregate list).
+    - ``by``: grouping columns/expressions (str, Column, or sequence).
+      ``by=[]`` (explicit empty) = whole-table aggregate, matching
+      data.table's aggregate-without-by returning one row.
+
+    ``keyby=`` semantics (sorted result) via ``dt[i, j, by, keyby=True]``
+    is exposed through :meth:`query`.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        key: Sequence[str] | None = None,
+        order_by: Sequence[str] | None = None,
+    ):
+        self.df = df
+        #: primary key / physical sort metadata (setkey, R/setkey.R:88)
+        self.key: list[str] = _namelist(key)
+        #: declared row order for order-sensitive operators
+        self.order_by: list[str] = _namelist(order_by) or list(self.key)
+
+    # ------------------------------------------------------------------ util
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    @property
+    def schema(self):
+        return self.df.schema
+
+    def _wrap(self, df: DataFrame, key=None, order_by=None) -> "DT":
+        return DT(df, key=key, order_by=order_by)
+
+    def collect(self):
+        return self.df.collect()
+
+    def to_pandas(self):
+        return self.df.toPandas()
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def show(self, n: int = 20, truncate: bool = True) -> None:
+        # print.data.table preview (reference R/print.data.table.R)
+        self.df.show(n, truncate)
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode)
+
+    # ------------------------------------------------------------- dt[i,j,by]
+    def __getitem__(self, args) -> "DT":
+        if not isinstance(args, tuple):
+            args = (args,)
+        i = args[0] if len(args) > 0 else None
+        j = args[1] if len(args) > 1 else None
+        by = args[2] if len(args) > 2 else None
+        return self.query(i=i, j=j, by=by)
+
+    def query(self, i=None, j=None, by=None, keyby: bool = False) -> "DT":
+        df = self.df
+
+        # ---- i clause: filter / positional / join -----------------------
+        if i is not None and not (isinstance(i, slice) and i == slice(None)):
+            if isinstance(i, (DT, DataFrame)):
+                from .operators.joins import lookup
+
+                base = self if df is self.df else self._wrap(df)
+                joined = lookup(base, i if isinstance(i, DT) else DT(i))
+                df = joined.df
+            elif isinstance(i, (Column, str)):
+                df = df.filter(_to_col(i))
+            else:
+                raise TypeError(f"unsupported i clause: {type(i)}")
+
+        # ---- by clause --------------------------------------------------
+        grouped = None
+        by_cols: list[Column] = []
+        by_names: list[str] = []
+        if by is not None:
+            if isinstance(by, (str, Column)):
+                by = [by]
+            elif isinstance(by, Mapping):
+                by = [_to_col(v).alias(k) for k, v in by.items()]
+            by_cols = [_to_col(b) for b in by]
+            by_names = [b if isinstance(b, str) else _b_name(b) for b in by]
+            if by_cols:
+                grouped = df.groupBy(*by_cols)
+
+        # ---- j clause ---------------------------------------------------
+        if j is None:
+            out = df if grouped is None else grouped.agg(N().alias("N"))
+        elif isinstance(j, Mapping):
+            exprs = [_to_col(v).alias(k) for k, v in j.items()]
+            if grouped is not None:
+                out = grouped.agg(*exprs)
+            elif by is not None:  # by=[] → whole-table aggregate
+                out = df.agg(*exprs)
+            else:
+                out = df.select(*exprs)
+        elif isinstance(j, (list, tuple)):
+            exprs = [F.col(c) if isinstance(c, str) else c for c in j]
+            if grouped is not None:
+                out = grouped.agg(*exprs)
+            else:
+                out = df.select(*exprs)
+        elif isinstance(j, (str, Column)):
+            c = F.col(j) if isinstance(j, str) and j in df.columns else _to_col(j)
+            out = df.select(c) if grouped is None else grouped.agg(c)
+        elif callable(j):
+            # dogroups equivalent: arbitrary per-group function → see
+            # operators.grouping.dogroups (applyInPandas)
+            raise TypeError("pass callables to operators.grouping.dogroups")
+        else:
+            raise TypeError(f"unsupported j clause: {type(j)}")
+
+        if keyby and by_names:
+            out = out.orderBy(*[n for n in by_names if n])
+            return self._wrap(out, key=by_names, order_by=by_names)
+        return self._wrap(out)
+
+    # ----------------------------------------------------------- := / set*
+    def let(self, **cols) -> "DT":
+        """``DT[, c := ...]`` — add/replace columns; rebind semantics
+        (reference src/assign.c:355; SURVEY §2.9). ``let(x=None)`` deletes."""
+        drops = [k for k, v in cols.items() if v is None]
+        adds = {k: _to_col(v) for k, v in cols.items() if v is not None}
+        df = self.df
+        if adds:
+            df = df.withColumns(adds)
+        if drops:
+            df = df.drop(*drops)
+        return self._wrap(df, key=self.key, order_by=self.order_by)
+
+    def set_where(self, i, **cols) -> "DT":
+        """Sub-assign on i rows: ``DT[i, c := v]`` → when(i, v).otherwise(c)
+        (reference R/data.table.R:1520-1642)."""
+        pred = _to_col(i)
+        updates = {}
+        for k, v in cols.items():
+            old = F.col(k) if k in self.df.columns else F.lit(None)
+            updates[k] = F.when(pred, _to_col(v)).otherwise(old)
+        return self._wrap(self.df.withColumns(updates), key=self.key, order_by=self.order_by)
+
+    def delete_rows(self, i) -> "DT":
+        """Row deletion (reference src/deleterows.c:6) → inverted filter."""
+        return self._wrap(
+            self.df.filter(~_to_col(i)), key=self.key, order_by=self.order_by
+        )
+
+    def setnames(self, old, new=None) -> "DT":
+        """setnames (reference R/data.table.R:2892)."""
+        if isinstance(old, Mapping):
+            mapping = dict(old)
+        else:
+            mapping = dict(zip(_namelist(old), _namelist(new)))
+        df = self.df.withColumnsRenamed(mapping)
+        ren = lambda n: mapping.get(n, n)
+        return self._wrap(
+            df, key=[ren(k) for k in self.key], order_by=[ren(o) for o in self.order_by]
+        )
+
+    def setcolorder(self, neworder: Sequence[str]) -> "DT":
+        """setcolorder (reference R/data.table.R:2982)."""
+        neworder = _namelist(neworder)
+        rest = [c for c in self.df.columns if c not in neworder]
+        return self._wrap(
+            self.df.select(*neworder, *rest), key=self.key, order_by=self.order_by
+        )
+
+    # --------------------------------------------------------------- keys
+    def setkey(self, *cols: str, repartition: bool = True) -> "DT":
+        """setkey: physically range-partition + sort by key and record it
+        (reference R/setkey.R:88-114, src/reorder.c:8).
+
+        At scale this is the analog of data.table's physical reorder: a
+        range exchange co-locates key ranges so later sort-merge joins and
+        keyed group-bys avoid a re-shuffle (Catalyst's EnsureRequirements
+        elides redundant sorts on the sorted-within-partitions output).
+        """
+        cols = [c for c in cols]
+        df = self.df
+        if repartition:
+            df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        return self._wrap(df, key=cols, order_by=cols)
+
+    def setorder(self, *cols: str) -> "DT":
+        """setorder / DT[order(...)] (reference R/setkey.R:230). Use
+        '-col' prefix for descending."""
+        exprs = [
+            F.col(c[1:]).desc() if isinstance(c, str) and c.startswith("-") else _to_col(c)
+            for c in cols
+        ]
+        names = [c[1:] if isinstance(c, str) and c.startswith("-") else c for c in cols]
+        return self._wrap(self.df.orderBy(*exprs), order_by=[n for n in names if isinstance(n, str)])
+
+    def setindex(self, *cols: str) -> "DT":
+        """setindex (reference R/setkey.R:11-19): metadata-only no-op here —
+        Parquet min/max pruning + AQE replace secondary indices (SURVEY §1.1)."""
+        return self
+
+    def copy(self) -> "DT":
+        """copy() (reference R/data.table.R:2846) — identity under
+        immutability."""
+        return self._wrap(self.df, key=self.key, order_by=self.order_by)
+
+    # ------------------------------------------------------------- helpers
+    def head(self, n: int = 6) -> "DT":
+        return self._wrap(self.df.limit(n))
+
+    def na_omit(self, cols: Sequence[str] | None = None, invert: bool = False) -> "DT":
+        """na.omit (reference R/data.table.R:2640-2674)."""
+        cols = _namelist(cols) or self.df.columns
+        if not invert:
+            return self._wrap(self.df.na.drop(subset=cols))
+        pred = None
+        for c in cols:
+            p = F.col(c).isNull()
+            pred = p if pred is None else (pred | p)
+        return self._wrap(self.df.filter(pred))
+
+
+def _b_name(c: Column) -> str:
+    # best-effort name extraction for keyby ordering
+    try:
+        return c._jc.toString().split(" AS ")[-1].strip("`")
+    except Exception:  # pragma: no cover
+        return ""
+
+
+def fread_parquet(spark: SparkSession, path: str, key: Sequence[str] | None = None) -> DT:
+    """Parquet ingest for the test tables (fread's role for this repo's
+    data; CSV fread lives in sources.fread)."""
+    return DT(spark.read.parquet(path), key=key)
+
+
+_TABLE_ORDER = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+class Tables:
+    """Lazy table registry — reads each parquet footer only on first access
+    (the reference's tables() catalog role, R/tables.R:31)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DT] = {}
+
+    def __getitem__(self, name: str) -> DT:
+        if name not in self._cache:
+            df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            if name == "events":
+                # ts read as int64 nanos (session.py nanosAsLong): keep the
+                # exact ns value and derive a micros TimestampType column.
+                df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+                )
+            self._cache[name] = DT(df, order_by=_TABLE_ORDER.get(name))
+        return self._cache[name]
+
+    def keys(self):
+        return _TABLE_ORDER.keys()
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
+    """Load the driver's star schema with natural-key order declared
+    (TESTDATA.md). The declared orders give ordered operators a
+    deterministic, scalable (per-group window) ordering."""
+    return Tables(spark, sf_dir)

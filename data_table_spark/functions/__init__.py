@@ -1,0 +1,134 @@
+"""Scalar function surface (reference §2.2/§2.10).
+
+Everything here compiles to built-in Catalyst expressions — whole-stage
+codegen, no Python in the hot path. Each function cites the reference
+behavior it reproduces (file:line relative to /root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "fifelse",
+    "fcase",
+    "fcoalesce",
+    "between",
+    "inrange_pred",
+    "chin",
+    "notchin",
+    "like",
+    "ilike",
+    "flike",
+    "chmatch",
+    "nafill_const",
+    "fctr",
+]
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def fifelse(test: Column | str, yes, no, na=None) -> Column:
+    """Vectorized typed if-else (reference R/wrappers.R:8, src/fifelse.c:9).
+
+    ``na=`` gives the value used where ``test`` is NULL (data.table's NA
+    test branch); default NULL, matching fifelse(na=NA).
+    """
+    test = _col(test)
+    out = F.when(test, yes).when(~test, no)
+    # rows where test is NULL fall through; .otherwise supplies the na= value
+    return out.otherwise(na) if na is not None else out
+
+
+def fcase(*conds_and_values, default=None) -> Column:
+    """N-branch case-when (reference R/wrappers.R:9-13, src/fifelse.c:210).
+
+    fcase(c1, v1, c2, v2, ..., default=d)
+    """
+    if len(conds_and_values) % 2 != 0:
+        raise ValueError("fcase needs alternating condition, value pairs")
+    pairs = list(zip(conds_and_values[::2], conds_and_values[1::2]))
+    out = None
+    for cond, val in pairs:
+        cond = _col(cond)
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    return out.otherwise(default) if default is not None else out
+
+
+def fcoalesce(*cols) -> Column:
+    """First non-NULL across columns (reference src/coalesce.c:9)."""
+    return F.coalesce(*[_col(c) for c in cols])
+
+
+def between(x: Column | str, lower, upper, incbounds: bool = True) -> Column:
+    """x %between% [lower, upper] (reference R/between.R:2, src/between.c:9)."""
+    x = _col(x)
+    if incbounds:
+        return (x >= lower) & (x <= upper)
+    return (x > lower) & (x < upper)
+
+
+def inrange_pred(x: Column | str, lower, upper, incbounds: bool = True) -> Column:
+    """Single-range form of %inrange% (reference R/between.R:76-100).
+
+    The table-of-ranges form (x within ANY of a table of ranges) is a
+    semi range-join — see operators.overlaps.inrange.
+    """
+    return between(x, lower, upper, incbounds)
+
+
+def chin(x: Column | str, values: Sequence) -> Column:
+    """%chin% — fast string membership (reference src/chmatch.c:154-170)."""
+    return _col(x).isin(list(values))
+
+
+def notchin(x: Column | str, values: Sequence) -> Column:
+    """%notin% (reference R/notin.R, src/negate.c:15)."""
+    return ~_col(x).isin(list(values))
+
+
+def chmatch(x: Column | str, values: Sequence) -> Column:
+    """chmatch: 1-based index of first match in ``values``, NULL if absent
+    (reference src/chmatch.c:154)."""
+    x = _col(x)
+    out = F.lit(None).cast("int")
+    expr = None
+    for i, v in enumerate(values):
+        cond = x == F.lit(v)
+        expr = F.when(cond, i + 1) if expr is None else expr.when(cond, i + 1)
+    return expr.otherwise(out) if expr is not None else out
+
+
+def like(x: Column | str, pattern: str, fixed: bool = False) -> Column:
+    """%like% — regex (or fixed-string) match (reference R/like.R:1-24)."""
+    x = _col(x)
+    if fixed:
+        return x.contains(pattern)
+    return x.rlike(pattern)
+
+
+def ilike(x: Column | str, pattern: str) -> Column:
+    """%ilike% — case-insensitive regex match (reference R/like.R:19)."""
+    return F.lower(_col(x)).rlike(pattern.lower())
+
+
+def flike(x: Column | str, pattern: str) -> Column:
+    """%flike% — fixed-string match (reference R/like.R:21)."""
+    return _col(x).contains(pattern)
+
+
+def nafill_const(x: Column | str, fill) -> Column:
+    """nafill(type="const") (reference src/nafill.c:120); locf/nocb live in
+    operators.window (they need an ordering)."""
+    return F.coalesce(_col(x), F.lit(fill))
+
+
+def fctr(x: Column | str) -> Column:
+    """factor columns are represented as plain strings (SURVEY §1.2);
+    fctr (reference R/helpers.R:4) is therefore a cast."""
+    return _col(x).cast("string")

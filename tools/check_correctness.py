@@ -1,0 +1,106 @@
+"""Local mimic of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB at the given SF, compare
+row-count, column names, and order-insensitive values.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.9g}"
+    return str(v)
+
+
+def frame_sig(pdf):
+    cols = sorted(pdf.columns)
+    rows = []
+    for tup in pdf[cols].itertuples(index=False):
+        rows.append("\x1f".join(norm_cell(v) for v in tup))
+    rows.sort()
+    return cols, rows
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from data_table_spark import get_spark
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            got = sdf.toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(got)} rows ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        gc, gr = frame_sig(got)
+        ec, er = frame_sig(exp)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} vs {ec}")
+            n_fail += 1
+            continue
+        if len(gr) != len(er):
+            print(f"FAIL {name}: rows {len(gr)} vs {len(er)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(gr, er) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(gr)} rows differ; first: ")
+            print(f"   spark: {bad[0][0][:300]}")
+            print(f"   duck : {bad[0][1][:300]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name}: {len(gr)} rows ({time.time()-t0:.1f}s)")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
