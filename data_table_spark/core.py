@@ -304,7 +304,9 @@ _TABLE_ORDER = {
     "supplier": ["s_suppkey"],
     "part": ["p_partkey"],
     "orders": ["o_orderkey"],
-    "lineitem": ["l_orderkey", "l_linenumber"],
+    # (l_orderkey, l_linenumber) is NOT unique in the driver data; extend
+    # the declared order so order-sensitive operators are deterministic.
+    "lineitem": ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
     "events": ["event_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],

