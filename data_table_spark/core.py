@@ -328,8 +328,13 @@ class Tables:
             if name == "events":
                 # ts read as int64 nanos (session.py nanosAsLong): keep the
                 # exact ns value and derive a micros TimestampType column.
-                df = df.withColumnRenamed("ts", "ts_ns").withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+                # ts_us matches DuckDB's epoch_us(ts) exactly (DuckDB
+                # floors ns→us on parquet read) — use it in oracle-compared
+                # event-time outputs.
+                df = (
+                    df.withColumnRenamed("ts", "ts_ns")
+                    .withColumn("ts_us", F.expr("ts_ns div 1000"))
+                    .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
                 )
             self._cache[name] = DT(df, order_by=_TABLE_ORDER.get(name))
         return self._cache[name]

@@ -1,0 +1,149 @@
+"""Rolling (as-of) joins — ``X[Y, roll=...]`` (SURVEY §2.3).
+
+Reference semantics: /root/reference/src/bmerge.c:13-17 — after the equi
+keys match, the last join column "rolls": a Y (i) row with no exact match
+takes the prevailing X row forward (roll=TRUE/+Inf: LOCF), backward
+(roll=-Inf: NOCB), within a staleness limit (roll=n), or whichever is
+nearer (roll="nearest"). rollends (R/data.table.R:597-608) controls
+whether values roll past the first/last X observation.
+
+Spark-first design — the union-tag algorithm (no Pandas, no driver):
+  1. tag X rows 0 and Y rows 1, unionByName on (keys, time, payloads);
+  2. one window per key ordered by (time, tag): last(x_payload,
+     ignorenulls) carries the prevailing X row onto each Y row;
+  3. filter to Y rows; apply the roll-distance / rollends predicates.
+This is ONE shuffle on the equi keys and scales linearly; the sort within
+partition is what bmerge's binary search becomes in a distributed setting.
+A tag tiebreak (X before Y for forward, Y before X for backward) gives
+data.table's "exact match wins" behavior at equal timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..core import DT, _namelist
+
+__all__ = ["asof_join"]
+
+_TAG = "__src__"
+
+
+def asof_join(
+    x: DT,
+    i: DT,
+    on: Sequence[str],
+    time_x: str,
+    time_i: str,
+    roll: float | str | bool = True,
+    rollends: tuple[bool, bool] = (False, True),
+    nomatch: str | None = "NA",
+    x_cols: Sequence[str] | None = None,
+    suffix: str = "_x",
+) -> DT:
+    """``X[I, on=.(keys, time), roll=roll]`` — one output row per I row.
+
+    roll: True/+inf (forward LOCF), -inf or "nocb" (backward), a positive
+    number n (forward with staleness limit n, same time units), or
+    "nearest". rollends=(first, last): allow rolling before the first /
+    past the last X observation (reference default c(FALSE, TRUE) for
+    roll=TRUE is implied by the direction here).
+    """
+    keys = _namelist(on)
+    x_payload = [c for c in (x_cols or x.columns) if c not in keys and c != time_x]
+
+    forward = roll is True or roll == float("inf") or (
+        isinstance(roll, (int, float)) and not isinstance(roll, bool) and roll > 0
+    )
+    nearest = roll == "nearest"
+    backward = (roll == "nocb") or (
+        isinstance(roll, (int, float)) and not isinstance(roll, bool) and roll < 0
+    )
+    limit = abs(roll) if isinstance(roll, (int, float)) and not isinstance(roll, bool) and roll not in (
+        float("inf"), float("-inf")
+    ) else None
+
+    xt = x.df.select(
+        *[F.col(k) for k in keys],
+        F.col(time_x).alias("__t__"),
+        F.lit(0).alias(_TAG),
+        *[F.col(c).alias(f"__x_{c}__") for c in x_payload],
+    )
+    i_cols = [c for c in i.columns]
+    it = i.df.select(
+        *[F.col(k) for k in keys],
+        F.col(time_i).alias("__t__"),
+        F.lit(1).alias(_TAG),
+        *[F.col(c).alias(f"__i_{c}__") for c in i_cols if c not in keys],
+    )
+    u = xt.unionByName(it, allowMissingColumns=True)
+
+    def fill(direction: str) -> list[Column]:
+        if direction == "fwd":
+            # X(tag 0) sorts before Y(tag 1) at equal t → exact match wins
+            w = Window.partitionBy(*keys).orderBy(F.col("__t__").asc(), F.col(_TAG).asc())
+            frame = w.rowsBetween(Window.unboundedPreceding, 0)
+            get = lambda c: F.last(c, ignorenulls=True).over(frame)
+        else:
+            # Y(tag 1) sorts before X(tag 0) at equal t when scanning
+            # forward, so from Y's row the following frame includes a
+            # same-t X row → exact match wins backward too
+            w = Window.partitionBy(*keys).orderBy(F.col("__t__").asc(), F.col(_TAG).desc())
+            frame = w.rowsBetween(0, Window.unboundedFollowing)
+            get = lambda c: F.first(c, ignorenulls=True).over(frame)
+        cols = [get(F.col(f"__x_{c}__")).alias(f"__{direction}_{c}__") for c in x_payload]
+        cols.append(get(F.when(F.col(_TAG) == 0, F.col("__t__"))).alias(f"__{direction}_t__"))
+        return cols
+
+    proj = [u[c] for c in u.columns]
+    if forward or nearest:
+        proj += fill("fwd")
+    if backward or nearest:
+        proj += fill("bwd")
+    filled = u.select(*proj).filter(F.col(_TAG) == 1)
+
+    if nearest:
+        d_f = F.col("__t__") - F.col("__fwd_t__")
+        d_b = F.col("__bwd_t__") - F.col("__t__")
+        use_fwd = F.col("__bwd_t__").isNull() | (
+            F.col("__fwd_t__").isNotNull() & (d_f <= d_b)
+        )
+        picked = [
+            F.when(use_fwd, F.col(f"__fwd_{c}__")).otherwise(F.col(f"__bwd_{c}__")).alias(f"__m_{c}__")
+            for c in x_payload
+        ]
+        picked.append(
+            F.when(use_fwd, F.col("__fwd_t__")).otherwise(F.col("__bwd_t__")).alias("__m_t__")
+        )
+        filled = filled.select(*filled.columns, *picked)
+        src = "m"
+    elif backward:
+        src = "bwd"
+    else:
+        src = "fwd"
+
+    # roll-distance limit (roll=n): match only if |t - matched_t| <= n
+    valid = F.col(f"__{src}_t__").isNotNull()
+    if limit is not None:
+        dist = F.abs(F.col("__t__") - F.col(f"__{src}_t__"))
+        valid = valid & (dist <= F.lit(limit))
+    filled = filled.withColumn("__valid__", valid)
+
+    out_cols = [F.col(k) for k in keys]
+    out_cols.append(F.col("__t__").alias(time_i))
+    for c in i_cols:
+        if c not in keys and c != time_i:
+            out_cols.append(F.col(f"__i_{c}__").alias(c))
+    for c in x_payload:
+        name = c if c not in i_cols else f"{c}{suffix}"
+        out_cols.append(F.when(F.col("__valid__"), F.col(f"__{src}_{c}__")).alias(name))
+    matched_t = f"{time_x}{suffix}" if time_x in i_cols or time_x == time_i else time_x
+    out_cols.append(F.when(F.col("__valid__"), F.col(f"__{src}_t__")).alias(matched_t))
+
+    if nomatch is None:
+        filled = filled.filter(F.col("__valid__"))
+    out = filled.select(*out_cols)
+    return DT(out, order_by=i.order_by)

@@ -1,0 +1,206 @@
+"""Reshape operators (SURVEY §2.8): dcast, melt, transpose, tstrsplit,
+rbindlist, cbindlist, split.
+
+Reference: dcast /root/reference/R/fcast.R:11 (+ src/fcast.c:7), melt
+/root/reference/R/fmelt.R:6 (+ src/fmelt.c:785), rbindlist
+/root/reference/src/rbindlist.c:5, transpose /root/reference/src/transpose.c:5.
+
+Spark-first: dcast → groupBy().pivot() (explicit value list keeps the plan
+one-pass and deterministic — without it Spark runs an extra distinct job);
+melt → native unpivot; rbindlist → unionByName(allowMissingColumns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core import DT, _namelist
+
+__all__ = [
+    "dcast",
+    "melt",
+    "melt_multi",
+    "transpose",
+    "tstrsplit",
+    "rbindlist",
+    "cbindlist",
+    "split_table",
+]
+
+
+def dcast(
+    dt: DT,
+    rowvars: Sequence[str],
+    colvar: str,
+    value_var: str | Sequence[str],
+    fun_agg: Mapping[str, Column] | None = None,
+    pivot_values: Sequence[str] | None = None,
+    fill=None,
+    sep: str = "_",
+) -> DT:
+    """dcast — long→wide pivot (reference R/fcast.R:11,126-253).
+
+    ``fun_agg``: {suffix: aggregate-builder Column over value_var}; default
+    first() (dcast's default when rows are unique, length() otherwise is
+    the caller's choice). ``pivot_values``: pass the expected spread values
+    to keep the plan single-pass (else Spark runs a distinct job first) and
+    the output schema deterministic — matters at 100 TB.
+    """
+    rowvars = _namelist(rowvars)
+    gb = dt.df.groupBy(*rowvars)
+    piv = gb.pivot(colvar, list(pivot_values) if pivot_values is not None else None)
+    if fun_agg is None:
+        out = piv.agg(F.first(value_var))
+    elif len(fun_agg) == 1:
+        ((_, expr),) = fun_agg.items()
+        out = piv.agg(expr)
+    else:
+        out = piv.agg(*[e.alias(name) for name, e in fun_agg.items()])
+    if fill is not None:
+        out = out.na.fill(fill, subset=[c for c in out.columns if c not in rowvars])
+    return DT(out, key=rowvars)
+
+
+def melt(
+    dt: DT,
+    id_vars: Sequence[str],
+    measure_vars: Sequence[str],
+    variable_name: str = "variable",
+    value_name: str = "value",
+    na_rm: bool = False,
+) -> DT:
+    """melt — wide→long (reference R/fmelt.R:6, src/fmelt.c:785) → native
+    unpivot (no shuffle: row-local expansion)."""
+    out = dt.df.unpivot(
+        [F.col(c) for c in _namelist(id_vars)],
+        [F.col(c) for c in _namelist(measure_vars)],
+        variable_name,
+        value_name,
+    )
+    if na_rm:
+        out = out.filter(F.col(value_name).isNotNull())
+    return DT(out)
+
+
+def melt_multi(
+    dt: DT,
+    id_vars: Sequence[str],
+    measure_groups: Mapping[str, Sequence[str]],
+    variable_name: str = "variable",
+    na_rm: bool = False,
+) -> DT:
+    """Multi-measure-group melt — melt(measure=list(...)) / measure(sep=)
+    (reference R/fmelt.R:32-124): several column groups melt in lockstep
+    into one value column per group, aligned by position.
+
+    Implemented as a row-local posexplode over zipped struct arrays —
+    no shuffle, no driver collect.
+    """
+    id_vars = _namelist(id_vars)
+    names = list(measure_groups.keys())
+    groups = [_namelist(v) for v in measure_groups.values()]
+    width = len(groups[0])
+    if any(len(g) != width for g in groups):
+        raise ValueError("measure groups must have equal length")
+    arr = F.array(*[
+        F.struct(
+            F.lit(i + 1).alias("__pos__"),
+            *[F.col(g[i]).alias(names[k]) for k, g in enumerate(groups)],
+        )
+        for i in range(width)
+    ])
+    out = (
+        dt.df.withColumn("__m__", F.explode(arr))
+        .select(
+            *id_vars,
+            F.col("__m__.__pos__").alias(variable_name),
+            *[F.col(f"__m__.{n}").alias(n) for n in names],
+        )
+    )
+    if na_rm:
+        pred = reduce(lambda l, r: l | r, [F.col(n).isNotNull() for n in names])
+        out = out.filter(pred)
+    return DT(out)
+
+
+def transpose(dt: DT, spark=None) -> DT:
+    """transpose (reference src/transpose.c:5) — rows↔cols is inherently
+    driver-side (the result schema depends on the data); restricted to
+    small tables, like the reference's in-memory use."""
+    import pandas as pd
+
+    pdf = dt.df.toPandas().T.reset_index()
+    pdf.columns = ["column"] + [f"V{i+1}" for i in range(len(pdf.columns) - 1)]
+    spark = spark or dt.df.sparkSession
+    return DT(spark.createDataFrame(pdf.astype(str)))
+
+
+def tstrsplit(
+    dt: DT, col: str, sep: str, names: Sequence[str], keep: bool = False, fixed: bool = True
+) -> DT:
+    """tstrsplit — split a string column into typed columns (reference
+    R/transpose.R:26). Row-local; no shuffle."""
+    import re as _re
+
+    pat = _re.escape(sep) if fixed else sep
+    parts = F.split(F.col(col), pat)
+    new = {n: parts.getItem(i) for i, n in enumerate(_namelist(names))}
+    df = dt.df.withColumns(new)
+    if not keep:
+        df = df.drop(col)
+    return DT(df, key=dt.key, order_by=dt.order_by)
+
+
+def rbindlist(
+    tables: Sequence[DT],
+    use_names: bool = True,
+    fill: bool = False,
+    idcol: str | None = None,
+) -> DT:
+    """rbindlist (reference src/rbindlist.c:5) → unionByName; idcol= adds
+    the 1-based source table index."""
+    dfs = []
+    for i, t in enumerate(tables):
+        df = t.df
+        if idcol:
+            df = df.select(F.lit(i + 1).alias(idcol), *[F.col(c) for c in df.columns])
+        dfs.append(df)
+    if use_names:
+        out = reduce(lambda l, r: l.unionByName(r, allowMissingColumns=fill), dfs)
+    else:
+        out = reduce(lambda l, r: l.union(r), dfs)
+    return DT(out)
+
+
+def cbindlist(tables: Sequence[DT], on: Sequence[str] | None = None) -> DT:
+    """cbindlist (reference R/mergelist.R:11). Positional bind needs a
+    shared key — Spark rows have no position (SURVEY §2.8 note); requires
+    ``on`` (or each table's key) and compiles to joins."""
+    if not tables:
+        raise ValueError("empty list")
+    on = _namelist(on) or tables[0].key
+    if not on:
+        raise ValueError("cbindlist needs `on` (positional bind has no Spark analog)")
+    acc = tables[0].df
+    for t in tables[1:]:
+        acc = acc.join(t.df, on=on, how="inner")
+    return DT(acc, key=list(on))
+
+
+def split_table(dt: DT, by: Sequence[str], values: Sequence) -> dict:
+    """split.data.table (reference R/data.table.R:2684-2770): a dict of
+    filtered DTs — lazy views, not materialized copies. For write-out the
+    scalable path is df.write.partitionBy(by)."""
+    by = _namelist(by)
+    out = {}
+    for v in values:
+        vals = v if isinstance(v, (list, tuple)) else [v]
+        pred = reduce(
+            lambda l, r: l & r, [F.col(c) == F.lit(x) for c, x in zip(by, vals)]
+        )
+        out[v] = DT(dt.df.filter(pred), key=dt.key, order_by=dt.order_by)
+    return out

@@ -896,3 +896,468 @@ def q_cumsum(spark, sf_dir):
             "value_cumsum": F.col("__v_cumsum").cast("double"),
         }
     ).df
+
+
+# --------------------------------------------------------------------------
+# §2.3 rolling (as-of) and overlap joins
+# --------------------------------------------------------------------------
+
+def _quotes_trades(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    quotes = ev.query(
+        i=F.col("event_type") == "view",
+        j={
+            "user_id": F.col("user_id"),
+            "ts_us": F.col("ts_us"),
+            "quote_val": F.col("value"),
+        },
+    )
+    trades = ev.query(
+        i=F.col("event_type") == "purchase",
+        j={
+            "event_id": F.col("event_id"),
+            "user_id": F.col("user_id"),
+            "ts_us": F.col("ts_us"),
+        },
+    )
+    trades.order_by = ["event_id"]
+    return quotes, trades
+
+
+_ASOF_CTE = """
+    WITH quotes AS (SELECT user_id, epoch_us(ts) AS ts_us, value AS quote_val
+                    FROM events WHERE event_type = 'view'),
+         trades AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                    FROM events WHERE event_type = 'purchase')
+"""
+
+
+@query(
+    "asof_roll_forward",
+    _ASOF_CTE + """
+    SELECT t.event_id, t.user_id, t.ts_us,
+           q.quote_val, q.ts_us AS quote_ts
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND t.ts_us >= q.ts_us
+    """,
+)
+def q_asof_forward(spark, sf_dir):
+    """Rolling join roll=TRUE (LOCF as-of join; reference
+    src/bmerge.c:13-17, R/data.table.R:597-608). Union-tag + per-key
+    window fill — one shuffle, no driver round-trip."""
+    from .operators.asof import asof_join
+
+    quotes, trades = _quotes_trades(spark, sf_dir)
+    out = asof_join(
+        quotes, trades, on=["user_id"], time_x="ts_us", time_i="ts_us", roll=True
+    )
+    return out.df.withColumnRenamed("ts_us_x", "quote_ts")
+
+
+@query(
+    "asof_roll_backward",
+    _ASOF_CTE + """
+    SELECT t.event_id, t.user_id, t.ts_us,
+           q.quote_val, q.ts_us AS quote_ts
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND t.ts_us <= q.ts_us
+    """,
+)
+def q_asof_backward(spark, sf_dir):
+    """Rolling join roll=-Inf (NOCB; reference src/bmerge.c:13-17)."""
+    from .operators.asof import asof_join
+
+    quotes, trades = _quotes_trades(spark, sf_dir)
+    out = asof_join(
+        quotes, trades, on=["user_id"], time_x="ts_us", time_i="ts_us", roll="nocb"
+    )
+    return out.df.withColumnRenamed("ts_us_x", "quote_ts")
+
+
+@query(
+    "asof_roll_limit",
+    _ASOF_CTE + """
+    SELECT t.event_id, t.user_id, t.ts_us,
+           CASE WHEN t.ts_us - q.ts_us <= 3600000000 THEN q.quote_val END AS quote_val,
+           CASE WHEN t.ts_us - q.ts_us <= 3600000000 THEN q.ts_us END AS quote_ts
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND t.ts_us >= q.ts_us
+    """,
+)
+def q_asof_limit(spark, sf_dir):
+    """Rolling join roll=n — staleness limit (1 hour in µs); reference
+    src/bmerge.c roll-limit semantics."""
+    from .operators.asof import asof_join
+
+    quotes, trades = _quotes_trades(spark, sf_dir)
+    out = asof_join(
+        quotes, trades, on=["user_id"], time_x="ts_us", time_i="ts_us",
+        roll=3_600_000_000,
+    )
+    return out.df.withColumnRenamed("ts_us_x", "quote_ts")
+
+
+@query(
+    "asof_roll_nearest",
+    _ASOF_CTE + """
+    , fwd AS (
+      SELECT t.event_id, q.quote_val, q.ts_us AS qts
+      FROM trades t ASOF LEFT JOIN quotes q
+        ON t.user_id = q.user_id AND t.ts_us >= q.ts_us),
+    bwd AS (
+      SELECT t.event_id, q.quote_val, q.ts_us AS qts
+      FROM trades t ASOF LEFT JOIN quotes q
+        ON t.user_id = q.user_id AND t.ts_us <= q.ts_us)
+    SELECT t.event_id, t.user_id, t.ts_us,
+           CASE WHEN b.qts IS NULL THEN f.quote_val
+                WHEN f.qts IS NULL THEN b.quote_val
+                WHEN t.ts_us - f.qts <= b.qts - t.ts_us THEN f.quote_val
+                ELSE b.quote_val END AS quote_val,
+           CASE WHEN b.qts IS NULL THEN f.qts
+                WHEN f.qts IS NULL THEN b.qts
+                WHEN t.ts_us - f.qts <= b.qts - t.ts_us THEN f.qts
+                ELSE b.qts END AS quote_ts
+    FROM trades t
+    LEFT JOIN fwd f ON t.event_id = f.event_id
+    LEFT JOIN bwd b ON t.event_id = b.event_id
+    """,
+)
+def q_asof_nearest(spark, sf_dir):
+    """Rolling join roll="nearest" (reference src/bmerge.c:13-17)."""
+    from .operators.asof import asof_join
+
+    quotes, trades = _quotes_trades(spark, sf_dir)
+    out = asof_join(
+        quotes, trades, on=["user_id"], time_x="ts_us", time_i="ts_us", roll="nearest"
+    )
+    return out.df.withColumnRenamed("ts_us_x", "quote_ts")
+
+
+@query(
+    "foverlaps_any",
+    """
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+           s.s_suppkey, s.s_acctbal
+    FROM customer c JOIN supplier s
+      ON c.c_nationkey = s.s_nationkey
+     AND c.c_acctbal <= s.s_acctbal + 500
+     AND s.s_acctbal <= c.c_acctbal + 500
+    """,
+)
+def q_foverlaps(spark, sf_dir):
+    """foverlaps type="any" — interval×interval join with equi prefix
+    (reference R/foverlaps.R:1-249, src/ijoin.c:9). Equi key keeps it
+    hash-joinable; range predicate filters the probe."""
+    from .operators.overlaps import foverlaps
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].query(
+        j={
+            "c_custkey": F.col("c_custkey"),
+            "c_nationkey": F.col("c_nationkey"),
+            "c_acctbal": F.col("c_acctbal"),
+            "cs": F.col("c_acctbal"),
+            "ce": F.col("c_acctbal") + 500,
+        }
+    )
+    cust.order_by = ["c_custkey"]
+    supp = t["supplier"].query(
+        j={
+            "s_suppkey": F.col("s_suppkey"),
+            "s_nationkey": F.col("s_nationkey"),
+            "s_acctbal": F.col("s_acctbal"),
+            "ss": F.col("s_acctbal"),
+            "se": F.col("s_acctbal") + 500,
+        }
+    )
+    out = foverlaps(
+        cust, supp,
+        by_x=["c_nationkey", "cs", "ce"], by_y=["s_nationkey", "ss", "se"],
+        type_="any",
+    )
+    return out.query(
+        j=["c_custkey", "c_nationkey", "c_acctbal", "s_suppkey", "s_acctbal"]
+    ).df
+
+
+@query(
+    "foverlaps_within",
+    """
+    SELECT c.c_custkey, s.s_suppkey
+    FROM customer c JOIN supplier s
+      ON c.c_nationkey = s.s_nationkey
+     AND c.c_acctbal >= s.s_acctbal - 1000
+     AND c.c_acctbal + 100 <= s.s_acctbal + 1000
+    """,
+)
+def q_foverlaps_within(spark, sf_dir):
+    """foverlaps type="within" (reference R/foverlaps.R predicate table)."""
+    from .operators.overlaps import foverlaps
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].query(
+        j={
+            "c_custkey": F.col("c_custkey"),
+            "c_nationkey": F.col("c_nationkey"),
+            "cs": F.col("c_acctbal"),
+            "ce": F.col("c_acctbal") + 100,
+        }
+    )
+    cust.order_by = ["c_custkey"]
+    supp = t["supplier"].query(
+        j={
+            "s_suppkey": F.col("s_suppkey"),
+            "s_nationkey": F.col("s_nationkey"),
+            "ss": F.col("s_acctbal") - 1000,
+            "se": F.col("s_acctbal") + 1000,
+        }
+    )
+    out = foverlaps(
+        cust, supp,
+        by_x=["c_nationkey", "cs", "ce"], by_y=["s_nationkey", "ss", "se"],
+        type_="within",
+    )
+    return out.query(j=["c_custkey", "s_suppkey"]).df
+
+
+@query(
+    "inrange_semi",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem x
+    WHERE EXISTS (
+      SELECT 1 FROM part p
+      WHERE p.p_size < 10
+        AND x.l_quantity >= p.p_size AND x.l_quantity <= p.p_size + 2)
+    """,
+)
+def q_inrange(spark, sf_dir):
+    """%inrange% — x within ANY of a table of ranges (reference
+    R/between.R:76-100, src/inrange.c:4) → left_semi range join against a
+    broadcastable ranges table."""
+    from .operators.overlaps import inrange
+
+    t = load_tables(spark, sf_dir)
+    ranges = t["part"].query(
+        i=F.col("p_size") < 10,
+        j={"lo": F.col("p_size").cast("double"), "hi": F.col("p_size").cast("double") + 2},
+    )
+    out = inrange(t["lineitem"], "l_quantity", ranges, "lo", "hi")
+    return out.query(j=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]).df
+
+
+# --------------------------------------------------------------------------
+# §2.8 reshape
+# --------------------------------------------------------------------------
+
+@query(
+    "dcast_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_dcast(spark, sf_dir):
+    """dcast long→wide pivot (reference R/fcast.R:11, src/fcast.c:7).
+    Explicit pivot values keep the plan one-pass."""
+    from .operators.reshape import dcast
+
+    t = load_tables(spark, sf_dir)
+    out = dcast(
+        t["lineitem"], ["l_returnflag"], "l_linestatus", "l_quantity",
+        fun_agg={"sum": F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")},
+        pivot_values=["F", "O"],
+    )
+    return out.df
+
+
+@query(
+    "dcast_multi_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS F_s,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_n,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS O_s,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_dcast_multi(spark, sf_dir):
+    """dcast with multiple fun.aggregate (reference R/fcast.R:126-253)."""
+    from .operators.reshape import dcast
+
+    t = load_tables(spark, sf_dir)
+    out = dcast(
+        t["lineitem"], ["l_returnflag"], "l_linestatus", "l_quantity",
+        fun_agg={
+            "s": F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"),
+            "n": F.count(F.lit(1)),
+        },
+        pivot_values=["F", "O"],
+    )
+    return out.df
+
+
+@query(
+    "melt_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    """,
+)
+def q_melt(spark, sf_dir):
+    """melt wide→long (reference R/fmelt.R:6, src/fmelt.c:785) — native
+    unpivot, row-local (no shuffle)."""
+    from .operators.reshape import melt
+
+    t = load_tables(spark, sf_dir)
+    out = melt(
+        t["lineitem"], ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice"],
+    )
+    return out.df
+
+
+@query(
+    "melt_multi_measure",
+    """
+    SELECT l_orderkey, l_linenumber, 1 AS variable,
+           l_quantity AS qty, l_extendedprice AS price
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 2,
+           l_tax, l_discount
+    FROM lineitem
+    """,
+)
+def q_melt_multi(spark, sf_dir):
+    """Multi-measure-group melt — measure(sep=)/patterns() (reference
+    R/fmelt.R:32-124): column groups melt in lockstep, aligned by
+    position; posexplode over zipped structs, row-local."""
+    from .operators.reshape import melt_multi
+
+    t = load_tables(spark, sf_dir)
+    out = melt_multi(
+        t["lineitem"], ["l_orderkey", "l_linenumber"],
+        {"qty": ["l_quantity", "l_tax"], "price": ["l_extendedprice", "l_discount"]},
+    )
+    return out.df
+
+
+@query(
+    "rbindlist_fill",
+    """
+    SELECT 1 AS src, o_orderkey AS id, o_totalprice AS price, NULL::DOUBLE AS bal
+    FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT 2, c_custkey, NULL, c_acctbal
+    FROM customer WHERE c_acctbal < 0
+    """,
+)
+def q_rbindlist(spark, sf_dir):
+    """rbindlist(use.names, fill, idcol) (reference src/rbindlist.c:5) →
+    unionByName(allowMissingColumns) + source index."""
+    from .operators.reshape import rbindlist
+
+    t = load_tables(spark, sf_dir)
+    a = t["orders"].query(
+        i=F.col("o_totalprice") > 400000,
+        j={"id": F.col("o_orderkey"), "price": F.col("o_totalprice")},
+    )
+    b = t["customer"].query(
+        i=F.col("c_acctbal") < 0,
+        j={"id": F.col("c_custkey"), "bal": F.col("c_acctbal")},
+    )
+    out = rbindlist([a, b], fill=True, idcol="src")
+    return out.df
+
+
+@query(
+    "tstrsplit_cols",
+    """
+    SELECT o_orderkey,
+           split_part(o_orderpriority, '-', 1) AS prio_num,
+           split_part(o_orderpriority, '-', 2) AS prio_name
+    FROM orders
+    """,
+)
+def q_tstrsplit(spark, sf_dir):
+    """tstrsplit (reference R/transpose.R:26) — split + getItem, row-local."""
+    from .operators.reshape import tstrsplit
+
+    t = load_tables(spark, sf_dir)
+    ords = t["orders"].query(j=["o_orderkey", "o_orderpriority"])
+    out = tstrsplit(ords, "o_orderpriority", "-", ["prio_num", "prio_name"])
+    return out.df
+
+
+# --------------------------------------------------------------------------
+# §2.7 set operations
+# --------------------------------------------------------------------------
+
+def _setops_xy(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    x = t["lineitem"].query(
+        i=F.col("l_quantity") < 25, j=["l_orderkey", "l_partkey"]
+    )
+    y = t["lineitem"].query(
+        i=F.col("l_quantity") > 15, j=["l_orderkey", "l_partkey"]
+    )
+    return x, y
+
+
+@query(
+    "funion_all",
+    """
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity < 25
+    UNION ALL
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 15
+    """,
+)
+def q_funion(spark, sf_dir):
+    """funion(all=TRUE) (reference R/setops.R:91)."""
+    from .operators.setops import funion
+
+    x, y = _setops_xy(spark, sf_dir)
+    return funion(x, y, all=True).df
+
+
+@query(
+    "fintersect_all",
+    """
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity < 25
+    INTERSECT ALL
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 15
+    """,
+)
+def q_fintersect(spark, sf_dir):
+    """fintersect(all=TRUE) (reference R/setops.R:60)."""
+    from .operators.setops import fintersect
+
+    x, y = _setops_xy(spark, sf_dir)
+    return fintersect(x, y, all=True).df
+
+
+@query(
+    "fsetdiff_all",
+    """
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity < 25
+    EXCEPT ALL
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 15
+    """,
+)
+def q_fsetdiff(spark, sf_dir):
+    """fsetdiff(all=TRUE) (reference R/setops.R:76)."""
+    from .operators.setops import fsetdiff
+
+    x, y = _setops_xy(spark, sf_dir)
+    return fsetdiff(x, y, all=True).df
