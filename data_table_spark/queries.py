@@ -806,8 +806,9 @@ def q_frank(spark, sf_dir):
       FROM events
     )
     SELECT event_id, user_id, event_type,
-           SUM(chg) OVER (PARTITION BY user_id ORDER BY event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rleid
+           CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS rleid
     FROM flagged
     """,
 )
@@ -819,7 +820,10 @@ def q_rleid(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     out = rleid(t["events"], ["event_type"], by=["user_id"])
-    return out.query(j=["event_id", "user_id", "event_type", "rleid"]).df
+    return (
+        out.query(j=["event_id", "user_id", "event_type", "rleid"])
+        .df.withColumn("rleid", F.col("rleid").cast("long"))
+    )
 
 
 @query(
