@@ -1,0 +1,84 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "total_headline_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is executed twice per measurement pattern: a first pass is NOT
+taken (JVM/codegen warm-up is excluded only for the session as a whole via
+a trivial warm-up action, not per query — per-query caching would hide the
+real scan cost). Timing covers plan + execution to a count/collect of the
+result, i.e. what a user would wait for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_table_spark import get_spark
+from data_table_spark.queries import QUERIES
+
+# Headline set: one per operator family, heaviest-shuffle variants chosen
+# so the benchmark tracks the plans that matter at 100 TB.
+HEADLINE = [
+    "gforce_q1",          # full-scan group-agg (TPC-H Q1 shape)
+    "join_inner",         # big-big equi join
+    "merge_full",         # two-agg full outer merge
+    "uniqueN_by",         # distinct-count per group
+    "shift_lag_lead",     # ordered window over events
+    "froll_mean_sum",     # rolling window
+    "asof_roll_backward", # as-of (roll) join
+    "foverlaps_any",      # interval overlap join
+    "dcast_pivot",        # pivot
+    "ghead_per_group",    # per-group head (top-k shape)
+    "dedup_exact",        # exact dedup over documents
+    "minhash_lsh_pairs",  # MinHash+LSH near-dup candidate pairs
+    "ann_cosine_topk",    # brute-force cosine top-k
+    "text_quality",       # text quality scoring
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("data-table-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # session warm-up (JVM + codegen paths), excluded from timings
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # fall back: if a headline name is missing, still produce a line
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        sdf = df.df if hasattr(df, "df") else df
+        n = sdf.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    print(json.dumps({
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
