@@ -1,0 +1,146 @@
+"""Text-analysis operators: tokenization, shingling, language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All formulas are engine-portable (exact integer counts + one final
+division; md5 for hashing) so the DuckDB oracle reproduces results
+bit-for-bit. Everything is built-in-function only — no Python UDFs —
+so the whole pipeline stays inside whole-stage codegen and scales by
+partition count alone (narrow, no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small multi-language stopword profiles for the n-gram/stopword scoring
+# heuristic. Deterministic and portable; quality of prediction depends on
+# real text (the synthetic corpus is monolingual so most rows score 'en').
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "des"],
+    "es": ["el", "la", "los", "que", "es", "una", "por"],
+}
+
+STOPWORDS = LANG_PROFILES["en"]
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    """Whitespace tokens of trimmed text (portable: regexp split on ' +')."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), " +")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams joined by single spaces; empty array when the
+    document has fewer than n tokens (guards Spark's descending
+    `sequence`)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + k) for k in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_shingles(text: Column, k: int = 8) -> Column:
+    """Distinct character k-grams (document fingerprinting unit,
+    winnowing-style)."""
+    idx = F.sequence(F.lit(1), F.length(text) - (k - 1))
+    return F.when(
+        F.length(text) >= k,
+        F.array_distinct(F.transform(idx, lambda i: F.substring(text, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _profile_score(toks: Column, words: list[str]) -> Column:
+    """Fraction of tokens that appear in a language's stopword profile.
+    Exact int count / int count — single division, portable."""
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID by stopword-profile scoring + non-ASCII charset cues.
+
+    Heuristic order (first match wins, deterministic):
+    1. CJK codepoints -> zh
+    2. highest stopword-profile score among {de, fr, es} if > en score
+    3. en
+    """
+    toks = tokens_col(text_col)
+    scores = {k: _profile_score(toks, v) for k, v in LANG_PROFILES.items()}
+    best_non_en = F.greatest(scores["de"], scores["fr"], scores["es"])
+    pred = (
+        F.when(F.col(text_col).rlike("[\\x{4e00}-\\x{9fff}]"), F.lit("zh"))
+        .when(
+            (best_non_en > scores["en"]) & (scores["de"] == best_non_en),
+            F.lit("de"),
+        )
+        .when(
+            (best_non_en > scores["en"]) & (scores["fr"] == best_non_en),
+            F.lit("fr"),
+        )
+        .when(
+            (best_non_en > scores["en"]) & (scores["es"] == best_non_en),
+            F.lit("es"),
+        )
+        .otherwise(F.lit("en"))
+    )
+    return df.withColumn("lang_pred", pred)
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality signals: token count, type-token ratio, stopword ratio,
+    mean token length, alpha ratio. All ratios are one exact division."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(
+        F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    distinct_tok = F.size(F.array_distinct(toks))
+    denom = F.greatest(n_tok, F.lit(1))
+    return df.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (distinct_tok.cast("double") / denom).alias("type_token_ratio"),
+        (stop_hits.cast("double") / denom).alias("stopword_ratio"),
+        ((n_chars - (n_tok - 1)).cast("double") / denom).alias("mean_token_len"),
+        (alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1))).alias(
+            "alpha_ratio"
+        ),
+    )
+
+
+# BPE-ish pre-tokenizer regex: letter runs, digit runs, single other
+# non-space. ASCII classes only so Java regex (Spark) and RE2 (DuckDB)
+# agree.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document."""
+    toks = tokens_col(text_col)
+    bpe = F.expr(f"regexp_extract_all({text_col}, '{BPE_PATTERN}', 0)")
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over character k-grams (the
+    1-permutation MinHash of the k-gram set) + the distinct k-gram count.
+    md5 is bit-identical across engines, so the oracle matches exactly."""
+    sh = char_shingles(F.col(text_col), k)
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    return df.select(
+        "doc_id",
+        F.array_min(hashes).alias("fingerprint"),
+        F.size(sh).cast("long").alias("n_kgrams"),
+    )

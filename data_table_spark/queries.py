@@ -1365,3 +1365,8 @@ def q_fsetdiff(spark, sf_dir):
 
     x, y = _setops_xy(spark, sf_dir)
     return fsetdiff(x, y, all=True).df
+
+
+# Pipeline extension registrations (dedup / similarity / text analysis).
+# Bottom import so the registry decorator above is defined first.
+from . import queries_pipeline  # noqa: E402,F401

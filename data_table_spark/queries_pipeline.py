@@ -1,0 +1,298 @@
+"""Pipeline-operator query registrations (dedup / similarity / text).
+
+Oracle-portability rules used throughout (see pipeline/__init__.py):
+exact integer counts with ONE final division; md5 for content hashes
+(bit-identical across engines); scores rounded to 4 decimals in both
+engines; thresholds chosen in measured gaps of the score distribution so
+float drift cannot flip membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .core import load_tables
+from .queries import query
+from .pipeline import (
+    dedup_exact,
+    ngram_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    cosine_topk,
+    cosine_pairs,
+    lsh_ann_topk,
+    lang_id,
+    text_quality,
+    token_counts,
+    doc_fingerprint,
+)
+
+# Shared DuckDB CTE fragments -------------------------------------------
+
+_SQL_TOKS = (
+    "SELECT doc_id, lang, text,"
+    " regexp_split_to_array(trim(text), ' +') AS toks FROM documents"
+)
+
+_SQL_SHINGLES = """
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          for i in range(1, len(toks)-1)])
+         ELSE [] END AS shingles
+  FROM toks
+"""
+
+_SQL_JACCARD_EXACT = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    sh AS ({_SQL_SHINGLES}),
+    sz AS (SELECT doc_id, shingles, len(shingles) AS sz FROM sh),
+    ex AS (SELECT doc_id, sz, unnest(shingles) AS s FROM sz),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sz AS sa, b.sz AS sb, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard
+    FROM p
+    WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.8
+"""
+
+
+# §pipeline: deduplication ----------------------------------------------
+
+@query(
+    "dedup_exact",
+    "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: min-id per distinct text (hash shuffle of distinct
+    values only; map-side combine)."""
+    t = load_tables(spark, sf_dir)
+    return dedup_exact(t["documents"].df, ["text"], "doc_id")
+
+
+@query("ngram_jaccard_pairs", _SQL_JACCARD_EXACT)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard >= 0.8 via shared-shingle blocking
+    (set-similarity join; no cross join)."""
+    t = load_tables(spark, sf_dir)
+    return ngram_jaccard_pairs(t["documents"].df, threshold=0.8)
+
+
+@query("minhash_lsh_pairs", _SQL_JACCARD_EXACT)
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash(128)+LSH(32x4) candidates, exact-Jaccard-verified: equals
+    the exact join (oracle) with prob 1-2e-8 per true pair at t=0.8; the
+    corpus's true pairs sit at j>=0.9 where the miss prob is ~1e-35."""
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_pairs(t["documents"].df, threshold=0.8)
+
+
+_SQL_SIMHASH = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    sh AS ({_SQL_SHINGLES}),
+    hs AS (
+      SELECT doc_id,
+             [list_sum([(strpos('0123456789abcdef', substr(md5(s), k+1, 1))
+                          - 1)::BIGINT << (4*(11-k)) for k in range(0,12)]
+                       )::BIGINT for s in shingles] AS hl
+      FROM sh WHERE len(shingles) > 0
+    ),
+    sim AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN 2*len(list_filter(hl,
+                             h -> ((h >> i) & 1) = 1)) > len(hl)
+                       THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                       for i in range(0,48)])::BIGINT AS simhash
+      FROM hs
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("simhash_pairs", _SQL_SIMHASH)
+def q_simhash(spark, sf_dir):
+    """48-bit md5-based SimHash, hamming<=3 pairs found exactly via
+    4-band pigeonhole blocking."""
+    t = load_tables(spark, sf_dir)
+    out = simhash_pairs(t["documents"].df, max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+# §pipeline: similarity search ------------------------------------------
+
+_SQL_EMB = (
+    "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+)
+
+_SQL_COS_TOPK = f"""
+    WITH e AS ({_SQL_EMB}),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+          FROM n WHERE vec_id < 8),
+    s AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id,
+             list_dot_product(qv, v) / (qn * nrm) AS cos_full
+      FROM n JOIN q ON n.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_full DESC, neighbor_id) AS rank,
+             cos_full
+      FROM s
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(cos_full, 4) AS cos
+    FROM r WHERE rank <= 5
+"""
+
+
+@query("ann_cosine_topk", _SQL_COS_TOPK)
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 8 broadcast query vectors: corpus
+    streams once, only k rows/query shuffle to the rank window."""
+    t = load_tables(spark, sf_dir)
+    return cosine_topk(t["embeddings"].df, query_ids_below=8, k=5)
+
+
+_SQL_COS_PAIRS = f"""
+    WITH e AS ({_SQL_EMB}),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_full
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(cos_full, 4) AS cos
+    FROM p WHERE cos_full >= 0.4505
+"""
+
+
+@query("embedding_cosine_pairs", _SQL_COS_PAIRS)
+def q_embedding_cosine_pairs(spark, sf_dir):
+    """Embedding near-dup pairs, cosine >= 0.4505 (threshold sits in a
+    measured 2e-3 gap of the sf0.01 score distribution, so float drift
+    cannot flip membership)."""
+    t = load_tables(spark, sf_dir)
+    return cosine_pairs(t["embeddings"].df, threshold=0.4505)
+
+
+@query("lsh_ann_topk")  # approximate: rows-only check by design
+def q_lsh_ann_topk(spark, sf_dir):
+    """Random-hyperplane LSH bucketed ANN (the 100 TB shape: equi-join
+    on bucket instead of cross join). Approximate recall => no SQL
+    oracle; the exact baseline is `ann_cosine_topk`."""
+    t = load_tables(spark, sf_dir)
+    return lsh_ann_topk(t["embeddings"].df, dim=64, query_ids_below=8, k=5)
+
+
+# §pipeline: text analysis ----------------------------------------------
+
+_STOP_EN = "'the','a','and','of','to','in','is'"
+_SQL_QUALITY = f"""
+    WITH toks AS ({_SQL_TOKS})
+    SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)
+        AS type_token_ratio,
+      len(list_filter(toks, t -> t IN ({_STOP_EN})))::DOUBLE
+        / greatest(len(toks), 1) AS stopword_ratio,
+      (length(text) - (len(toks) - 1))::DOUBLE / greatest(len(toks), 1)
+        AS mean_token_len,
+      length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1) AS alpha_ratio
+    FROM toks
+"""
+
+
+@query("text_quality", _SQL_QUALITY)
+def q_text_quality(spark, sf_dir):
+    """Quality signals: token count, type-token ratio, stopword ratio,
+    mean token length, alpha ratio — narrow scan, no shuffle."""
+    t = load_tables(spark, sf_dir)
+    return text_quality(t["documents"].df)
+
+
+_SQL_LANG = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    sc AS (
+      SELECT doc_id, lang, text,
+        len(list_filter(toks, t -> t IN ({_STOP_EN})))::DOUBLE
+          / greatest(len(toks), 1) AS s_en,
+        len(list_filter(toks, t -> t IN
+          ('der','die','das','und','ist','nicht','ein')))::DOUBLE
+          / greatest(len(toks), 1) AS s_de,
+        len(list_filter(toks, t -> t IN
+          ('le','la','les','et','est','une','des')))::DOUBLE
+          / greatest(len(toks), 1) AS s_fr,
+        len(list_filter(toks, t -> t IN
+          ('el','la','los','que','es','una','por')))::DOUBLE
+          / greatest(len(toks), 1) AS s_es
+      FROM toks
+    )
+    SELECT doc_id, lang,
+      CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+           WHEN greatest(s_de, s_fr, s_es) > s_en
+                AND s_de = greatest(s_de, s_fr, s_es) THEN 'de'
+           WHEN greatest(s_de, s_fr, s_es) > s_en
+                AND s_fr = greatest(s_de, s_fr, s_es) THEN 'fr'
+           WHEN greatest(s_de, s_fr, s_es) > s_en
+                AND s_es = greatest(s_de, s_fr, s_es) THEN 'es'
+           ELSE 'en' END AS lang_pred
+    FROM sc
+"""
+
+
+@query("lang_id", _SQL_LANG)
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (charset cue + stopword-profile argmax)."""
+    t = load_tables(spark, sf_dir)
+    return lang_id(t["documents"].df).select("doc_id", "lang", "lang_pred")
+
+
+_SQL_TOKCOUNT = """
+    SELECT doc_id,
+      CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+        AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text,
+        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+"""
+
+
+@query("token_counts", _SQL_TOKCOUNT)
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts."""
+    t = load_tables(spark, sf_dir)
+    return token_counts(t["documents"].df)
+
+
+_SQL_FINGERPRINT = """
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 8 THEN
+               list_distinct([substr(text, i, 8)
+                              for i in range(1, length(text)-6)])
+             ELSE [] END AS kg
+      FROM documents
+    )
+    SELECT doc_id,
+           list_aggregate(list_transform(kg, s -> md5(s)), 'min')
+             AS fingerprint,
+           CAST(len(kg) AS BIGINT) AS n_kgrams
+    FROM sh
+"""
+
+
+@query("doc_fingerprint", _SQL_FINGERPRINT)
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style min-md5 fingerprint over char 8-grams."""
+    t = load_tables(spark, sf_dir)
+    return doc_fingerprint(t["documents"].df, k=8)
