@@ -296,3 +296,62 @@ def q_doc_fingerprint(spark, sf_dir):
     """Winnowing-style min-md5 fingerprint over char 8-grams."""
     t = load_tables(spark, sf_dir)
     return doc_fingerprint(t["documents"].df, k=8)
+
+
+# §2.1 sources/sinks + multimodal plumbing ------------------------------
+
+@query(
+    "fread_fwrite_roundtrip",
+    "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+)
+def q_fread_roundtrip(spark, sf_dir):
+    """fwrite -> fread CSV round-trip (reference R/fwrite.R, R/fread.R):
+    write the supplier projection as sharded CSV, read it back with
+    explicit colClasses, and verify values survive bit-exact (the
+    oracle is the original parquet)."""
+    import os
+
+    from .sources import fread, fwrite
+
+    t = load_tables(spark, sf_dir)
+    out_dir = "/root/repo/.tmp/roundtrip_csv"
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    proj = t["supplier"].query(j=["s_suppkey", "s_name", "s_acctbal"])
+    fwrite(proj, out_dir)
+    back = fread(
+        spark,
+        out_dir,
+        col_classes={
+            "s_suppkey": "integer64",
+            "s_name": "character",
+            "s_acctbal": "double",
+        },
+    )
+    return back.df
+
+
+_SQL_MEDIA_FEATURES = """
+    WITH m AS (SELECT doc_id AS id, text, md5(text) AS h FROM documents)
+    SELECT id, 'image' AS media_type,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      h AS content_md5,
+      CAST(1 + (list_sum([(strpos('0123456789abcdef', substr(h, k+1, 1))
+                           - 1)::BIGINT << (4*(3-k)) for k in range(0,4)])
+                % 512) AS INT) AS width,
+      CAST(1 + (list_sum([(strpos('0123456789abcdef', substr(h, 4+k+1, 1))
+                           - 1)::BIGINT << (4*(3-k)) for k in range(0,4)])
+                % 512) AS INT) AS height
+    FROM m
+"""
+
+
+@query("multimodal_features", _SQL_MEDIA_FEATURES)
+def q_multimodal_features(spark, sf_dir):
+    """Binary media column -> Arrow-batched mapInPandas feature extract
+    (decode stubbed deterministically via md5; the oracle reproduces the
+    fake-decode arithmetic, proving the plumbing end-to-end)."""
+    from .pipeline.multimodal import attach_binary, extract_features
+
+    t = load_tables(spark, sf_dir)
+    media = attach_binary(t["documents"].df)
+    return extract_features(media, decoder="fake")

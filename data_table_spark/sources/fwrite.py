@@ -1,0 +1,66 @@
+"""fwrite: data.table's parallel CSV writer (reference R/fwrite.R:1-17,
+src/fwrite.c) on Spark's csv sink.
+
+Mapping:
+- OpenMP chunked write (src/fwrite.c) -> one shard per partition,
+  written in parallel by executors. `single_file=True` coalesces to one
+  partition for small outputs (the reference's single-file behavior);
+  the default keeps shards — at 100 TB a single file is the bottleneck.
+- quote="auto" (quote iff needed) -> csv option quoteAll=false + escape
+- sep2 for list columns (R/fwrite.R:6) -> concat_ws(sep2) pre-pass
+- dateTimeAs ISO (R/fwrite.R:10) -> timestampFormat ISO-8601
+- compress="gzip" (src/fwrite.c:586) -> option compression=gzip
+- append=TRUE -> mode("append")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def fwrite(
+    dt,
+    path: str,
+    sep: str = ",",
+    sep2: str = "|",
+    na: str = "",
+    quote: str = "auto",
+    header: bool = True,
+    append: bool = False,
+    compress: str = "none",
+    date_time_as: str = "ISO",
+    single_file: bool = False,
+) -> None:
+    df: DataFrame = dt.df if hasattr(dt, "df") else dt
+    # serialize array columns with sep2, the reference's list-column rule
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.ArrayType):
+            df = df.withColumn(
+                f.name,
+                F.concat_ws(sep2, F.col(f.name).cast("array<string>")),
+            )
+    if single_file:
+        df = df.coalesce(1)
+    writer = (
+        df.write.option("sep", sep)
+        .option("header", str(bool(header)).lower())
+        .option("nullValue", na)
+        .option("emptyValue", "")
+        .option("quoteAll", str(quote == "all").lower())
+    )
+    if date_time_as == "ISO":
+        writer = writer.option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+        )
+    elif date_time_as == "epoch":
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.TimestampType):
+                df = df.withColumn(f.name, F.unix_timestamp(F.col(f.name)))
+        writer = df.write.options(
+            sep=sep, header=str(bool(header)).lower(), nullValue=na
+        )
+    if compress and compress != "none":
+        writer = writer.option("compression", compress)
+    writer.mode("append" if append else "overwrite").csv(path)

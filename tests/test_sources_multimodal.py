@@ -1,0 +1,75 @@
+"""Unit tests for fread auto-detection, fwrite options, and the
+multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_table_spark.sources.fread import _detect_sep, _detect_header, fread
+from data_table_spark.sources import fwrite
+from data_table_spark.pipeline.multimodal import (
+    attach_binary,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+
+TMP = "/root/repo/.tmp"
+
+
+def test_detect_sep():
+    assert _detect_sep(["a,b,c", "1,2,3"]) == ","
+    assert _detect_sep(["a\tb\tc", "1\t2\t3"]) == "\t"
+    assert _detect_sep(["a|b", "1|2"]) == "|"
+
+
+def test_detect_header():
+    assert _detect_header(["name,qty", "x,1"], ",") is True
+    assert _detect_header(["1,2", "3,4"], ",") is False
+
+
+def test_fread_auto_tsv(spark):
+    os.makedirs(TMP, exist_ok=True)
+    p = f"{TMP}/auto.tsv"
+    with open(p, "w") as f:
+        f.write("k\tv\n1\talpha\n2\tbeta\n")
+    dt = fread(spark, p)
+    rows = {r["k"]: r["v"] for r in dt.collect()}
+    assert rows == {1: "alpha", 2: "beta"}
+
+
+def test_fwrite_gzip_and_array(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        "id", F.array(F.lit("a"), F.lit("b")).alias("tags")
+    )
+    out = f"{TMP}/gzcsv"
+    fwrite(df, out, compress="gzip", sep2=";")
+    back = fread(
+        spark, out, col_classes={"id": "integer64", "tags": "character"}
+    )
+    got = {r["id"]: r["tags"] for r in back.collect()}
+    assert got == {0: "a;b", 1: "a;b", 2: "a;b"}
+
+
+def test_multimodal_stub_schemas(spark, tables):
+    media = attach_binary(tables["documents"].df.limit(20))
+    feats = extract_features(media)
+    assert feats.columns == [
+        "id", "media_type", "n_bytes", "content_md5", "width", "height"
+    ]
+    r = feats.limit(1).collect()[0]
+    assert 1 <= r["width"] <= 512 and 1 <= r["height"] <= 512
+
+    rs = resize_images(media, 224, 224).limit(1).collect()[0]
+    assert rs["width"] == 224 and isinstance(rs["media"], (bytes, bytearray))
+
+    fr = sample_frames(media, every_n=1)
+    assert fr.columns == ["id", "frame_idx", "frame"]
+    assert fr.count() >= 20  # flatMap shape: >= one frame per input
+
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decoder="real")
