@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, Window, WindowSpec
 from pyspark.sql import functions as F
 
@@ -306,3 +308,32 @@ def frev_order(dt: DT) -> DT:
         raise ValueError("frev needs a declared order")
     # represented as order on negated sort keys at consumption time
     return DT(dt.df, key=dt.key, order_by=dt.order_by)
+
+
+def frollapply(
+    dt: DT, col, n: int, fn, by=None, order=None, out_col: str | None = None
+) -> DT:
+    """frollapply (reference R/frollapply.R:128, src/frollapply.c):
+    arbitrary function over a fixed right-aligned rolling window.
+
+    Spark shape: collect_list over the rolling frame (JVM) then ONE
+    Arrow-batched pandas_udf applying `fn` per window array — the
+    documented slow path (§2.11), used only because `fn` is arbitrary
+    Python. Windows shorter than n yield NULL (data.table's
+    fill/partial default)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = col if isinstance(col, str) else col._jc.toString()
+    w = win(dt, by=by, order=order).rowsBetween(-(n - 1), 0)
+    arr = F.collect_list(F.col(c)).over(w)
+
+    @pandas_udf("double")
+    def apply_fn(s: pd.Series) -> pd.Series:
+        return s.map(lambda a: float(fn(a)) if len(a) == n else None)
+
+    name = out_col or f"{c}_roll{n}"
+    return DT(
+        dt.df.withColumn(name, apply_fn(arr)),
+        key=dt.key,
+        order_by=dt.order_by,
+    )

@@ -1370,3 +1370,5 @@ def q_fsetdiff(spark, sf_dir):
 # Pipeline extension registrations (dedup / similarity / text analysis).
 # Bottom import so the registry decorator above is defined first.
 from . import queries_pipeline  # noqa: E402,F401
+from . import queries_streaming  # noqa: E402,F401
+from . import queries_scalar  # noqa: E402,F401

@@ -1,0 +1,134 @@
+"""Streaming query registrations (§2.12 extension).
+
+Each query runs REAL Structured Streaming machinery (file stream source,
+state store, event-time windows, Trigger.AvailableNow) into a memory
+sink, then returns the materialized batch result. Over finite input the
+unified-semantics contract says the result must equal the batch/DuckDB
+answer — that is the correctness gate. Window keys are exported as epoch
+micros (engine-portable: DuckDB's epoch_us on TIMESTAMP_NS floors to the
+same integer the session derives at load).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .core import load_tables
+from .queries import query
+from .streaming import (
+    enrich_with_static,
+    read_events_stream,
+    run_available_now,
+    session_agg,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+
+_US_HOUR = 3_600_000_000
+_US_HALF_HOUR = 1_800_000_000
+_US_5MIN = 300_000_000
+
+
+@query(
+    "stream_tumbling_agg",
+    f"""
+    SELECT (epoch_us(ts) // {_US_HOUR}) * {_US_HOUR} AS win_start_us,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark, sf_dir):
+    """Tumbling 1h event-time windows with a 30m watermark, run through
+    the streaming engine (AvailableNow) and compared to the batch
+    answer."""
+    s = read_events_stream(spark, sf_dir)
+    return run_available_now(tumbling_agg(s, "1 hour", "30 minutes"))
+
+
+@query(
+    "stream_sliding_agg",
+    f"""
+    WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+    w AS (
+      SELECT ((us // {_US_HALF_HOUR}) - k) * {_US_HALF_HOUR} AS win_start_us
+      FROM e CROSS JOIN (SELECT unnest(range(2)) AS k)
+    )
+    SELECT win_start_us, COUNT(*) AS n FROM w GROUP BY 1
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    """Sliding 1h windows hopping every 30m (each event in 2 windows,
+    epoch-aligned starts)."""
+    s = read_events_stream(spark, sf_dir)
+    return run_available_now(sliding_agg(s, "1 hour", "30 minutes"))
+
+
+@query(
+    "stream_session_agg",
+    f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    l AS (SELECT user_id, us,
+                 lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+          FROM e),
+    f AS (SELECT user_id, us,
+                 CASE WHEN prev IS NULL OR us - prev >= {_US_5MIN}
+                      THEN 1 ELSE 0 END AS brk
+          FROM l),
+    s AS (SELECT user_id, us,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+          FROM f)
+    SELECT MIN(us) AS session_start_us, user_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark, sf_dir):
+    """Per-user session windows (5m gap) via the streaming
+    session_window state-merge; oracle is the batch gaps-and-islands
+    sessionization (break at diff >= gap, matching Spark's exclusive
+    window end)."""
+    s = read_events_stream(spark, sf_dir)
+    return run_available_now(session_agg(s, "5 minutes", "30 minutes"))
+
+
+@query(
+    "stream_dedup",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """Stateful dedup on event_id within a 1h watermark horizon
+    (dropDuplicatesWithinWatermark); event_ids are unique so the result
+    is the full stream — the check proves nothing is dropped or
+    duplicated by the state machinery."""
+    s = read_events_stream(spark, sf_dir)
+    out = stream_dedup(s, "1 hour").select(
+        "event_id", "ts_us", "user_id", "event_type", "value"
+    )
+    return run_available_now(out, output_mode="append")
+
+
+@query(
+    "stream_static_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment: the customer dim broadcasts per
+    micro-batch; no state, append mode."""
+    s = read_events_stream(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].df.select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    out = enrich_with_static(
+        s, dim, F.col("user_id") == F.col("c_custkey")
+    ).select("event_id", "user_id", "segment")
+    return run_available_now(out, output_mode="append")

@@ -1,0 +1,158 @@
+"""Structured Streaming surface over the `events` table.
+
+The reference has NO streaming (verified batch-only — SURVEY §1.3/§2.12);
+this module is the north-star extension, built on Spark Structured
+Streaming primitives: event-time windows (`F.window`/`F.session_window`),
+watermarks for late data + state eviction, stateful dedup
+(`dropDuplicatesWithinWatermark`), and stream-static joins.
+
+Correctness-gate shape: each op also runs BATCH-equivalently — a
+streaming query with `Trigger.AvailableNow` into a memory sink processes
+the same parquet and must equal the batch/DuckDB answer. That is the
+strongest check Structured Streaming allows (its unified semantics say a
+streaming query over finite input == the batch query), and it exercises
+the real streaming machinery (state store, window assignment, trigger
+planning), not a batch re-implementation.
+
+Scale posture: state size is bounded by watermarks (close windows, evict
+dedup keys); shuffle partitioning of the state store follows
+spark.sql.shuffle.partitions; at production scale set
+spark.sql.streaming.statestore.* (RocksDB) and checkpointLocation on
+durable storage. Memory sink + availableNow here are the test harness,
+not the deployment shape.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_RUN_COUNTER = itertools.count()
+
+# events.parquet physical schema under nanosAsLong (session.py): the
+# TIMESTAMP(NANOS) column arrives as int64 nanoseconds.
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet: same derivation as the
+    batch loader (ts_ns bigint -> ts_us -> micros timestamp), so batch
+    and stream agree to the microsecond."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return (
+        raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Run a streaming DataFrame to completion over the available input
+    (Trigger.AvailableNow) into a memory sink; return the batch result.
+    Unique sink name per call — repeated runs in one session don't
+    collide."""
+    name = name or f"stream_out_{next(_RUN_COUNTER)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def tumbling_agg(
+    events: DataFrame,
+    size: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling event-time window aggregate with a watermark (late rows
+    beyond `watermark` drop; state for closed windows evicts). Output
+    keyed by the window start in epoch micros (engine-portable)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding (hopping) window counts: each event lands in size/slide
+    overlapping windows, assigned by Spark's epoch-aligned windowing."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "n",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-user session windows (merge events within `gap`); classic
+    sessionization with state merging executor-side."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            "user_id", "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful dedup on event_id within the watermark horizon
+    (dropDuplicatesWithinWatermark: keys evict once the watermark passes,
+    bounding state — exact dedup needs keys to recur within the
+    horizon)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def enrich_with_static(events: DataFrame, dim: DataFrame, on) -> DataFrame:
+    """Stream-static join: the static dim is (re)broadcast per
+    micro-batch; no state, no watermark required."""
+    return events.join(F.broadcast(dim), on, "left")
