@@ -28,12 +28,15 @@ from pyspark.sql import functions as F
 
 from .text import tokens_col, word_shingles
 
-# MinHash parameters. b*r = 128 permutations; threshold curve midpoint
-# (1/b)^(1/r) ≈ 0.42, far below the 0.8 verification threshold => recall
-# at t>=0.8 is 1 - (1 - t^4)^32 > 1 - 2e-8.
-MINHASH_PERMS = 128
-LSH_BANDS = 32
-LSH_ROWS = 4
+# MinHash parameters. b*r = 126 permutations; threshold curve midpoint
+# (1/b)^(1/r) ≈ 0.60. r=6 keeps band-collision odds for UNRELATED pairs
+# tiny (j=0.2 -> j^6*21 ≈ 0.13% candidate rate vs ~5% at r=4 — candidate
+# verification cost drops ~30x) while recall at j>=0.8 stays
+# 1-(1-0.8^6)^21 ≈ 0.9982 and at the corpus's real near-dups (j>=0.9)
+# 1-(1-0.9^6)^21 ≈ 1-1e-7.
+MINHASH_PERMS = 126
+LSH_BANDS = 21
+LSH_ROWS = 6
 
 SIMHASH_BITS = 48
 SIMHASH_BANDS = 4  # exact for hamming <= SIMHASH_BANDS - 1
@@ -46,11 +49,58 @@ def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     return df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure enough input partitions to parallelize expression-heavy
+    narrow stages. Single-file scans arrive as 1 partition, which
+    serializes everything until the first shuffle; one cheap round-robin
+    repartition fixes that. No-op when the scan already has parallelism
+    (the 100 TB case: thousands of file splits), so no extra shuffle at
+    scale."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
 def _shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
     toks = tokens_col("text")
-    return docs.select(
+    return spread(docs).select(
         "doc_id", word_shingles(toks, n).alias("shingles")
     ).withColumn("sz", F.size("shingles"))
+
+
+def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) ROWS, built relationally: posexplode
+    tokens -> window lead() to assemble n-grams -> distinct.
+
+    This is the hot-path encoding on purpose: the array-column form
+    (`word_shingles`) uses higher-order functions which Spark evaluates
+    INTERPRETED and re-evaluates per reference after projection
+    collapse — measured ~50x slower at sf0.1. Everything here is
+    whole-stage codegen; the one shuffle (doc_id) is shared by every
+    downstream per-doc aggregate."""
+    tok = spread(docs).select(
+        "doc_id",
+        F.posexplode(tokens_col("text")).alias("pos", "tok"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", k).over(w) for k in range(1, n)
+    ]
+    tri = tok.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("s"),
+        F.lead("tok", n - 1).over(w).alias("_full"),
+    )
+    return tri.filter(F.col("_full").isNotNull()).select(
+        "doc_id", "s"
+    ).distinct()
+
+
+def shingle_sizes(sr: DataFrame) -> DataFrame:
+    return sr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
 
 
 def ngram_jaccard_pairs(
@@ -62,8 +112,11 @@ def ngram_jaccard_pairs(
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) — exact ints, one division,
     bit-identical to the oracle."""
-    sh = _shingle_table(docs, n)
-    ex = sh.select("doc_id", "sz", F.explode("shingles").alias("s"))
+    # NOTE: no persist() here — caching pins the static shuffle
+    # partitioning and disables AQE coalescing above it, which measured
+    # slower than recomputing this cheap codegen pipeline.
+    sr = shingle_rows(docs, n)
+    ex = sr.join(shingle_sizes(sr), "doc_id").select("doc_id", "sz", "s")
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(
@@ -89,17 +142,49 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(shingles: Column) -> Column:
-    """128-permutation MinHash signature as an array<long>.
+import random as _random
 
-    Permutation i re-hashes the per-shingle xxhash64 with i as a second
-    hashed word: sig[i] = min over shingles of xxhash64(xxhash64(s), i).
-    Pure JVM built-ins — no UDF, no shuffle."""
-    hs = F.transform(shingles, lambda s: F.xxhash64(s))
+_rng = _random.Random(42)
+# Universal multiply-add-mod family over the 31-bit-masked base hash:
+# h' = xxhash64(s) & (2^31-1); perm_i(h') = (a_i*h' + b_i) mod p with the
+# Mersenne prime p = 2^31-1. a,b < 2^31 keeps products < 2^62 — no int64
+# overflow under ANSI mode. 31-bit shingle space is ample for minhash
+# (only the per-permutation relative order matters).
+_P31 = (1 << 31) - 1
+_PERM_A = [(_rng.randrange(1, 1 << 30) * 2 + 1) for _ in range(MINHASH_PERMS)]
+_PERM_B = [_rng.randrange(0, _P31) for _ in range(MINHASH_PERMS)]
+
+
+def _perm_min_aggs() -> list[Column]:
+    """One MIN aggregate per permutation over the exploded shingle-hash
+    column `h`. Flat relational encoding on purpose: Spark's array
+    higher-order functions (aggregate/zip_with/transform) run as
+    INTERPRETED expressions outside whole-stage codegen, which made an
+    array-fold signature ~50x slower; a projection + hash-aggregate of
+    128 mins stays fully codegen'd and partial-aggregates map-side."""
+    return [
+        F.min(
+            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P31))
+        ).alias(f"sig{i}")
+        for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    ]
+
+
+def minhash_signature(shingles: Column) -> Column:
+    """128-permutation MinHash signature as an array<long> (array-column
+    form for API parity; `minhash_lsh_pairs` uses the faster relational
+    encoding of the same permutations — see _perm_min_aggs)."""
+    hs = F.transform(
+        shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_P31))
+    )
     return F.array(
         *[
-            F.array_min(F.transform(hs, lambda h: F.xxhash64(h, F.lit(i))))
-            for i in range(MINHASH_PERMS)
+            F.array_min(
+                F.transform(
+                    hs, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P31))
+                )
+            )
+            for a, b in zip(_PERM_A, _PERM_B)
         ]
     )
 
@@ -114,11 +199,13 @@ def minhash_lsh_pairs(
     distinct candidates -> exact Jaccard verification >= threshold.
     Output schema matches `ngram_jaccard_pairs` (it computes the same
     answer with near-certain probability, at LSH cost)."""
-    sh = _shingle_table(docs, n).filter(F.col("sz") > 0)
-    sig = sh.select(
-        "doc_id", "sz", "shingles",
-        minhash_signature(F.col("shingles")).alias("sig"),
+    sr = shingle_rows(docs, n)
+    # relational minhash: codegen'd projection of 126 perms ->
+    # map-side-combining hash aggregate of mins (see _perm_min_aggs)
+    ex = sr.select(
+        "doc_id", F.xxhash64("s").bitwiseAND(F.lit(_P31)).alias("h")
     )
+    sig = ex.groupBy("doc_id").agg(*_perm_min_aggs())
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -128,7 +215,7 @@ def minhash_lsh_pairs(
                         F.lit(j).alias("band"),
                         F.xxhash64(
                             *[
-                                F.element_at("sig", j * LSH_ROWS + r + 1)
+                                F.col(f"sig{j * LSH_ROWS + r}")
                                 for r in range(LSH_ROWS)
                             ]
                         ).alias("bh"),
@@ -152,19 +239,33 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sa = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("sz").alias("sa"),
+    # exact-Jaccard verification, fully relational: expand candidates by
+    # A's shingle rows (carrying |A| via a per-doc count window), match
+    # against B's rows (carrying |B|), count matches per pair. Sizes
+    # ride along, so sr is read by just two verification branches.
+    from pyspark.sql import Window as _W
+
+    szw = F.count(F.lit(1)).over(_W.partitionBy("doc_id"))
+    srz = sr.withColumn("sz", szw)
+    pa = srz.select(
+        F.col("doc_id").alias("doc_a"), "s", F.col("sz").alias("sa")
     )
-    sb = sh.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("sz").alias("sb"),
+    pb = srz.select(
+        F.col("doc_id").alias("doc_b"), "s", F.col("sz").alias("sb")
     )
-    ver = cand.join(sa, "doc_a").join(sb, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (F.col("sa") + F.col("sb") - inter)
+    ver = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("sa").alias("sa"),
+            F.first("sb").alias("sb"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("inter")
+    )
     return (
         ver.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
@@ -176,9 +277,8 @@ def simhash_col(shingles: Column) -> Column:
     """48-bit SimHash over a shingle array, md5-based so the oracle can
     reproduce it: feature hash = int(md5(s)[:12], 16); bit i of the
     SimHash is set iff 2*(count of features with bit i set) > n_features.
-
-    Built-in-only: md5 -> conv(hex,16,10) -> bit votes via filter/size.
-    48 bits keeps every intermediate exactly representable everywhere."""
+    (Array-column form; `simhash_table` computes the same hash
+    relationally for speed — array higher-order fns are interpreted.)"""
     hs = F.transform(
         shingles,
         lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
@@ -201,6 +301,33 @@ def simhash_col(shingles: Column) -> Column:
     return out
 
 
+def simhash_table(sr: DataFrame) -> DataFrame:
+    """(doc_id, simhash) from shingle ROWS via the codegen-friendly
+    relational encoding: md5/conv projection -> 48 conditional-sum
+    aggregates (bit votes) -> bit assembly. Whole-stage codegen
+    throughout; map-side partial aggregation."""
+    ex = sr.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    votes = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright("h", i).bitwiseAND(1)).alias(f"ones{i}")
+            for i in range(SIMHASH_BITS)
+        ],
+    )
+    bit_sum = None
+    for i in range(SIMHASH_BITS):
+        b = F.when(
+            2 * F.col(f"ones{i}") > F.col("n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        bit_sum = b if bit_sum is None else bit_sum + b
+    return votes.select("doc_id", bit_sum.alias("simhash"))
+
+
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3, n: int = 3
 ) -> DataFrame:
@@ -209,10 +336,7 @@ def simhash_pairs(
     within hd<=3 agrees on at least one of 4 disjoint 12-bit bands).
     Output: (doc_a, doc_b, hamming)."""
     assert max_hamming == SIMHASH_BANDS - 1, "bands fixed for hd<=3"
-    sh = _shingle_table(docs, n).filter(F.col("sz") > 0)
-    sim = sh.select(
-        "doc_id", simhash_col(F.col("shingles")).alias("simhash")
-    )
+    sim = simhash_table(shingle_rows(docs, n))
     width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << width) - 1
     bands = sim.select(

@@ -48,8 +48,10 @@ def norm(a: Column) -> Column:
 
 
 def _corpus(emb: DataFrame) -> DataFrame:
+    from .dedup import spread
+
     v = _as_double(F.col("embedding"))
-    return emb.select(
+    return spread(emb).select(
         "vec_id", v.alias("v")
     ).withColumn("nrm", norm(F.col("v")))
 

@@ -137,9 +137,11 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFr
     """Winnowing-style fingerprint: min md5 over character k-grams (the
     1-permutation MinHash of the k-gram set) + the distinct k-gram count.
     md5 is bit-identical across engines, so the oracle matches exactly."""
+    from .dedup import spread
+
     sh = char_shingles(F.col(text_col), k)
     hashes = F.transform(sh, lambda s: F.md5(s))
-    return df.select(
+    return spread(df).select(
         "doc_id",
         F.array_min(hashes).alias("fingerprint"),
         F.size(sh).cast("long").alias("n_kgrams"),
