@@ -204,3 +204,9 @@ def split_table(dt: DT, by: Sequence[str], values: Sequence) -> dict:
         )
         out[v] = DT(dt.df.filter(pred), key=dt.key, order_by=dt.order_by)
     return out
+
+
+def rowwiseDT(spark, columns: Sequence[str], *rows) -> DT:
+    """rowwiseDT (reference R/rowwiseDT.R:1-31): row-wise literal table
+    constructor -> spark.createDataFrame."""
+    return DT(spark.createDataFrame([tuple(r) for r in rows], list(columns)))

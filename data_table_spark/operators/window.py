@@ -337,3 +337,49 @@ def frollapply(
         key=dt.key,
         order_by=dt.order_by,
     )
+
+
+def frolladaptive(
+    dt: DT, col, n_col, by=None, order=None, out_col: str | None = None
+) -> DT:
+    """Adaptive (variable-width) rolling sum (reference
+    src/frolladaptive.c: per-row window size vector `n`).
+
+    Spark windows cannot take per-row frame bounds, so this compiles to
+    the cumsum-difference identity: roll_i = cs_i - cs_{i-n_i}, realized
+    as a self equi-join on (group, pos - n_i) — two codegen'd window
+    passes + one co-partitioned join, no per-row frame scan (O(rows),
+    not O(rows*window)). Sums run in DECIMAL(18,4) so the difference is
+    exact and engine-portable. Rows with pos < n_i yield NULL (the
+    reference's incomplete-window NA)."""
+    grp = _namelist(by)
+    w = win(dt, by=by, order=order)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    c = F.col(col).cast("decimal(18,4)")
+    base = (
+        dt.df.withColumn("__pos__", F.row_number().over(w))
+        .withColumn("__cs__", F.sum(c).over(cum))
+        .withColumn("__nn__", F.col(n_col).cast("int"))
+    )
+    prev = base.select(
+        *[F.col(g).alias(f"__pg_{g}__") for g in grp],
+        F.col("__pos__").alias("__ppos__"),
+        F.col("__cs__").alias("__pcs__"),
+    )
+    cond = F.col("__pos__") - F.col("__nn__") == F.col("__ppos__")
+    for g in grp:
+        cond = cond & (F.col(g) == F.col(f"__pg_{g}__"))
+    joined = base.join(prev, on=cond, how="left").drop(
+        *[f"__pg_{g}__" for g in grp]
+    )
+    name = out_col or f"{col}_adaptive"
+    val = F.when(
+        F.col("__pos__") >= F.col("__nn__"),
+        (F.col("__cs__") - F.coalesce(F.col("__pcs__"), F.lit(0))).cast(
+            "double"
+        ),
+    )
+    out = joined.withColumn(name, val).drop(
+        "__pos__", "__cs__", "__nn__", "__ppos__", "__pcs__"
+    )
+    return DT(out, key=dt.key, order_by=dt.order_by)

@@ -1372,3 +1372,4 @@ def q_fsetdiff(spark, sf_dir):
 from . import queries_pipeline  # noqa: E402,F401
 from . import queries_streaming  # noqa: E402,F401
 from . import queries_scalar  # noqa: E402,F401
+from . import queries_coverage  # noqa: E402,F401

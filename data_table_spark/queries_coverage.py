@@ -1,0 +1,199 @@
+"""Coverage queries for the remaining SURVEY §2 rows: mutation (:=),
+adaptive rolling windows, transpose, cbindlist, per-group tail,
+row-wise constructor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .core import load_tables
+from .queries import query
+
+
+@query(
+    "mutation_let",
+    """
+    SELECT o_orderkey,
+           CAST(o_totalprice * 0.9 AS DOUBLE) AS discounted,
+           CASE WHEN o_orderstatus = 'F' THEN 'closed'
+                ELSE o_orderpriority END AS prio2
+    FROM orders
+    WHERE NOT (o_totalprice < 1000)
+    """,
+)
+def q_mutation_let(spark, sf_dir):
+    """:= mutation chain (reference src/assign.c:355, rebind semantics
+    SURVEY §2.9): add a computed column, sub-assign on i rows, delete
+    rows, drop a column — all one narrow projection+filter, no
+    shuffle."""
+    t = load_tables(spark, sf_dir)
+    out = (
+        t["orders"]
+        .let(discounted=F.col("o_totalprice") * 0.9,
+             prio2=F.col("o_orderpriority"))
+        .set_where(F.col("o_orderstatus") == "F", prio2=F.lit("closed"))
+        .delete_rows(F.col("o_totalprice") < 1000)
+    )
+    return out.query(
+        j={
+            "o_orderkey": F.col("o_orderkey"),
+            "discounted": F.col("discounted").cast("double"),
+            "prio2": F.col("prio2"),
+        }
+    ).df
+
+
+@query(
+    "froll_adaptive_sum",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, value,
+             1 + CAST(event_id % 5 AS INT) AS nn,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS pos,
+             SUM(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      FROM events
+    )
+    SELECT a.event_id, a.user_id,
+           CASE WHEN a.pos >= a.nn
+                THEN CAST(a.cs - COALESCE(p.cs, 0) AS DOUBLE) END
+             AS roll_sum
+    FROM b a LEFT JOIN b p
+      ON a.user_id = p.user_id AND a.pos - a.nn = p.pos
+    """,
+)
+def q_froll_adaptive(spark, sf_dir):
+    """Adaptive rolling sum (reference src/frolladaptive.c): per-row
+    window width n_i = 1 + event_id % 5, via the cumsum-difference
+    self-join (O(rows); Spark windows can't express per-row frames)."""
+    from .operators.window import frolladaptive
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].query(
+        j={
+            "event_id": F.col("event_id"),
+            "user_id": F.col("user_id"),
+            "value": F.col("value"),
+            "nn": (1 + F.col("event_id") % 5).cast("int"),
+        }
+    )
+    out = frolladaptive(
+        ev, "value", "nn", by=["user_id"], order=["event_id"],
+        out_col="roll_sum",
+    )
+    return out.df.select("event_id", "user_id", "roll_sum")
+
+
+@query(
+    "transpose_small",
+    """
+    WITH a AS (
+      SELECT r_name, CAST(COUNT(*) AS VARCHAR) AS n
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+    ),
+    l AS (SELECT list(r_name ORDER BY r_name) AS rn,
+                 list(n ORDER BY r_name) AS nn FROM a)
+    SELECT 'r_name' AS column, rn[1] AS V1, rn[2] AS V2, rn[3] AS V3,
+           rn[4] AS V4, rn[5] AS V5 FROM l
+    UNION ALL
+    SELECT 'n', nn[1], nn[2], nn[3], nn[4], nn[5] FROM l
+    """,
+)
+def q_transpose(spark, sf_dir):
+    """transpose (reference src/transpose.c:5): rows<->cols of a small
+    aggregate — inherently driver-side (result schema depends on data);
+    restricted to small tables like the reference's use."""
+    from .operators.joins import join
+    from .operators.reshape import transpose
+
+    t = load_tables(spark, sf_dir)
+    a = join(
+        t["nation"], t["region"],
+        on={"n_regionkey": "r_regionkey"}, how="inner",
+    ).query(
+        j={"n": F.count(F.lit(1)).cast("string")}, by=["r_name"],
+    )
+    ordered = a.df.orderBy("r_name")
+    from .core import DT
+
+    return transpose(DT(ordered), spark).df
+
+
+@query(
+    "cbindlist_zip",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+               FROM customer GROUP BY 1),
+    s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+          FROM supplier GROUP BY 1)
+    SELECT c.nk, c.n_cust, s.n_supp FROM c JOIN s ON c.nk = s.nk
+    """,
+)
+def q_cbindlist(spark, sf_dir):
+    """cbindlist (reference R/mergelist.R:11): column-bind via shared key
+    (positional bind has no Spark analog — SURVEY §2.8 note)."""
+    from .operators.reshape import cbindlist
+
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].query(
+        j={"n_cust": F.count(F.lit(1))}, by={"nk": F.col("c_nationkey")}
+    )
+    s = t["supplier"].query(
+        j={"n_supp": F.count(F.lit(1))}, by={"nk": F.col("s_nationkey")}
+    )
+    return cbindlist([c, s], on=["nk"]).df
+
+
+@query(
+    "gtail_per_group",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, value FROM r WHERE rn <= 2
+    """,
+)
+def q_gtail(spark, sf_dir):
+    """tail(.SD, 2) per group (reference R/last.R; gtail) — reverse-order
+    row_number window (event_id is unique per user: deterministic)."""
+    from .operators.grouping import gtail
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].query(j=["user_id", "event_id", "value"])
+    out = gtail(ev, 2, by=["user_id"], order=["event_id"])
+    return out.df.select("user_id", "event_id", "value")
+
+
+@query(
+    "rowwise_literal",
+    """
+    WITH m(rk, tag) AS (VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma'),
+                               (3, 'delta'), (4, 'epsilon'))
+    SELECT r.r_regionkey, r.r_name, m.tag
+    FROM region r JOIN m ON r.r_regionkey = m.rk
+    """,
+)
+def q_rowwise(spark, sf_dir):
+    """rowwiseDT literal constructor (reference R/rowwiseDT.R:1-31)
+    joined against a table — createDataFrame + broadcast join."""
+    from .operators.reshape import rowwiseDT
+
+    t = load_tables(spark, sf_dir)
+    m = rowwiseDT(
+        spark, ["rk", "tag"],
+        (0, "alpha"), (1, "beta"), (2, "gamma"),
+        (3, "delta"), (4, "epsilon"),
+    )
+    return (
+        t["region"].df.join(
+            F.broadcast(m.df), F.col("r_regionkey") == F.col("rk")
+        )
+        .select("r_regionkey", "r_name", "tag")
+    )
