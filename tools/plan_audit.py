@@ -1,0 +1,92 @@
+"""Physical-plan audit: sweep every registered batch query, extract the
+scale-relevant facts from `explain("formatted")`, and flag anti-patterns.
+
+Checks per query:
+- cartesian: CartesianProduct / BroadcastNestedLoopJoin present
+  (expected only for declared all-pairs ops: cj_cross, nonequi,
+  foverlaps-family, cosine pairs/topk)
+- pushdown: at least one scan has PushedFilters when the plan filters
+- n_exchange: shuffle count (lower = better; AQE may coalesce at run)
+- joins: join strategies chosen
+
+Usage: python tools/plan_audit.py [sf_dir] [--md > SCALE_AUDIT.md]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+EXPECT_NESTED_LOOP = {
+    # declared pair-generation / range ops where a non-equi or cross
+    # join is the semantics (guarded small side or blocked candidates)
+    "cj_cross", "nonequi_join", "foverlaps_any", "foverlaps_within",
+    "inrange_semi", "embedding_cosine_pairs", "ann_cosine_topk",
+    "asof_roll_forward", "asof_roll_backward", "asof_roll_limit",
+    "asof_roll_nearest", "vecseq_expand",
+}
+
+SKIP = {  # streaming queries execute eagerly; fread writes files
+    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_agg",
+    "stream_dedup", "stream_static_join", "fread_fwrite_roundtrip",
+}
+
+
+def audit(sf_dir: str = "/root/testdata/sf0.01"):
+    from data_table_spark import get_spark
+    from data_table_spark.queries import QUERIES
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for name, fn in sorted(QUERIES.items()):
+        if name in SKIP:
+            continue
+        df = fn(spark, sf_dir)
+        sdf = df.df if hasattr(df, "df") else df
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            sdf.explain("formatted")
+        plan = buf.getvalue()
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        n_bcast = len(re.findall(r"\(\d+\) BroadcastExchange", plan))
+        joins = sorted(
+            set(re.findall(
+                r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+                r"BroadcastNestedLoopJoin|CartesianProduct)", plan))
+        )
+        nested = any(
+            j in ("BroadcastNestedLoopJoin", "CartesianProduct")
+            for j in joins
+        )
+        pushed = "PushedFilters: [" in plan and not re.search(
+            r"PushedFilters: \[\]", plan.split("PushedFilters")[1][:100]
+        )
+        flag = ""
+        if nested and name not in EXPECT_NESTED_LOOP:
+            flag = "UNEXPECTED-NESTED-LOOP"
+        rows.append((name, f"{n_exchange}+{n_bcast}b",
+                     ",".join(joins) or "-",
+                     "y" if pushed else "-", flag))
+    return rows
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    rows = audit(sf_dir)
+    print(f"| query | exchanges | joins | pushdown | flag |")
+    print("|---|---|---|---|---|")
+    bad = 0
+    for r in rows:
+        print("| " + " | ".join(str(x) for x in r) + " |")
+        if r[-1]:
+            bad += 1
+    print(f"\n{len(rows)} plans audited, {bad} flagged", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
