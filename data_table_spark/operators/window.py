@@ -74,12 +74,19 @@ def shift(
         return _shift_cyclic(dt, cols, n, by=by, order=order, give_names=give_names)
     w = win(dt, by=by, order=order)
     fn = F.lag if type_ == "lag" else F.lead
+    # fill applies ONLY beyond the group boundary (reference
+    # src/shift.c: fill is the out-of-range value) — interior NULLs in
+    # the data must shift through unchanged, so no coalesce.
+    rn = F.row_number().over(w)
+    gw = Window.partitionBy(*_namelist(by)) if by else Window.partitionBy()
+    cnt = F.count(F.lit(1)).over(gw)
     out = {}
     for c in _namelist(cols):
         name = f"{c}_{type_}_{n}" if give_names else c
         shifted = fn(F.col(c), n).over(w)
         if fill is not None:
-            shifted = F.coalesce(shifted, F.lit(fill))
+            oob = rn <= n if type_ == "lag" else rn > cnt - n
+            shifted = F.when(oob, F.lit(fill)).otherwise(shifted)
         out[name] = shifted
     return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
 

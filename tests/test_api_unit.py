@@ -1,0 +1,127 @@
+"""API unit tests over small literal tables: edge semantics the big
+oracle queries don't isolate (cyclic shift wraparound, frank tie modes,
+froll alignment, nafill directions, fsetequal, split, key metadata).
+Mirrors the reference's dense-unit-test strategy (SURVEY §5: 13.5k
+tests over tiny tables)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_table_spark.core import DT
+from data_table_spark.operators.window import (
+    shift, froll, frank, rleid, nafill_locf, nafill_nocb,
+)
+from data_table_spark.operators.setops import (
+    funion, fintersect, fsetdiff, fsetequal,
+)
+from data_table_spark.operators.reshape import split_table
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    rows = [
+        ("a", 1, 1.0), ("a", 2, None), ("a", 3, 3.0),
+        ("b", 1, 10.0), ("b", 2, 20.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "i", "v"])
+    return DT(df, order_by=["i"])
+
+
+def _col(dt, col, order=("g", "i")):
+    rows = dt.df.orderBy(*order).collect()
+    return [r[col] for r in rows]
+
+
+def test_shift_lag_fill(small):
+    out = shift(small, "v", 1, fill=-1.0, by="g")
+    assert _col(out, "v_lag_1") == [-1.0, 1.0, None, -1.0, 10.0]
+
+
+def test_shift_cyclic_wraps(small):
+    out = shift(small, "i", 1, type_="cyclic", by="g")
+    assert _col(out, "i_cyclic_1") == [3, 1, 2, 2, 1]
+
+
+def test_froll_center_align(small):
+    out = froll(small, "sum", "i", 3, by="g", align="center", partial=False)
+    # full 3-windows only: the middle row of each 3-run
+    assert _col(out, "i_rollsum_3") == [None, 6, None, None, None]
+
+
+def test_frank_tie_modes(spark):
+    df = spark.createDataFrame(
+        [(10,), (20,), (20,), (30,)], ["x"]
+    )
+    dt = DT(df, order_by=["x"])
+    got = {
+        ties: [
+            r["rank"]
+            for r in frank(dt, "x", ties=ties).df.orderBy("x", "rank").collect()
+        ]
+        for ties in ["first", "min", "max", "dense", "average"]
+    }
+    assert got["first"] == [1, 2, 3, 4]
+    assert got["min"] == [1, 2, 2, 4]
+    assert got["max"] == [1, 3, 3, 4]
+    assert got["dense"] == [1, 2, 2, 3]
+    assert got["average"] == [1.0, 2.5, 2.5, 4.0]
+
+
+def test_rleid_restarts_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "x"), ("a", 3, "y"), ("b", 1, "x")],
+        ["g", "i", "t"],
+    )
+    out = rleid(DT(df, order_by=["i"]), ["t"], by=["g"])
+    assert _col(out, "rleid") == [1, 1, 2, 1]
+
+
+def test_nafill_directions(small):
+    locf = nafill_locf(small, "v", by="g")
+    assert _col(locf, "v") == [1.0, 1.0, 3.0, 10.0, 20.0]
+    nocb = nafill_nocb(small, "v", by="g")
+    assert _col(nocb, "v") == [1.0, 3.0, 3.0, 10.0, 20.0]
+
+
+def test_setops_all_semantics(spark):
+    x = DT(spark.createDataFrame([(1,), (1,), (2,)], ["k"]))
+    y = DT(spark.createDataFrame([(1,), (3,)], ["k"]))
+    assert sorted(r["k"] for r in funion(x, y).collect()) == [1, 2, 3]
+    assert sorted(r["k"] for r in funion(x, y, all=True).collect()) == [1, 1, 1, 2, 3]
+    assert sorted(r["k"] for r in fintersect(x, y).collect()) == [1]
+    assert sorted(r["k"] for r in fsetdiff(x, y).collect()) == [2]
+    # all=True keeps multiplicity difference: {1,1,2} minus {1} = {1,2}
+    assert sorted(r["k"] for r in fsetdiff(x, y, all=True).collect()) == [1, 2]
+    assert fsetequal(x, x)
+    assert not fsetequal(x, y)
+
+
+def test_split_table(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("a", 3)], ["g", "v"])
+    parts = split_table(DT(df), ["g"], ["a", "b"])
+    assert sorted(r["v"] for r in parts["a"].collect()) == [1, 3]
+    assert [r["v"] for r in parts["b"].collect()] == [2]
+
+
+def test_setkey_metadata_and_order(small):
+    keyed = small.setkey("g", "i", repartition=False)
+    assert keyed.key == ["g", "i"]
+    assert keyed.order_by == ["g", "i"]
+
+
+def test_na_omit_subset(small):
+    out = small.na_omit(["v"])
+    assert out.count() == 4
+    inv = small.na_omit(["v"], invert=True)
+    assert inv.count() == 1
+
+
+def test_let_delete_and_rename(small):
+    out = small.let(w=F.col("v") * 2, v=None).setnames({"w": "v2"})
+    assert "v" not in out.columns and "v2" in out.columns
+    vals = [r["v2"] for r in out.df.orderBy("g", "i").collect()]
+    assert vals[0] == 2.0 and vals[1] is None
