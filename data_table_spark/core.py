@@ -25,7 +25,7 @@ from __future__ import annotations
 from collections.abc import Callable, Mapping, Sequence
 from typing import Any
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = ["DT", "N", "GRP", "fread_parquet"]
@@ -270,6 +270,23 @@ class DT:
     # ------------------------------------------------------------- helpers
     def head(self, n: int = 6) -> "DT":
         return self._wrap(self.df.limit(n))
+
+    def which(self, i, na: bool = False) -> DataFrame:
+        """``DT[i, which=TRUE]`` — 1-based row numbers of matching rows
+        in the declared order (reference R/data.table.R:617-619,1052);
+        ``na=True`` gives the NON-matching rows' numbers (``which=NA``).
+
+        Positions are global, so this uses an unpartitioned window — a
+        deliberate single-reducer cost, matching the semantics of "row
+        number in the table"; use only where the reference idiom is used
+        (small/driver-bound outputs)."""
+        if not self.order_by:
+            raise ValueError("which needs a declared order (SURVEY §1.1)")
+        w = Window.orderBy(*[F.col(c) for c in self.order_by])
+        pred = _to_col(i)
+        out = self.df.withColumn("which", F.row_number().over(w))
+        out = out.filter(~pred if na else pred)
+        return out.select("which")
 
     def na_omit(self, cols: Sequence[str] | None = None, invert: bool = False) -> "DT":
         """na.omit (reference R/data.table.R:2640-2674)."""

@@ -197,3 +197,32 @@ def q_rowwise(spark, sf_dir):
         )
         .select("r_regionkey", "r_name", "tag")
     )
+
+
+@query(
+    "time_parts",
+    """
+    SELECT event_id,
+           CAST(hour(ts) AS INT) AS hr,
+           CAST(minute(ts) AS INT) AS mi,
+           CAST(second(ts) AS INT) AS sec,
+           CAST(epoch_us(ts) % 86400000000 AS BIGINT) AS us_of_day
+    FROM events
+    """,
+)
+def q_time_parts(spark, sf_dir):
+    """ITime surface (reference R/IDateTime.R:175-236): hour/minute/
+    second + exact microsecond-of-day (the ITime integer analog).
+    Session TZ is UTC on both engines; us_of_day derives from the exact
+    ns-floored micros (SKILL gotcha: ts_us is bit-equal to DuckDB's
+    epoch_us)."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].query(
+        j={
+            "event_id": F.col("event_id"),
+            "hr": F.hour("ts").cast("int"),
+            "mi": F.minute("ts").cast("int"),
+            "sec": F.second("ts").cast("int"),
+            "us_of_day": (F.col("ts_us") % F.lit(86400000000)).cast("long"),
+        }
+    ).df

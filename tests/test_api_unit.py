@@ -125,3 +125,33 @@ def test_let_delete_and_rename(small):
     assert "v" not in out.columns and "v2" in out.columns
     vals = [r["v2"] for r in out.df.orderBy("g", "i").collect()]
     assert vals[0] == 2.0 and vals[1] is None
+
+
+def test_which_rows(small):
+    dt = DT(small.df.filter(F.col("g") == "a"), order_by=["i"])
+    got = sorted(r["which"] for r in dt.which(F.col("v").isNotNull()).collect())
+    assert got == [1, 3]
+    inv = sorted(r["which"] for r in dt.which(F.col("v").isNotNull(), na=True).collect())
+    assert inv == [2]
+
+
+def test_mult_error_raises(spark):
+    from data_table_spark.operators.joins import lookup
+
+    x = DT(spark.createDataFrame([(1, "p"), (1, "q")], ["k", "xv"]), key=["k"])
+    y = DT(spark.createDataFrame([(1, "a")], ["k", "yv"]))
+    with pytest.raises(ValueError, match="mult"):
+        lookup(x, y, on=["k"], mult="error")
+    # single-match case passes through
+    y2 = DT(spark.createDataFrame([(2, "b")], ["k", "yv"]))
+    x2 = DT(spark.createDataFrame([(2, "r")], ["k", "xv"]), key=["k"])
+    assert lookup(x2, y2, on=["k"], mult="error").count() == 1
+
+
+def test_allow_cartesian_guard(spark):
+    from data_table_spark.operators.joins import lookup
+
+    x = DT(spark.createDataFrame([(1,), (1,), (1,)], ["k"]), key=["k"])
+    y = DT(spark.createDataFrame([(1,), (1,)], ["k"]))
+    with pytest.raises(ValueError, match="allow_cartesian"):
+        lookup(x, y, on=["k"], allow_cartesian=False)
