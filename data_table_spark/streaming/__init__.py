@@ -25,6 +25,7 @@ not the deployment shape.
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,15 +69,28 @@ def run_available_now(
     Unique sink name per call — repeated runs in one session don't
     collide."""
     name = name or f"stream_out_{next(_RUN_COUNTER)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    spark = sdf.sparkSession
+    # harness-only: the state store creates one store per shuffle
+    # partition per operator; 32 partitions of near-empty state cost
+    # ~6x wall overhead at test SF. Production sizes this to the real
+    # key cardinality instead (and uses RocksDB + checkpoints).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"),
     )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def tumbling_agg(
