@@ -132,3 +132,21 @@ def fctr(x: Column | str) -> Column:
     """factor columns are represented as plain strings (SURVEY §1.2);
     fctr (reference R/helpers.R:4) is therefore a cast."""
     return _col(x).cast("string")
+
+
+def plike(x: Column | str, pattern: str) -> Column:
+    """%plike% — perl-flavored regex (reference R/like.R:24). Java regex
+    covers the perl syntax the reference delegates to PCRE."""
+    return _col(x).rlike(pattern)
+
+
+def idatetime(ts: Column | str):
+    """IDateTime(ts) (reference R/IDateTime.R:334): split a timestamp
+    into the integer date part and the seconds-of-day time part
+    (IDate + ITime columns)."""
+    c = _col(ts)
+    idate = F.to_date(c)
+    itime = (
+        F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c)
+    ).cast("int")
+    return idate.alias("idate"), itime.alias("itime")

@@ -64,3 +64,32 @@ def fwrite(
     if compress and compress != "none":
         writer = writer.option("compression", compress)
     writer.mode("append" if append else "overwrite").csv(path)
+
+
+def fwrite_parquet(
+    dt,
+    path: str,
+    partition_by=None,
+    bucket_by=None,
+    n_buckets: int = 32,
+    table: str | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """Parquet sink — the 100 TB-native output path (no reference
+    analog; fwrite is CSV-only). `partition_by` gives directory
+    partition pruning on read; `bucket_by` (requires `table`, via
+    saveAsTable) gives shuffle-free co-located joins on the bucket
+    key — the durable form of data.table's physical `setkey`."""
+    df = dt.df if hasattr(dt, "df") else dt
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = w.partitionBy(*cols)
+    if bucket_by:
+        if not table:
+            raise ValueError("bucketBy requires saveAsTable: pass table=")
+        cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+        w.bucketBy(n_buckets, *cols).sortBy(*cols).format("parquet").saveAsTable(table)
+        return
+    w.parquet(path)

@@ -73,3 +73,32 @@ def test_multimodal_stub_schemas(spark, tables):
 
     with pytest.raises(NotImplementedError):
         extract_features(media, decoder="real")
+
+
+def test_fwrite_parquet_partitioned(spark, tables):
+    import os
+
+    from data_table_spark.sources import fwrite_parquet
+
+    out = f"{TMP}/part_parquet"
+    fwrite_parquet(
+        tables["orders"].df.select("o_orderkey", "o_orderstatus"),
+        out, partition_by="o_orderstatus",
+    )
+    # partition directories exist and pruning path reads one of them
+    dirs = {d for d in os.listdir(out) if d.startswith("o_orderstatus=")}
+    assert len(dirs) >= 2
+    back = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+    assert back.count() > 0
+
+
+def test_idatetime_and_plike(spark, tables):
+    from pyspark.sql import functions as F
+
+    from data_table_spark.functions import idatetime, plike
+
+    ev = tables["events"].df.limit(5)
+    idate, itime = idatetime("ts")
+    row = ev.select(idate, itime, F.hour("ts").alias("h")).collect()[0]
+    assert row["itime"] // 3600 == row["h"]
+    assert tables["part"].df.filter(plike("p_name", "^[a-z]+")).count() >= 0
