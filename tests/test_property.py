@@ -1,0 +1,124 @@
+"""Property-based differential tests (hypothesis): randomized small
+tables, operator result vs DuckDB SQL on the same data. The reference
+pins semantics with thousands of randomized micro-tests
+(inst/tests/tests.Rraw); these cover the trickiest order/tie/NULL
+semantics against an independent engine.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_table_spark.core import DT
+from data_table_spark.operators.window import frank, rleid, shift
+from data_table_spark.operators.setops import fintersect, fsetdiff, funion
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+vals = st.lists(
+    st.integers(min_value=-3, max_value=3), min_size=1, max_size=12
+)
+
+
+def _duck(pdf_map: dict[str, pd.DataFrame], sql: str):
+    con = duckdb.connect()
+    for name, pdf in pdf_map.items():
+        con.register(name, pdf)
+    return con.execute(sql).fetchall()
+
+
+@SET
+@given(xs=vals)
+def test_frank_average_matches_sql(spark, xs):
+    pdf = pd.DataFrame({"i": range(len(xs)), "x": xs})
+    dt = DT(spark.createDataFrame(pdf), order_by=["i"])
+    got = sorted(
+        (r["i"], float(r["rank"]))
+        for r in frank(dt, "x", ties="average").df.collect()
+    )
+    exp = sorted(
+        (a, float(b))
+        for a, b in _duck(
+            {"t": pdf},
+            "SELECT i, CAST(rank() OVER (ORDER BY x) AS DOUBLE)"
+            " + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 FROM t",
+        )
+    )
+    assert got == exp
+
+
+@SET
+@given(xs=vals)
+def test_shift_lag_matches_sql(spark, xs):
+    pdf = pd.DataFrame({"i": range(len(xs)), "x": xs})
+    dt = DT(spark.createDataFrame(pdf), order_by=["i"])
+    got = sorted(
+        (r["i"], r["x_lag_1"])
+        for r in shift(dt, "x", 1, fill=-99).df.collect()
+    )
+    exp = sorted(
+        _duck(
+            {"t": pdf},
+            "SELECT i, COALESCE(lag(x) OVER (ORDER BY i), -99) FROM t",
+        )
+    )
+    assert got == exp
+
+
+@SET
+@given(xs=vals)
+def test_rleid_matches_sql(spark, xs):
+    pdf = pd.DataFrame({"i": range(len(xs)), "x": xs})
+    dt = DT(spark.createDataFrame(pdf), order_by=["i"])
+    out = rleid(dt, ["x"])
+    got = sorted((r["i"], int(r["rleid"])) for r in out.df.collect())
+    exp = sorted(
+        (a, int(b))
+        for a, b in _duck(
+            {"t": pdf},
+            """
+            WITH f AS (SELECT i, x, CASE WHEN x IS DISTINCT FROM
+                       lag(x) OVER (ORDER BY i) THEN 1 ELSE 0 END AS c
+                       FROM t)
+            SELECT i, SUM(c) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) FROM f
+            """,
+        )
+    )
+    assert got == exp
+
+
+@SET
+@given(xs=vals, ys=vals)
+def test_setops_match_sql(spark, xs, ys):
+    px = pd.DataFrame({"k": xs})
+    py = pd.DataFrame({"k": ys})
+    x = DT(spark.createDataFrame(px))
+    y = DT(spark.createDataFrame(py))
+    for op, sql in [
+        (funion, "SELECT k FROM x UNION SELECT k FROM y"),
+        (
+            lambda a, b: funion(a, b, all=True),
+            "SELECT k FROM x UNION ALL SELECT k FROM y",
+        ),
+        (
+            lambda a, b: fintersect(a, b, all=True),
+            "SELECT k FROM x INTERSECT ALL SELECT k FROM y",
+        ),
+        (
+            lambda a, b: fsetdiff(a, b, all=True),
+            "SELECT k FROM x EXCEPT ALL SELECT k FROM y",
+        ),
+    ]:
+        got = sorted(r["k"] for r in op(x, y).collect())
+        exp = sorted(r[0] for r in _duck({"x": px, "y": py}, sql))
+        assert got == exp, sql
