@@ -243,3 +243,44 @@ def dogroups(
         return fn(pdf)
 
     return DT(dt.df.groupBy(*by).applyInPandas(wrapped, schema=schema))
+
+
+def salted_agg(
+    dt: DT,
+    by,
+    sums: Mapping[str, Column] | None = None,
+    counts: Sequence[str] | None = None,
+    n_salts: int = 16,
+) -> DT:
+    """Two-phase salted aggregation for skewed group keys (SURVEY §4.2:
+    the reference's OpenMP threads share one memory — skew is free
+    there; on a cluster a hot key funnels to one reducer).
+
+    Phase 1 groups by (key, salt) where salt = pmod(xxhash64(all cols'
+    monotonic row id surrogate), n_salts) — here a cheap deterministic
+    spread via spark_partition_id — so a hot key splits across n_salts
+    reducers; phase 2 re-aggregates the partials by key alone. Only
+    algebraic aggregates (sum/count → also mean) decompose this way.
+
+    AQE's skew-join handles JOIN skew automatically; this is the GROUPBY
+    skew tool."""
+    by = _namelist(by)
+    sums = dict(sums or {})
+    counts = _namelist(counts) or ["__n__"]
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    ).alias("__salt__")
+    phase1 = (
+        dt.df.select("*", salt)
+        .groupBy(*by, "__salt__")
+        .agg(
+            *[v.alias(k) for k, v in sums.items()],
+            F.count(F.lit(1)).alias("__cnt__"),
+        )
+    )
+    phase2 = phase1.groupBy(*by).agg(
+        *[F.sum(F.col(k)).alias(k) for k in sums],
+        F.sum("__cnt__").alias(counts[0]),
+    )
+    return DT(phase2, key=list(by))

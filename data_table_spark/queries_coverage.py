@@ -226,3 +226,59 @@ def q_time_parts(spark, sf_dir):
             "us_of_day": (F.col("ts_us") % F.lit(86400000000)).cast("long"),
         }
     ).df
+
+
+@query(
+    "salted_skew_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation over a deliberately skewed key
+    (l_returnflag: 3 values over the whole table). Result must equal the
+    plain GROUP BY — the salt only changes the physical split."""
+    from .operators.grouping import salted_agg
+
+    t = load_tables(spark, sf_dir)
+    out = salted_agg(
+        t["lineitem"],
+        by=["l_returnflag"],
+        sums={
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        },
+        counts=["n"],
+    )
+    return out.df.withColumn("sum_qty", F.col("sum_qty").cast("double"))
+
+
+@query(
+    "sdcols_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*) AS l_quantity,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*) AS l_discount,
+           CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*) AS l_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_sdcols(spark, sf_dir):
+    """lapply(.SD, mean) with .SDcols (reference GForce-optimized form,
+    man/datatable-optimize.Rd) — one partial-aggregated pass over the
+    selected columns. Plain double avg: single division per group in
+    both engines (DuckDB AVG = sum/count in double too); values are
+    parquet-exact so the hash matches."""
+    t = load_tables(spark, sf_dir)
+    sdcols = ["l_quantity", "l_discount", "l_tax"]
+    return t["lineitem"].query(
+        j={c: F.sum(F.col(c).cast("decimal(18,4)")).cast("double")
+           / F.count(F.lit(1)) for c in sdcols},
+        by=["l_returnflag"],
+    ).df

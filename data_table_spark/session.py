@@ -32,6 +32,8 @@ _DEFAULTS = {
     # Read nanos losslessly as int64; load_tables derives both a micros
     # timestamp and the exact ns bigint.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # bucketed saveAsTable output (setkey-durable tables) lands in-repo
+    "spark.sql.warehouse.dir": "/root/repo/.tmp/warehouse",
 }
 
 

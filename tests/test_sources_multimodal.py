@@ -102,3 +102,43 @@ def test_idatetime_and_plike(spark, tables):
     row = ev.select(idate, itime, F.hour("ts").alias("h")).collect()[0]
     assert row["itime"] // 3600 == row["h"]
     assert tables["part"].df.filter(plike("p_name", "^[a-z]+")).count() >= 0
+
+
+def test_bucketed_join_is_shuffle_free(spark, tables):
+    """fwrite_parquet(bucket_by=) persists the physical key like setkey:
+    a join of two tables bucketed+sorted on the same key plans with NO
+    shuffle Exchange (SortMergeJoin reads co-located buckets)."""
+    import contextlib
+    import io
+    import re
+
+    from data_table_spark.sources import fwrite_parquet
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    # a fresh session's in-memory catalog can't overwrite a leftover
+    # managed-table location from a previous run — clear it
+    for t in ("bk_orders", "bk_lineitem"):
+        shutil.rmtree(f"/root/repo/.tmp/warehouse/{t}", ignore_errors=True)
+    fwrite_parquet(
+        tables["orders"].df.select("o_orderkey", "o_totalprice"),
+        path="", bucket_by="o_orderkey", n_buckets=8, table="bk_orders",
+    )
+    fwrite_parquet(
+        tables["lineitem"].df.select("l_orderkey", "l_quantity"),
+        path="", bucket_by="l_orderkey", n_buckets=8, table="bk_lineitem",
+    )
+    a = spark.table("bk_orders")
+    b = spark.table("bk_lineitem")
+    joined = a.join(b, a["o_orderkey"] == b["l_orderkey"]).where(
+        "o_totalprice > 0"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    shuffles = re.findall(r"\(\d+\) Exchange", plan)
+    assert not shuffles, f"expected shuffle-free bucketed join: {shuffles}"
+    assert joined.count() > 0
