@@ -60,9 +60,13 @@ def main() -> None:
     for name in names:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        sdf = df.df if hasattr(df, "df") else df
-        n = sdf.count()
+        try:
+            df = fn(spark, sf_dir)
+            sdf = df.df if hasattr(df, "df") else df
+            n = sdf.count()
+        except Exception as e:  # one broken query must not kill the line
+            print(f"# {name}: FAILED {e}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

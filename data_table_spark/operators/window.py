@@ -68,10 +68,12 @@ def shift(
     grouped form is GForce gshift, src/gsumm.c:1195).
 
     type_: "lag" | "lead" | "cyclic" (cyclic wraps within the group,
-    reference src/shift.c:4 "type cyclic").
+    reference src/shift.c:4 "type cyclic"). ``n`` may be a sequence
+    (reference: "n vector", R/shift.R) — one output column per n.
     """
     if type_ == "cyclic":
         return _shift_cyclic(dt, cols, n, by=by, order=order, give_names=give_names)
+    ns = list(n) if isinstance(n, (list, tuple)) else [n]
     w = win(dt, by=by, order=order)
     fn = F.lag if type_ == "lag" else F.lead
     # fill applies ONLY beyond the group boundary (reference
@@ -82,12 +84,13 @@ def shift(
     cnt = F.count(F.lit(1)).over(gw)
     out = {}
     for c in _namelist(cols):
-        name = f"{c}_{type_}_{n}" if give_names else c
-        shifted = fn(F.col(c), n).over(w)
-        if fill is not None:
-            oob = rn <= n if type_ == "lag" else rn > cnt - n
-            shifted = F.when(oob, F.lit(fill)).otherwise(shifted)
-        out[name] = shifted
+        for k in ns:
+            name = f"{c}_{type_}_{k}" if give_names or len(ns) > 1 else c
+            shifted = fn(F.col(c), k).over(w)
+            if fill is not None:
+                oob = rn <= k if type_ == "lag" else rn > cnt - k
+                shifted = F.when(oob, F.lit(fill)).otherwise(shifted)
+            out[name] = shifted
     return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
 
 
@@ -151,28 +154,30 @@ def froll(
     frame buffer — the analog of the reference's online-add/subtract
     "fast" algorithm (src/froll.c:40-42).
     """
-    if align == "right":
-        lo, hi = -(n - 1), 0
-    elif align == "left":
-        lo, hi = 0, n - 1
-    elif align == "center":
-        lo, hi = -((n - 1) // 2), n - 1 - (n - 1) // 2
-    else:
-        raise ValueError(f"bad align: {align}")
-    w = win(dt, by=by, order=order).rowsBetween(lo, hi)
-    cnt_w = w
+    ns = list(n) if isinstance(n, (list, tuple)) else [n]
+    base = win(dt, by=by, order=order)
     out = {}
-    for c in _namelist(cols):
-        name = f"{c}_roll{fun}_{n}" if give_names else c
-        if fun == "median":
-            val = F.median(F.col(c)).over(w)
-        elif fun == "prod":
-            val = F.product(F.col(c)).over(w)
+    for k in ns:
+        if align == "right":
+            lo, hi = -(k - 1), 0
+        elif align == "left":
+            lo, hi = 0, k - 1
+        elif align == "center":
+            lo, hi = -((k - 1) // 2), k - 1 - (k - 1) // 2
         else:
-            val = _ROLL_FNS[fun](F.col(c)).over(w)
-        if not partial:
-            val = F.when(F.count(F.lit(1)).over(cnt_w) >= n, val)
-        out[name] = val
+            raise ValueError(f"bad align: {align}")
+        w = base.rowsBetween(lo, hi)
+        for c in _namelist(cols):
+            name = f"{c}_roll{fun}_{k}" if give_names or len(ns) > 1 else c
+            if fun == "median":
+                val = F.median(F.col(c)).over(w)
+            elif fun == "prod":
+                val = F.product(F.col(c)).over(w)
+            else:
+                val = _ROLL_FNS[fun](F.col(c)).over(w)
+            if not partial:
+                val = F.when(F.count(F.lit(1)).over(w) >= k, val)
+            out[name] = val
     return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
 
 

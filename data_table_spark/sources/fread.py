@@ -83,7 +83,7 @@ def _detect_header(sample: list[str], sep: str) -> bool:
 
 def fread(
     spark: SparkSession,
-    path: str,
+    path: str | None = None,
     sep: str = "auto",
     header: bool | str = "auto",
     nrows: int | None = None,
@@ -97,8 +97,48 @@ def fread(
     fill: bool = False,
     encoding: str = "UTF-8",
     key: Sequence[str] | None = None,
+    text: str | None = None,
+    dec: str = ".",
 ) -> DT:
-    """Read a CSV/TSV into a DT. See module docstring for the mapping."""
+    """Read a CSV/TSV into a DT. See module docstring for the mapping.
+
+    ``text=`` (reference R/fread.R `text` arg) parses a literal string;
+    ``dec=","`` (European decimals) reads affected columns as strings
+    and casts after comma->dot normalization (Spark's csv parser is
+    dot-only)."""
+    if text is not None:
+        import hashlib as _hl
+        import os as _os
+
+        _os.makedirs("/root/repo/.tmp/fread_text", exist_ok=True)
+        path = "/root/repo/.tmp/fread_text/" + _hl.md5(
+            text.encode()
+        ).hexdigest() + ".csv"
+        with open(path, "w", encoding=encoding) as fh:
+            fh.write(text)
+    if path is None:
+        raise ValueError("fread needs a path, or text=")
+    if dec == ",":
+        # parse everything as string, normalize, cast double columns
+        want = dict(col_classes or {})
+        back = fread(
+            spark, path, sep=sep, header=header, nrows=nrows,
+            select=select, drop=drop,
+            col_classes={k: "character" for k in want} if want else None,
+            col_names=col_names, na_strings=na_strings, skip=skip,
+            quote=quote, fill=fill, encoding=encoding, key=key,
+        )
+        from pyspark.sql import functions as _F
+
+        df = back.df
+        for name, cls in want.items():
+            t = _TYPE_MAP.get(cls, T.StringType())
+            if not isinstance(t, T.StringType):
+                df = df.withColumn(
+                    name,
+                    _F.regexp_replace(name, ",", ".").cast(t),
+                )
+        return DT(df, key=key)
     if sep == "auto" or header == "auto":
         # tiny driver-side sample (the reference samples on the driver
         # thread too before the parallel pass)

@@ -155,3 +155,12 @@ def test_allow_cartesian_guard(spark):
     y = DT(spark.createDataFrame([(1,), (1,)], ["k"]))
     with pytest.raises(ValueError, match="allow_cartesian"):
         lookup(x, y, on=["k"], allow_cartesian=False)
+
+
+def test_shift_and_froll_vector_n(small):
+    out = shift(small, "i", [1, 2], by="g")
+    assert "i_lag_1" in out.columns and "i_lag_2" in out.columns
+    assert _col(out, "i_lag_2") == [None, None, 1, None, None]
+    r = froll(small, "sum", "i", [2, 3], by="g", partial=True)
+    assert "i_rollsum_2" in r.columns and "i_rollsum_3" in r.columns
+    assert _col(r, "i_rollsum_2") == [1, 3, 5, 1, 3]

@@ -142,3 +142,10 @@ def test_bucketed_join_is_shuffle_free(spark, tables):
     shuffles = re.findall(r"\(\d+\) Exchange", plan)
     assert not shuffles, f"expected shuffle-free bucketed join: {shuffles}"
     assert joined.count() > 0
+
+
+def test_fread_text_and_dec(spark):
+    dt = fread(spark, text="k;v\n1;2,5\n2;3,75\n", sep=";",
+               col_classes={"k": "integer", "v": "double"}, dec=",")
+    rows = {r["k"]: r["v"] for r in dt.collect()}
+    assert rows == {1: 2.5, 2: 3.75}
