@@ -365,3 +365,23 @@ def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
     (TESTDATA.md). The declared orders give ordered operators a
     deterministic, scalable (per-group window) ordering."""
     return Tables(spark, sf_dir)
+
+
+def tables(spark: SparkSession, registry: "Tables | None" = None):
+    """tables() catalog (reference R/tables.R:31): one row per known
+    table with name, columns, and key metadata. Covers both the session
+    catalog (saveAsTable output) and a loaded Tables registry."""
+    rows = []
+    for t in spark.catalog.listTables():
+        cols = [c.name for c in spark.catalog.listColumns(t.name)]
+        rows.append((t.name, len(cols), ",".join(cols), ""))
+    if registry is not None:
+        for name in registry.keys():
+            dt = registry[name]
+            rows.append(
+                (name, len(dt.columns), ",".join(dt.columns),
+                 ",".join(dt.key or dt.order_by))
+            )
+    return spark.createDataFrame(
+        rows, ["name", "ncol", "cols", "key"]
+    )

@@ -164,3 +164,11 @@ def test_shift_and_froll_vector_n(small):
     r = froll(small, "sum", "i", [2, 3], by="g", partial=True)
     assert "i_rollsum_2" in r.columns and "i_rollsum_3" in r.columns
     assert _col(r, "i_rollsum_2") == [1, 3, 5, 1, 3]
+
+
+def test_tables_catalog(spark, tables):
+    from data_table_spark.core import tables as tables_fn
+
+    cat = tables_fn(spark, tables)
+    names = {r["name"] for r in cat.collect()}
+    assert {"lineitem", "orders", "events"} <= names
