@@ -36,6 +36,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
+    jaccard_prefix_pairs,
 )
 from .similarity import (
     cosine_topk,
@@ -47,6 +48,6 @@ __all__ = [
     "tokens_col", "word_shingles", "char_shingles",
     "lang_id", "text_quality", "token_counts", "doc_fingerprint",
     "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs",
-    "simhash_pairs",
+    "simhash_pairs", "jaccard_prefix_pairs",
     "cosine_topk", "cosine_pairs", "lsh_ann_topk",
 ]

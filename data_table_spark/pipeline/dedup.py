@@ -4,13 +4,18 @@ MinHash+LSH, SimHash.
 Scale design (the point of these over naive all-pairs):
 - `ngram_jaccard_pairs` blocks on SHARED SHINGLES (explode + equi-join,
   shuffle key = shingle) — the classic set-similarity join. Cost is
-  sum over shingles of (docs sharing it)^2, not |docs|^2. At 100 TB you
-  would add prefix filtering (sort shingles by global frequency, keep the
-  first |s|-ceil(t*|s|)+1 as join keys); noted, not needed at test SF.
-- `minhash_lsh_pairs` blocks on (band, band-hash) of a 128-perm MinHash
-  signature (b=32 bands x r=4 rows). Candidate pairs are then verified
+  sum over shingles of (docs sharing it)^2, not |docs|^2.
+- `jaccard_prefix_pairs` adds PPJoin-style prefix filtering on top:
+  only the |s|-ceil(t*|s|)+1 globally-rarest shingles of each doc
+  join (lossless at jaccard >= t). The frequency-ranking pass costs
+  two extra small shuffles, so it only wins once shingle buckets get
+  hot — i.e., at real corpus scale, which is exactly when the plain
+  shingle join melts down. Both produce identical output (shared
+  oracle).
+- `minhash_lsh_pairs` blocks on (band, band-hash) of a 126-perm MinHash
+  signature (b=21 bands x r=6 rows). Candidate pairs are then verified
   with EXACT Jaccard, so output equals the exact join with probability
-  1 - (1 - t^r)^b per true pair (≈1-1e-35 at t=0.9) — which is why the
+  1 - (1 - t^r)^b per true pair (≈1-1e-7 at t=0.9) — which is why the
   DuckDB oracle for it can be the exact all-pairs answer.
 - `simhash_pairs` bands the 48-bit SimHash into (k+1)=4 pieces: by
   pigeonhole, any pair with hamming distance <= 3 agrees on >= 1 band,
@@ -373,4 +378,78 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame, threshold: float = 0.8, n: int = 3
+) -> DataFrame:
+    """Exact Jaccard similarity join with PREFIX FILTERING (PPJoin-style)
+    — the 100 TB form of `ngram_jaccard_pairs`.
+
+    Order each doc's shingles by global document frequency (rarest
+    first, shingle string as tie-break); only the first
+    |s| - ceil(t*|s|) + 1 ("prefix") shingles join. Theory: two sets
+    with jaccard >= t overlap in >= ceil(t*|s|) elements, so under ANY
+    consistent global order their prefixes must intersect — candidate
+    generation is lossless while the join input shrinks ~t-fold and,
+    more importantly, hot (frequent) shingles mostly fall OUT of
+    prefixes, collapsing the quadratic bucket blowup on common
+    shingles. Verification is the same relational exact-Jaccard count
+    as the LSH path."""
+    from pyspark.sql import Window as _W
+
+    sr = shingle_rows(docs, n)
+    df_freq = sr.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sr.join(df_freq, "s")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                _W.partitionBy("doc_id").orderBy("df", "s")
+            ),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(_W.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("doc_id", "s", "sz")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    szw = F.count(F.lit(1)).over(_W.partitionBy("doc_id"))
+    srz = sr.withColumn("sz", szw)
+    pa = srz.select(
+        F.col("doc_id").alias("doc_a"), "s", F.col("sz").alias("sa")
+    )
+    pb = srz.select(
+        F.col("doc_id").alias("doc_b"), "s", F.col("sz").alias("sb")
+    )
+    ver = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("sa").alias("sa"),
+            F.first("sb").alias("sb"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("inter")
+    )
+    return (
+        ver.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )

@@ -355,3 +355,14 @@ def q_multimodal_features(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     media = attach_binary(t["documents"].df)
     return extract_features(media, decoder="fake")
+
+
+@query("jaccard_prefix_pairs", _SQL_JACCARD_EXACT)
+def q_jaccard_prefix(spark, sf_dir):
+    """PPJoin-style prefix-filtered exact Jaccard join: lossless
+    candidate pruning (rarest-first prefixes must intersect at j>=t), so
+    it shares the exact-join oracle."""
+    from .pipeline import jaccard_prefix_pairs
+
+    t = load_tables(spark, sf_dir)
+    return jaccard_prefix_pairs(t["documents"].df, threshold=0.8)

@@ -132,3 +132,26 @@ def q_stream_static_join(spark, sf_dir):
         s, dim, F.col("user_id") == F.col("c_custkey")
     ).select("event_id", "user_id", "segment")
     return run_available_now(out, output_mode="append")
+
+
+@query(
+    "stream_stateful_stats",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(value), 4) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark, sf_dir):
+    """applyInPandasWithState custom stateful operator: per-user running
+    stats held in explicit per-key state. One AvailableNow batch emits
+    the final state per user == the batch GROUP BY oracle. sum_value
+    rounds to 4dp on both sides (pandas sums in a different order than
+    the SQL aggregate)."""
+    from .streaming import read_events_stream, run_available_now, stateful_user_stats
+
+    s = read_events_stream(spark, sf_dir)
+    out = stateful_user_stats(s)
+    res = run_available_now(out, output_mode="update")
+    return res.withColumn("sum_value", F.round("sum_value", 4))

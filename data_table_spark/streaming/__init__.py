@@ -170,3 +170,51 @@ def enrich_with_static(events: DataFrame, dim: DataFrame, on) -> DataFrame:
     """Stream-static join: the static dim is (re)broadcast per
     micro-batch; no state, no watermark required."""
     return events.join(F.broadcast(dim), on, "left")
+
+
+def stateful_user_stats(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running stats (event count, value sum, distinct event types) kept in
+    explicit state across micro-batches — the escape hatch for stateful
+    logic Spark's built-in windows can't express (SURVEY §2.12).
+
+    Emits the UPDATED state row per user per micro-batch; over finite
+    input with Trigger.AvailableNow (one batch) that is exactly one row
+    per user == the batch GROUP BY, which is the oracle. State is
+    per-key and evictable via GroupStateTimeout in production."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, n_events bigint, sum_value double,"
+        " n_types bigint"
+    )
+    state_schema = "n bigint, s double, types array<string>"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        n, s, types = (
+            state.get if state.exists else (0, 0.0, [])
+        )
+        types = set(types or [])
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+            types |= set(pdf["event_type"].dropna())
+        state.update((n, s, sorted(types)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "n_types": [len(types)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
