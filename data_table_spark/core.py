@@ -118,7 +118,29 @@ class DT:
         i = args[0] if len(args) > 0 else None
         j = args[1] if len(args) > 1 else None
         by = args[2] if len(args) > 2 else None
+        if isinstance(i, slice) and i != slice(None):
+            return self.rows(i).query(i=None, j=j, by=by)
         return self.query(i=i, j=j, by=by)
+
+    def rows(self, sl: slice) -> "DT":
+        """Positional subset ``DT[3:5]`` (1-based inclusive like the
+        reference, R/data.table.R:998; Python slice start is treated as
+        1-based row number, stop inclusive). Needs the declared order
+        and a global row_number — single-reducer cost by design
+        (SURVEY §1.1); use keys/filters for at-scale subsetting."""
+        if not self.order_by:
+            raise ValueError("positional subset needs a declared order")
+        start = sl.start or 1
+        stop = sl.stop
+        w = Window.orderBy(*[F.col(c) for c in self.order_by])
+        df = self.df.withColumn("__pos__", F.row_number().over(w))
+        pred = F.col("__pos__") >= start
+        if stop is not None:
+            pred = pred & (F.col("__pos__") <= stop)
+        return self._wrap(
+            df.filter(pred).drop("__pos__"),
+            key=self.key, order_by=self.order_by,
+        )
 
     def query(self, i=None, j=None, by=None, keyby: bool = False) -> "DT":
         df = self.df

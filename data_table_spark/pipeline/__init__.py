@@ -42,6 +42,7 @@ from .similarity import (
     cosine_topk,
     cosine_pairs,
     lsh_ann_topk,
+    ivf_ann_topk,
 )
 
 __all__ = [
@@ -49,5 +50,5 @@ __all__ = [
     "lang_id", "text_quality", "token_counts", "doc_fingerprint",
     "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "simhash_pairs", "jaccard_prefix_pairs",
-    "cosine_topk", "cosine_pairs", "lsh_ann_topk",
+    "cosine_topk", "cosine_pairs", "lsh_ann_topk", "ivf_ann_topk",
 ]

@@ -193,3 +193,84 @@ def lsh_ann_topk(
             F.round("cos_full", 4).alias("cos"),
         )
     )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    query_ids_below: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus with KMeans
+    (pyspark.ml, seeded), then search only the query's n_probe nearest
+    centroid cells. The classic big-corpus trade: index assignment is
+    one narrow pass; each query touches ~n_probe/n_centroids of the
+    data via a (cell-id) equi-join. Approximate => rows-only check
+    (exact baseline: cosine_topk). Centroids fit on the driver by
+    construction (n_centroids << corpus)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    c = _corpus(emb)
+    feat = c.withColumn("fv", array_to_vector(F.col("v")))
+    km = KMeans(k=n_centroids, seed=42, featuresCol="fv",
+                predictionCol="cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select("vec_id", "v", "nrm", "cell")
+
+    centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+
+    def center_dists(vec):
+        return [
+            (ci, dot(vec, F.array(*[F.lit(x) for x in ctr])))
+            for ci, ctr in enumerate(centers)
+        ]
+
+    q = assigned.filter(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    # probe cells = n_probe highest-dot centroids per query, computed as
+    # plan expressions (array_sort on structs orders by field position;
+    # negdot first => ascending = best dot first). n_centroids is tiny
+    # by construction, so the struct array is cheap.
+    cells = F.array(
+        *[
+            F.struct(
+                (-dot(F.col("qv"), F.array(*[F.lit(x) for x in ctr])))
+                .alias("negdot"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, ctr in enumerate(centers)
+        ]
+    )
+    probes = q.select(
+        "query_id", "qv", "qn",
+        F.explode(F.slice(F.array_sort(cells), 1, n_probe)).alias("pr"),
+    ).select("query_id", "qv", "qn", F.col("pr.cell").alias("qcell"))
+    cand = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_full"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos_full", 4).alias("cos"),
+        )
+    )

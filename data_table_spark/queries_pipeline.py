@@ -366,3 +366,18 @@ def q_jaccard_prefix(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return jaccard_prefix_pairs(t["documents"].df, threshold=0.8)
+
+
+@query("ivf_ann_topk")  # approximate: rows-only check by design
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF coarse-quantized ANN (KMeans cells + n_probe search): the
+    inverted-file scale path alongside the hyperplane LSH variant.
+    Approximate recall => no SQL oracle; exact baseline is
+    `ann_cosine_topk`."""
+    from .pipeline import ivf_ann_topk
+
+    t = load_tables(spark, sf_dir)
+    return ivf_ann_topk(
+        t["embeddings"].df, n_centroids=16, n_probe=2,
+        query_ids_below=8, k=5,
+    )

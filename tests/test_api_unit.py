@@ -172,3 +172,11 @@ def test_tables_catalog(spark, tables):
     cat = tables_fn(spark, tables)
     names = {r["name"] for r in cat.collect()}
     assert {"lineitem", "orders", "events"} <= names
+
+
+def test_positional_slice(small):
+    a_only = DT(small.df.filter(F.col("g") == "a"), order_by=["i"])
+    got = [r["i"] for r in a_only.rows(slice(2, 3)).df.orderBy("i").collect()]
+    assert got == [2, 3]
+    via_getitem = a_only[slice(1, 2)]
+    assert via_getitem.count() == 2
