@@ -210,3 +210,11 @@ def rowwiseDT(spark, columns: Sequence[str], *rows) -> DT:
     """rowwiseDT (reference R/rowwiseDT.R:1-31): row-wise literal table
     constructor -> spark.createDataFrame."""
     return DT(spark.createDataFrame([tuple(r) for r in rows], list(columns)))
+
+
+def patterns(regex: str, columns: Sequence[str]) -> list[str]:
+    """patterns() measure-var selector for melt (reference R/fmelt.R:15):
+    columns matching a regex."""
+    import re as _re
+
+    return [c for c in columns if _re.search(regex, c)]

@@ -180,3 +180,19 @@ def test_positional_slice(small):
     assert got == [2, 3]
     via_getitem = a_only[slice(1, 2)]
     assert via_getitem.count() == 2
+
+
+def test_melt_patterns_selector(spark):
+    from data_table_spark.operators.reshape import melt, patterns
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0, "x")], ["id", "v_a", "v_b", "other"]
+    )
+    dt = DT(df)
+    mv = patterns("^v_", dt.columns)
+    assert mv == ["v_a", "v_b"]
+    out = melt(dt, id_vars=["id"], measure_vars=mv)
+    got = sorted(
+        (r["variable"], r["value"]) for r in out.df.collect()
+    )
+    assert got == [("v_a", 10.0), ("v_b", 20.0)]
