@@ -155,3 +155,24 @@ def q_stream_stateful(spark, sf_dir):
     out = stateful_user_stats(s)
     res = run_available_now(out, output_mode="update")
     return res.withColumn("sum_value", F.round("sum_value", 4))
+
+
+@query(
+    "stream_stream_join",
+    """
+    SELECT p.event_id AS left_id, c.event_id AS right_id, p.user_id
+    FROM events p JOIN events c ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+      AND epoch_us(c.ts) <= epoch_us(p.ts)
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join (purchases x trailing-hour clicks per
+    user) with watermark-bounded state on both sides; AvailableNow over
+    finite input must equal the batch range join."""
+    from .streaming import read_events_stream, run_available_now, stream_stream_join
+
+    s = read_events_stream(spark, sf_dir)
+    out = stream_stream_join(s, "purchase", "click", "1 hour", "2 hours")
+    return run_available_now(out, output_mode="append")

@@ -218,3 +218,43 @@ def stateful_user_stats(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )
+
+
+def stream_stream_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each
+    left event pairs with right events of the same user in the trailing
+    `within` window. The time bound + watermarks let Spark evict both
+    join-state buffers — the canonical bounded-state stream join.
+    Output: (left_id, right_id, user_id)."""
+    l = (
+        events.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("left_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        events.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return l.join(r, cond, "inner").select(
+        "left_id", "right_id", F.col("l_user").alias("user_id")
+    )

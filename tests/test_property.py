@@ -122,3 +122,35 @@ def test_setops_match_sql(spark, xs, ys):
         got = sorted(r["k"] for r in op(x, y).collect())
         exp = sorted(r[0] for r in _duck({"x": px, "y": py}, sql))
         assert got == exp, sql
+
+
+@SET
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.sampled_from(["p", "q", "r"]),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1, max_size=15, unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_dcast_melt_roundtrip(spark, data):
+    """melt(dcast(x)) recovers x for unique (row, col) keyed frames —
+    the reference's own reshape invariant."""
+    from data_table_spark.operators.reshape import dcast, melt
+
+    pdf = pd.DataFrame(data, columns=["rid", "cat", "val"])
+    dt = DT(spark.createDataFrame(pdf))
+    wide = dcast(
+        dt, ["rid"], "cat", "val",
+        pivot_values=["p", "q", "r"],
+    )
+    back = melt(wide, id_vars=["rid"], measure_vars=["p", "q", "r"])
+    got = sorted(
+        (r["rid"], r["variable"], r["value"])
+        for r in back.df.collect()
+        if r["value"] is not None
+    )
+    exp = sorted((a, b, c) for a, b, c in data)
+    assert got == exp
