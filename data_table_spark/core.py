@@ -407,3 +407,44 @@ def tables(spark: SparkSession, registry: "Tables | None" = None):
     return spark.createDataFrame(
         rows, ["name", "ncol", "cols", "key"]
     )
+
+
+def _dt_repr(self) -> str:
+    """print.data.table-style preview (reference R/print.data.table.R):
+    first 5 + last 5 rows with a 1-based index gutter and a --- break.
+    Collects at most 10 rows; the count() is one Spark job."""
+    n = self.df.count()
+    cols = self.df.columns
+    if not self.order_by:
+        head = self.df.limit(10).collect()
+        rows = [(i + 1, r) for i, r in enumerate(head)]
+        broken = False
+    else:
+        ob = [F.col(c) for c in self.order_by]
+        head = self.df.orderBy(*ob).limit(5).collect()
+        rows = [(i + 1, r) for i, r in enumerate(head)]
+        broken = n > 10
+        if n > 5:
+            tail = (
+                self.df.orderBy(*[c.desc() for c in ob]).limit(5).collect()
+            )
+            rows += [
+                (n - i, r) for i, r in reversed(list(enumerate(tail)))
+                if n - i > 5
+            ]
+    w = [max(len(c), *(len(str(r[c])) for _, r in rows)) if rows else len(c)
+         for c in cols]
+    iw = len(str(n)) + 1
+    lines = [" " * iw + "  ".join(c.rjust(x) for c, x in zip(cols, w))]
+    for pos, (idx, r) in enumerate(rows):
+        if broken and pos == 5:
+            lines.append("---")
+        lines.append(
+            f"{idx}:".rjust(iw)[:iw]
+            + "  ".join(str(r[c]).rjust(x) for c, x in zip(cols, w))
+        )
+    lines.append(f"[{n} rows x {len(cols)} cols]")
+    return "\n".join(lines)
+
+
+DT.__repr__ = _dt_repr

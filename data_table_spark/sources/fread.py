@@ -156,7 +156,12 @@ def fread(
         .option("encoding", encoding)
         .option("mode", "PERMISSIVE" if fill else "FAILFAST")
         .option("nullValue", na_strings[0] if na_strings else "")
-        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+        # accepts both "yyyy-MM-dd HH:mm:ss.SSSSSS" and fwrite's ISO
+        # "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'" via optional sections
+        .option(
+            "timestampFormat",
+            "yyyy-MM-dd[['T'][ ]HH:mm:ss[.SSSSSS][.SSS]['Z']]",
+        )
     )
     if skip:
         reader = reader.option("skipRows", skip)

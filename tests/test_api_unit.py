@@ -196,3 +196,9 @@ def test_melt_patterns_selector(spark):
         (r["variable"], r["value"]) for r in out.df.collect()
     )
     assert got == [("v_a", 10.0), ("v_b", 20.0)]
+
+
+def test_repr_preview(small):
+    r = repr(small)
+    assert "[5 rows x 3 cols]" in r
+    assert "g" in r and "1:" in r

@@ -149,3 +149,18 @@ def test_fread_text_and_dec(spark):
                col_classes={"k": "integer", "v": "double"}, dec=",")
     rows = {r["k"]: r["v"] for r in dt.collect()}
     assert rows == {1: 2.5, 2: 3.75}
+
+
+def test_fwrite_fread_timestamp_roundtrip(spark, tables):
+    """Timestamps survive the ISO dateTimeAs write + typed re-read to
+    the microsecond (reference fwrite dateTimeAs='ISO')."""
+    ev = tables["events"].df.select("event_id", "ts").limit(50)
+    out = f"{TMP}/ts_roundtrip"
+    fwrite(ev, out)
+    back = fread(
+        spark, out,
+        col_classes={"event_id": "integer64", "ts": "POSIXct"},
+    )
+    orig = {r["event_id"]: r["ts"] for r in ev.collect()}
+    got = {r["event_id"]: r["ts"] for r in back.collect()}
+    assert got == orig
