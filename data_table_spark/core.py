@@ -448,3 +448,15 @@ def _dt_repr(self) -> str:
 
 
 DT.__repr__ = _dt_repr
+
+
+def _nrow(self) -> int:
+    return self.df.count()
+
+
+def _ncol(self) -> int:
+    return len(self.df.columns)
+
+
+DT.nrow = property(_nrow)
+DT.ncol = property(_ncol)

@@ -282,3 +282,74 @@ def q_sdcols(spark, sf_dir):
            / F.count(F.lit(1)) for c in sdcols},
         by=["l_returnflag"],
     ).df
+
+
+@query(
+    "composite_pipeline",
+    """
+    WITH filtered AS (
+      SELECT l_orderkey, l_quantity, l_extendedprice, l_shipdate
+      FROM lineitem WHERE l_quantity > 5
+    ),
+    joined AS (
+      SELECT f.*, o.o_orderpriority, o.o_custkey
+      FROM filtered f JOIN orders o ON f.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey
+        ORDER BY l_extendedprice DESC, l_orderkey, l_shipdate
+      ) AS rk
+      FROM joined
+    ),
+    top3 AS (SELECT * FROM ranked WHERE rk <= 3)
+    SELECT o_custkey,
+      CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+           THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+        AS qty_urgent,
+      CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+           THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+        AS qty_other,
+      COUNT(*) AS n
+    FROM top3 GROUP BY o_custkey
+    """,
+)
+def q_composite(spark, sf_dir):
+    """Kitchen-sink composition through the DT surface: filter (i) ->
+    lookup join -> per-group top-k window -> conditional pivot-style
+    aggregate. One plan: pushdown filter scan, broadcast hash join,
+    one window shuffle, one agg shuffle."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].query(
+        i=F.col("l_quantity") > 5,
+        j=["l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    orders = t["orders"].query(
+        i=F.col("o_orderstatus") == "F",
+        j=["o_orderkey", "o_orderpriority", "o_custkey"],
+    )
+    from .operators.joins import join as dt_join
+
+    j = dt_join(li, orders, on={"l_orderkey": "o_orderkey"}, how="inner")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_shipdate")
+    )
+    top3 = (
+        j.df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    dq = F.col("l_quantity").cast("decimal(18,4)")
+    return (
+        top3.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(urgent, dq).otherwise(F.lit(0).cast("decimal(18,4)")))
+            .cast("double").alias("qty_urgent"),
+            F.sum(F.when(~urgent, dq).otherwise(F.lit(0).cast("decimal(18,4)")))
+            .cast("double").alias("qty_other"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

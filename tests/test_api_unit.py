@@ -202,3 +202,19 @@ def test_repr_preview(small):
     r = repr(small)
     assert "[5 rows x 3 cols]" in r
     assert "g" in r and "1:" in r
+
+
+def test_fifelse_na_branch(spark):
+    from data_table_spark.functions import fifelse
+
+    df = spark.createDataFrame([(1.0,), (None,), (-1.0,)], ["x"])
+    out = df.select(
+        fifelse(F.col("x") > 0, F.lit("pos"), F.lit("neg"),
+                na=F.lit("missing")).alias("r")
+    )
+    assert [r["r"] for r in out.collect()] == ["pos", "missing", "neg"]
+
+
+def test_nrow_ncol(small):
+    assert small.nrow == 5
+    assert small.ncol == 3
