@@ -395,3 +395,27 @@ def frolladaptive(
         "__pos__", "__cs__", "__nn__", "__ppos__", "__pcs__"
     )
     return DT(out, key=dt.key, order_by=dt.order_by)
+
+
+def sessionize(
+    dt: DT, ts_col: str, gap: int, by=None, out_col: str = "session_id"
+) -> DT:
+    """Batch sessionization (gaps-and-islands): new session when the gap
+    to the previous event (same group) is >= `gap` (units of ts_col;
+    matches Spark session_window's exclusive end). Two window passes —
+    lag + running sum — fully codegen'd; the batch counterpart of
+    streaming/session_agg."""
+    w = win(dt, by=by, order=[ts_col])
+    prev = F.lag(F.col(ts_col)).over(w)
+    brk = F.when(
+        prev.isNull() | (F.col(ts_col) - prev >= gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*_namelist(by)).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    ) if by else Window.orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    df = dt.df.withColumn("__brk__", brk).withColumn(
+        out_col, F.sum("__brk__").over(run).cast("long")
+    ).drop("__brk__")
+    return DT(df, key=dt.key, order_by=dt.order_by)

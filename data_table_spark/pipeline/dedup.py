@@ -166,7 +166,7 @@ def _perm_min_aggs() -> list[Column]:
     higher-order functions (aggregate/zip_with/transform) run as
     INTERPRETED expressions outside whole-stage codegen, which made an
     array-fold signature ~50x slower; a projection + hash-aggregate of
-    128 mins stays fully codegen'd and partial-aggregates map-side."""
+    126 mins stays fully codegen'd and partial-aggregates map-side."""
     return [
         F.min(
             F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P31))
@@ -176,7 +176,7 @@ def _perm_min_aggs() -> list[Column]:
 
 
 def minhash_signature(shingles: Column) -> Column:
-    """128-permutation MinHash signature as an array<long> (array-column
+    """126-permutation MinHash signature as an array<long> (array-column
     form for API parity; `minhash_lsh_pairs` uses the faster relational
     encoding of the same permutations — see _perm_min_aggs)."""
     hs = F.transform(

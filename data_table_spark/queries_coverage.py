@@ -353,3 +353,38 @@ def q_composite(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "sessionize_batch",
+    """
+    WITH l AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id)
+               AS prev
+      FROM events
+    ),
+    f AS (SELECT user_id, event_id, us,
+                 CASE WHEN prev IS NULL OR us - prev >= 300000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM l)
+    SELECT user_id, event_id,
+           CAST(SUM(brk) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM f
+    """,
+)
+def q_sessionize_batch(spark, sf_dir):
+    """Batch sessionization operator (gaps-and-islands, 5-minute gap per
+    user) — same semantics as the streaming session_window, as a plain
+    DT window operator."""
+    from .operators.window import sessionize
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].query(j=["user_id", "event_id", "ts_us"])
+    ev.order_by = ["ts_us", "event_id"]
+    out = sessionize(ev, "ts_us", 300_000_000, by=["user_id"])
+    return out.df.select("user_id", "event_id", "session_id")
