@@ -150,3 +150,43 @@ def idatetime(ts: Column | str):
         F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c)
     ).cast("int")
     return idate.alias("idate"), itime.alias("itime")
+
+
+def chmatchdup_table(
+    x, table, x_col: str, t_col: str, order_x=None, order_t=None
+):
+    """chmatchdup (reference src/chmatch.c:154, wrapper R/data.table.R):
+    multiset match — the i-th occurrence of a value in x matches the
+    i-th occurrence in table (each table row consumed once); unmatched
+    occurrences get NULL.
+
+    Relational form: occurrence-number both sides (row_number over the
+    value partition in declared order) and equi-join on
+    (value, occurrence) — two codegen window passes + one join, no
+    per-row search. Returns x's DataFrame + `match_pos` (the matched
+    table row's 1-based position in order_t, data.table's return)."""
+    from pyspark.sql import Window
+
+    xdf = x.df if hasattr(x, "df") else x
+    tdf = table.df if hasattr(table, "df") else table
+    ox = order_x or [x_col]
+    ot = order_t or [t_col]
+    xo = Window.partitionBy(x_col).orderBy(*[F.col(c) for c in ox])
+    to = Window.partitionBy(t_col).orderBy(*[F.col(c) for c in ot])
+    tpos = Window.orderBy(*[F.col(c) for c in ot])
+    xr = xdf.withColumn("__occ__", F.row_number().over(xo))
+    tr = (
+        tdf.withColumn("__occ__", F.row_number().over(to))
+        .withColumn("__pos__", F.row_number().over(tpos))
+        .select(
+            F.col(t_col).alias("__val__"), "__occ__",
+            F.col("__pos__").alias("match_pos"),
+        )
+    )
+    out = xr.join(
+        tr,
+        (F.col(x_col) == F.col("__val__"))
+        & (xr["__occ__"] == tr["__occ__"]),
+        "left",
+    ).drop("__occ__", "__val__")
+    return out

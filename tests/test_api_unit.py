@@ -218,3 +218,16 @@ def test_fifelse_na_branch(spark):
 def test_nrow_ncol(small):
     assert small.nrow == 5
     assert small.ncol == 3
+
+
+def test_chmatchdup_consumes(spark):
+    from data_table_spark.functions import chmatchdup_table
+
+    x = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 4)], ["v", "i"]
+    )
+    t = spark.createDataFrame([("a", 1), ("a", 2), ("c", 3)], ["v", "j"])
+    out = chmatchdup_table(x, t, "v", "v", order_x=["i"], order_t=["j"])
+    got = {r["i"]: r["match_pos"] for r in out.collect()}
+    # three 'a's in x, two in table: third gets NULL; 'b' unmatched
+    assert got == {1: 1, 2: 2, 3: None, 4: None}
