@@ -388,3 +388,29 @@ def q_sessionize_batch(spark, sf_dir):
     ev.order_by = ["ts_us", "event_id"]
     out = sessionize(ev, "ts_us", 300_000_000, by=["user_id"])
     return out.df.select("user_id", "event_id", "session_id")
+
+
+@query(
+    "quantiles_by",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_quantiles(spark, sf_dir):
+    """Grouped quantiles (data.table quantile-inside-j; GForce
+    gquantile): exact linear-interpolated percentiles, identical
+    definition in both engines (type-7), rounded to 6dp to absorb
+    float ordering."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].query(
+        j={
+            "q25": F.round(F.percentile("l_quantity", F.lit(0.25)), 6),
+            "q50": F.round(F.percentile("l_quantity", F.lit(0.50)), 6),
+            "q75": F.round(F.percentile("l_quantity", F.lit(0.75)), 6),
+        },
+        by=["l_returnflag"],
+    ).df

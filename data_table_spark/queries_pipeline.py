@@ -381,3 +381,30 @@ def q_ivf_ann_topk(spark, sf_dir):
         t["embeddings"].df, n_centroids=16, n_probe=2,
         query_ids_below=8, k=5,
     )
+
+
+@query(
+    "hash_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE list_sum([(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), k+1, 1))
+                     - 1)::BIGINT << (4*(3-k)) for k in range(0,4)])
+          % 10 = 0
+    """,
+)
+def q_hash_sample(spark, sf_dir):
+    """Deterministic content-hash sampling (~10%): keep rows where
+    md5(doc_id) mod 10 == 0. Unlike rand()-based sampling this is
+    reproducible across engines, runs, partitionings, and cluster
+    sizes — the correct sampling primitive for auditable training-data
+    pipelines. Narrow filter, no shuffle."""
+    t = load_tables(spark, sf_dir)
+    h4 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        t["documents"].df
+        .filter(h4 % 10 == 0)
+        .select("doc_id", "lang")
+    )
