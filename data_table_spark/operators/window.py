@@ -398,23 +398,28 @@ def frolladaptive(
 
 
 def sessionize(
-    dt: DT, ts_col: str, gap: int, by=None, out_col: str = "session_id"
+    dt: DT, ts_col: str, gap: int, by=None, order=None,
+    out_col: str = "session_id",
 ) -> DT:
     """Batch sessionization (gaps-and-islands): new session when the gap
     to the previous event (same group) is >= `gap` (units of ts_col;
     matches Spark session_window's exclusive end). Two window passes —
     lag + running sum — fully codegen'd; the batch counterpart of
-    streaming/session_agg."""
-    w = win(dt, by=by, order=[ts_col])
+    streaming/session_agg.
+
+    `order` must be a DETERMINISTIC total order starting with ts_col
+    (add a unique tie-break column when timestamps can collide —
+    otherwise the running sum's tie order is engine-dependent)."""
+    order = _namelist(order) or [ts_col]
+    w = win(dt, by=by, order=order)
     prev = F.lag(F.col(ts_col)).over(w)
     brk = F.when(
         prev.isNull() | (F.col(ts_col) - prev >= gap), F.lit(1)
     ).otherwise(F.lit(0))
-    run = Window.partitionBy(*_namelist(by)).orderBy(ts_col).rowsBetween(
-        Window.unboundedPreceding, 0
-    ) if by else Window.orderBy(ts_col).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    ocols = [F.col(c) for c in order]
+    run = (
+        Window.partitionBy(*_namelist(by)) if by else Window.partitionBy()
+    ).orderBy(*ocols).rowsBetween(Window.unboundedPreceding, 0)
     df = dt.df.withColumn("__brk__", brk).withColumn(
         out_col, F.sum("__brk__").over(run).cast("long")
     ).drop("__brk__")

@@ -385,8 +385,10 @@ def q_sessionize_batch(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     ev = t["events"].query(j=["user_id", "event_id", "ts_us"])
-    ev.order_by = ["ts_us", "event_id"]
-    out = sessionize(ev, "ts_us", 300_000_000, by=["user_id"])
+    out = sessionize(
+        ev, "ts_us", 300_000_000, by=["user_id"],
+        order=["ts_us", "event_id"],
+    )
     return out.df.select("user_id", "event_id", "session_id")
 
 
