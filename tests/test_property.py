@@ -154,3 +154,79 @@ def test_dcast_melt_roundtrip(spark, data):
     )
     exp = sorted((a, b, c) for a, b, c in data)
     assert got == exp
+
+
+@SET
+@given(
+    xs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(-9, 9)),
+        min_size=1, max_size=12, unique_by=lambda t: (t[0], t[1]),
+    ),
+    iq=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1, max_size=12,
+    ),
+)
+def test_asof_backwardroll_matches_duckdb_asof(spark, xs, iq):
+    """Our union-tag as-of join == DuckDB's native ASOF LEFT JOIN on
+    random (key, time) data (x unique per (k,t); equality matches x at
+    the same instant, per data.table roll semantics)."""
+    from data_table_spark.operators.asof import asof_join
+
+    px = pd.DataFrame(xs, columns=["k", "t", "xv"])
+    pi = pd.DataFrame(iq, columns=["k", "t"])
+    pi["iid"] = range(len(pi))
+    x = DT(spark.createDataFrame(px), key=["k", "t"])
+    i = DT(spark.createDataFrame(pi), key=["k", "t"])
+    out = asof_join(x, i, on=["k"], time_x="t", time_i="t", roll=True)
+    cols = set(out.columns)
+    tcol = "t" if "t" in cols else "t_x"
+    got = sorted(
+        (r["iid"], r["xv"]) for r in out.df.collect()
+    )
+    exp = sorted(
+        _duck(
+            {"x": px, "i": pi},
+            "SELECT i.iid, x.xv FROM i ASOF LEFT JOIN x"
+            " ON i.k = x.k AND i.t >= x.t",
+        )
+    )
+    assert got == exp
+
+
+@SET
+@given(
+    xs=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 20), st.integers(0, 10)),
+        min_size=1, max_size=10,
+    ),
+    ys=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 20), st.integers(0, 10)),
+        min_size=1, max_size=10,
+    ),
+)
+def test_foverlaps_any_matches_sql(spark, xs, ys):
+    """foverlaps type='any' == the SQL overlap predicate on random
+    keyed intervals (inclusive bounds, data.table semantics)."""
+    from data_table_spark.operators.overlaps import foverlaps
+
+    px = pd.DataFrame(
+        [(k, s, s + w, i) for i, (k, s, w) in enumerate(xs)],
+        columns=["k", "xs", "xe", "xid"],
+    )
+    py = pd.DataFrame(
+        [(k, s, s + w, i) for i, (k, s, w) in enumerate(ys)],
+        columns=["k", "ys", "ye", "yid"],
+    )
+    x = DT(spark.createDataFrame(px), key=["k", "xs", "xe"])
+    y = DT(spark.createDataFrame(py), key=["k", "ys", "ye"])
+    out = foverlaps(x, y, by_x=["k", "xs", "xe"], by_y=["k", "ys", "ye"])
+    got = sorted((r["xid"], r["yid"]) for r in out.df.collect())
+    exp = sorted(
+        _duck(
+            {"x": px, "y": py},
+            "SELECT x.xid, y.yid FROM x JOIN y ON x.k = y.k"
+            " AND x.xs <= y.ye AND y.ys <= x.xe",
+        )
+    )
+    assert got == exp
