@@ -284,3 +284,30 @@ def salted_agg(
         F.sum("__cnt__").alias(counts[0]),
     )
     return DT(phase2, key=list(by))
+
+
+def cogroup_apply(
+    x: DT, y: DT, by: Sequence[str], fn, schema: str,
+    order_x=None, order_y=None,
+) -> DT:
+    """Co-grouped map (groupBy().cogroup().applyInPandas): `fn(key,
+    x_pdf, y_pdf) -> pdf` sees BOTH tables' rows for each key — the
+    two-table generalization of dogroups (reference dogroups.c runs one
+    table per group; data.table users express this as X[Y, j, by=.EACHI]
+    with .SD on both sides). Arrow-batched; one co-partitioned shuffle
+    of each side."""
+    by = _namelist(by)
+    ox = _namelist(order_x) or x.order_by
+    oy = _namelist(order_y) or y.order_by
+
+    def wrapped(key, xp, yp):
+        if ox:
+            xp = xp.sort_values([c for c in ox if c in xp.columns],
+                                kind="mergesort")
+        if oy:
+            yp = yp.sort_values([c for c in oy if c in yp.columns],
+                                kind="mergesort")
+        return fn(key, xp, yp)
+
+    cg = x.df.groupBy(*by).cogroup(y.df.groupBy(*by))
+    return DT(cg.applyInPandas(wrapped, schema=schema))

@@ -416,3 +416,59 @@ def q_quantiles(spark, sf_dir):
         },
         by=["l_returnflag"],
     ).df
+
+
+@query(
+    "cogroup_udtf",
+    """
+    WITH o AS (SELECT o_custkey, COUNT(*) AS n_orders,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                           AS DOUBLE) AS total_spend
+               FROM orders GROUP BY o_custkey)
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           CAST(COALESCE(o.total_spend, 0.0) AS DOUBLE) AS total_spend
+    FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_cogroup(spark, sf_dir):
+    """Cogrouped applyInPandas: per customer key, pandas sees the
+    customer row AND all their orders and emits a custom summary row —
+    arbitrary two-table per-key logic (the oracle is the equivalent
+    relational join+agg). Decimal-exact spend via pandas Decimal sum."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from .operators.grouping import cogroup_apply
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].query(j=["c_custkey", "c_mktsegment"])
+    orders = t["orders"].query(j=["o_custkey", "o_totalprice"])
+    cust = cust.setnames({"c_custkey": "custkey"})
+    orders = orders.setnames({"o_custkey": "custkey"})
+
+    def fn(key, cp, op):
+        if len(cp) == 0:
+            return pd.DataFrame(
+                columns=["custkey", "segment", "n_orders", "total_spend"]
+            )
+        spend = sum(
+            (Decimal(str(round(v, 4))) for v in op["o_totalprice"]),
+            Decimal(0),
+        )
+        return pd.DataFrame(
+            {
+                "custkey": [key[0]],
+                "segment": [cp["c_mktsegment"].iloc[0]],
+                "n_orders": [len(op)],
+                "total_spend": [float(spend)],
+            }
+        )
+
+    out = cogroup_apply(
+        cust, orders, by=["custkey"], fn=fn,
+        schema="custkey bigint, segment string, n_orders bigint,"
+        " total_spend double",
+    )
+    return out.df
