@@ -132,11 +132,14 @@ class DT:
             raise ValueError("positional subset needs a declared order")
         start = sl.start or 1
         stop = sl.stop
+        step = sl.step or 1
         w = Window.orderBy(*[F.col(c) for c in self.order_by])
         df = self.df.withColumn("__pos__", F.row_number().over(w))
         pred = F.col("__pos__") >= start
         if stop is not None:
             pred = pred & (F.col("__pos__") <= stop)
+        if step != 1:
+            pred = pred & ((F.col("__pos__") - start) % step == 0)
         return self._wrap(
             df.filter(pred).drop("__pos__"),
             key=self.key, order_by=self.order_by,
@@ -305,9 +308,11 @@ class DT:
         if not self.order_by:
             raise ValueError("which needs a declared order (SURVEY §1.1)")
         w = Window.orderBy(*[F.col(c) for c in self.order_by])
-        pred = _to_col(i)
+        # NULL predicate rows are non-matches (data.table which=NA
+        # semantics): compare null-safely so ~pred doesn't drop them
+        matched = _to_col(i).eqNullSafe(F.lit(True))
         out = self.df.withColumn("which", F.row_number().over(w))
-        out = out.filter(~pred if na else pred)
+        out = out.filter(~matched if na else matched)
         return out.select("which")
 
     def na_omit(self, cols: Sequence[str] | None = None, invert: bool = False) -> "DT":
@@ -405,7 +410,7 @@ def tables(spark: SparkSession, registry: "Tables | None" = None):
                  ",".join(dt.key or dt.order_by))
             )
     return spark.createDataFrame(
-        rows, ["name", "ncol", "cols", "key"]
+        rows, "name string, ncol int, cols string, key string"
     )
 
 

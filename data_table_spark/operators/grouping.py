@@ -249,7 +249,7 @@ def salted_agg(
     dt: DT,
     by,
     sums: Mapping[str, Column] | None = None,
-    counts: Sequence[str] | None = None,
+    count_name: str = "n",
     n_salts: int = 16,
 ) -> DT:
     """Two-phase salted aggregation for skewed group keys (SURVEY §4.2:
@@ -266,7 +266,6 @@ def salted_agg(
     skew tool."""
     by = _namelist(by)
     sums = dict(sums or {})
-    counts = _namelist(counts) or ["__n__"]
     salt = F.pmod(
         F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
         F.lit(n_salts),
@@ -281,7 +280,7 @@ def salted_agg(
     )
     phase2 = phase1.groupBy(*by).agg(
         *[F.sum(F.col(k)).alias(k) for k in sums],
-        F.sum("__cnt__").alias(counts[0]),
+        F.sum("__cnt__").alias(count_name),
     )
     return DT(phase2, key=list(by))
 

@@ -88,7 +88,12 @@ def shift(
             name = f"{c}_{type_}_{k}" if give_names or len(ns) > 1 else c
             shifted = fn(F.col(c), k).over(w)
             if fill is not None:
-                oob = rn <= k if type_ == "lag" else rn > cnt - k
+                # negative n flips the direction (lag(-1) == lead(1),
+                # reference shift accepts negative n), so the
+                # out-of-bounds side flips with it
+                lag_like = (type_ == "lag") == (k > 0)
+                kk = abs(k)
+                oob = rn <= kk if lag_like else rn > cnt - kk
                 shifted = F.when(oob, F.lit(fill)).otherwise(shifted)
             out[name] = shifted
     return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
@@ -337,15 +342,22 @@ def frollapply(
 
     c = col if isinstance(col, str) else col._jc.toString()
     w = win(dt, by=by, order=order).rowsBetween(-(n - 1), 0)
-    arr = F.collect_list(F.col(c)).over(w)
+    # collect_list drops NULLs, which would make a full window with a
+    # NULL look incomplete: preserve positions as NaN (fn sees NaN,
+    # data.table's fn-sees-NA analog) and gate completeness on the
+    # window ROW count instead.
+    arr = F.collect_list(
+        F.when(F.col(c).isNull(), F.lit(float("nan"))).otherwise(F.col(c))
+    ).over(w)
+    full = F.count(F.lit(1)).over(w) >= n
 
     @pandas_udf("double")
     def apply_fn(s: pd.Series) -> pd.Series:
-        return s.map(lambda a: float(fn(a)) if len(a) == n else None)
+        return s.map(lambda a: float(fn(a)) if a is not None else None)
 
     name = out_col or f"{c}_roll{n}"
     return DT(
-        dt.df.withColumn(name, apply_fn(arr)),
+        dt.df.withColumn(name, apply_fn(F.when(full, arr))),
         key=dt.key,
         order_by=dt.order_by,
     )

@@ -199,7 +199,7 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-Jaccard-verified.
 
-    signature -> 32 bands of 4 rows -> explode (band_idx, band_hash) ->
+    signature -> 21 bands of 6 rows -> explode (band_idx, band_hash) ->
     self-equi-join on the band key (the ONLY shuffle over pairs) ->
     distinct candidates -> exact Jaccard verification >= threshold.
     Output schema matches `ngram_jaccard_pairs` (it computes the same

@@ -251,7 +251,7 @@ def q_salted_agg(spark, sf_dir):
         sums={
             "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,4)"))
         },
-        counts=["n"],
+        count_name="n",
     )
     return out.df.withColumn("sum_qty", F.col("sum_qty").cast("double"))
 

@@ -121,6 +121,13 @@ def fread(
     if dec == ",":
         # parse everything as string, normalize, cast double columns
         want = dict(col_classes or {})
+        if not want:
+            raise ValueError(
+                "fread(dec=',') needs col_classes: Spark's csv parser is"
+                " dot-only, so comma decimals are read as strings and"
+                " cast per the declared types (silent string columns"
+                " otherwise)"
+            )
         back = fread(
             spark, path, sep=sep, header=header, nrows=nrows,
             select=select, drop=drop,
@@ -163,8 +170,6 @@ def fread(
             "yyyy-MM-dd[['T'][ ]HH:mm:ss[.SSSSSS][.SSS]['Z']]",
         )
     )
-    if skip:
-        reader = reader.option("skipRows", skip)
     if col_classes:
         fields = [
             T.StructField(name, _TYPE_MAP.get(cls, T.StringType()), True)
@@ -173,7 +178,21 @@ def fread(
         reader = reader.schema(T.StructType(fields))
     else:
         reader = reader.option("inferSchema", "true")
-    df = reader.csv(path)
+    if skip:
+        # OSS Spark's csv reader has no skip-lines option (CSVOptions
+        # has none; unknown options are silently ignored), so feed the
+        # reader an RDD of lines with the first `skip` dropped.
+        # zipWithIndex follows file order for a single file; for a
+        # directory the skip applies to the concatenated file order.
+        lines = (
+            spark.sparkContext.textFile(path)
+            .zipWithIndex()
+            .filter(lambda t: t[1] >= skip)
+            .map(lambda t: t[0])
+        )
+        df = reader.csv(lines)
+    else:
+        df = reader.csv(path)
     if col_names:
         df = df.toDF(*col_names)
     if select:

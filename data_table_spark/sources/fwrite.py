@@ -41,6 +41,12 @@ def fwrite(
                 f.name,
                 F.concat_ws(sep2, F.col(f.name).cast("array<string>")),
             )
+    # column transforms happen BEFORE the writer is built so every
+    # branch keeps the full option set (quote/emptyValue/etc.)
+    if date_time_as == "epoch":
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.TimestampType):
+                df = df.withColumn(f.name, F.unix_timestamp(F.col(f.name)))
     if single_file:
         df = df.coalesce(1)
     writer = (
@@ -53,13 +59,6 @@ def fwrite(
     if date_time_as == "ISO":
         writer = writer.option(
             "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
-        )
-    elif date_time_as == "epoch":
-        for f in df.schema.fields:
-            if isinstance(f.dataType, T.TimestampType):
-                df = df.withColumn(f.name, F.unix_timestamp(F.col(f.name)))
-        writer = df.write.options(
-            sep=sep, header=str(bool(header)).lower(), nullValue=na
         )
     if compress and compress != "none":
         writer = writer.option("compression", compress)

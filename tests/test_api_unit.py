@@ -231,3 +231,54 @@ def test_chmatchdup_consumes(spark):
     got = {r["i"]: r["match_pos"] for r in out.collect()}
     # three 'a's in x, two in table: third gets NULL; 'b' unmatched
     assert got == {1: 1, 2: 2, 3: None, 4: None}
+
+
+def test_which_null_predicate(small):
+    # NULL-predicate rows are non-matches in BOTH directions
+    a = DT(small.df.filter(F.col("g") == "a"), order_by=["i"])
+    got = sorted(r["which"] for r in a.which(F.col("v") > 0).collect())
+    assert got == [1, 3]
+    inv = sorted(r["which"] for r in a.which(F.col("v") > 0, na=True).collect())
+    assert inv == [2]  # the NULL row counts as non-matching
+
+
+def test_shift_negative_n_fill(small):
+    out = shift(small, "v", -1, fill=-1.0, by="g")
+    # lag(-1) == lead(1): last row of each group gets the fill
+    assert _col(out, "v_lag_-1") == [None, 3.0, -1.0, 20.0, -1.0]
+
+
+def test_slice_step(small):
+    a = DT(small.df.filter(F.col("g") == "a"), order_by=["i"])
+    got = [r["i"] for r in a.rows(slice(1, 3, 2)).df.orderBy("i").collect()]
+    assert got == [1, 3]
+
+
+def test_frollapply_null_window(spark):
+    import numpy as np
+
+    from data_table_spark.operators.window import frollapply
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], ["i", "v"]
+    )
+    dt = DT(df, order_by=["i"])
+    out = frollapply(dt, "v", 3, np.nansum, out_col="r")
+    rows = {r["i"]: r["r"] for r in out.df.collect()}
+    # window of 3 rows IS full despite the NULL; fn sees NaN
+    assert rows[3] == 4.0
+    assert rows[1] is None and rows[2] is None  # incomplete windows
+
+
+def test_fread_skip_lines(spark):
+    import os
+
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    p = "/root/repo/.tmp/skip.csv"
+    with open(p, "w") as f:
+        f.write("garbage preamble\nmore garbage\nk,v\n1,a\n2,b\n")
+    from data_table_spark.sources import fread
+
+    dt = fread(spark, p, skip=2)
+    rows = {r["k"]: r["v"] for r in dt.collect()}
+    assert rows == {1: "a", 2: "b"}
