@@ -167,10 +167,11 @@ def _perm_min_aggs() -> list[Column]:
     INTERPRETED expressions outside whole-stage codegen, which made an
     array-fold signature ~50x slower; a projection + hash-aggregate of
     126 mins stays fully codegen'd and partial-aggregates map-side."""
+    # Built as parsed SQL strings: one py4j round-trip per permutation
+    # instead of ~8 for the equivalent Column-builder calls — measured
+    # ~1.9s -> ~0.1s of driver-side plan construction at 126 perms.
     return [
-        F.min(
-            F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P31))
-        ).alias(f"sig{i}")
+        F.expr(f"min(pmod({a}L * h + {b}L, {_P31}L)) as sig{i}")
         for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
     ]
 
@@ -211,24 +212,17 @@ def minhash_lsh_pairs(
         "doc_id", F.xxhash64("s").bitwiseAND(F.lit(_P31)).alias("h")
     )
     sig = ex.groupBy("doc_id").agg(*_perm_min_aggs())
+    band_structs = ", ".join(
+        "struct({j} as band, xxhash64({cols}) as bh)".format(
+            j=j,
+            cols=", ".join(
+                f"sig{j * LSH_ROWS + r}" for r in range(LSH_ROWS)
+            ),
+        )
+        for j in range(LSH_BANDS)
+    )
     bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"sig{j * LSH_ROWS + r}")
-                                for r in range(LSH_ROWS)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for j in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", F.expr(f"explode(array({band_structs})) as bb")
     ).select("doc_id", "bb.band", "bb.bh")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
