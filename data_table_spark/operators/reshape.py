@@ -41,6 +41,7 @@ def dcast(
     pivot_values: Sequence[str] | None = None,
     fill=None,
     sep: str = "_",
+    drop: bool | tuple[bool, bool] = True,
 ) -> DT:
     """dcast — long→wide pivot (reference R/fcast.R:11,126-253).
 
@@ -49,7 +50,17 @@ def dcast(
     the caller's choice). ``pivot_values``: pass the expected spread values
     to keep the plan single-pass (else Spark runs a distinct job first) and
     the output schema deterministic — matters at 100 TB.
+
+    ``drop``: (rows, cols) like the reference's 2-vector
+    (R/fcast.R:127,217-226). ``drop[0]=False`` emits every combination
+    of the rowvars' observed levels (reference ``cj_uniq``): per-column
+    distinct frames (tiny) cross-joined, then left-joined to the
+    aggregate — the CJ side is broadcast-able so no extra big-table
+    shuffle. ``drop[1]=False`` (all colvar levels as columns) is
+    ``pivot_values``: Spark has no factor levels, so the full level set
+    must be passed explicitly; observed-only equals ``drop=True``.
     """
+    drop_rows, _drop_cols = (drop, drop) if isinstance(drop, bool) else drop
     rowvars = _namelist(rowvars)
     gb = dt.df.groupBy(*rowvars)
     piv = gb.pivot(colvar, list(pivot_values) if pivot_values is not None else None)
@@ -60,6 +71,10 @@ def dcast(
         out = piv.agg(expr)
     else:
         out = piv.agg(*[e.alias(name) for name, e in fun_agg.items()])
+    if not drop_rows:
+        frames = [dt.df.select(v).distinct() for v in rowvars]
+        cj = reduce(lambda a, b: a.crossJoin(b), frames)
+        out = cj.join(out, rowvars, "left")
     if fill is not None:
         out = out.na.fill(fill, subset=[c for c in out.columns if c not in rowvars])
     return DT(out, key=rowvars)

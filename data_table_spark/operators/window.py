@@ -363,6 +363,54 @@ def frollapply(
     )
 
 
+def frollapply_multi(
+    dt: DT,
+    cols,
+    n: int,
+    fn,
+    by=None,
+    order=None,
+    out_col: str = "roll_apply",
+) -> DT:
+    """frollapply with by.column=FALSE (reference R/frollapply.R:128:
+    `x` a data.table and `by.column=FALSE` passes the whole n-row window
+    sub-table to FUN — e.g. rolling correlation/regression).
+
+    Spark shape: collect_list of struct(cols) over the rolling frame
+    keeps the window rows aligned across columns JVM-side; one
+    Arrow-batched pandas_udf then calls `fn(pandas.DataFrame)` per
+    window. Windows shorter than n yield NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    cols = _namelist(cols)
+    w = win(dt, by=by, order=order).rowsBetween(-(n - 1), 0)
+    # struct(...) is never NULL even when fields are, so collect_list
+    # keeps every row; fn sees the fields' NULLs as NaN.
+    arr = F.collect_list(F.struct(*[F.col(c) for c in cols])).over(w)
+    full = F.count(F.lit(1)).over(w) >= n
+
+    @pandas_udf("double")
+    def apply_fn(s: pd.Series) -> pd.Series:
+        def one(rows):
+            if rows is None:
+                return None
+            # Arrow hands struct elements to pandas as dicts; build the
+            # frame column-wise (no per-record type inference — ~4x
+            # faster than pd.DataFrame(list-of-dicts) on small windows).
+            out = fn(
+                pd.DataFrame({c: [r[c] for r in rows] for c in cols})
+            )
+            return None if out is None else float(out)
+
+        return s.map(one)
+
+    return DT(
+        dt.df.withColumn(out_col, apply_fn(F.when(full, arr))),
+        key=dt.key,
+        order_by=dt.order_by,
+    )
+
+
 def frolladaptive(
     dt: DT, col, n_col, by=None, order=None, out_col: str | None = None
 ) -> DT:

@@ -1209,6 +1209,53 @@ def q_dcast_multi(spark, sf_dir):
 
 
 @query(
+    "dcast_drop_false",
+    """
+    WITH s AS (
+      SELECT l_returnflag, CAST(month(l_shipdate) AS INT) AS l_month,
+             l_linestatus, l_extendedprice
+      FROM lineitem
+      WHERE l_quantity = 1 AND year(l_shipdate) = 2001),
+    rf AS (SELECT DISTINCT l_returnflag FROM s),
+    mo AS (SELECT DISTINCT l_month FROM s),
+    agg AS (
+      SELECT l_returnflag, l_month,
+             CAST(SUM(CASE WHEN l_linestatus = 'F'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,4)) END)
+                  AS DOUBLE) AS F,
+             CAST(SUM(CASE WHEN l_linestatus = 'O'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,4)) END)
+                  AS DOUBLE) AS O
+      FROM s GROUP BY l_returnflag, l_month)
+    SELECT rf.l_returnflag, mo.l_month, agg.F, agg.O
+    FROM rf CROSS JOIN mo
+    LEFT JOIN agg USING (l_returnflag, l_month)
+    """,
+)
+def q_dcast_drop_false(spark, sf_dir):
+    """dcast drop=FALSE (reference R/fcast.R:127,217-226): emit every
+    combination of the rowvars' observed levels (cj_uniq), with all-NULL
+    value columns for combinations absent from the data. The subset
+    (quantity=1, shipped 2001) leaves joint (returnflag, month) holes at
+    sf0.01 that only this path fills in."""
+    from .operators.reshape import dcast
+
+    t = load_tables(spark, sf_dir)
+    s = DT(
+        t["lineitem"].df.filter(
+            (F.col("l_quantity") == 1) & (F.year("l_shipdate") == 2001)
+        ).withColumn("l_month", F.month("l_shipdate"))
+    )
+    out = dcast(
+        s, ["l_returnflag", "l_month"], "l_linestatus", "l_extendedprice",
+        fun_agg={"s": F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")},
+        pivot_values=["F", "O"],
+        drop=(False, True),
+    )
+    return out.df
+
+
+@query(
     "melt_unpivot",
     """
     SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value

@@ -5,6 +5,7 @@ expansion, ordered top-k, grouped-map UDTF (dogroups), frollapply.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .core import DT, load_tables
@@ -223,4 +224,67 @@ def q_frollapply(spark, sf_dir):
     return (
         out.df.filter(F.col("roll_med").isNotNull())
         .select("event_id", "user_id", "roll_med")
+    )
+
+
+@query(
+    "frollapply_corr",
+    """
+    WITH w AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             ROUND(corr(l_extendedprice, l_quantity) OVER roll, 4) AS c,
+             COUNT(*) OVER roll AS wn,
+             MIN(l_quantity) OVER roll AS qlo,
+             MAX(l_quantity) OVER roll AS qhi
+      FROM lineitem
+      WHERE l_suppkey <= 10
+      WINDOW roll AS (
+        PARTITION BY l_suppkey
+        ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_win,
+           CAST(SUM(CAST(c AS DECIMAL(18,4))) AS DOUBLE) AS sum_corr
+    FROM w WHERE wn >= 5 AND qlo < qhi
+    GROUP BY l_suppkey
+    """,
+)
+def q_frollapply_corr(spark, sf_dir):
+    """frollapply by.column=FALSE (reference R/frollapply.R:128): FUN
+    receives the whole n-row window sub-table — here a rolling Pearson
+    correlation of two columns, which no single-column roll can express.
+    Zero-variance windows are excluded (corr undefined; engines disagree
+    on NaN vs NULL). Compared as per-supplier sums of 4dp-rounded
+    values: portable across summation orders.
+
+    Order note: (orderkey, linenumber) is not unique in this synthetic
+    data; appending the two aggregated columns makes frame contents
+    deterministic (ties identical in every aggregated value)."""
+    from .operators.window import frollapply_multi
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].query(
+        i=F.col("l_suppkey") <= 10,
+        j=["l_suppkey", "l_orderkey", "l_linenumber", "l_quantity",
+           "l_extendedprice"],
+    )
+    order = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    out = frollapply_multi(
+        li, ["l_extendedprice", "l_quantity"], 5,
+        lambda d: d["l_extendedprice"].corr(d["l_quantity"]),
+        by=["l_suppkey"], order=order, out_col="c",
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(*order).rowsBetween(-4, 0)
+    guarded = out.df.withColumns({
+        "qlo": F.min("l_quantity").over(w),
+        "qhi": F.max("l_quantity").over(w),
+    }).filter(F.col("c").isNotNull() & (F.col("qlo") < F.col("qhi")))
+    return (
+        guarded.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_win"),
+            F.sum(F.round("c", 4).cast("decimal(18,4)"))
+            .cast("double").alias("sum_corr"),
+        )
     )
