@@ -29,6 +29,7 @@ __all__ = [
     "rbindlist",
     "cbindlist",
     "split_table",
+    "measure_sep",
 ]
 
 
@@ -225,6 +226,36 @@ def rowwiseDT(spark, columns: Sequence[str], *rows) -> DT:
     """rowwiseDT (reference R/rowwiseDT.R:1-31): row-wise literal table
     constructor -> spark.createDataFrame."""
     return DT(spark.createDataFrame([tuple(r) for r in rows], list(columns)))
+
+
+def measure_sep(
+    columns: Sequence[str], sep: str = "_"
+) -> dict[str, list[str]]:
+    """measure(sep=) selector (reference R/fmelt.R:32-124): derive
+    melt_multi measure-groups from column-name structure. Each name
+    containing `sep` splits into (stem, suffix); columns sharing a stem
+    form one value group, ordered by suffix (numeric when possible).
+    Stems with a single column are left alone (they stay id vars),
+    matching the reference's requirement of >1 measure per group."""
+    groups: dict[str, list[tuple[str, str]]] = {}
+    for c in columns:
+        parts = c.split(sep)
+        if len(parts) < 2:
+            continue
+        stem, idx = sep.join(parts[:-1]), parts[-1]
+        groups.setdefault(stem, []).append((idx, c))
+
+    def keyf(t):
+        try:
+            return (0, int(t[0]), t[0])
+        except ValueError:
+            return (1, 0, t[0])
+
+    return {
+        stem: [c for _, c in sorted(v, key=keyf)]
+        for stem, v in groups.items()
+        if len(v) > 1
+    }
 
 
 def patterns(regex: str, columns: Sequence[str]) -> list[str]:

@@ -412,9 +412,10 @@ def frollapply_multi(
 
 
 def frolladaptive(
-    dt: DT, col, n_col, by=None, order=None, out_col: str | None = None
+    dt: DT, col, n_col, by=None, order=None, out_col: str | None = None,
+    fun: str = "sum",
 ) -> DT:
-    """Adaptive (variable-width) rolling sum (reference
+    """Adaptive (variable-width) rolling sum/mean (reference
     src/frolladaptive.c: per-row window size vector `n`).
 
     Spark windows cannot take per-row frame bounds, so this compiles to
@@ -445,11 +446,15 @@ def frolladaptive(
         *[f"__pg_{g}__" for g in grp]
     )
     name = out_col or f"{col}_adaptive"
+    diff = F.col("__cs__") - F.coalesce(F.col("__pcs__"), F.lit(0))
+    if fun == "mean":
+        # complete adaptive windows hold exactly n_i rows, so the mean
+        # is the exact-decimal sum over n_i (one extra codegen'd div)
+        diff = diff / F.col("__nn__")
+    elif fun != "sum":
+        raise ValueError(f"frolladaptive fun must be sum/mean: {fun}")
     val = F.when(
-        F.col("__pos__") >= F.col("__nn__"),
-        (F.col("__cs__") - F.coalesce(F.col("__pcs__"), F.lit(0))).cast(
-            "double"
-        ),
+        F.col("__pos__") >= F.col("__nn__"), diff.cast("double")
     )
     out = joined.withColumn(name, val).drop(
         "__pos__", "__cs__", "__nn__", "__ppos__", "__pcs__"

@@ -182,6 +182,40 @@ def test_positional_slice(small):
     assert via_getitem.count() == 2
 
 
+def test_measure_sep_multi_melt(spark):
+    from data_table_spark.operators.reshape import measure_sep, melt_multi
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 11.0, 20.0, 21.0, "x")],
+        ["id", "a_1", "a_2", "b_1", "b_2", "other"],
+    )
+    dt = DT(df)
+    groups = measure_sep(dt.columns, sep="_")
+    assert groups == {"a": ["a_1", "a_2"], "b": ["b_1", "b_2"]}
+    out = melt_multi(dt, id_vars=["id"], measure_groups=groups)
+    got = sorted(
+        (r["id"], r["a"], r["b"]) for r in out.df.collect()
+    )
+    assert got == [(1, 10.0, 20.0), (1, 11.0, 21.0)]
+
+
+def test_frolladaptive_mean(spark):
+    from data_table_spark.operators.window import frolladaptive
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0, 1), (1, 2, 20.0, 2), (1, 3, 30.0, 3), (1, 4, 40.0, 2)],
+        ["g", "pos", "v", "n"],
+    )
+    out = frolladaptive(
+        DT(df), "v", "n", by=["g"], order=["pos"], fun="mean",
+        out_col="m",
+    ).df
+    got = {r["pos"]: r["m"] for r in out.collect()}
+    # pos1: mean(10)=10; pos2: mean(10,20)=15; pos3: mean(10,20,30)=20;
+    # pos4: mean(30,40)=35
+    assert got == {1: 10.0, 2: 15.0, 3: 20.0, 4: 35.0}
+
+
 def test_melt_patterns_selector(spark):
     from data_table_spark.operators.reshape import melt, patterns
 

@@ -28,6 +28,8 @@ EXPECT_NESTED_LOOP = {
     "inrange_semi", "embedding_cosine_pairs", "ann_cosine_topk",
     "asof_roll_forward", "asof_roll_backward", "asof_roll_limit",
     "asof_roll_nearest", "vecseq_expand",
+    # drop=FALSE CJ of per-rowvar level frames (tiny, broadcast)
+    "dcast_drop_false",
 }
 
 SKIP = {  # streaming queries execute eagerly; fread writes files
