@@ -37,6 +37,7 @@ from .dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
     jaccard_prefix_pairs,
+    dedup_clusters,
 )
 from .similarity import (
     cosine_topk,
@@ -49,6 +50,6 @@ __all__ = [
     "tokens_col", "word_shingles", "char_shingles",
     "lang_id", "text_quality", "token_counts", "doc_fingerprint",
     "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs",
-    "simhash_pairs", "jaccard_prefix_pairs",
+    "simhash_pairs", "jaccard_prefix_pairs", "dedup_clusters",
     "cosine_topk", "cosine_pairs", "lsh_ann_topk", "ivf_ann_topk",
 ]

@@ -488,3 +488,74 @@ def jaccard_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_iter: int = 25,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Duplicate CLUSTERS: connected components of the near-dup pair
+    graph, labeled by the minimum reachable doc_id. This is the step a
+    real dedup pipeline needs after pair generation — transitive
+    closure ("A~B, B~C => one group") plus a canonical representative
+    (the cluster_id IS the keeper's doc_id). Reference has no analog
+    (its dedup surface is exact `duplicated`; R/duplicated.R:1-60).
+
+    Algorithm: iterative min-label propagation over the symmetrized
+    edge list — labels[v] <- min(labels[v], min labels of neighbors) —
+    a fixpoint in O(component diameter) rounds. Near-dup graphs are
+    low-diameter (stars/cliques of rewrites), so this converges in a
+    handful of rounds; a billion-node skew-diameter graph would swap
+    in the large-star/small-star alternation (Kiveris et al., "CC in
+    MapReduce"), same join-agg building blocks. Scale mechanics:
+    - edges and labels are localCheckpoint()ed each round: truncated
+      lineage keeps round k from re-running rounds 1..k-1 (and keeps
+      the plan from growing), at the cost of materializing one
+      (node,label) table per round — the standard iterative-on-Spark
+      posture.
+    - convergence is detected by the label SUM (exact DECIMAL(38,0));
+      labels only ever decrease, so an unchanged sum == fixpoint. One
+      cheap agg per round on the checkpointed table, no self-join.
+    - singleton docs keep cluster_id = doc_id (left join + coalesce).
+
+    ``pairs``: pre-computed (doc_a, doc_b) pair table; defaults to the
+    exact `ngram_jaccard_pairs` at `threshold` (deterministic, so the
+    DuckDB recursive-CTE oracle can replay it)."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, threshold, n)
+    p = pairs.select("doc_a", "doc_b")
+    edges = p.union(
+        p.select(F.col("doc_b"), F.col("doc_a")).toDF("doc_a", "doc_b")
+    ).localCheckpoint()
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    prev = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["doc_a"] == labels["doc_id"])
+            .select(F.col("doc_b").alias("doc_id"), "cluster_id")
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        s = labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if s == prev:
+            break
+        prev = s
+    return labels

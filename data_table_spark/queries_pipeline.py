@@ -82,6 +82,49 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(t["documents"].df, threshold=0.8)
 
 
+_SQL_DEDUP_CLUSTERS = f"""
+    WITH RECURSIVE toks AS ({_SQL_TOKS}),
+    sh AS ({_SQL_SHINGLES}),
+    sz AS (SELECT doc_id, shingles, len(shingles) AS sz FROM sh),
+    ex AS (SELECT doc_id, sz, unnest(shingles) AS s FROM sz),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sz AS sa, b.sz AS sb, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    prs AS (
+      SELECT doc_a, doc_b FROM p
+      WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.8
+    ),
+    e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION ALL
+      SELECT doc_b, doc_a FROM prs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.node
+    )
+    SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+"""
+
+
+@query("dedup_clusters", _SQL_DEDUP_CLUSTERS)
+def q_dedup_clusters(spark, sf_dir):
+    """Connected-component duplicate clusters (transitive closure of
+    the exact-Jaccard pair graph; cluster_id = min reachable doc_id =
+    the canonical keeper). Spark side is iterative min-label
+    propagation with per-round localCheckpoint; oracle replays the
+    same closure as a DuckDB recursive CTE."""
+    from .pipeline import dedup_clusters
+
+    t = load_tables(spark, sf_dir)
+    return dedup_clusters(t["documents"].df, threshold=0.8)
+
+
 @query("minhash_lsh_pairs", _SQL_JACCARD_EXACT)
 def q_minhash_lsh(spark, sf_dir):
     """MinHash(126)+LSH(21x6) candidates, exact-Jaccard-verified. Per

@@ -164,3 +164,19 @@ def test_fwrite_fread_timestamp_roundtrip(spark, tables):
     orig = {r["event_id"]: r["ts"] for r in ev.collect()}
     got = {r["event_id"]: r["ts"] for r in back.collect()}
     assert got == orig
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B, B~C (no direct A~C pair) must land in ONE cluster labeled
+    by the min id; disconnected docs keep their own id."""
+    from data_table_spark.pipeline import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], ["doc_a", "doc_b"]
+    )
+    out = dedup_clusters(docs, pairs=pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
