@@ -98,14 +98,25 @@ def fread(
     encoding: str = "UTF-8",
     key: Sequence[str] | None = None,
     text: str | None = None,
+    cmd: str | None = None,
     dec: str = ".",
 ) -> DT:
     """Read a CSV/TSV into a DT. See module docstring for the mapping.
 
     ``text=`` (reference R/fread.R `text` arg) parses a literal string;
-    ``dec=","`` (European decimals) reads affected columns as strings
-    and casts after comma->dot normalization (Spark's csv parser is
-    dot-only)."""
+    ``cmd=`` (R/fread.R `cmd` arg) runs a shell command and parses its
+    stdout — a DRIVER-side convenience for preprocessed local input,
+    not a distributed source (at scale, land the data and use file
+    splits); ``dec=","`` (European decimals) reads affected columns as
+    strings and casts after comma->dot normalization (Spark's csv
+    parser is dot-only)."""
+    if cmd is not None:
+        import subprocess
+
+        res = subprocess.run(
+            cmd, shell=True, capture_output=True, check=True
+        )
+        text = res.stdout.decode(encoding)
     if text is not None:
         import hashlib as _hl
         import os as _os

@@ -151,6 +151,17 @@ def test_fread_text_and_dec(spark):
     assert rows == {1: 2.5, 2: 3.75}
 
 
+def test_fread_cmd(spark):
+    """fread(cmd=) parses a shell command's stdout (reference
+    R/fread.R cmd= pipe)."""
+    dt = fread(
+        spark, cmd="printf 'k,v\\n1,a\\n2,b\\n'",
+        col_classes={"k": "integer", "v": "character"},
+    )
+    rows = {r["k"]: r["v"] for r in dt.collect()}
+    assert rows == {1: "a", 2: "b"}
+
+
 def test_fwrite_fread_timestamp_roundtrip(spark, tables):
     """Timestamps survive the ISO dateTimeAs write + typed re-read to
     the microsecond (reference fwrite dateTimeAs='ISO')."""
