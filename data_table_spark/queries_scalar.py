@@ -25,7 +25,9 @@ from .queries import query
            CAST(week(o_orderdate) AS INT) AS isoweek,
            CAST(isoyear(o_orderdate) AS INT) AS isoyr,
            CAST(year(o_orderdate) + (month(o_orderdate) - 1) / 12.0
-                AS DOUBLE) AS yearmon
+                AS DOUBLE) AS yearmon,
+           CAST(year(o_orderdate) + (quarter(o_orderdate) - 1) / 4.0
+                AS DOUBLE) AS yearqtr
     FROM orders
     """,
 )
@@ -49,6 +51,9 @@ def q_date_parts(spark, sf_dir):
             "isoyr": F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("int"),
             "yearmon": (
                 F.year(d) + (F.month(d) - 1) / F.lit(12.0)
+            ).cast("double"),
+            "yearqtr": (
+                F.year(d) + (F.quarter(d) - 1) / F.lit(4.0)
             ).cast("double"),
         }
     ).df
