@@ -228,6 +228,47 @@ def q_embedding_cosine_pairs(spark, sf_dir):
     return cosine_pairs(t["embeddings"].df, threshold=0.4505)
 
 
+_SQL_EMB_CLUSTERS = f"""
+    WITH RECURSIVE e AS ({_SQL_EMB}),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4505
+    ),
+    ed AS (
+      SELECT vec_a AS src, vec_b AS dst FROM p
+      UNION ALL
+      SELECT vec_b, vec_a FROM p
+    ),
+    reach(node, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT ed.dst, reach.lbl FROM reach JOIN ed ON ed.src = reach.node
+    )
+    SELECT node AS vec_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+"""
+
+
+@query("embedding_dup_clusters", _SQL_EMB_CLUSTERS)
+def q_embedding_dup_clusters(spark, sf_dir):
+    """Connected-component clusters over the embedding cosine near-dup
+    graph — dedup_clusters composed with cosine_pairs (operator
+    composability: any pair generator feeds the same clustering)."""
+    from .pipeline import dedup_clusters
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].df
+    prs = cosine_pairs(emb, threshold=0.4505).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    out = dedup_clusters(
+        emb.select(F.col("vec_id").alias("doc_id")), pairs=prs
+    )
+    return out.select(F.col("doc_id").alias("vec_id"), "cluster_id")
+
+
 @query("lsh_ann_topk")  # approximate: rows-only check by design
 def q_lsh_ann_topk(spark, sf_dir):
     """Random-hyperplane LSH bucketed ANN (the 100 TB shape: equi-join
