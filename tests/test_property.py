@@ -230,3 +230,51 @@ def test_foverlaps_any_matches_sql(spark, xs, ys):
         )
     )
     assert got == exp
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_strategy)
+def test_dedup_clusters_vs_union_find(spark, edges):
+    """Min-label propagation must equal a driver-side union-find on any
+    random small graph (nodes 0..9, arbitrary extra/self/dup edges)."""
+    from data_table_spark.pipeline import dedup_clusters
+
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = list(range(10))
+    # oracle: union-find, components labeled by their min node
+    parent = {v: v for v in nodes}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in nodes}
+
+    docs = spark.createDataFrame([(v,) for v in nodes], ["doc_id"])
+    pairs = (
+        spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        if edges
+        else spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, pairs=pairs).collect()
+    }
+    assert got == want
