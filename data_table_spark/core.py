@@ -365,6 +365,11 @@ class Tables:
         self.spark = spark
         self.sf_dir = sf_dir
         self._cache: dict[str, DT] = {}
+        # events.parquet stores ts as parquet TIMESTAMP(NANOS); Spark only
+        # reads that as int64 under this conf. It is runtime-settable, so
+        # set it here rather than at session build — queries must run on
+        # any vanilla SparkSession, not just ours (session.py).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def __getitem__(self, name: str) -> DT:
         if name not in self._cache:

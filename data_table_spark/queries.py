@@ -638,18 +638,36 @@ def q_gforce_minmax(spark, sf_dir):
     "gforce_var_sd",
     """
     SELECT o_orderstatus,
-           CAST(VAR_SAMP(o_totalprice) AS DOUBLE) AS var_price,
-           CAST(STDDEV_SAMP(o_totalprice) AS DOUBLE) AS sd_price
-    FROM orders GROUP BY o_orderstatus
+           CAST((sxx - sx * sx / n) / (n - 1) AS DOUBLE) AS var_price,
+           CAST(SQRT((sxx - sx * sx / n) / (n - 1)) AS DOUBLE) AS sd_price
+    FROM (
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        FROM orders GROUP BY o_orderstatus
+    )
     """,
 )
 def q_gforce_var(spark, sf_dir):
-    """gvar/gsd (reference src/gsumm.c:1023-1115)."""
+    """gvar/gsd (reference src/gsumm.c:1023-1115).
+
+    Deterministic under any partitioning: var_samp over raw doubles drifts
+    with partial-agg combine order, so compute from EXACT decimal sums
+    (n, Σx, Σx²) — decimal addition is order-independent — then evaluate
+    the identical double formula in both engines (NOTES_r1.md §6 recipe).
+    """
     t = load_tables(spark, sf_dir)
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(d).cast("double")
+    sxx = F.sum(d * d).cast("double")
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
     return t["orders"].query(
         j={
-            "var_price": F.var_samp("o_totalprice").cast("double"),
-            "sd_price": F.stddev_samp("o_totalprice").cast("double"),
+            "var_price": var.cast("double"),
+            "sd_price": F.sqrt(var).cast("double"),
         },
         by=["o_orderstatus"],
     ).df

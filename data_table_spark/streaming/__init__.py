@@ -49,6 +49,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet: same derivation as the
     batch loader (ts_ns bigint -> ts_us -> micros timestamp), so batch
     and stream agree to the microsecond."""
+    # runtime-settable; required to read TIMESTAMP(NANOS) as int64 on a
+    # vanilla session (same conf as batch Tables.__init__).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
