@@ -39,7 +39,7 @@ def asof_join(
     time_x: str,
     time_i: str,
     roll: float | str | bool = True,
-    rollends: tuple[bool, bool] = (False, True),
+    rollends: tuple[bool, bool] | None = None,
     nomatch: str | None = "NA",
     x_cols: Sequence[str] | None = None,
     suffix: str = "_x",
@@ -48,9 +48,14 @@ def asof_join(
 
     roll: True/+inf (forward LOCF), -inf or "nocb" (backward), a positive
     number n (forward with staleness limit n, same time units), or
-    "nearest". rollends=(first, last): allow rolling before the first /
-    past the last X observation (reference default c(FALSE, TRUE) for
-    roll=TRUE is implied by the direction here).
+    "nearest". rollends=(first, last): roll the first X value backward to
+    I rows before the first observation / the last X value forward past
+    the last observation (reference R/data.table.R:597-608,
+    src/bmerge.c:296-330; man/data.table.Rd rollends). Defaults follow
+    the reference: (True, True) for "nearest", (False, True) for forward,
+    (True, False) for backward. A finite roll=n limit also applies at the
+    ends (Rd: "that limit is also applied when rolling the ends"), except
+    roll="nearest" which the reference cannot limit.
     """
     keys = _namelist(on)
     x_payload = [c for c in (x_cols or x.columns) if c not in keys and c != time_x]
@@ -65,6 +70,17 @@ def asof_join(
     limit = abs(roll) if isinstance(roll, (int, float)) and not isinstance(roll, bool) and roll not in (
         float("inf"), float("-inf")
     ) else None
+    if rollends is None:
+        rollends = (True, True) if nearest else ((False, True) if forward else (True, False))
+    re_first, re_last = bool(rollends[0]), bool(rollends[1])
+    # second fill pass only needed when the roll can cross to the other
+    # side (rolling before-first for forward / past-last for backward) or
+    # when a non-default rollends gates the end region (needs the other
+    # side's timestamp to detect "past the last X" / "before the first").
+    # Default forward (False, True) and backward (True, False) stay on
+    # the one-window fast path.
+    need_fwd = forward or nearest or (backward and (re_last or not re_first))
+    need_bwd = backward or nearest or (forward and (re_first or not re_last))
 
     xt = x.df.select(
         *[F.col(k) for k in keys],
@@ -99,37 +115,60 @@ def asof_join(
         return cols
 
     proj = [u[c] for c in u.columns]
-    if forward or nearest:
+    if need_fwd:
         proj += fill("fwd")
-    if backward or nearest:
+    if need_bwd:
         proj += fill("bwd")
     filled = u.select(*proj).filter(F.col(_TAG) == 1)
 
+    has_prev = F.col("__fwd_t__").isNotNull() if need_fwd else F.lit(False)
+    has_next = F.col("__bwd_t__").isNotNull() if need_bwd else F.lit(False)
+    d_prev = F.col("__t__") - F.col("__fwd_t__")
+    d_next = F.col("__bwd_t__") - F.col("__t__")
+    within_prev = F.lit(True) if limit is None else (d_prev <= F.lit(limit))
+    within_next = F.lit(True) if limit is None else (d_next <= F.lit(limit))
+
+    # src selection per reference src/bmerge.c:296-330 (rollLow = use the
+    # prevailing previous X row, rollUpp = use the next X row):
     if nearest:
-        d_f = F.col("__t__") - F.col("__fwd_t__")
-        d_b = F.col("__bwd_t__") - F.col("__t__")
-        use_fwd = F.col("__bwd_t__").isNull() | (
-            F.col("__fwd_t__").isNotNull() & (d_f <= d_b)
+        # no limit for nearest (bmerge.c:298 "can't limit the distance")
+        use_prev = has_prev & (
+            (has_next & (d_prev <= d_next)) | (~has_next & F.lit(re_last))
         )
+        use_next = has_next & (
+            (has_prev & (d_prev > d_next)) | (~has_prev & F.lit(re_first))
+        )
+    elif forward:
+        # in-range LOCF always; past the last X only under rollends[last];
+        # before the first X roll the FIRST value backward under
+        # rollends[first]; finite limit applies at the ends too.
+        use_prev = has_prev & (has_next | F.lit(re_last)) & within_prev
+        use_next = ~has_prev & F.lit(re_first) & has_next & within_next
+    else:
+        use_next = has_next & (has_prev | F.lit(re_first)) & within_next
+        use_prev = ~has_next & F.lit(re_last) & has_prev & within_prev
+
+    if forward and not re_first and re_last:
+        src = "fwd"  # one-sided fast path: prev-only selection
+        valid = use_prev
+    elif backward and re_first and not re_last:
+        src = "bwd"
+        valid = use_next
+    else:
         picked = [
-            F.when(use_fwd, F.col(f"__fwd_{c}__")).otherwise(F.col(f"__bwd_{c}__")).alias(f"__m_{c}__")
+            F.when(use_prev, F.col(f"__fwd_{c}__"))
+            .when(use_next, F.col(f"__bwd_{c}__"))
+            .alias(f"__m_{c}__")
             for c in x_payload
         ]
         picked.append(
-            F.when(use_fwd, F.col("__fwd_t__")).otherwise(F.col("__bwd_t__")).alias("__m_t__")
+            F.when(use_prev, F.col("__fwd_t__"))
+            .when(use_next, F.col("__bwd_t__"))
+            .alias("__m_t__")
         )
         filled = filled.select(*filled.columns, *picked)
         src = "m"
-    elif backward:
-        src = "bwd"
-    else:
-        src = "fwd"
-
-    # roll-distance limit (roll=n): match only if |t - matched_t| <= n
-    valid = F.col(f"__{src}_t__").isNotNull()
-    if limit is not None:
-        dist = F.abs(F.col("__t__") - F.col(f"__{src}_t__"))
-        valid = valid & (dist <= F.lit(limit))
+        valid = use_prev | use_next
     filled = filled.withColumn("__valid__", valid)
 
     out_cols = [F.col(k) for k in keys]

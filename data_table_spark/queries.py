@@ -1057,6 +1057,44 @@ def q_asof_nearest(spark, sf_dir):
 
 
 @query(
+    "asof_roll_rollends",
+    _ASOF_CTE + """
+    , fwd AS (
+      SELECT t.event_id, q.quote_val, q.ts_us AS qts
+      FROM trades t ASOF LEFT JOIN quotes q
+        ON t.user_id = q.user_id AND t.ts_us >= q.ts_us),
+    bwd AS (
+      SELECT t.event_id, q.quote_val, q.ts_us AS qts
+      FROM trades t ASOF LEFT JOIN quotes q
+        ON t.user_id = q.user_id AND t.ts_us <= q.ts_us)
+    SELECT t.event_id, t.user_id, t.ts_us,
+           CASE WHEN f.qts IS NOT NULL AND b.qts IS NOT NULL THEN f.quote_val
+                WHEN f.qts IS NULL THEN b.quote_val END AS quote_val,
+           CASE WHEN f.qts IS NOT NULL AND b.qts IS NOT NULL THEN f.qts
+                WHEN f.qts IS NULL THEN b.qts END AS quote_ts
+    FROM trades t
+    LEFT JOIN fwd f ON t.event_id = f.event_id
+    LEFT JOIN bwd b ON t.event_id = b.event_id
+    """,
+)
+def q_asof_rollends(spark, sf_dir):
+    """roll=TRUE with rollends=(TRUE, FALSE) — the non-default ends:
+    roll the FIRST quote backward to trades before any quote, do NOT
+    roll the last quote past the end (reference R/data.table.R:597-608,
+    src/bmerge.c:312-318; man/data.table.Rd rollends). Oracle: in-range
+    trades take the prevailing (fwd) quote only when a following quote
+    exists; before-first trades take the next (bwd) quote."""
+    from .operators.asof import asof_join
+
+    quotes, trades = _quotes_trades(spark, sf_dir)
+    out = asof_join(
+        quotes, trades, on=["user_id"], time_x="ts_us", time_i="ts_us",
+        roll=True, rollends=(True, False),
+    )
+    return out.df.withColumnRenamed("ts_us_x", "quote_ts")
+
+
+@query(
     "foverlaps_any",
     """
     SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,

@@ -316,3 +316,98 @@ def test_fread_skip_lines(spark):
     dt = fread(spark, p, skip=2)
     rows = {r["k"]: r["v"] for r in dt.collect()}
     assert rows == {1: "a", 2: "b"}
+
+
+# ---------------------------------------------------------------- rollends
+# Reference semantics: R/data.table.R:597-608, src/bmerge.c:296-330.
+# X (one key group): quotes at t = 10, 20, 30 with values 1, 2, 3.
+# I probes: t = 5 (before first), 15 (in a gap), 30 (exact), 35 (past last).
+@pytest.fixture(scope="module")
+def asof_pair(spark):
+    from data_table_spark.core import DT
+
+    x = DT(spark.createDataFrame(
+        [("k", 10, 1.0), ("k", 20, 2.0), ("k", 30, 3.0)], ["g", "t", "xv"]
+    ), key=["g", "t"])
+    i = DT(spark.createDataFrame(
+        [("k", 5, 100), ("k", 15, 101), ("k", 30, 102), ("k", 35, 103)],
+        ["g", "t", "iid"],
+    ), key=["g", "t"])
+    return x, i
+
+
+def _asof_map(x, i, **kw):
+    from data_table_spark.operators.asof import asof_join
+
+    out = asof_join(x, i, on=["g"], time_x="t", time_i="t", **kw)
+    return {r["iid"]: r["xv"] for r in out.df.collect()}
+
+
+def test_rollends_forward_default(asof_pair):
+    x, i = asof_pair
+    # (False, True): no before-first roll, past-last rolls
+    assert _asof_map(x, i, roll=True) == {100: None, 101: 1.0, 102: 3.0, 103: 3.0}
+
+
+def test_rollends_forward_first_true_last_false(asof_pair):
+    x, i = asof_pair
+    # (True, False): first value rolls backward, nothing past the last
+    assert _asof_map(x, i, roll=True, rollends=(True, False)) == {
+        100: 1.0, 101: 1.0, 102: 3.0, 103: None
+    }
+
+
+def test_rollends_forward_both_true(asof_pair):
+    x, i = asof_pair
+    assert _asof_map(x, i, roll=True, rollends=(True, True)) == {
+        100: 1.0, 101: 1.0, 102: 3.0, 103: 3.0
+    }
+
+
+def test_rollends_forward_both_false(asof_pair):
+    x, i = asof_pair
+    assert _asof_map(x, i, roll=True, rollends=(False, False)) == {
+        100: None, 101: 1.0, 102: 3.0, 103: None
+    }
+
+
+def test_rollends_backward_default(asof_pair):
+    x, i = asof_pair
+    # (True, False): before-first rolls (NOCB), nothing past the last
+    assert _asof_map(x, i, roll="nocb") == {
+        100: 1.0, 101: 2.0, 102: 3.0, 103: None
+    }
+
+
+def test_rollends_backward_last_true(asof_pair):
+    x, i = asof_pair
+    # (False, True): no before-first roll; LAST value carries past the end
+    assert _asof_map(x, i, roll="nocb", rollends=(False, True)) == {
+        100: None, 101: 2.0, 102: 3.0, 103: 3.0
+    }
+
+
+def test_rollends_limit_applies_at_ends(asof_pair):
+    x, i = asof_pair
+    # roll=6 with rollends=(True, True): limit gates the ends too
+    # (man/data.table.Rd: "that limit is also applied when rolling the
+    # ends"). t=5 -> next x at 10, dist 5 <= 6 matches; t=35 -> prev at
+    # 30, dist 5 <= 6 matches; with roll=4 both ends fall out.
+    assert _asof_map(x, i, roll=6, rollends=(True, True)) == {
+        100: 1.0, 101: 1.0, 102: 3.0, 103: 3.0
+    }
+    assert _asof_map(x, i, roll=4, rollends=(True, True)) == {
+        100: None, 101: None, 102: 3.0, 103: None
+    }
+
+
+def test_rollends_nearest_ends_off(asof_pair):
+    x, i = asof_pair
+    # nearest default (True, True) uses the only side available at ends;
+    # (False, False) leaves the ends unmatched
+    assert _asof_map(x, i, roll="nearest") == {
+        100: 1.0, 101: 1.0, 102: 3.0, 103: 3.0
+    }
+    assert _asof_map(x, i, roll="nearest", rollends=(False, False)) == {
+        100: None, 101: 1.0, 102: 3.0, 103: None
+    }
