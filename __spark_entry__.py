@@ -41,12 +41,12 @@ _PRIORITY = [
     "asof_roll_backward", "asof_roll_limit", "asof_roll_nearest",
     "gforce_var_sd",
     # new operators this round
-    "asof_roll_rollends",
+    "asof_roll_rollends", "dcast_margins",
     # (b) never driver-checked: LLM-pipeline dedup/similarity stack
     "dedup_exact", "ngram_jaccard_pairs", "dedup_clusters",
     "minhash_lsh_pairs", "simhash_pairs", "jaccard_prefix_pairs",
     "ann_cosine_topk", "embedding_cosine_pairs", "embedding_dup_clusters",
-    "lsh_ann_topk", "ivf_ann_topk",
+    "embedding_lsh_pairs", "lsh_ann_topk", "ivf_ann_topk",
     # text analysis + multimodal + sampling/skew/sessionization
     "text_quality", "lang_id", "token_counts", "doc_fingerprint",
     "multimodal_features", "hash_sample", "salted_skew_agg",

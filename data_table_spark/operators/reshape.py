@@ -43,6 +43,7 @@ def dcast(
     fill=None,
     sep: str = "_",
     drop: bool | tuple[bool, bool] = True,
+    margins: bool | Sequence[str] | None = None,
 ) -> DT:
     """dcast — long→wide pivot (reference R/fcast.R:11,126-253).
 
@@ -63,7 +64,34 @@ def dcast(
     """
     drop_rows, _drop_cols = (drop, drop) if isinstance(drop, bool) else drop
     rowvars = _namelist(rowvars)
-    gb = dt.df.groupBy(*rowvars)
+    df = dt.df
+    if margins:
+        # Subtotal rows — reference declares margins= but marks it "Not
+        # implemented yet" (man/dcast.data.table.Rd:25); semantics follow
+        # reshape2::dcast, the reference's stated model. margins=True ->
+        # every rollup level of rowvars (incl. grand total); a list of
+        # rowvar names -> per name, the level collapsing that var and all
+        # subsequent rowvars. Collapsed rowvars show "(all)". Implemented
+        # as union-with-rollup of the PIVOT INPUT: each level replicates
+        # the input with collapsed rowvars relabeled, then ONE
+        # groupBy+pivot aggregates all levels — one shuffle, any
+        # aggregate valid (subtotals aggregate raw rows, never
+        # totals-of-totals). Replication = #levels, the inherent price
+        # of subtotals (GROUPING SETS replicates identically).
+        if margins is True:
+            cut_points = list(range(len(rowvars) + 1))
+        else:
+            cut_points = sorted({rowvars.index(m) for m in _namelist(margins)})
+        replicas = [df]
+        for cut in cut_points:
+            if cut >= len(rowvars):
+                continue
+            rep = df
+            for v in rowvars[cut:]:
+                rep = rep.withColumn(v, F.lit("(all)"))
+            replicas.append(rep)
+        df = reduce(lambda a, b: a.unionByName(b), replicas)
+    gb = df.groupBy(*rowvars)
     piv = gb.pivot(colvar, list(pivot_values) if pivot_values is not None else None)
     if fun_agg is None:
         out = piv.agg(F.first(value_var))
@@ -73,7 +101,7 @@ def dcast(
     else:
         out = piv.agg(*[e.alias(name) for name, e in fun_agg.items()])
     if not drop_rows:
-        frames = [dt.df.select(v).distinct() for v in rowvars]
+        frames = [df.select(v).distinct() for v in rowvars]
         cj = reduce(lambda a, b: a.crossJoin(b), frames)
         out = cj.join(out, rowvars, "left")
     if fill is not None:

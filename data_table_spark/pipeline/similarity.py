@@ -92,21 +92,126 @@ def cosine_topk(
 
 
 def cosine_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
-    """Embedding near-dup: all pairs with cosine >= threshold.
-    Output: (vec_a, vec_b, cos), vec_a < vec_b."""
+    """Embedding near-dup: ALL pairs with cosine >= threshold (exact).
+    Output: (vec_a, vec_b, cos), vec_a < vec_b.
+
+    All-pairs is O(n²) work by definition; what matters at scale is the
+    ORGANIZATION of that work. The naive `a.join(b, vec_a < vec_b)` plans
+    as BroadcastNestedLoopJoin — one side broadcast whole, compute skewed
+    onto however many tasks the streamed side has. Instead this uses a
+    block-grid self-join (blocked_cosine_pairs): an equi-join on block-
+    pair keys that shuffle-partitions the n²/2 comparisons evenly across
+    B(B+1)/2 buckets with ~(n/B)² work each, no broadcast of the corpus
+    and no nested-loop. (Sub-quadratic candidate generation — lsh_pairs —
+    only applies at high thresholds; the measured sf0.01/sf0.1 score
+    distribution is continuous through 0.45, where no hash family can
+    block exactly. See SCALE.md.)"""
+    return blocked_cosine_pairs(emb, threshold=threshold)
+
+
+def blocked_cosine_pairs(
+    emb: DataFrame, threshold: float = 0.45, n_blocks: int = 8
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via a block-grid equi-join.
+
+    Each vector gets block id h = pmod(hash(vec_id), B). The unordered
+    block pair (i, j), i <= j, is one join bucket: the left replica
+    carries vectors of block i to every bucket (i, j>=i), the right
+    replica carries block j to every (i<=j, j). An equi-join on
+    (bi, bj) then meets every vector pair in exactly one bucket —
+    twice (swapped) when i == j, so same-block pairs keep vec_a < vec_b.
+    Replication factor is (B+1)/2 per side; bucket work is (n/B)²,
+    uniform by hashing, so the quadratic compute spreads evenly over
+    the cluster instead of nesting under one broadcast loop."""
     c = _corpus(emb)
-    a = c.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
+    blk = F.pmod(F.hash(F.col("vec_id")), F.lit(n_blocks))
+    grid = F.array(*[F.lit(k) for k in range(n_blocks)])
+    a = (
+        c.withColumn("bi", blk)
+        .withColumn("bj", F.explode(grid))
+        .filter(F.col("bj") >= F.col("bi"))
+        .select(
+            "bi", "bj", F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"), F.col("nrm").alias("na"),
+        )
     )
-    b = c.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
+    b = (
+        c.withColumn("bj", blk)
+        .withColumn("bi", F.explode(grid))
+        .filter(F.col("bi") <= F.col("bj"))
+        .select(
+            "bi", "bj", F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+    )
+    pairs = a.join(b, ["bi", "bj"]).filter(
+        (F.col("bi") < F.col("bj")) | (F.col("vec_a") < F.col("vec_b"))
     )
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_full", cos)
+        pairs.withColumn("cos_full", cos)
+        .filter(F.col("cos_full") >= threshold)
+        .select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+            F.round("cos_full", 4).alias("cos"),
+        )
+    )
+
+
+def lsh_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Sub-quadratic near-dup pair generation: random-hyperplane LSH
+    buckets -> exact cosine verification (the embedding analog of
+    minhash_lsh_pairs' band-bucket-verify). Candidates are generated by
+    a self-equi-join on (table, bucket) — never the pair space — so the
+    shuffle is linear in corpus size.
+
+    Approximate BY NATURE: a pair at angle θ shares one table's bucket
+    with probability (1-θ/π)^n_planes; n_tables independent tables drive
+    recall to 1-(1-p)^T. That is effective only at real near-dup
+    thresholds (cos >= ~0.9, where p ≈ 0.76 for 8 planes → recall
+    ~1-1e-9 with 8 tables); at cos 0.45, p ≈ 0.075 and NO parameterization
+    both blocks and recalls (measured: the testdata score distribution is
+    continuous through 0.45 — see SCALE.md). Exact baseline + oracle
+    duty: cosine_pairs."""
+    tables = _hyperplanes(dim, n_tables, n_planes)
+    c = _corpus(emb).select(
+        "vec_id", "v", "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(F.col("v"), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "v", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    a = c.select(
+        "tbl", "bucket", F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = c.select(
+        "tbl", "bucket", F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.withColumn("cos_full", cos)
         .filter(F.col("cos_full") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_full", 4).alias("cos"))
     )

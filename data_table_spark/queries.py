@@ -1307,6 +1307,50 @@ def q_dcast_multi(spark, sf_dir):
 
 
 @query(
+    "dcast_margins",
+    """
+    WITH s AS (
+      SELECT l_returnflag, CAST(year(l_shipdate) AS VARCHAR) AS l_year,
+             l_linestatus, l_quantity
+      FROM lineitem),
+    u AS (
+      SELECT l_returnflag, l_year, l_linestatus, l_quantity FROM s
+      UNION ALL
+      SELECT l_returnflag, '(all)', l_linestatus, l_quantity FROM s
+      UNION ALL
+      SELECT '(all)', '(all)', l_linestatus, l_quantity FROM s)
+    SELECT l_returnflag, l_year,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS O
+    FROM u GROUP BY l_returnflag, l_year
+    """,
+)
+def q_dcast_margins(spark, sf_dir):
+    """dcast margins=TRUE — subtotal rows at every rollup level of the
+    rowvars, collapsed vars shown "(all)" (the reference declares
+    margins= but leaves it unimplemented, man/dcast.data.table.Rd:25;
+    reshape2 semantics). Union-with-rollup of the pivot input: one
+    shuffle, one pivot over all levels."""
+    from .operators.reshape import dcast
+
+    t = load_tables(spark, sf_dir)
+    s = DT(
+        t["lineitem"].df.withColumn(
+            "l_year", F.year("l_shipdate").cast("string")
+        )
+    )
+    out = dcast(
+        s, ["l_returnflag", "l_year"], "l_linestatus", "l_quantity",
+        fun_agg={"s": F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")},
+        pivot_values=["F", "O"],
+        margins=True,
+    )
+    return out.df
+
+
+@query(
     "dcast_drop_false",
     """
     WITH s AS (

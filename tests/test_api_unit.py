@@ -411,3 +411,26 @@ def test_rollends_nearest_ends_off(asof_pair):
     assert _asof_map(x, i, roll="nearest", rollends=(False, False)) == {
         100: None, 101: 1.0, 102: 3.0, 103: None
     }
+
+
+def test_dcast_margins_list(spark):
+    """margins=['g2'] adds only the g2-collapsed level (no grand total);
+    subtotals aggregate raw rows."""
+    from data_table_spark.operators.reshape import dcast
+
+    df = spark.createDataFrame(
+        [("a", "x", "F", 1.0), ("a", "x", "O", 2.0),
+         ("a", "y", "F", 4.0), ("b", "x", "O", 8.0)],
+        ["g1", "g2", "st", "v"],
+    )
+    out = dcast(
+        DT(df), ["g1", "g2"], "st", "v",
+        fun_agg={"s": F.sum("v")}, pivot_values=["F", "O"],
+        margins=["g2"],
+    ).df.collect()
+    rows = {(r["g1"], r["g2"]): (r["F"], r["O"]) for r in out}
+    assert rows[("a", "(all)")] == (5.0, 2.0)
+    assert rows[("b", "(all)")] == (None, 8.0)
+    assert ("(all)", "(all)") not in rows
+    assert rows[("a", "x")] == (1.0, 2.0)
+    assert len(rows) == 5  # 3 observed combos + 2 subtotal rows

@@ -25,7 +25,7 @@ EXPECT_NESTED_LOOP = {
     # declared pair-generation / range ops where a non-equi or cross
     # join is the semantics (guarded small side or blocked candidates)
     "cj_cross", "nonequi_join", "foverlaps_any", "foverlaps_within",
-    "inrange_semi", "embedding_cosine_pairs", "ann_cosine_topk",
+    "inrange_semi", "ann_cosine_topk",
     "asof_roll_forward", "asof_roll_backward", "asof_roll_limit",
     "asof_roll_nearest", "vecseq_expand",
     # drop=FALSE CJ of per-rowvar level frames (tiny, broadcast)
