@@ -159,19 +159,34 @@ def fread(
         return DT(df, key=key)
     if sep == "auto" or header == "auto":
         # tiny driver-side sample (the reference samples on the driver
-        # thread too before the parallel pass)
-        sample_rows = spark.read.text(path).limit(50 + skip).collect()
-        sample = [r[0] for r in sample_rows][skip:]
+        # thread too before the parallel pass). The text datasource is
+        # UTF-8-only, so other encodings sample via a local open() —
+        # auto-detection on a non-UTF-8 directory/glob falls back to
+        # defaults (pass sep/header explicitly there).
+        if encoding.upper().replace("-", "").replace("_", "") == "UTF8":
+            sample_rows = spark.read.text(path).limit(50 + skip).collect()
+            sample = [r[0] for r in sample_rows][skip:]
+        else:
+            try:
+                with open(path, encoding=encoding) as fh:
+                    sample = [ln.rstrip("\r\n") for ln in fh.readlines()[skip:skip + 50]]
+            except OSError:
+                sample = []
+        sample = [ln.lstrip("﻿") for ln in sample]
         if sep == "auto":
             sep = _detect_sep(sample)
         if header == "auto":
             header = _detect_header(sample, sep)
 
+    multiline_charset = encoding.upper().startswith(("UTF-16", "UTF-32", "UTF16", "UTF32"))
     reader = (
         spark.read.option("sep", sep)
         .option("header", str(bool(header)).lower())
         .option("quote", quote)
         .option("encoding", encoding)
+        # multi-byte charsets need the per-file (multiLine) parser path:
+        # the default line splitter assumes single-byte newlines
+        .option("multiLine", "true" if multiline_charset else "false")
         .option("mode", "PERMISSIVE" if fill else "FAILFAST")
         .option("nullValue", na_strings[0] if na_strings else "")
         # accepts both "yyyy-MM-dd HH:mm:ss.SSSSSS" and fwrite's ISO
@@ -181,14 +196,7 @@ def fread(
             "yyyy-MM-dd[['T'][ ]HH:mm:ss[.SSSSSS][.SSS]['Z']]",
         )
     )
-    if col_classes:
-        fields = [
-            T.StructField(name, _TYPE_MAP.get(cls, T.StringType()), True)
-            for name, cls in col_classes.items()
-        ]
-        reader = reader.schema(T.StructType(fields))
-    else:
-        reader = reader.option("inferSchema", "true")
+    lines = None
     if skip:
         # OSS Spark's csv reader has no skip-lines option (CSVOptions
         # has none; unknown options are silently ignored), so feed the
@@ -201,11 +209,70 @@ def fread(
             .filter(lambda t: t[1] >= skip)
             .map(lambda t: t[0])
         )
-        df = reader.csv(lines)
+    if col_classes:
+        # colClasses is a PARTIAL override (reference R/fread.R:42:
+        # "used rarely to override the detected types, of particular
+        # columns"): infer the full schema first (inference is its own
+        # pass regardless), then replace only the named fields. A full-
+        # schema replacement would silently drop/misparse every
+        # undeclared column.
+        probe = reader.option("inferSchema", "true")
+        inferred = (probe.csv(lines) if lines is not None else probe.csv(path)).schema
+        names = list(col_names) if col_names else [f.name for f in inferred.fields]
+        if len(names) != len(inferred.fields):
+            raise ValueError(
+                f"col_names has {len(names)} entries for"
+                f" {len(inferred.fields)} detected columns"
+            )
+        unknown = set(col_classes) - set(names)
+        if unknown:
+            raise ValueError(f"col_classes for unknown columns: {sorted(unknown)}")
+        deferred_casts: dict[str, T.DataType] = {}
+        fields = []
+        for nm, fld in zip(names, inferred.fields):
+            if nm in col_classes:
+                target = _TYPE_MAP.get(col_classes[nm], T.StringType())
+                if len(na_strings) > 1 and not isinstance(target, T.StringType):
+                    # extra na tokens would FAILFAST a typed parse; read
+                    # as string, nullify, cast below
+                    deferred_casts[nm] = target
+                    target = T.StringType()
+                fields.append(T.StructField(nm, target, True))
+            else:
+                fields.append(T.StructField(nm, fld.dataType, True))
+        reader = reader.schema(T.StructType(fields))
     else:
-        df = reader.csv(path)
-    if col_names:
+        deferred_casts = {}
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(lines) if lines is not None else reader.csv(path)
+    if df.columns and df.columns[0].startswith("﻿"):
+        # UTF-8 BOM survives into the first header name (the csv parser
+        # does not strip it); normalize like the reference does
+        df = df.withColumnRenamed(df.columns[0], df.columns[0].lstrip("﻿"))
+    if col_names and not col_classes:  # schema path already named them
         df = df.toDF(*col_names)
+    if len(na_strings) > 1:
+        # Spark's csv nullValue is single-valued; normalize the rest
+        # post-read. String columns nullify by match; typed columns
+        # already yielded null when the token failed their parse/cast.
+        from pyspark.sql import functions as _F
+
+        extra = [s for s in na_strings[1:]]
+        updates = {
+            fld.name: _F.when(
+                _F.col(fld.name).isin(extra), _F.lit(None)
+            ).otherwise(_F.col(fld.name))
+            for fld in df.schema.fields
+            if isinstance(fld.dataType, T.StringType)
+        }
+        if updates:
+            df = df.withColumns(updates)
+    if deferred_casts:
+        from pyspark.sql import functions as _F
+
+        df = df.withColumns(
+            {nm: _F.col(nm).cast(t) for nm, t in deferred_casts.items()}
+        )
     if select:
         df = df.select(*select)
     elif drop:

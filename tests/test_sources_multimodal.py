@@ -191,3 +191,59 @@ def test_dedup_clusters_transitive(spark):
     out = dedup_clusters(docs, pairs=pairs)
     got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_fread_colclasses_partial_override(spark):
+    """colClasses names a SUBSET of columns (reference R/fread.R:42
+    normal usage): named columns take the declared type, every other
+    column keeps its inferred type — nothing is dropped."""
+    os.makedirs(TMP, exist_ok=True)
+    p = f"{TMP}/colclasses.csv"
+    with open(p, "w") as f:
+        f.write("id,price,tag\n1,1.5,a\n2,2.5,b\n")
+    dt = fread(spark, p, col_classes={"id": "character"})
+    assert dt.columns == ["id", "price", "tag"]
+    types = {f.name: f.dataType.simpleString() for f in dt.schema.fields}
+    assert types["id"] == "string"       # overridden
+    assert types["price"] == "double"    # inferred, kept
+    assert types["tag"] == "string"
+    assert {r["id"] for r in dt.collect()} == {"1", "2"}
+
+
+def test_fread_multi_na_strings(spark):
+    """na.strings=c('', 'NA', '-') — every token nullifies (reference
+    R/fread.R na.strings; Spark's nullValue is single-valued so the
+    rest normalize post-read; typed columns via deferred cast)."""
+    os.makedirs(TMP, exist_ok=True)
+    p = f"{TMP}/nastrings.csv"
+    with open(p, "w") as f:
+        f.write("k,v,w\n1,NA,x\n2,-,\n3,7,z\n")
+    dt = fread(
+        spark, p, na_strings=("", "NA", "-"),
+        col_classes={"v": "integer"},
+    )
+    rows = {r["k"]: (r["v"], r["w"]) for r in dt.collect()}
+    assert rows == {1: (None, "x"), 2: (None, None), 3: (7, "z")}
+
+
+def test_fread_utf16_bom(spark):
+    """UTF-16LE file with BOM (reference fixture utf16le.txt shape):
+    encoding= reads it; values and header round-trip."""
+    os.makedirs(TMP, exist_ok=True)
+    p = f"{TMP}/utf16.csv"
+    with open(p, "w", encoding="utf-16") as f:  # writes BOM
+        f.write("k,name\n1,\u00e9clair\n2,sm\u00f6rg\u00e5s\n")
+    dt = fread(spark, p, encoding="UTF-16", sep=",", header=True)
+    rows = {r["k"]: r["name"] for r in dt.collect()}
+    assert rows == {1: "\u00e9clair", 2: "sm\u00f6rg\u00e5s"}
+
+
+def test_fread_utf8_bom_header(spark):
+    """UTF-8 BOM must not leak into the first column name."""
+    os.makedirs(TMP, exist_ok=True)
+    p = f"{TMP}/bom.csv"
+    with open(p, "wb") as f:
+        f.write(b"\xef\xbb\xbfk,v\n1,2\n")
+    dt = fread(spark, p)
+    assert dt.columns == ["k", "v"]
+    assert dt.collect()[0]["k"] == 1
