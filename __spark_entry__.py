@@ -58,6 +58,7 @@ _PRIORITY = [
     # scalar / window / UDTF coverage
     "date_parts", "date_round", "json_extract_props",
     "frollapply_median", "frollapply_corr", "froll_adaptive_sum",
+    "froll_adaptive_minmax",
     "dogroups_udtf", "cogroup_udtf",
     # sources + set ops
     "fread_fwrite_roundtrip", "funion_all",

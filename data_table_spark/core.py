@@ -46,6 +46,17 @@ def _to_col(c: Column | str) -> Column:
     return F.expr(c) if isinstance(c, str) else c
 
 
+def _ocol(c: str) -> Column:
+    """Order-list entry → sort Column. A '-' prefix means descending —
+    the representation frev/setorder use for reversed declared order."""
+    return F.col(c[1:]).desc() if c.startswith("-") else F.col(c)
+
+
+def _oflip(c: str) -> str:
+    """Flip one order-list entry's direction."""
+    return c[1:] if c.startswith("-") else "-" + c
+
+
 def _namelist(x: str | Sequence[str] | None) -> list[str]:
     if x is None:
         return []
@@ -133,7 +144,7 @@ class DT:
         start = sl.start or 1
         stop = sl.stop
         step = sl.step or 1
-        w = Window.orderBy(*[F.col(c) for c in self.order_by])
+        w = Window.orderBy(*[_ocol(c) for c in self.order_by])
         df = self.df.withColumn("__pos__", F.row_number().over(w))
         pred = F.col("__pos__") >= start
         if stop is not None:
@@ -279,8 +290,12 @@ class DT:
             F.col(c[1:]).desc() if isinstance(c, str) and c.startswith("-") else _to_col(c)
             for c in cols
         ]
-        names = [c[1:] if isinstance(c, str) and c.startswith("-") else c for c in cols]
-        return self._wrap(self.df.orderBy(*exprs), order_by=[n for n in names if isinstance(n, str)])
+        # keep the '-' prefix in the declared order: _ocol resolves it to
+        # a descending sort key in every order consumer
+        return self._wrap(
+            self.df.orderBy(*exprs),
+            order_by=[c for c in cols if isinstance(c, str)],
+        )
 
     def setindex(self, *cols: str) -> "DT":
         """setindex (reference R/setkey.R:11-19): metadata-only no-op here —
@@ -307,7 +322,7 @@ class DT:
         (small/driver-bound outputs)."""
         if not self.order_by:
             raise ValueError("which needs a declared order (SURVEY §1.1)")
-        w = Window.orderBy(*[F.col(c) for c in self.order_by])
+        w = Window.orderBy(*[_ocol(c) for c in self.order_by])
         # NULL predicate rows are non-matches (data.table which=NA
         # semantics): compare null-safely so ~pred doesn't drop them
         matched = _to_col(i).eqNullSafe(F.lit(True))
@@ -430,13 +445,14 @@ def _dt_repr(self) -> str:
         rows = [(i + 1, r) for i, r in enumerate(head)]
         broken = False
     else:
-        ob = [F.col(c) for c in self.order_by]
+        ob = [_ocol(c) for c in self.order_by]
         head = self.df.orderBy(*ob).limit(5).collect()
         rows = [(i + 1, r) for i, r in enumerate(head)]
         broken = n > 10
         if n > 5:
             tail = (
-                self.df.orderBy(*[c.desc() for c in ob]).limit(5).collect()
+                self.df.orderBy(*[_ocol(_oflip(c)) for c in self.order_by])
+                .limit(5).collect()
             )
             rows += [
                 (n - i, r) for i, r in reversed(list(enumerate(tail)))

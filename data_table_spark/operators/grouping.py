@@ -170,9 +170,35 @@ def weighted_mean(x: str | Column, w: str | Column) -> Column:
 
 
 def grp_id(by) -> Column:
-    """.GRP — dense group counter in group-sorted order
-    (man/special-symbols.Rd:20)."""
+    """.GRP as a Column — dense group counter in group-sorted order
+    (man/special-symbols.Rd:20). A dense_rank over an UNPARTITIONED
+    window: single-reducer, fine inside an already-aggregated (small)
+    frame, an anti-pattern over raw rows — use :func:`with_grp` there
+    (distributed: number the distinct keys, join back)."""
     return F.dense_rank().over(Window.orderBy(*[F.col(c) for c in _namelist(by)]))
+
+
+def with_grp(dt: DT, by, out_col: str = "grp") -> DT:
+    """Distributed .GRP: attach the dense 1-based group counter (in
+    group-sorted order, matching the reference's keyed .GRP) to every
+    row WITHOUT a global window. The distinct group keys — tiny relative
+    to the data — are numbered with one single-partition window (cost
+    O(#groups), not O(rows)), then broadcast/hash-joined back on the
+    group keys. At any scale the big side only shuffles if the join
+    isn't broadcastable."""
+    keys = _namelist(by)
+    groups = dt.df.select(*keys).distinct()
+    numbered = groups.withColumn(
+        out_col,
+        F.row_number()
+        .over(Window.orderBy(*[F.col(c) for c in keys]))
+        .cast("long"),
+    )
+    return DT(
+        dt.df.join(F.broadcast(numbered), on=keys, how="left"),
+        key=dt.key,
+        order_by=dt.order_by,
+    )
 
 
 def groupingsets(

@@ -230,7 +230,11 @@ def merge(
     no_dups: bool = True,
 ) -> DT:
     """merge.data.table (reference R/merge.R:1-149): SQL-style merge with
-    all/all.x/all.y and suffix disambiguation."""
+    all/all.x/all.y and suffix disambiguation.
+
+    ``no_dups`` (reference R/merge.R no.dups, #1396): a NON-key y column
+    that collides with a by.x key name gets the y suffix too (default);
+    ``no_dups=False`` reproduces the legacy duplicate-name output."""
     if all:
         all_x = all_y = True
     how = {
@@ -252,6 +256,9 @@ def merge(
     for c in clash:
         xdf = xdf.withColumnRenamed(c, c + suffixes[0])
         ydf = ydf.withColumnRenamed(c, c + suffixes[1])
+    if no_dups:
+        for c in [c for c in ydf.columns if c not in bby and c in bx]:
+            ydf = ydf.withColumnRenamed(c, c + suffixes[1])
 
     cond = [xdf[a] == ydf[b] for a, b in zip(bx, bby)]
     joined = xdf.join(ydf, reduce(lambda l, r: l & r, cond), how)

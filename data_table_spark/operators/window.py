@@ -51,7 +51,9 @@ def win(dt: DT, by=None, order=None) -> WindowSpec:
             "(SURVEY §1.1 — Spark DataFrames are unordered)"
         )
     w = Window.partitionBy(*_namelist(by)) if by else Window.partitionBy()
-    return w.orderBy(*[F.col(c) for c in order])
+    from ..core import _ocol
+
+    return w.orderBy(*[_ocol(c) for c in order])
 
 
 def shift(
@@ -320,11 +322,14 @@ def cumfn(dt: DT, fun: str, cols, by=None, order=None, give_names: bool = True) 
 
 def frev_order(dt: DT) -> DT:
     """frev (reference R/wrappers.R:16): reversing rows = reversing the
-    declared order; we flip the order metadata rather than moving data."""
+    declared order. No data moves: each order entry flips direction
+    ('c' <-> '-c'); every consumer of the declared order (win(), rows(),
+    which(), repr) resolves the '-' prefix to a descending sort key."""
     if not dt.order_by:
         raise ValueError("frev needs a declared order")
-    # represented as order on negated sort keys at consumption time
-    return DT(dt.df, key=dt.key, order_by=dt.order_by)
+    from ..core import _oflip
+
+    return DT(dt.df, key=dt.key, order_by=[_oflip(c) for c in dt.order_by])
 
 
 def frollapply(
@@ -424,7 +429,15 @@ def frolladaptive(
     passes + one co-partitioned join, no per-row frame scan (O(rows),
     not O(rows*window)). Sums run in DECIMAL(18,4) so the difference is
     exact and engine-portable. Rows with pos < n_i yield NULL (the
-    reference's incomplete-window NA)."""
+    reference's incomplete-window NA).
+
+    fun="max"/"min" (reference src/frolladaptive.c fadaptiverollmax):
+    extrema admit no cumsum-difference, so they compile to a sparse
+    table — see frolladaptive_extrema."""
+    if fun in ("max", "min"):
+        return frolladaptive_extrema(
+            dt, col, n_col, by=by, order=order, out_col=out_col, fun=fun
+        )
     grp = _namelist(by)
     w = win(dt, by=by, order=order)
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -452,12 +465,74 @@ def frolladaptive(
         # is the exact-decimal sum over n_i (one extra codegen'd div)
         diff = diff / F.col("__nn__")
     elif fun != "sum":
-        raise ValueError(f"frolladaptive fun must be sum/mean: {fun}")
+        raise ValueError(f"frolladaptive fun must be sum/mean/max/min: {fun}")
     val = F.when(
         F.col("__pos__") >= F.col("__nn__"), diff.cast("double")
     )
     out = joined.withColumn(name, val).drop(
         "__pos__", "__cs__", "__nn__", "__ppos__", "__pcs__"
+    )
+    return DT(out, key=dt.key, order_by=dt.order_by)
+
+
+def frolladaptive_extrema(
+    dt: DT, col, n_col, by=None, order=None, out_col: str | None = None,
+    fun: str = "max", n_max: int | None = None,
+) -> DT:
+    """Adaptive rolling max/min (reference src/frolladaptive.c).
+
+    Extrema have no cumsum-difference identity, so this is the sparse-
+    table (doubling) scheme: J+1 fixed-width window maxima M_j over
+    frames [pos-2^j+1, pos] (all share ONE window sort — Spark groups
+    same-(partition, order) frames into a single WindowExec), then any
+    width-n window [pos-n+1, pos] is the extremum of two overlapping
+    power-of-two frames: M_j at pos and M_j at pos' = pos-n+2^j, with
+    j = floor(log2 n) (2^{j+1} > n guarantees coverage). The pos' value
+    arrives by ONE co-partitioned self equi-join on (group, pos') — so
+    the whole operator is O(rows·log W) window state + one join, never
+    a per-row frame scan. J needs max(n): pass n_max to skip the
+    driver-side max-aggregate job (do pass it at 100 TB)."""
+    grp = _namelist(by)
+    w = win(dt, by=by, order=order)
+    agg = F.max if fun == "max" else F.min
+    comb = F.greatest if fun == "max" else F.least
+    if n_max is None:
+        n_max = dt.df.agg(F.max(F.col(n_col).cast("int"))).collect()[0][0] or 1
+    J = max(0, (int(n_max) - 1).bit_length() - 1)  # floor(log2(n_max))
+
+    base = dt.df.withColumn("__pos__", F.row_number().over(w)).withColumn(
+        "__nn__", F.col(n_col).cast("int")
+    )
+    for j in range(J + 1):
+        fr = w.rowsBetween(-(2 ** j - 1), 0)
+        base = base.withColumn(f"__m{j}__", agg(F.col(col)).over(fr))
+    # dynamic j per row: index the [M_0..M_J] array by floor(log2(n_i))
+    base = base.withColumn(
+        "__j__", F.floor(F.log2(F.col("__nn__"))).cast("int")
+    ).withColumn("__marr__", F.array(*[F.col(f"__m{j}__") for j in range(J + 1)]))
+    prev = base.select(
+        *[F.col(g).alias(f"__pg_{g}__") for g in grp],
+        F.col("__pos__").alias("__ppos__"),
+        F.col("__marr__").alias("__pmarr__"),
+    )
+    # pos' = pos - n + 2^j  (== pos when n is an exact power of two)
+    target = F.col("__pos__") - F.col("__nn__") + F.pow(F.lit(2.0), F.col("__j__")).cast("int")
+    cond = target == F.col("__ppos__")
+    for g in grp:
+        cond = cond & (F.col(g) == F.col(f"__pg_{g}__"))
+    joined = base.join(prev, on=cond, how="left").drop(
+        *[f"__pg_{g}__" for g in grp]
+    )
+    name = out_col or f"{col}_adaptive"
+    cur = F.element_at(F.col("__marr__"), F.col("__j__") + 1)
+    pre = F.element_at(F.col("__pmarr__"), F.col("__j__") + 1)
+    val = F.when(
+        (F.col("__nn__") >= 1) & (F.col("__pos__") >= F.col("__nn__")),
+        comb(cur, pre),
+    )
+    out = joined.withColumn(name, val).drop(
+        "__pos__", "__nn__", "__j__", "__marr__", "__ppos__", "__pmarr__",
+        *[f"__m{j}__" for j in range(J + 1)],
     )
     return DT(out, key=dt.key, order_by=dt.order_by)
 

@@ -88,6 +88,58 @@ def q_froll_adaptive(spark, sf_dir):
 
 
 @query(
+    "froll_adaptive_minmax",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, value,
+             1 + CAST(event_id % 7 AS INT) AS nn,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS pos
+      FROM events
+    )
+    SELECT a.event_id, a.user_id,
+           CASE WHEN a.pos >= a.nn THEN (
+             SELECT MAX(b2.value) FROM b b2
+             WHERE b2.user_id = a.user_id
+               AND b2.pos BETWEEN a.pos - a.nn + 1 AND a.pos) END
+             AS roll_max,
+           CASE WHEN a.pos >= a.nn THEN (
+             SELECT MIN(b2.value) FROM b b2
+             WHERE b2.user_id = a.user_id
+               AND b2.pos BETWEEN a.pos - a.nn + 1 AND a.pos) END
+             AS roll_min
+    FROM b a
+    """,
+)
+def q_froll_adaptive_minmax(spark, sf_dir):
+    """Adaptive rolling max+min (reference src/frolladaptive.c): per-row
+    width n_i = 1 + event_id % 7 via the sparse-table scheme (log2(W)
+    shared-sort window frames + one co-partitioned self-join) — extrema
+    have no cumsum-difference identity. Oracle: correlated range
+    subquery (exact, any width)."""
+    from .operators.window import frolladaptive
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].query(
+        j={
+            "event_id": F.col("event_id"),
+            "user_id": F.col("user_id"),
+            "value": F.col("value"),
+            "nn": (1 + F.col("event_id") % 7).cast("int"),
+        }
+    )
+    out = frolladaptive(
+        ev, "value", "nn", by=["user_id"], order=["event_id"],
+        out_col="roll_max", fun="max",
+    )
+    out = frolladaptive(
+        out, "value", "nn", by=["user_id"], order=["event_id"],
+        out_col="roll_min", fun="min",
+    )
+    return out.df.select("event_id", "user_id", "roll_max", "roll_min")
+
+
+@query(
     "transpose_small",
     """
     WITH a AS (

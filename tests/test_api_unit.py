@@ -434,3 +434,59 @@ def test_dcast_margins_list(spark):
     assert ("(all)", "(all)") not in rows
     assert rows[("a", "x")] == (1.0, 2.0)
     assert len(rows) == 5  # 3 observed combos + 2 subtotal rows
+
+
+def test_with_grp_distributed(spark):
+    """Distributed .GRP: group numbers are dense, 1-based, in key-sorted
+    order; the plan numbers only the DISTINCT keys (window sits above an
+    aggregate, the row side joins via broadcast hash join — no global
+    window over raw rows)."""
+    from data_table_spark.operators.grouping import with_grp
+
+    df = spark.createDataFrame(
+        [("b", 1), ("a", 2), ("c", 3), ("a", 4), ("b", 5)], ["g", "v"]
+    )
+    out = with_grp(DT(df), by="g")
+    got = {(r["g"], r["grp"]) for r in out.df.collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3), ("a", 1), ("b", 2)}
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the Window input must be the aggregated distinct-keys side
+    import re
+    win_idx = plan.index("Window")
+    agg_after_win = plan.index("HashAggregate", win_idx)
+    assert agg_after_win - win_idx < 600  # window directly over the distinct agg
+
+
+def test_merge_no_dups(spark):
+    """no.dups (reference R/merge.R, #1396): a non-key y column colliding
+    with a by.x key name takes the y suffix; no_dups=False reproduces the
+    legacy duplicate name."""
+    from data_table_spark.operators.joins import merge
+
+    x = DT(spark.createDataFrame([(1, "a")], ["k", "xv"]))
+    y = DT(spark.createDataFrame([(1, "dup")], ["j", "k"]))
+    out = merge(x, y, by_x=["k"], by_y=["j"])
+    assert sorted(out.columns) == ["k", "k_y", "xv"]
+    assert out.collect()[0]["k_y"] == "dup"
+    legacy = merge(x, y, by_x=["k"], by_y=["j"], no_dups=False)
+    assert sorted(legacy.columns) == ["k", "k", "xv"]
+
+
+def test_frev_reverses_consumed_order(spark):
+    """frev flips the declared order for real: a subsequent shift() lags
+    in reversed order, rows() counts from the other end."""
+    from data_table_spark.operators.window import frev_order, shift
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], ["i", "v"]
+    )
+    fwd = DT(df, order_by=["i"])
+    rev = frev_order(fwd)
+    assert rev.order_by == ["-i"]
+    lag_rev = {r["i"]: r["v_lag_1"] for r in shift(rev, "v", 1).df.collect()}
+    # in reversed order the "previous" row of i=2 is i=3
+    assert lag_rev == {3: None, 2: 30.0, 1: 20.0}
+    first_row = rev.rows(slice(1, 1)).df.collect()
+    assert first_row[0]["i"] == 3
+    assert frev_order(rev).order_by == ["i"]
