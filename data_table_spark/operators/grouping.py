@@ -201,11 +201,39 @@ def with_grp(dt: DT, by, out_col: str = "grp") -> DT:
     )
 
 
+def _label_plan(by_cols: Sequence[str], label) -> tuple[list[Column], Callable]:
+    """label= support for rollup/cube/groupingsets (reference
+    R/groupingsets.R label arg, man/groupingsets.Rd): relabel the
+    'total' rows of grouping columns. A scalar applies to every by
+    column; a mapping names specific columns. Aggregated-ness comes
+    from F.grouping() (computed IN the agg — a data NULL is not a
+    total row), carried out via hidden columns then applied/dropped."""
+    if label is None:
+        return [], lambda df: df
+    if not isinstance(label, Mapping):
+        label = {c: label for c in by_cols}
+    bad = set(label) - set(by_cols)
+    if bad:
+        raise ValueError(f"label= for non-grouping columns: {sorted(bad)}")
+    hidden = [F.grouping(F.col(c)).alias(f"__g_{c}__") for c in label]
+
+    def apply(df):
+        for c, v in label.items():
+            df = df.withColumn(
+                c,
+                F.when(F.col(f"__g_{c}__") == 1, F.lit(v)).otherwise(F.col(c)),
+            )
+        return df.drop(*[f"__g_{c}__" for c in label])
+
+    return hidden, apply
+
+
 def groupingsets(
     dt: DT,
     sets: Sequence[Sequence[str]],
     j: Mapping[str, Column],
     id_col: str | None = None,
+    label=None,
 ) -> DT:
     """groupingsets.data.table (reference R/groupingsets.R:44-172).
 
@@ -218,30 +246,32 @@ def groupingsets(
         for c in s:  # match the caller's column order, not a sort
             if c not in all_cols:
                 all_cols.append(c)
-    set_sql = ", ".join("(" + ", ".join(s) + ")" for s in sets)
     gdf = dt.df.groupingSets([list(s) for s in sets], *[F.col(c) for c in all_cols])
     exprs = [v.alias(k) for k, v in j.items()]
     if id_col:
         exprs = [F.grouping_id(*[F.col(c) for c in all_cols]).alias(id_col)] + exprs
-    return DT(gdf.agg(*exprs))
+    hidden, relabel = _label_plan(all_cols, label)
+    return DT(relabel(gdf.agg(*exprs, *hidden)))
 
 
-def rollup(dt: DT, by: Sequence[str], j: Mapping[str, Column], id_col=None) -> DT:
+def rollup(dt: DT, by: Sequence[str], j: Mapping[str, Column], id_col=None, label=None) -> DT:
     """rollup (reference R/groupingsets.R:4) → native df.rollup."""
     by = _namelist(by)
     exprs = [v.alias(k) for k, v in j.items()]
     if id_col:
         exprs = [F.grouping_id(*[F.col(c) for c in by]).alias(id_col)] + exprs
-    return DT(dt.df.rollup(*by).agg(*exprs))
+    hidden, relabel = _label_plan(by, label)
+    return DT(relabel(dt.df.rollup(*by).agg(*exprs, *hidden)))
 
 
-def cube(dt: DT, by: Sequence[str], j: Mapping[str, Column], id_col=None) -> DT:
+def cube(dt: DT, by: Sequence[str], j: Mapping[str, Column], id_col=None, label=None) -> DT:
     """cube (reference R/groupingsets.R:22) → native df.cube."""
     by = _namelist(by)
     exprs = [v.alias(k) for k, v in j.items()]
     if id_col:
         exprs = [F.grouping_id(*[F.col(c) for c in by]).alias(id_col)] + exprs
-    return DT(dt.df.cube(*by).agg(*exprs))
+    hidden, relabel = _label_plan(by, label)
+    return DT(relabel(dt.df.cube(*by).agg(*exprs, *hidden)))
 
 
 def dogroups(

@@ -701,6 +701,33 @@ def q_rollup(spark, sf_dir):
 
 
 @query(
+    "rollup_label",
+    """
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'Total'
+                ELSE l_returnflag END AS l_returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN 'Total'
+                ELSE l_linestatus END AS l_linestatus,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_label(spark, sf_dir):
+    """rollup label= (reference R/groupingsets.R label arg,
+    man/groupingsets.Rd): 'total' rows of the grouping columns labeled
+    'Total' — aggregated-ness from GROUPING(), so a data NULL is NOT
+    relabeled."""
+    from .operators.grouping import rollup
+
+    t = load_tables(spark, sf_dir)
+    out = rollup(
+        t["lineitem"], ["l_returnflag", "l_linestatus"],
+        j={"n": F.count(F.lit(1))},
+        label="Total",
+    )
+    return out.query(j=["l_returnflag", "l_linestatus", "n"]).df
+
+
+@query(
     "cube_agg",
     """
     SELECT l_returnflag, l_linestatus,

@@ -27,13 +27,37 @@ def fwrite(
     sep2: str = "|",
     na: str = "",
     quote: str = "auto",
+    qmethod: str = "double",
     header: bool = True,
     append: bool = False,
     compress: str = "none",
     date_time_as: str = "ISO",
+    bom: bool = False,
+    yaml: bool = False,
     single_file: bool = False,
 ) -> None:
+    """See module docstring. Additional reference options:
+
+    - ``qmethod`` (R/fwrite.R, man/fwrite.Rd:39): "double" doubles
+      embedded quotes (csv standard, the reference default) via
+      escape='"'; "escape" backslash-escapes them.
+    - ``date_time_as="squash"`` (man/fwrite.Rd:49): timestamps as the
+      17-digit integer yyyyMMddHHmmssSSS (ms always present), dates as
+      yyyyMMdd — enables integer div/mod part extraction.
+    - ``bom`` (man/fwrite.Rd:63): UTF-8 BOM (EF BB BF) at file start.
+    - ``yaml`` (man/fwrite.Rd:62): CSVY metadata header (column names /
+      types) before the data.
+    ``bom``/``yaml`` prepend bytes to the ONE output file, so they
+    require ``single_file=True`` — a sharded 100 TB write has no "start
+    of file"; store metadata in the catalog instead."""
     df: DataFrame = dt.df if hasattr(dt, "df") else dt
+    if (bom or yaml) and not single_file:
+        raise ValueError(
+            "bom/yaml prepend a file header: pass single_file=True"
+            " (sharded outputs have no single file start)"
+        )
+    if (bom or yaml) and compress not in (None, "", "none"):
+        raise ValueError("bom/yaml cannot be prepended to compressed output")
     # serialize array columns with sep2, the reference's list-column rule
     for f in df.schema.fields:
         if isinstance(f.dataType, T.ArrayType):
@@ -47,6 +71,18 @@ def fwrite(
         for f in df.schema.fields:
             if isinstance(f.dataType, T.TimestampType):
                 df = df.withColumn(f.name, F.unix_timestamp(F.col(f.name)))
+    elif date_time_as == "squash":
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.TimestampType):
+                df = df.withColumn(
+                    f.name,
+                    F.date_format(F.col(f.name), "yyyyMMddHHmmssSSS").cast("long"),
+                )
+            elif isinstance(f.dataType, T.DateType):
+                df = df.withColumn(
+                    f.name,
+                    F.date_format(F.col(f.name), "yyyyMMdd").cast("int"),
+                )
     if single_file:
         df = df.coalesce(1)
     writer = (
@@ -55,6 +91,7 @@ def fwrite(
         .option("nullValue", na)
         .option("emptyValue", "")
         .option("quoteAll", str(quote == "all").lower())
+        .option("escape", '"' if qmethod == "double" else "\\")
     )
     if date_time_as == "ISO":
         writer = writer.option(
@@ -63,6 +100,33 @@ def fwrite(
     if compress and compress != "none":
         writer = writer.option("compression", compress)
     writer.mode("append" if append else "overwrite").csv(path)
+    if bom or yaml:
+        _prepend_file_header(df, path, bom=bom, yaml=yaml)
+
+
+def _prepend_file_header(df: DataFrame, path: str, bom: bool, yaml: bool) -> None:
+    """Driver-side prepend of BOM / CSVY yaml metadata to the single
+    part file (single_file=True guaranteed by the caller)."""
+    import glob
+    import os
+
+    parts = sorted(glob.glob(os.path.join(path, "part-*.csv*")))
+    if len(parts) != 1:  # pragma: no cover - guarded by single_file
+        raise RuntimeError(f"expected one part file in {path}, got {parts}")
+    part = parts[0]
+    headers: list[bytes] = []
+    if bom:
+        headers.append(b"\xef\xbb\xbf")
+    if yaml:
+        lines = ["---", "schema:", "  fields:"]
+        for f in df.schema.fields:
+            lines += [f"  - name: {f.name}", f"    type: {f.dataType.simpleString()}"]
+        lines.append("---")
+        headers.append(("\n".join(lines) + "\n").encode())
+    with open(part, "rb") as fh:
+        body = fh.read()
+    with open(part, "wb") as fh:
+        fh.write(b"".join(headers) + body)
 
 
 def fwrite_parquet(

@@ -247,3 +247,57 @@ def test_fread_utf8_bom_header(spark):
     dt = fread(spark, p)
     assert dt.columns == ["k", "v"]
     assert dt.collect()[0]["k"] == 1
+
+
+def test_fwrite_qmethod_and_squash(spark):
+    """qmethod='double' doubles embedded quotes (csv standard);
+    dateTimeAs='squash' writes the 17-digit yyyyMMddHHmmssSSS integer
+    (man/fwrite.Rd:49)."""
+    import glob
+    from datetime import datetime
+
+    os.makedirs(TMP, exist_ok=True)
+    df = spark.createDataFrame(
+        [(1, 'say "hi"', datetime(2016, 9, 12, 18, 12, 16, 999000))],
+        ["k", "s", "ts"],
+    )
+    p = f"{TMP}/fw_opts"
+    fwrite(df, p, qmethod="double", date_time_as="squash", single_file=True)
+    body = open(glob.glob(f"{p}/part-*.csv")[0]).read()
+    assert '"say ""hi"""' in body
+    assert "20160912181216999" in body
+
+
+def test_fwrite_bom_yaml_header(spark):
+    """bom=TRUE prepends EF BB BF; yaml=TRUE writes a CSVY metadata
+    block before the data (man/fwrite.Rd:62-63)."""
+    import glob
+
+    os.makedirs(TMP, exist_ok=True)
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    p = f"{TMP}/fw_bomyaml"
+    fwrite(df, p, bom=True, yaml=True, single_file=True)
+    raw = open(glob.glob(f"{p}/part-*.csv")[0], "rb").read()
+    assert raw.startswith(b"\xef\xbb\xbf---\n")
+    text = raw[3:].decode()
+    assert "schema:" in text and "- name: k" in text
+    assert text.rstrip().endswith("1,a")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="single_file"):
+        fwrite(df, p, bom=True)
+
+
+def test_rollup_label_vs_data_null(spark):
+    """label= only relabels aggregate rows — a genuine NULL data value
+    in a grouping column stays NULL (grouping() distinguishes them)."""
+    from data_table_spark.core import DT
+    from data_table_spark.operators.grouping import rollup
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a", 1), (None, 2)], ["g", "v"])
+    out = rollup(DT(df), ["g"], j={"n": F.count(F.lit(1))}, label="TOT").df
+    rows = {(r["g"], r["n"]) for r in out.collect()}
+    assert ("TOT", 2) in rows      # grand total labeled
+    assert (None, 1) in rows       # data NULL group NOT relabeled
+    assert ("a", 1) in rows
