@@ -55,10 +55,11 @@ _PRIORITY = [
     "stream_tumbling_agg", "stream_sliding_agg", "stream_session_agg",
     "stream_dedup", "stream_static_join", "stream_stateful_stats",
     "stream_stream_join",
-    # scalar / window / UDTF coverage
-    "date_parts", "date_round", "json_extract_props",
-    "frollapply_median", "frollapply_corr", "froll_adaptive_sum",
-    "froll_adaptive_minmax",
+    # scalar / window / UDTF coverage (date_round and frollapply_median
+    # yield their slots to fread/set-ops — family-mates date_parts and
+    # frollapply_corr stay in the window; all remain locally verified)
+    "date_parts", "json_extract_props",
+    "frollapply_corr", "froll_adaptive_sum", "froll_adaptive_minmax",
     "dogroups_udtf", "cogroup_udtf",
     # sources + set ops
     "fread_fwrite_roundtrip", "funion_all",
