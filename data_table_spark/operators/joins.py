@@ -228,13 +228,20 @@ def merge(
     all_y: bool = False,
     suffixes: tuple[str, str] = ("_x", "_y"),
     no_dups: bool = True,
+    incomparables: Sequence | None = None,
 ) -> DT:
     """merge.data.table (reference R/merge.R:1-149): SQL-style merge with
     all/all.x/all.y and suffix disambiguation.
 
     ``no_dups`` (reference R/merge.R no.dups, #1396): a NON-key y column
     that collides with a by.x key name gets the y suffix too (default);
-    ``no_dups=False`` reproduces the legacy duplicate-name output."""
+    ``no_dups=False`` reproduces the legacy duplicate-name output.
+
+    ``incomparables`` (reference R/merge.R:86-95, #2587): values that
+    cannot be matched — rows whose join-key value is in the list are
+    DROPPED from both sides before the merge (the reference subsets x
+    and y), so they neither match nor survive as outer rows. A narrow
+    pre-join filter: it pushes to the scans."""
     if all:
         all_x = all_y = True
     how = {
@@ -249,6 +256,17 @@ def merge(
     bby = _namelist(by_y) or _namelist(by)
 
     xdf, ydf = x.df, y.df
+    if incomparables is not None:
+        vals = list(incomparables)
+        for c in bx:
+            xdf = xdf.filter(~F.col(c).isin(vals) | F.col(c).isNull())
+        for c in bby:
+            ydf = ydf.filter(~F.col(c).isin(vals) | F.col(c).isNull())
+        if any(v is None for v in vals):
+            for c in bx:
+                xdf = xdf.filter(F.col(c).isNotNull())
+            for c in bby:
+                ydf = ydf.filter(F.col(c).isNotNull())
     clash = [
         c for c in x.columns
         if c in y.columns and c not in bx and c not in bby

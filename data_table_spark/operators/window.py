@@ -433,10 +433,17 @@ def frolladaptive(
 
     fun="max"/"min" (reference src/frolladaptive.c fadaptiverollmax):
     extrema admit no cumsum-difference, so they compile to a sparse
-    table — see frolladaptive_extrema."""
+    table — see frolladaptive_extrema. fun="median": no sublinear
+    decomposition exists (not a semigroup under overlap-union), so it
+    expands each target row into its n_i source positions — see
+    frolladaptive_median."""
     if fun in ("max", "min"):
         return frolladaptive_extrema(
             dt, col, n_col, by=by, order=order, out_col=out_col, fun=fun
+        )
+    if fun == "median":
+        return frolladaptive_median(
+            dt, col, n_col, by=by, order=order, out_col=out_col
         )
     grp = _namelist(by)
     w = win(dt, by=by, order=order)
@@ -533,6 +540,57 @@ def frolladaptive_extrema(
     out = joined.withColumn(name, val).drop(
         "__pos__", "__nn__", "__j__", "__marr__", "__ppos__", "__pmarr__",
         *[f"__m{j}__" for j in range(J + 1)],
+    )
+    return DT(out, key=dt.key, order_by=dt.order_by)
+
+
+def frolladaptive_median(
+    dt: DT, col, n_col, by=None, order=None, out_col: str | None = None,
+) -> DT:
+    """Adaptive rolling median (reference src/frolladaptive.c
+    fadaptiverollmedian). Median is not a semigroup (two overlapping
+    power-of-two frames don't compose), so this is the honest O(rows·W̄)
+    expansion: each target row explodes into its n_i needed positions
+    (sequence + explode, codegen), an equi-join on (group, src pos)
+    fetches the values, and an exact F.median aggregates per target.
+    Work is the same O(rows·window) the reference's per-window quickselect
+    pays; here it shuffle-partitions across the cluster. Keep n_i
+    bounded (it is a STALENESS window, not an unbounded history)."""
+    grp = _namelist(by)
+    w = win(dt, by=by, order=order)
+    base = dt.df.withColumn("__pos__", F.row_number().over(w)).withColumn(
+        "__nn__", F.col(n_col).cast("int")
+    )
+    need = base.select(
+        *[F.col(g).alias(f"__tg_{g}__") for g in grp],
+        F.col("__pos__").alias("__tpos__"),
+        F.explode(
+            F.when(
+                (F.col("__nn__") >= 1) & (F.col("__pos__") >= F.col("__nn__")),
+                F.sequence(
+                    F.col("__pos__") - F.col("__nn__") + 1, F.col("__pos__")
+                ),
+            )
+        ).alias("__spos__"),
+    )
+    cond = F.col("__spos__") == F.col("__pos__")
+    for g in grp:
+        cond = cond & (F.col(f"__tg_{g}__") == F.col(g))
+    vals = need.join(
+        base.select(*grp, "__pos__", F.col(col).alias("__v__")), on=cond
+    )
+    med = vals.groupBy(
+        *[F.col(f"__tg_{g}__") for g in grp], F.col("__tpos__")
+    ).agg(F.median("__v__").alias("__med__"))
+    name = out_col or f"{col}_adaptive"
+    back = F.col("__tpos__") == F.col("__pos__")
+    for g in grp:
+        back = back & (F.col(f"__tg_{g}__") == F.col(g))
+    out = base.join(med, on=back, how="left").withColumn(
+        name, F.col("__med__")
+    ).drop(
+        "__pos__", "__nn__", "__med__", "__tpos__",
+        *[f"__tg_{g}__" for g in grp],
     )
     return DT(out, key=dt.key, order_by=dt.order_by)
 

@@ -140,6 +140,49 @@ def q_froll_adaptive_minmax(spark, sf_dir):
 
 
 @query(
+    "froll_adaptive_median",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, value,
+             1 + CAST(event_id % 5 AS INT) AS nn,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS pos
+      FROM events
+    )
+    SELECT a.event_id, a.user_id,
+           CASE WHEN a.pos >= a.nn THEN (
+             SELECT MEDIAN(b2.value) FROM b b2
+             WHERE b2.user_id = a.user_id
+               AND b2.pos BETWEEN a.pos - a.nn + 1 AND a.pos) END
+             AS roll_med
+    FROM b a
+    """,
+)
+def q_froll_adaptive_median(spark, sf_dir):
+    """Adaptive rolling median (reference src/frolladaptive.c): median is
+    not a semigroup, so the operator expands each target row into its
+    n_i source positions (explode + equi-join + exact F.median) —
+    O(rows·W̄) spread across the cluster, the same work the reference's
+    per-window quickselect pays single-node."""
+    from .operators.window import frolladaptive
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].query(
+        j={
+            "event_id": F.col("event_id"),
+            "user_id": F.col("user_id"),
+            "value": F.col("value"),
+            "nn": (1 + F.col("event_id") % 5).cast("int"),
+        }
+    )
+    out = frolladaptive(
+        ev, "value", "nn", by=["user_id"], order=["event_id"],
+        out_col="roll_med", fun="median",
+    )
+    return out.df.select("event_id", "user_id", "roll_med")
+
+
+@query(
     "transpose_small",
     """
     WITH a AS (

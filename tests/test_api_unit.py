@@ -490,3 +490,48 @@ def test_frev_reverses_consumed_order(spark):
     first_row = rev.rows(slice(1, 1)).df.collect()
     assert first_row[0]["i"] == 3
     assert frev_order(rev).order_by == ["i"]
+
+
+def test_merge_incomparables(spark):
+    """incomparables= (reference R/merge.R:86-95, #2587): rows whose key
+    is in the list are dropped from both sides — no match, no outer
+    survival."""
+    from data_table_spark.operators.joins import merge
+
+    x = DT(spark.createDataFrame([(1, "a"), (2, "b"), (9, "z")], ["k", "xv"]))
+    y = DT(spark.createDataFrame([(1, "A"), (9, "Z")], ["k", "yv"]))
+    out = merge(x, y, by=["k"], all=True, incomparables=[9])
+    rows = {r["k"]: (r["xv"], r["yv"]) for r in out.collect()}
+    assert rows == {1: ("a", "A"), 2: ("b", None)}
+
+
+def test_frolladaptive_median(spark):
+    from data_table_spark.operators.window import frolladaptive
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0, 1), (1, 2, 40.0, 2), (1, 3, 20.0, 3), (1, 4, 30.0, 2)],
+        ["g", "pos", "v", "n"],
+    )
+    out = frolladaptive(
+        DT(df), "v", "n", by=["g"], order=["pos"], fun="median", out_col="m"
+    ).df
+    got = {r["pos"]: r["m"] for r in out.collect()}
+    assert got == {1: 10.0, 2: 25.0, 3: 20.0, 4: 25.0}
+
+
+def test_frolladaptive_minmax_small(spark):
+    from data_table_spark.operators.window import frolladaptive
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0, 1), (1, 2, 40.0, 2), (1, 3, 20.0, 3), (1, 4, 30.0, 1),
+         (2, 1, 5.0, 2), (2, 2, 7.0, 1)],
+        ["g", "pos", "v", "n"],
+    )
+    mx = frolladaptive(DT(df), "v", "n", by=["g"], order=["pos"], fun="max", out_col="m").df
+    got = {(r["g"], r["pos"]): r["m"] for r in mx.collect()}
+    assert got == {(1, 1): 10.0, (1, 2): 40.0, (1, 3): 40.0, (1, 4): 30.0,
+                   (2, 1): None, (2, 2): 7.0}
+    mn = frolladaptive(DT(df), "v", "n", by=["g"], order=["pos"], fun="min", out_col="m").df
+    got = {(r["g"], r["pos"]): r["m"] for r in mn.collect()}
+    assert got == {(1, 1): 10.0, (1, 2): 10.0, (1, 3): 10.0, (1, 4): 30.0,
+                   (2, 1): None, (2, 2): 7.0}
