@@ -100,6 +100,7 @@ def fread(
     text: str | None = None,
     cmd: str | None = None,
     dec: str = ".",
+    multiline: bool = False,
 ) -> DT:
     """Read a CSV/TSV into a DT. See module docstring for the mapping.
 
@@ -184,9 +185,13 @@ def fread(
         .option("header", str(bool(header)).lower())
         .option("quote", quote)
         .option("encoding", encoding)
-        # multi-byte charsets need the per-file (multiLine) parser path:
-        # the default line splitter assumes single-byte newlines
-        .option("multiLine", "true" if multiline_charset else "false")
+        # per-file (multiLine) parser path: required for multi-byte
+        # charsets (the default line splitter assumes single-byte
+        # newlines) and for quoted fields with embedded newlines
+        # (multiline=True; reference parses those natively). Costs file-
+        # granularity parallelism — at 100 TB store many shards.
+        .option("multiLine", "true" if (multiline or multiline_charset) else "false")
+        .option("escape", '"')
         .option("mode", "PERMISSIVE" if fill else "FAILFAST")
         .option("nullValue", na_strings[0] if na_strings else "")
         # accepts both "yyyy-MM-dd HH:mm:ss.SSSSSS" and fwrite's ISO

@@ -301,3 +301,27 @@ def test_rollup_label_vs_data_null(spark):
     assert ("TOT", 2) in rows      # grand total labeled
     assert (None, 1) in rows       # data NULL group NOT relabeled
     assert ("a", 1) in rows
+
+
+def test_fread_quoted_multiline(spark):
+    """Quoted field containing embedded newlines (reference fixture
+    quoted_multiline.csv.bz2 shape): needs the per-file multiLine
+    parser; doubled quotes inside the field too."""
+    os.makedirs(TMP, exist_ok=True)
+    p = f"{TMP}/multiline.csv"
+    with open(p, "w") as f:
+        f.write('k,txt\n1,"line one\nline two"\n2,"say ""hi"""\n')
+    dt = fread(spark, p, sep=",", header=True, multiline=True)
+    rows = {r["k"]: r["txt"] for r in dt.collect()}
+    assert rows == {1: "line one\nline two", 2: 'say "hi"'}
+
+
+def test_fread_latin1(spark):
+    """Latin-1 encoded input (reference encoding= behavior)."""
+    os.makedirs(TMP, exist_ok=True)
+    p = f"{TMP}/latin1.csv"
+    with open(p, "w", encoding="latin-1") as f:
+        f.write("k,name\n1,café\n2,über\n")
+    dt = fread(spark, p, encoding="ISO-8859-1", sep=",", header=True)
+    rows = {r["k"]: r["name"] for r in dt.collect()}
+    assert rows == {1: "café", 2: "über"}
