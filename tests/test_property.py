@@ -278,3 +278,57 @@ def test_dedup_clusters_vs_union_find(spark, edges):
         for r in dedup_clusters(docs, pairs=pairs).collect()
     }
     assert got == want
+
+
+@SET
+@given(
+    xs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30), st.integers(-9, 9)),
+        min_size=1, max_size=10, unique_by=lambda t: (t[0], t[1]),
+    ),
+    iq=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)),
+        min_size=1, max_size=10,
+    ),
+    re_first=st.booleans(),
+    re_last=st.booleans(),
+)
+def test_asof_rollends_matches_duckdb(spark, xs, iq, re_first, re_last):
+    """roll=TRUE x every rollends combination vs a DuckDB construction:
+    fwd/bwd ASOF joins + the bmerge gating predicates (in-range rolls
+    always; past-last needs rollends[last]; before-first takes the NEXT
+    x under rollends[first])."""
+    from data_table_spark.operators.asof import asof_join
+
+    px = pd.DataFrame(xs, columns=["k", "t", "xv"])
+    pi = pd.DataFrame(iq, columns=["k", "t"])
+    pi["iid"] = range(len(pi))
+    x = DT(spark.createDataFrame(px), key=["k", "t"])
+    i = DT(spark.createDataFrame(pi), key=["k", "t"])
+    out = asof_join(
+        x, i, on=["k"], time_x="t", time_i="t", roll=True,
+        rollends=(re_first, re_last),
+    )
+    got = sorted((r["iid"], r["xv"]) for r in out.df.collect())
+    exp = sorted(
+        _duck(
+            {"x": px, "i": pi},
+            f"""
+            WITH fwd AS (
+              SELECT i.iid, x.xv, x.t AS xt FROM i ASOF LEFT JOIN x
+                ON i.k = x.k AND i.t >= x.t),
+            bwd AS (
+              SELECT i.iid, x.xv, x.t AS xt FROM i ASOF LEFT JOIN x
+                ON i.k = x.k AND i.t <= x.t)
+            SELECT i.iid,
+              CASE
+                WHEN f.xt IS NOT NULL AND b.xt IS NOT NULL THEN f.xv
+                WHEN f.xt IS NOT NULL AND {re_last} THEN f.xv
+                WHEN f.xt IS NULL AND {re_first} THEN b.xv
+              END AS xv
+            FROM i LEFT JOIN fwd f ON i.iid = f.iid
+                   LEFT JOIN bwd b ON i.iid = b.iid
+            """,
+        )
+    )
+    assert got == exp
