@@ -514,3 +514,73 @@ def q_hash_sample(spark, sf_dir):
         .filter(h4 % 10 == 0)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "stratified_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             list_sum([(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), k+1, 1))
+                        - 1)::BIGINT << (4*(3-k)) for k in range(0,4)])
+               AS h4
+      FROM documents)
+    SELECT doc_id, lang FROM h
+    WHERE h4 % 100 < (CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic STRATIFIED sampling — per-stratum rates (downsample
+    the dominant 'en' to 10%, keep 40% of the rest): the
+    class-rebalancing primitive of training-data pipelines. Same
+    md5-mod trick as hash_sample (reproducible across engines/runs/
+    partitionings, unlike sampleBy's rand()); narrow filter, rate
+    lookup folds into the predicate, no shuffle."""
+    t = load_tables(spark, sf_dir)
+    h4 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(40))
+    return (
+        t["documents"].df
+        .filter(h4 % 100 < rate)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "vocab_topk",
+    """
+    WITH toks AS (SELECT regexp_split_to_array(trim(text), ' +') AS t
+                  FROM documents WHERE lang = 'en'),
+    cnt AS (SELECT unnest(t) AS token FROM toks),
+    freq AS (SELECT token, COUNT(*) AS n FROM cnt GROUP BY token)
+    SELECT token, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT)
+             AS rank
+    FROM freq
+    ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-k: tokenize (codegen split+explode),
+    count per token with map-side partial aggregation, global top-20
+    via TakeOrderedAndProject (no full sort: each partition keeps only
+    its top-k candidates). The BPE-corpus-prep / vocab-audit staple;
+    scales as one shuffle on token + a k-row reduction."""
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"].df
+        .filter(F.col("lang") == "en")
+        .select(F.explode(F.split(F.trim(F.col("text")), " +")).alias("token"))
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        freq.orderBy(F.desc("n"), F.asc("token")).limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("token", "n", "rank")
+    )
