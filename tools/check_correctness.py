@@ -2,7 +2,13 @@
 on Spark and its oracle_sql() on DuckDB at the given SF, compare
 row-count, column names, and order-insensitive values.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--vanilla] [sf_dir] [query ...]
+
+--vanilla builds a DEFAULT SparkSession (no repo confs, 200 shuffle
+partitions) exactly like the driver's — the partition-invariance /
+session-agnosticism gate. Results must be identical to the tuned
+session; round 1's gforce_var_sd hash-drift and events-nanos errors
+were only visible this way.
 """
 
 from __future__ import annotations
@@ -42,15 +48,29 @@ def frame_sig(pdf):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args = [a for a in args if a != "--vanilla"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
     import __spark_entry__ as entrymod
-    from data_table_spark import get_spark
 
-    spark = get_spark("correctness-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("correctness-vanilla")
+            .getOrCreate()
+        )
+    else:
+        from data_table_spark import get_spark
+
+        spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
