@@ -79,18 +79,30 @@ def dcast(
         # totals-of-totals). Replication = #levels, the inherent price
         # of subtotals (GROUPING SETS replicates identically).
         if margins is True:
-            cut_points = list(range(len(rowvars) + 1))
+            cut_points = list(range(len(rowvars)))
         else:
             cut_points = sorted({rowvars.index(m) for m in _namelist(margins)})
-        replicas = [df]
-        for cut in cut_points:
-            if cut >= len(rowvars):
-                continue
-            rep = df
-            for v in rowvars[cut:]:
-                rep = rep.withColumn(v, F.lit("(all)"))
-            replicas.append(rep)
-        df = reduce(lambda a, b: a.unionByName(b), replicas)
+        cut_points = [c for c in cut_points if c < len(rowvars)]
+        # ONE scan: row-local explode of per-level rowvar structs (the
+        # same Expand encoding Spark's native ROLLUP uses) — a union of
+        # relabeled replicas would scan the input once per level.
+        # rowvars coerce to string ("(all)" must share the type —
+        # reshape2 likewise coerces margined factors to character)
+        levels = [
+            F.struct(*[F.col(v).cast("string").alias(v) for v in rowvars])
+        ] + [
+            F.struct(
+                *[
+                    (F.lit("(all)") if i >= cut else F.col(v).cast("string")).alias(v)
+                    for i, v in enumerate(rowvars)
+                ]
+            )
+            for cut in cut_points
+        ]
+        rest = [c for c in df.columns if c not in rowvars]
+        df = df.select(
+            *rest, F.explode(F.array(*levels)).alias("__lvl__")
+        ).select(*[F.col(f"__lvl__.{v}").alias(v) for v in rowvars], *rest)
     gb = df.groupBy(*rowvars)
     piv = gb.pivot(colvar, list(pivot_values) if pivot_values is not None else None)
     if fun_agg is None:
