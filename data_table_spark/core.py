@@ -28,7 +28,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["DT", "N", "GRP", "fread_parquet"]
+__all__ = ["DT", "N", "GRP", "fread_parquet", "fsort"]
 
 def N() -> Column:
     """data.table special symbol .N (group size) — man/special-symbols.Rd:14.
@@ -348,6 +348,19 @@ def _b_name(c: Column) -> str:
         return c._jc.toString().split(" AS ")[-1].strip("`")
     except Exception:  # pragma: no cover
         return ""
+
+
+def fsort(dt: DT, *cols: str, decreasing: bool = False) -> DT:
+    """fsort (reference R/fsort.R:9, src/fsort.c:255 — parallel MSD
+    radix sort). Spark's orderBy IS a distributed sample-based
+    range-partition sort, so the dedicated API is a thin wrapper:
+    sample → range-exchange → per-partition sort, every stage parallel
+    (the cluster form of fsort's thread-per-MSD-bucket design).
+    Records the resulting order (with direction) in the DT metadata."""
+    cols = list(cols) or list(dt.order_by) or list(dt.columns[:1])
+    exprs = [F.col(c).desc() if decreasing else F.col(c) for c in cols]
+    order = [("-" + c) if decreasing else c for c in cols]
+    return DT(dt.df.orderBy(*exprs), order_by=order)
 
 
 def fread_parquet(spark: SparkSession, path: str, key: Sequence[str] | None = None) -> DT:

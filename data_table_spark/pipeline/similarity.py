@@ -182,8 +182,15 @@ def lsh_pairs(
     continuous through 0.45 — see SCALE.md). Exact baseline + oracle
     duty: cosine_pairs."""
     tables = _hyperplanes(dim, n_tables, n_planes)
-    c = _corpus(emb).select(
-        "vec_id", "v", "nrm",
+    corpus = _corpus(emb)
+    # SLIM candidate generation: only (tbl, bucket, vec_id) flows through
+    # the bucket self-join — never the vectors. Carrying both dim-sized
+    # arrays through the candidate shuffle multiplies its payload by
+    # ~2·dim·8 bytes/row (measured: OOMs a default-heap session at
+    # sf0.1); the ID-pair form dedups cheaply, then TWO slim hash joins
+    # fetch each side's vector once for the exact verification.
+    ids = corpus.select(
+        "vec_id",
         F.explode(
             F.array(
                 *[
@@ -195,23 +202,29 @@ def lsh_pairs(
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "v", "nrm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-    a = c.select(
-        "tbl", "bucket", F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"), F.col("nrm").alias("na"),
-    )
-    b = c.select(
-        "tbl", "bucket", F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
-    )
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     cand = (
-        a.join(b, ["tbl", "bucket"])
+        ids.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
+        .join(
+            ids.select("tbl", "bucket", F.col("vec_id").alias("vec_b")),
+            ["tbl", "bucket"],
+        )
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = corpus.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = corpus.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        cand.withColumn("cos_full", cos)
+        cand.join(va, "vec_a").join(vb, "vec_b")
+        .withColumn("cos_full", cos)
         .filter(F.col("cos_full") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_full", 4).alias("cos"))
     )

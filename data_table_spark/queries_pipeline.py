@@ -278,7 +278,9 @@ def q_embedding_lsh_pairs(spark, sf_dir):
     cos ≈ 0.45 (continuous distribution, no gap — see SCALE.md), so the
     parameters lean on recall: 4 planes/table (bucket-share prob 0.177
     per table at cos 0.4505) × 16 tables → per-pair recall ≈ 0.956
-    (measured 13-14 of the 14 exact sf0.01 pairs). At real near-dup
+    (measured: 14/14 exact pairs at sf0.01, 129/136 at sf0.1). Slim
+    ID-pair candidate shuffle; vectors join in only for the exact
+    verification (payload discipline — see lsh_pairs). At real near-dup
     thresholds (cos ≥ 0.9) the same machinery with 8 planes × 8 tables
     is recall ~1-1e-9 AND sub-quadratic. Rows-only check by nature;
     embedding_cosine_pairs is the exact oracle-checked baseline."""
