@@ -535,3 +535,25 @@ def test_frolladaptive_minmax_small(spark):
     got = {(r["g"], r["pos"]): r["m"] for r in mn.collect()}
     assert got == {(1, 1): 10.0, (1, 2): 10.0, (1, 3): 10.0, (1, 4): 30.0,
                    (2, 1): None, (2, 2): 7.0}
+
+
+def test_fsort_and_sj(spark):
+    """fsort (reference src/fsort.c parallel sort — here the distributed
+    range-partition sort) records direction in the declared order; SJ
+    builds a sorted keyed table."""
+    from data_table_spark.core import fsort
+    from data_table_spark.operators.joins import SJ
+
+    df = spark.createDataFrame([(3,), (1,), (2,)], ["x"])
+    up = fsort(DT(df), "x")
+    assert [r["x"] for r in up.df.collect()] == [1, 2, 3]
+    assert up.order_by == ["x"]
+    down = fsort(DT(df), "x", decreasing=True)
+    assert [r["x"] for r in down.df.collect()] == [3, 2, 1]
+    assert down.order_by == ["-x"]
+    # reversed declared order drives ordered operators (e.g. rows())
+    assert down.rows(slice(1, 1)).df.collect()[0]["x"] == 3
+
+    sj = SJ(spark, k=[2, 1], v=["b", "a"])
+    assert sj.key == ["k", "v"]
+    assert [r["k"] for r in sj.df.collect()] == [1, 2]
