@@ -12,8 +12,8 @@ Layout:
 - streaming:   Structured Streaming surface for the events table
 """
 
-from .core import DT, N, fread_parquet, load_tables
+from .core import DT, N, fread_parquet, fsort, load_tables
 from .session import get_spark
 
-__all__ = ["DT", "N", "fread_parquet", "load_tables", "get_spark"]
+__all__ = ["DT", "N", "fread_parquet", "fsort", "load_tables", "get_spark"]
 __version__ = "0.1.0"
