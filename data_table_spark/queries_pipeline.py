@@ -465,6 +465,33 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, decoder="fake")
 
 
+@query(
+    "frame_sample_counts",
+    """
+    SELECT doc_id AS id,
+           CAST(GREATEST(1, octet_length(encode(text)) // 1000) AS BIGINT)
+             AS n_frames,
+           CAST(GREATEST(1, octet_length(encode(text)) // 1000) - 1 AS INT)
+             AS max_frame
+    FROM documents
+    """,
+)
+def q_frame_sample_counts(spark, sf_dir):
+    """Video frame-sampling plumbing (mapInPandas as a flatMap: one
+    input row -> N frame rows), verified by cardinality: per media item
+    the deterministic fake emits max(1, bytes // (100*every_n)) frames;
+    the oracle reproduces that arithmetic from the utf-8 byte length.
+    Proves Arrow-batch fan-out + downstream aggregation end-to-end."""
+    from .pipeline.multimodal import attach_binary, sample_frames
+
+    t = load_tables(spark, sf_dir)
+    frames = sample_frames(attach_binary(t["documents"].df), every_n=10)
+    return frames.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_idx").alias("max_frame"),
+    )
+
+
 @query("jaccard_prefix_pairs", _SQL_JACCARD_EXACT)
 def q_jaccard_prefix(spark, sf_dir):
     """PPJoin-style prefix-filtered exact Jaccard join: lossless
