@@ -17,7 +17,7 @@ from collections.abc import Callable, Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..core import DT, _namelist
+from ..core import DT, _namelist, _ocol, _oflip
 
 __all__ = [
     "agg_exprs",
@@ -94,7 +94,7 @@ def unique(dt: DT, by=None, fromLast: bool = False, order=None) -> DT:
     if not order:
         # pure distinct on all columns — order-free, safe
         return DT(dt.df.dropDuplicates(by))
-    ordering = [F.col(c).desc() if fromLast else F.col(c).asc() for c in order]
+    ordering = [_ocol(_oflip(c)) if fromLast else _ocol(c) for c in order]
     w = Window.partitionBy(*by).orderBy(*ordering)
     out = (
         dt.df.withColumn("__rn__", F.row_number().over(w))
@@ -111,7 +111,7 @@ def duplicated(dt: DT, by=None, fromLast: bool = False, order=None, out_col="dup
     order = _namelist(order) or dt.order_by
     if not order:
         raise ValueError("duplicated needs a declared order")
-    ordering = [F.col(c).desc() if fromLast else F.col(c).asc() for c in order]
+    ordering = [_ocol(_oflip(c)) if fromLast else _ocol(c) for c in order]
     w = Window.partitionBy(*by).orderBy(*ordering)
     return DT(
         dt.df.withColumn(out_col, F.row_number().over(w) > 1),
@@ -138,7 +138,7 @@ def ghead(dt: DT, n: int, by, order=None) -> DT:
     """head(.SD, n) per group — GForce ghead (reference src/gsumm.c:1004).
     Window row_number ≤ n; no driver collect, distributes per group."""
     order = _namelist(order) or dt.order_by
-    w = Window.partitionBy(*_namelist(by)).orderBy(*[F.col(c) for c in order])
+    w = Window.partitionBy(*_namelist(by)).orderBy(*[_ocol(c) for c in order])
     return DT(
         dt.df.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= n)
@@ -151,7 +151,7 @@ def gtail(dt: DT, n: int, by, order=None) -> DT:
     """tail(.SD, n) per group — GForce gtail (reference src/gsumm.c:1010)."""
     order = _namelist(order) or dt.order_by
     w = Window.partitionBy(*_namelist(by)).orderBy(
-        *[F.col(c).desc() for c in order]
+        *[_ocol(_oflip(c)) for c in order]
     )
     return DT(
         dt.df.withColumn("__rn__", F.row_number().over(w))

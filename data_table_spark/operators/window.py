@@ -280,7 +280,9 @@ def rowid(dt: DT, cols, out_col: str = "rowid", order=None) -> DT:
     order = _namelist(order) or dt.order_by
     if not order:
         raise ValueError("rowid needs a declared order for determinism")
-    w = Window.partitionBy(*_namelist(cols)).orderBy(*[F.col(c) for c in order])
+    from ..core import _ocol
+
+    w = Window.partitionBy(*_namelist(cols)).orderBy(*[_ocol(c) for c in order])
     return DT(
         dt.df.withColumn(out_col, F.row_number().over(w)),
         key=dt.key,
