@@ -45,6 +45,12 @@ from .similarity import (
     lsh_ann_topk,
     ivf_ann_topk,
 )
+from .curation import (
+    decontaminate,
+    keep_best,
+    chunk_documents,
+    repetition_metrics,
+)
 
 __all__ = [
     "tokens_col", "word_shingles", "char_shingles",
@@ -52,4 +58,5 @@ __all__ = [
     "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "simhash_pairs", "jaccard_prefix_pairs", "dedup_clusters",
     "cosine_topk", "cosine_pairs", "lsh_ann_topk", "ivf_ann_topk",
+    "decontaminate", "keep_best", "chunk_documents", "repetition_metrics",
 ]

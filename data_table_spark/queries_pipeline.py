@@ -578,6 +578,136 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+# §pipeline: corpus curation ---------------------------------------------
+
+
+def _sql_shingles_n(n: int) -> str:
+    """DuckDB word-n-gram CTE body for arbitrary n (mirror of
+    _SQL_SHINGLES, which is the n=3 instance)."""
+    gram = " || ' ' || ".join(
+        f"toks[i+{k}]" if k else "toks[i]" for k in range(n)
+    )
+    return f"""
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {n} THEN
+           list_distinct([{gram} for i in range(1, len(toks)-{n - 2})])
+         ELSE [] END AS shingles
+  FROM toks
+"""
+
+
+_SQL_DECONTAMINATE = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    sh AS ({_sql_shingles_n(4)}),
+    bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+              WHERE doc_id % 53 = 0),
+    corp AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+             WHERE doc_id % 53 <> 0)
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM corp c JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id
+"""
+
+
+@query("decontaminate_ngrams", _SQL_DECONTAMINATE)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any word 4-gram
+    with the benchmark split (doc_id % 53 == 0 stands in for the eval
+    suite; production pipelines use ~13-grams — 4 here because the
+    synthetic 31-word vocab makes longer grams never collide). The
+    benchmark n-gram set is broadcast — corpus n-grams never shuffle
+    for the probe, which is the 100 TB shape (eval suites are MBs; the
+    corpus is TBs)."""
+    from .pipeline import decontaminate
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].df
+    corpus = docs.filter(F.col("doc_id") % 53 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 53 == 0)
+    return decontaminate(corpus, benchmark, n=4)
+
+
+_SQL_KEEP_BEST = f"""
+    WITH cl AS ({_SQL_DEDUP_CLUSTERS}),
+    q AS (SELECT doc_id,
+                 len(regexp_split_to_array(trim(text), ' +')) AS n_tokens
+          FROM documents),
+    r AS (
+      SELECT cl.cluster_id, cl.doc_id,
+             CAST(q.n_tokens AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY q.n_tokens DESC, cl.doc_id) AS rn
+      FROM cl JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id, n_tokens FROM r WHERE rn = 1
+"""
+
+
+@query("dedup_keep_best", _SQL_KEEP_BEST)
+def q_dedup_keep_best(spark, sf_dir):
+    """Canonical-doc selection: one keeper per near-dup cluster by
+    quality (longest doc wins, doc_id tiebreak) — dedup_clusters
+    composed with a per-cluster window rank."""
+    from .pipeline import keep_best
+
+    t = load_tables(spark, sf_dir)
+    return keep_best(t["documents"].df, threshold=0.8)
+
+
+_SQL_CHUNKS = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    st AS (SELECT doc_id, toks,
+                  unnest(range(1, greatest(len(toks), 1) + 1, 24)) AS start
+           FROM toks)
+    SELECT doc_id,
+           CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+           array_to_string(toks[start:start+31], ' ') AS chunk_text,
+           CAST(least(32, len(toks) - start + 1) AS BIGINT) AS n_tokens
+    FROM st
+"""
+
+
+@query("doc_chunking", _SQL_CHUNKS)
+def q_doc_chunking(spark, sf_dir):
+    """Context-window packing: 32-token chunks, 8-token overlap
+    (stride 24). Narrow explode of per-doc start offsets — no
+    shuffle; the tail chunk may be short."""
+    from .pipeline import chunk_documents
+
+    t = load_tables(spark, sf_dir)
+    return chunk_documents(t["documents"].df, size=32, overlap=8)
+
+
+_SQL_REPETITION = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    t AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    ts AS (SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS top_token_ratio
+           FROM tc GROUP BY doc_id),
+    bg AS (SELECT doc_id,
+                  [toks[i] || ' ' || toks[i+1]
+                   for i in range(1, len(toks))] AS bgs
+           FROM toks WHERE len(toks) >= 2),
+    bs AS (SELECT doc_id,
+                  (len(bgs) - len(list_distinct(bgs)))::DOUBLE / len(bgs)
+                    AS dup_2gram_ratio
+           FROM bg)
+    SELECT ts.doc_id, top_token_ratio, dup_2gram_ratio
+    FROM ts JOIN bs ON ts.doc_id = bs.doc_id
+"""
+
+
+@query("repetition_metrics", _SQL_REPETITION)
+def q_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition signals: top-token occupancy and
+    duplicate-bigram fraction per doc (exact int counts, one final
+    division each)."""
+    from .pipeline import repetition_metrics
+
+    t = load_tables(spark, sf_dir)
+    return repetition_metrics(t["documents"].df)
+
+
 @query(
     "vocab_topk",
     """
