@@ -134,6 +134,35 @@ def q_stream_static_join(spark, sf_dir):
     return run_available_now(out, output_mode="append")
 
 
+def _sql_stream_decontaminate() -> str:
+    from .queries_pipeline import _SQL_DECONTAMINATE
+
+    return _SQL_DECONTAMINATE
+
+
+@query("stream_decontaminate", _sql_stream_decontaminate())
+def q_stream_decontaminate(spark, sf_dir):
+    """Streaming benchmark decontamination: the documents file stream is
+    shingled statelessly, probed against the broadcast static benchmark
+    4-gram set (doc_id % 53 == 0 split), and counted per doc in
+    complete mode. Over finite input the result equals the batch
+    `decontaminate_ngrams` answer — same oracle."""
+    from .pipeline.dedup import shingle_rows
+    from .streaming import (
+        read_documents_stream,
+        run_available_now,
+        stream_decontaminate,
+    )
+
+    t = load_tables(spark, sf_dir)
+    bench = t["documents"].df.filter(F.col("doc_id") % 53 == 0)
+    bench_grams = shingle_rows(bench, 4).select("s").distinct()
+    s = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 53 != 0
+    )
+    return run_available_now(stream_decontaminate(s, bench_grams, n=4))
+
+
 @query(
     "stream_stateful_stats",
     """

@@ -64,6 +64,51 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (the continuous-
+    ingest posture of a training-data pipeline: each arriving file is a
+    micro-batch of new documents)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_decontaminate(
+    docs_stream: DataFrame, bench_grams: DataFrame, n: int = 4
+) -> DataFrame:
+    """Streaming benchmark-contamination screen: incoming documents are
+    shingled statelessly (array-HOF form — window functions are not
+    allowed on streams), probed against the BROADCAST static benchmark
+    n-gram set, and counted per doc. The only stateful operator is the
+    per-doc count aggregation; at scale the probe itself is stateless
+    map-side work per micro-batch.
+
+    ``bench_grams``: static (s) one-column DataFrame of distinct
+    benchmark n-grams (from pipeline.dedup.shingle_rows on the batch
+    side)."""
+    from ..pipeline.text import tokens_col, word_shingles
+
+    ex = docs_stream.select(
+        "doc_id", F.explode(word_shingles(tokens_col("text"), n)).alias("s")
+    )
+    return (
+        ex.join(F.broadcast(bench_grams), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+
+
 def run_available_now(
     sdf: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:
