@@ -201,20 +201,108 @@ def with_grp(dt: DT, by, out_col: str = "grp") -> DT:
     )
 
 
-def _label_plan(by_cols: Sequence[str], label) -> tuple[list[Column], Callable]:
+_R_CLASS_SYNONYMS = {  # class-key → set of matching R-ish classes
+    "character": {"character", "factor"},
+    "factor": {"character", "factor"},
+    "integer": {"integer", "integer64"},
+    "integer64": {"integer64"},
+    "numeric": {"numeric"},
+    "double": {"numeric"},
+    "Date": {"Date", "IDate"},
+    "IDate": {"Date", "IDate"},
+    "logical": {"logical"},
+    "POSIXct": {"POSIXct"},
+}
+
+
+def _r_class(dtype) -> str:
+    """Spark column type → the reference's class1() name (SURVEY §1.2
+    type table)."""
+    import pyspark.sql.types as T
+
+    if isinstance(dtype, T.StringType):
+        return "character"
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType)):
+        return "integer"
+    if isinstance(dtype, T.LongType):
+        return "integer64"
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "numeric"
+    if isinstance(dtype, T.DateType):
+        return "Date"
+    if isinstance(dtype, T.BooleanType):
+        return "logical"
+    if isinstance(dtype, T.TimestampType):
+        return "POSIXct"
+    return type(dtype).__name__
+
+
+def _scalar_class(v) -> str:
+    import datetime
+
+    if isinstance(v, bool):
+        return "logical"
+    if isinstance(v, int):
+        return "integer"
+    if isinstance(v, float):
+        return "numeric"
+    if isinstance(v, datetime.datetime):
+        return "POSIXct"
+    if isinstance(v, datetime.date):
+        return "Date"
+    return "character"
+
+
+def _label_plan(df, by_cols: Sequence[str], label) -> tuple[list[Column], Callable]:
     """label= support for rollup/cube/groupingsets (reference
-    R/groupingsets.R label arg, man/groupingsets.Rd): relabel the
-    'total' rows of grouping columns. A scalar applies to every by
-    column; a mapping names specific columns. Aggregated-ness comes
-    from F.grouping() (computed IN the agg — a data NULL is not a
-    total row), carried out via hidden columns then applied/dropped."""
+    R/groupingsets.R:60-146, man/groupingsets.Rd): relabel the 'total'
+    rows of grouping columns. Reference semantics:
+    - scalar: applies to every by column whose class matches the
+      scalar's class (R/groupingsets.R:140-143 — NOT all columns);
+    - mapping: keys are column names (value class must match the
+      column, R/groupingsets.R:90-99) or class names
+      ('character','integer','numeric','factor','Date','IDate', or an
+      actual class of a by column), which apply to every by column of
+      that class not named explicitly (R/groupingsets.R:133-138).
+    Aggregated-ness comes from F.grouping() (computed IN the agg — a
+    data NULL is not a total row), carried out via hidden columns then
+    applied/dropped."""
     if label is None:
         return [], lambda df: df
+    col_class = {c: _r_class(df.schema[c].dataType) for c in by_cols}
     if not isinstance(label, Mapping):
-        label = {c: label for c in by_cols}
-    bad = set(label) - set(by_cols)
-    if bad:
-        raise ValueError(f"label= for non-grouping columns: {sorted(bad)}")
+        cls = _scalar_class(label)
+        match = _R_CLASS_SYNONYMS.get(cls, {cls})
+        label = {c: label for c in by_cols if col_class[c] in match}
+    else:
+        by_keys = {k: v for k, v in label.items() if k in by_cols}
+        class_keys = {k: v for k, v in label.items() if k not in by_cols}
+        bad = [
+            k for k in class_keys
+            if k not in _R_CLASS_SYNONYMS
+            and k not in set(col_class.values())
+        ]
+        if bad:
+            raise ValueError(
+                "label= keys must be grouping columns or classes of "
+                f"grouping columns; invalid: {sorted(bad)}"
+            )
+        for c, v in by_keys.items():
+            want = _R_CLASS_SYNONYMS.get(col_class[c], {col_class[c]})
+            if _scalar_class(v) not in want:
+                raise ValueError(
+                    f"label for column {c!r} has class "
+                    f"{_scalar_class(v)!r}, column is {col_class[c]!r}"
+                )
+        expanded = dict(by_keys)
+        for k, v in class_keys.items():
+            match = _R_CLASS_SYNONYMS.get(k, {k})
+            for c in by_cols:
+                if c not in expanded and col_class[c] in match:
+                    expanded[c] = v
+        label = expanded
+    if not label:
+        return [], lambda df: df
     hidden = [F.grouping(F.col(c)).alias(f"__g_{c}__") for c in label]
 
     def apply(df):
@@ -250,7 +338,7 @@ def groupingsets(
     exprs = [v.alias(k) for k, v in j.items()]
     if id_col:
         exprs = [F.grouping_id(*[F.col(c) for c in all_cols]).alias(id_col)] + exprs
-    hidden, relabel = _label_plan(all_cols, label)
+    hidden, relabel = _label_plan(dt.df, all_cols, label)
     return DT(relabel(gdf.agg(*exprs, *hidden)))
 
 
@@ -260,7 +348,7 @@ def rollup(dt: DT, by: Sequence[str], j: Mapping[str, Column], id_col=None, labe
     exprs = [v.alias(k) for k, v in j.items()]
     if id_col:
         exprs = [F.grouping_id(*[F.col(c) for c in by]).alias(id_col)] + exprs
-    hidden, relabel = _label_plan(by, label)
+    hidden, relabel = _label_plan(dt.df, by, label)
     return DT(relabel(dt.df.rollup(*by).agg(*exprs, *hidden)))
 
 
@@ -270,7 +358,7 @@ def cube(dt: DT, by: Sequence[str], j: Mapping[str, Column], id_col=None, label=
     exprs = [v.alias(k) for k, v in j.items()]
     if id_col:
         exprs = [F.grouping_id(*[F.col(c) for c in by]).alias(id_col)] + exprs
-    hidden, relabel = _label_plan(by, label)
+    hidden, relabel = _label_plan(dt.df, by, label)
     return DT(relabel(dt.df.cube(*by).agg(*exprs, *hidden)))
 
 

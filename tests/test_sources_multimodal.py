@@ -325,3 +325,38 @@ def test_fread_latin1(spark):
     dt = fread(spark, p, encoding="ISO-8859-1", sep=",", header=True)
     rows = {r["k"]: r["name"] for r in dt.collect()}
     assert rows == {1: "café", 2: "über"}
+
+
+def test_label_by_class_and_scalar_class_match(spark):
+    """Reference R/groupingsets.R:133-143: a scalar label applies only
+    to by-columns of the scalar's class; list keys may be class names
+    ('character', 'integer', ...) applying to unnamed columns of that
+    class, with column-name keys taking precedence; class mismatches
+    error."""
+    import pytest
+
+    from data_table_spark.core import DT
+    from data_table_spark.operators.grouping import rollup
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 3.0)],
+        "g string, k int, v double",
+    )
+    dt = DT(df)
+    # scalar: 'Total' is character -> labels g, leaves k NULL
+    out = rollup(dt, ["g", "k"], {"s": F.sum("v")}, label="Total").df
+    rows = {(r["g"], r["k"]) for r in out.collect()}
+    assert ("Total", None) in rows
+    assert not any(g is None for g, _ in rows)
+    # class keys expand to unnamed columns; column key wins
+    out2 = rollup(
+        dt, ["g", "k"], {"s": F.sum("v")},
+        label={"g": "ALL", "integer": 999},
+    ).df
+    rows2 = {(r["g"], r["k"]) for r in out2.collect()}
+    assert ("ALL", 999) in rows2 and ("a", 999) in rows2
+    with pytest.raises(ValueError):
+        rollup(dt, ["g", "k"], {"s": F.sum("v")}, label={"k": "oops"})
+    with pytest.raises(ValueError):
+        rollup(dt, ["g", "k"], {"s": F.sum("v")}, label={"bogus": 1})

@@ -34,7 +34,8 @@ EXPECT_NESTED_LOOP = {
 
 SKIP = {  # streaming queries execute eagerly; fread writes files
     "stream_tumbling_agg", "stream_sliding_agg", "stream_session_agg",
-    "stream_dedup", "stream_static_join", "fread_fwrite_roundtrip",
+    "stream_dedup", "stream_static_join", "stream_decontaminate",
+    "fread_fwrite_roundtrip",
     # iterative label propagation executes during construction
     # (localCheckpoint per round); the interesting plans are the pair
     # generators, audited under their own names
