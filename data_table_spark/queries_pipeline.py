@@ -581,9 +581,10 @@ def q_stratified_sample(spark, sf_dir):
 # §pipeline: corpus curation ---------------------------------------------
 
 
-def _sql_shingles_n(n: int) -> str:
+def _sql_shingles_n(n: int, src: str = "toks") -> str:
     """DuckDB word-n-gram CTE body for arbitrary n (mirror of
-    _SQL_SHINGLES, which is the n=3 instance)."""
+    _SQL_SHINGLES, which is the n=3 instance), reading the tokenized
+    CTE named ``src``."""
     gram = " || ' ' || ".join(
         f"toks[i+{k}]" if k else "toks[i]" for k in range(n)
     )
@@ -592,7 +593,7 @@ def _sql_shingles_n(n: int) -> str:
          CASE WHEN len(toks) >= {n} THEN
            list_distinct([{gram} for i in range(1, len(toks)-{n - 2})])
          ELSE [] END AS shingles
-  FROM toks
+  FROM {src}
 """
 
 
@@ -706,6 +707,93 @@ def q_repetition_metrics(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return repetition_metrics(t["documents"].df)
+
+
+_SQL_CURATION_PIPELINE = f"""
+    WITH RECURSIVE toks AS ({_SQL_TOKS}),
+    keepq AS (SELECT doc_id FROM toks WHERE len(toks) >= 20),
+    sh4 AS ({_sql_shingles_n(4)}),
+    bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh4
+              WHERE doc_id % 53 = 0),
+    corp4 AS (SELECT doc_id, unnest(shingles) AS s FROM sh4
+              WHERE doc_id % 53 <> 0),
+    contaminated AS (SELECT DISTINCT c.doc_id
+                     FROM corp4 c JOIN bench b ON c.s = b.s),
+    clean AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 53 <> 0
+        AND doc_id IN (SELECT doc_id FROM keepq)
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    ctoks AS (SELECT * FROM toks WHERE doc_id IN (SELECT doc_id FROM clean)),
+    sh AS ({_sql_shingles_n(3, "ctoks")}),
+    sz AS (SELECT doc_id, shingles, len(shingles) AS sz FROM sh),
+    ex AS (SELECT doc_id, sz, unnest(shingles) AS s FROM sz),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sz AS sa, b.sz AS sb, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    prs AS (
+      SELECT doc_a, doc_b FROM p
+      WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.8
+    ),
+    e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION ALL
+      SELECT doc_b, doc_a FROM prs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM clean
+      UNION
+      SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.node
+    ),
+    cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+           FROM reach GROUP BY node),
+    r AS (
+      SELECT cl.cluster_id, cl.doc_id, len(t.toks) AS n_tok,
+             ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY len(t.toks) DESC, cl.doc_id) AS rn
+      FROM cl JOIN ctoks t USING (doc_id)
+    ),
+    keepers AS (SELECT doc_id FROM r WHERE rn = 1),
+    kt AS (SELECT t.doc_id, t.toks FROM ctoks t
+           JOIN keepers k ON t.doc_id = k.doc_id),
+    st AS (SELECT doc_id, toks,
+                  unnest(range(1, greatest(len(toks), 1) + 1, 24)) AS start
+           FROM kt)
+    SELECT doc_id,
+           CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+           array_to_string(toks[start:start+31], ' ') AS chunk_text,
+           CAST(least(32, len(toks) - start + 1) AS BIGINT) AS n_tokens
+    FROM st
+"""
+
+
+@query("curation_pipeline", _SQL_CURATION_PIPELINE)
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation pipeline as ONE declarative composition:
+    length filter (>= 20 tokens) -> benchmark decontamination (drop
+    any doc sharing a 4-gram with the doc_id % 53 == 0 eval split) ->
+    near-dup clustering at Jaccard 0.8 -> keep-best canonicalization
+    -> 32/8 context-window chunking. Everything before clustering is
+    narrow or broadcast-probed; clustering and chunking add the same
+    shuffles they cost standalone — composition adds none."""
+    from .pipeline import chunk_documents, decontaminate, keep_best
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].df
+    corpus = docs.filter(F.col("doc_id") % 53 != 0)
+    long_enough = corpus.filter(
+        F.size(F.split(F.trim(F.col("text")), " +")) >= 20
+    )
+    dirty = decontaminate(corpus, docs.filter(F.col("doc_id") % 53 == 0), 4)
+    clean = long_enough.join(dirty.select("doc_id"), "doc_id", "left_anti")
+    keepers = keep_best(clean, threshold=0.8).select("doc_id")
+    return chunk_documents(
+        clean.join(keepers, "doc_id"), size=32, overlap=8
+    )
 
 
 @query(
