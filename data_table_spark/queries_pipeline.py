@@ -796,6 +796,93 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+_SQL_PACKING = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    d AS (SELECT t.doc_id, t.toks, x.source FROM toks t
+          JOIN documents x ON t.doc_id = x.doc_id),
+    st AS (SELECT doc_id, source, toks,
+                  unnest(range(1, greatest(len(toks), 1) + 1, 24)) AS start
+           FROM d),
+    ch AS (
+      SELECT source, doc_id,
+             CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+             CAST(least(32, len(toks) - start + 1) AS BIGINT) AS n_tokens
+      FROM st
+    )
+    SELECT source, doc_id, chunk_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id, chunk_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 256 AS BIGINT) AS bin_id
+    FROM ch
+"""
+
+
+@query("sequence_packing", _SQL_PACKING)
+def q_sequence_packing(spark, sf_dir):
+    """Sequence packing: assign 32/8 chunks to fixed 256-token training
+    bins by contiguous fill — bin_id = tokens-before // budget over a
+    deterministic (doc_id, chunk_id) order WITHIN each source shard.
+    Per-shard windows keep the cumsum distributed (no global ordering;
+    a global pack would serialize through one reducer — sharding is how
+    packing runs at 100 TB)."""
+    from pyspark.sql import Window
+
+    from .pipeline import chunk_documents
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].df
+    ch = chunk_documents(docs, size=32, overlap=8).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ch.select(
+        "source",
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(256))
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
+@query(
+    "sketch_distinct_tokens",
+    """
+    WITH t AS (SELECT lang, unnest(regexp_split_to_array(trim(text), ' +'))
+                 AS tok
+               FROM documents)
+    SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def q_sketch_distinct_tokens(spark, sf_dir):
+    """Mergeable-sketch profiling: per-language distinct token count via
+    Apache DataSketches HLL (hll_sketch_agg -> hll_sketch_estimate) —
+    the 100 TB cardinality-profiling tool (sketches partial-aggregate
+    map-side and merge associatively, unlike COUNT(DISTINCT)'s full
+    shuffle of distinct values). At this corpus's cardinality (31-word
+    vocab) the sketch is still in exact (list/set) mode — promotion to
+    the approximate HLL array happens far above it — so the estimate
+    equals the exact COUNT(DISTINCT) oracle."""
+    from .pipeline.text import tokens_col
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].df.select(
+        "lang", F.explode(tokens_col("text")).alias("tok")
+    )
+    return toks.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("tok"))
+        .cast("long")
+        .alias("n_distinct_tokens")
+    )
+
+
 @query(
     "vocab_topk",
     """
