@@ -40,6 +40,7 @@ SKIP = {  # streaming queries execute eagerly; fread writes files
     # (localCheckpoint per round); the interesting plans are the pair
     # generators, audited under their own names
     "dedup_clusters", "embedding_dup_clusters", "dedup_keep_best",
+    "curation_pipeline",
 }
 
 
