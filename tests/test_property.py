@@ -332,3 +332,53 @@ def test_asof_rollends_matches_duckdb(spark, xs, iq, re_first, re_last):
         )
     )
     assert got == exp
+
+
+def test_chunk_documents_edges(spark):
+    """Short docs yield exactly one (possibly short) chunk; stride
+    geometry: a doc of T tokens yields ceil(max(T-overlap,1)/stride)
+    chunks and consecutive chunks overlap by `overlap` tokens."""
+    from data_table_spark.pipeline import chunk_documents
+
+    rows = [(1, "a b c"), (2, " ".join(f"t{i}" for i in range(80)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, size=32, overlap=8)
+    got = {r["doc_id"]: [] for r in out.collect()}
+    for r in out.collect():
+        got[r["doc_id"]].append((r["chunk_id"], r["n_tokens"], r["chunk_text"]))
+    assert got[1] == [(0, 3, "a b c")]
+    c2 = sorted(got[2])
+    # 80 tokens, stride 24: starts 1,25,49,73 -> sizes 32,32,32,8
+    assert [n for _, n, _ in c2] == [32, 32, 32, 8]
+    first, second = c2[0][2].split(" "), c2[1][2].split(" ")
+    assert first[-8:] == second[:8]  # 8-token overlap
+
+
+def test_keep_best_picks_longest_then_min_id(spark):
+    """keep_best keeps the longest doc of each near-dup cluster, min
+    doc_id on ties; singletons survive as their own cluster."""
+    from data_table_spark.pipeline import keep_best
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (10, base),                      # cluster with 11 (near-identical)
+        (11, base + " extra"),           # longer -> the keeper
+        (30, "totally different words here for the singleton case x y"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["cluster_id"]: (r["doc_id"], r["n_tokens"])
+           for r in keep_best(df, threshold=0.8).collect()}
+    assert out[10] == (11, 11)  # cluster labeled by min id, keeper is 11
+    assert out[30] == (30, 10)
+
+
+def test_decontaminate_empty_benchmark(spark):
+    """An empty benchmark yields no contamination rows (and no error
+    from the broadcast of an empty gram set)."""
+    from data_table_spark.pipeline import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    assert decontaminate(docs, bench, n=4).count() == 0
