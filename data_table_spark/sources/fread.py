@@ -41,6 +41,17 @@ _TYPE_MAP = {
     "Date": T.DateType(),
     "IDate": T.DateType(),
     "POSIXct": T.TimestampType(),
+    # CSVY / Spark simpleString spellings (fwrite's yaml header emits
+    # simpleString; the csvy.org table-schema spec uses the rest)
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "float": T.FloatType(),
+    "number": T.DoubleType(),
+    "date": T.DateType(),
+    "datetime": T.TimestampType(),
+    "timestamp": T.TimestampType(),
+    "timestamp_ntz": T.TimestampNTZType(),
 }
 
 
@@ -64,6 +75,77 @@ def _looks_numeric(tok: str) -> bool:
         return True
     except ValueError:
         return False
+
+
+def _unzip_to_tmp(path: str) -> str:
+    """Driver-side unpack of a .zip archive (reference R/fread.R:1-35
+    reopens compressed input through a decompressing connection; zip
+    archives — unlike gz/bz2 — have no Hadoop codec, so the reference's
+    single-file rule applies: exactly one member, extracted to a temp
+    dir keyed by content). A 100 TB pipeline should land gz shards or
+    parquet instead; this is the small-file compatibility path."""
+    import hashlib
+    import os
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        members = [m for m in zf.namelist() if not m.endswith("/")]
+        if len(members) != 1:
+            raise ValueError(
+                f"fread: zip archive must contain exactly one file, got"
+                f" {members}"
+            )
+        tag = hashlib.md5(
+            (path + str(os.path.getmtime(path))).encode()
+        ).hexdigest()
+        out_dir = f"/root/repo/.tmp/fread_zip/{tag}"
+        os.makedirs(out_dir, exist_ok=True)
+        out = os.path.join(out_dir, os.path.basename(members[0]))
+        if not os.path.exists(out):
+            with zf.open(members[0]) as src, open(out, "wb") as dst:
+                dst.write(src.read())
+        return out
+
+
+def _read_csvy_header(path: str, encoding: str) -> tuple[dict, int]:
+    """Parse a CSVY YAML front-matter block (reference R/fread.R yaml
+    arg; format per csvy.org: a `---` ... `---` block before the csv
+    data). Returns (metadata dict, number of header lines to skip).
+    Driver-side single-file read — the front matter is at most a few KB
+    at the head of the file."""
+    import glob
+    import os
+
+    import yaml as _yaml
+
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "part-*.csv*")))
+        if len(parts) != 1:
+            raise ValueError(
+                f"fread(yaml=True) on a directory needs exactly one part"
+                f" file, got {parts}"
+            )
+        path = parts[0]
+    with open(path, encoding=encoding) as fh:
+        first = fh.readline().rstrip("\r\n").lstrip("﻿")
+        if first != "---":
+            raise ValueError(
+                "fread(yaml=True): file does not start with a '---' YAML"
+                " front-matter line"
+            )
+        lines = []
+        n = 1
+        for ln in fh:
+            n += 1
+            if ln.rstrip("\r\n") == "---":
+                break
+            lines.append(ln)
+        else:
+            raise ValueError(
+                "fread(yaml=True): unterminated YAML front matter"
+            )
+    meta = _yaml.safe_load("".join(lines)) or {}
+    return meta, n
 
 
 def _detect_header(sample: list[str], sep: str) -> bool:
@@ -101,6 +183,7 @@ def fread(
     cmd: str | None = None,
     dec: str = ".",
     multiline: bool = False,
+    yaml: bool = False,
 ) -> DT:
     """Read a CSV/TSV into a DT. See module docstring for the mapping.
 
@@ -130,6 +213,26 @@ def fread(
             fh.write(text)
     if path is None:
         raise ValueError("fread needs a path, or text=")
+    if path.endswith(".zip"):
+        path = _unzip_to_tmp(path)
+    if yaml:
+        # CSVY: YAML front matter carries names/types/sep; the block is
+        # skipped before the distributed parse (reference R/fread.R yaml
+        # arg; fwrite(yaml=True) writes the same format).
+        meta, n_head = _read_csvy_header(path, encoding)
+        skip = skip + n_head
+        fields_meta = (meta.get("schema") or {}).get("fields") or []
+        if fields_meta and col_names is None:
+            col_names = [str(f["name"]) for f in fields_meta]
+        if fields_meta and col_classes is None:
+            col_classes = {
+                str(f["name"]): str(f.get("type", "string"))
+                for f in fields_meta
+            }
+        if sep == "auto" and meta.get("sep"):
+            sep = str(meta["sep"])
+        if header == "auto" and "header" in meta:
+            header = bool(meta["header"])
     if dec == ",":
         # parse everything as string, normalize, cast double columns
         want = dict(col_classes or {})

@@ -127,6 +127,14 @@ def _prepend_file_header(df: DataFrame, path: str, bom: bool, yaml: bool) -> Non
         body = fh.read()
     with open(part, "wb") as fh:
         fh.write(b"".join(headers) + body)
+    # the local Hadoop FS wrote a .crc sidecar for the original bytes;
+    # rewriting the part file invalidates it and a later Spark read
+    # fails with ChecksumException — drop it.
+    crc = os.path.join(
+        os.path.dirname(part), "." + os.path.basename(part) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
 
 
 def fwrite_parquet(

@@ -33,35 +33,32 @@ from pyspark.sql import types as T
 
 _RUN_COUNTER = itertools.count()
 
-# events.parquet physical schema under nanosAsLong (session.py): the
-# TIMESTAMP(NANOS) column arrives as int64 nanoseconds.
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """File streams require a declared schema; the physical type of the
+    TIMESTAMP(NANOS) ts column depends on the Spark version (int64 nanos
+    under 3.x nanosAsLong, TIMESTAMP_NTZ on 4.x). Probe the parquet
+    footer with a batch read — cheap, no data scan — and declare exactly
+    what this Spark will produce, so the stream and batch readers agree
+    to the microsecond."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet: same derivation as the
-    batch loader (ts_ns bigint -> ts_us -> micros timestamp), so batch
-    and stream agree to the microsecond."""
-    # runtime-settable; required to read TIMESTAMP(NANOS) as int64 on a
-    # vanilla session (same conf as batch Tables.__init__).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch loader (core.derive_event_time: ts_us/ts_ns bigint + micros
+    timestamp ts), so batch and stream agree to the microsecond."""
+    from ..core import derive_event_time
+
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return (
-        raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_us", F.expr("ts_ns div 1000"))
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-    )
+    return derive_event_time(raw)
 
 
 DOCUMENTS_SCHEMA = T.StructType([

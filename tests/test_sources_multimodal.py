@@ -360,3 +360,75 @@ def test_label_by_class_and_scalar_class_match(spark):
         rollup(dt, ["g", "k"], {"s": F.sum("v")}, label={"k": "oops"})
     with pytest.raises(ValueError):
         rollup(dt, ["g", "k"], {"s": F.sum("v")}, label={"bogus": 1})
+
+
+def test_fread_zip_archive(spark):
+    """Reference R/fread.R:1-35: zip input (single member) unpacks and
+    parses transparently."""
+    import zipfile
+
+    os.makedirs(TMP, exist_ok=True)
+    inner = f"{TMP}/zipped_inner.csv"
+    with open(inner, "w") as f:
+        f.write("k,v\n1,alpha\n2,beta\n")
+    zpath = f"{TMP}/zipped.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.write(inner, "zipped_inner.csv")
+    dt = fread(spark, zpath)
+    rows = {r["k"]: r["v"] for r in dt.collect()}
+    assert rows == {1: "alpha", 2: "beta"}
+
+    # multi-member archives are rejected (the reference's one-file rule)
+    z2 = f"{TMP}/zipped2.zip"
+    with zipfile.ZipFile(z2, "w") as zf:
+        zf.write(inner, "a.csv")
+        zf.write(inner, "b.csv")
+    with pytest.raises(ValueError, match="exactly one file"):
+        fread(spark, z2)
+
+
+def test_fwrite_fread_csvy_roundtrip(spark):
+    """fwrite(yaml=True) -> fread(yaml=True): names and types come from
+    the YAML front matter, no inference guessing (reference R/fread.R
+    yaml arg; man/fwrite.Rd:62)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        "id",
+        (F.col("id") * 1.5).alias("x"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    out = f"{TMP}/csvy_rt"
+    fwrite(df, out, single_file=True, yaml=True)
+    back = fread(spark, out, yaml=True)
+    assert [f.dataType.simpleString() for f in back.df.schema.fields] == [
+        "bigint", "double", "string"
+    ]
+    got = {r["id"]: (r["x"], r["s"]) for r in back.collect()}
+    assert got == {0: (0.0, "s0"), 1: (1.5, "s1"), 2: (3.0, "s2")}
+
+
+def test_fread_csvy_handwritten(spark):
+    """A csvy.org-style hand-written front matter: sep + field types are
+    honored without inference."""
+    p = f"{TMP}/hand.csvy"
+    with open(p, "w") as f:
+        f.write(
+            "---\n"
+            "sep: ';'\n"
+            "schema:\n"
+            "  fields:\n"
+            "  - name: k\n"
+            "    type: integer\n"
+            "  - name: val\n"
+            "    type: number\n"
+            "---\n"
+            "k;val\n"
+            "1;2.5\n"
+            "2;4.5\n"
+        )
+    dt = fread(spark, p, yaml=True)
+    assert [f.dataType.simpleString() for f in dt.df.schema.fields] == [
+        "int", "double"
+    ]
+    assert {r["k"]: r["val"] for r in dt.collect()} == {1: 2.5, 2: 4.5}
