@@ -152,6 +152,81 @@ def idatetime(ts: Column | str):
     return idate.alias("idate"), itime.alias("itime")
 
 
+# ITime class surface (reference R/IDateTime.R:175-334): ITime is an
+# integer count of seconds since midnight. Here it is a plain int
+# column + these constructors/accessors — same representation choice as
+# IDate→DateType (SURVEY §1.2): the VALUE semantics are the class; Spark
+# needs no S3 wrapper to keep them.
+
+
+def as_itime(x: Column | str) -> Column:
+    """as.ITime (reference R/IDateTime.R:175): from a timestamp/date
+    (seconds-of-day of its wall clock), an 'HH:MM:SS' / 'HH:MM' string,
+    or an integer second count (taken modulo day, negative wraps —
+    matching the integer-storage semantics)."""
+    c = _col(x)
+    secs = (
+        F.when(
+            c.cast("timestamp").isNotNull() & ~c.cast("string").rlike("^[0-9:.-]+$"),
+            F.hour(c.cast("timestamp")) * 3600
+            + F.minute(c.cast("timestamp")) * 60
+            + F.second(c.cast("timestamp")),
+        )
+        .when(
+            c.cast("string").rlike("^[0-9]{1,2}:[0-9]{2}(:[0-9]{2})?$"),
+            F.split(c.cast("string"), ":").getItem(0).cast("int") * 3600
+            + F.split(c.cast("string"), ":").getItem(1).cast("int") * 60
+            + F.coalesce(
+                F.split(c.cast("string"), ":").getItem(2).cast("int"),
+                F.lit(0),
+            ),
+        )
+        .otherwise(c.cast("int"))
+    )
+    return F.pmod(secs, F.lit(86400)).cast("int")
+
+
+def itime_add(x: Column | str, seconds) -> Column:
+    """ITime + seconds: integer addition wrapping within the day (the
+    reference's integer storage + format.ITime's %%-day rendering,
+    R/IDateTime.R:214)."""
+    s = seconds if isinstance(seconds, Column) else F.lit(int(seconds))
+    return F.pmod(_col(x) + s, F.lit(86400)).cast("int")
+
+
+def itime_format(x: Column | str) -> Column:
+    """format.ITime (reference R/IDateTime.R:214): 'HH:MM:SS'."""
+    c = F.pmod(_col(x), F.lit(86400))
+    return F.format_string(
+        "%02d:%02d:%02d",
+        (c / 3600).cast("int"),
+        F.pmod((c / 60).cast("int"), F.lit(60)),
+        F.pmod(c, F.lit(60)).cast("int"),
+    )
+
+
+def itime_hour(x: Column | str) -> Column:
+    """hour() accessor on ITime seconds (reference R/IDateTime.R:253)."""
+    return (F.pmod(_col(x), F.lit(86400)) / 3600).cast("int")
+
+
+def itime_minute(x: Column | str) -> Column:
+    return F.pmod((_col(x) / 60).cast("int"), F.lit(60)).cast("int")
+
+
+def itime_second(x: Column | str) -> Column:
+    return F.pmod(_col(x), F.lit(60)).cast("int")
+
+
+def round_itime(x: Column | str, digits: str = "hours") -> Column:
+    """round.ITime (reference R/IDateTime.R:229): truncate seconds-of-
+    day to the containing hour/minute."""
+    unit = {"hours": 3600, "minutes": 60, "seconds": 1}[digits]
+    return (
+        (F.pmod(_col(x), F.lit(86400)) / unit).cast("int") * unit
+    ).cast("int")
+
+
 def chmatchdup_table(
     x, table, x_col: str, t_col: str, order_x=None, order_t=None
 ):

@@ -197,7 +197,7 @@ def minhash_signature(shingles: Column) -> Column:
 
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.8, n: int = 3,
-    verify: str = "parallel",
+    verify: str = "onepass",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-Jaccard-verified.
 
@@ -208,17 +208,19 @@ def minhash_lsh_pairs(
     answer with near-certain probability, at LSH cost).
 
     ``verify`` picks the exact-verification strategy (identical output,
-    measured at sf0.1/local[32]):
-    - "parallel" (default): per-side joins against the shingle rows.
-      Recomputes the shingle subtree per branch (3 scans total), but
-      the branches are independent stages that Spark runs CONCURRENTLY
-      with the signature branch — best wall-clock when the cluster has
-      idle slots (cold 7.0s vs 9.1s here).
-    - "onepass": explode candidates into (pair, doc, side) memberships,
-      broadcast-join the shingle rows ONCE, roll up side flags.
-      Minimum total work (2 shingle scans, no full-partition size
-      windows) — the saturated-cluster / 100 TB choice, at the price of
-      serializing the second scan behind candidate generation.
+    measured at sf0.1/local[32], interleaved 3-rep medians):
+    - "onepass" (default): explode candidates into (pair, doc, side)
+      memberships, broadcast-join the shingle rows ONCE, roll up side
+      flags. Minimum total work (2 shingle scans, no full-partition
+      size windows) — the saturated-cluster / 100 TB choice, and the
+      measured local winner too (median 4.4s warm / 5.1s cold vs
+      parallel's 5.2s / 8.9s; an earlier round measured the opposite
+      cold ordering — ambient noise on this box is ±50%, so the
+      scale-principled choice wins the tie).
+    - "parallel": per-side joins against the shingle rows. Recomputes
+      the shingle subtree per branch (3 scans total), but the branches
+      are independent stages Spark runs CONCURRENTLY with the signature
+      branch — worth trying on a cluster with idle slots.
     (A persisted-shingles variant loses badly at this SF — persist()
     disables AQE above the cache and pins 32-partition shuffles.)"""
     sr = shingle_rows(docs, n)

@@ -301,16 +301,25 @@ def q_rowwise(spark, sf_dir):
            CAST(hour(ts) AS INT) AS hr,
            CAST(minute(ts) AS INT) AS mi,
            CAST(second(ts) AS INT) AS sec,
-           CAST(epoch_us(ts) % 86400000000 AS BIGINT) AS us_of_day
+           CAST(epoch_us(ts) % 86400000000 AS BIGINT) AS us_of_day,
+           CAST(hour(ts)*3600 + minute(ts)*60 + second(ts) AS INT)
+             AS itime,
+           strftime(ts, '%H:%M:%S') AS itime_fmt,
+           CAST((hour(ts)*3600 + minute(ts)*60 + second(ts) + 3600)
+                % 86400 AS INT) AS itime_plus1h,
+           CAST(hour(ts)*3600 AS INT) AS itime_hour_floor
     FROM events
     """,
 )
 def q_time_parts(spark, sf_dir):
-    """ITime surface (reference R/IDateTime.R:175-236): hour/minute/
-    second + exact microsecond-of-day (the ITime integer analog).
-    Session TZ is UTC on both engines; us_of_day derives from the exact
-    ns-floored micros (SKILL gotcha: ts_us is bit-equal to DuckDB's
-    epoch_us)."""
+    """ITime surface (reference R/IDateTime.R:175-334): hour/minute/
+    second + exact microsecond-of-day, plus the ITime class ops
+    (as.ITime seconds-of-day, wrapping +1h arithmetic, format.ITime,
+    round to hours). Session TZ is UTC on both engines; us_of_day
+    derives from the exact floored micros (SKILL gotcha: ts_us is
+    bit-equal to DuckDB's epoch_us)."""
+    from .functions import as_itime, itime_add, itime_format, round_itime
+
     t = load_tables(spark, sf_dir)
     return t["events"].query(
         j={
@@ -319,6 +328,10 @@ def q_time_parts(spark, sf_dir):
             "mi": F.minute("ts").cast("int"),
             "sec": F.second("ts").cast("int"),
             "us_of_day": (F.col("ts_us") % F.lit(86400000000)).cast("long"),
+            "itime": as_itime(F.col("ts")),
+            "itime_fmt": itime_format(as_itime(F.col("ts"))),
+            "itime_plus1h": itime_add(as_itime(F.col("ts")), 3600),
+            "itime_hour_floor": round_itime(as_itime(F.col("ts")), "hours"),
         }
     ).df
 

@@ -557,3 +557,53 @@ def test_fsort_and_sj(spark):
     sj = SJ(spark, k=[2, 1], v=["b", "a"])
     assert sj.key == ["k", "v"]
     assert [r["k"] for r in sj.df.collect()] == [1, 2]
+
+
+def test_itime_surface(spark):
+    """ITime class surface (reference R/IDateTime.R:175-334): integer
+    seconds-of-day with constructors, wrapping arithmetic, format,
+    accessors, and truncating round."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.functions import (
+        as_itime,
+        itime_add,
+        itime_format,
+        itime_hour,
+        itime_minute,
+        itime_second,
+        round_itime,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-03-01 13:45:30", "13:45:30", 49530)],
+        "ts string, s string, n int",
+    ).select(
+        as_itime(F.col("ts").cast("timestamp")).alias("from_ts"),
+        as_itime("s").alias("from_str"),
+        as_itime("n").alias("from_int"),
+    )
+    r = df.collect()[0]
+    assert r.from_ts == r.from_str == r.from_int == 49530
+
+    df2 = spark.createDataFrame([(86399,)], "t int").select(
+        itime_add("t", 2).alias("wrapped"),
+        itime_format("t").alias("fmt"),
+        itime_hour("t").alias("h"),
+        itime_minute("t").alias("m"),
+        itime_second("t").alias("s"),
+        round_itime("t", "hours").alias("rh"),
+        round_itime("t", "minutes").alias("rm"),
+    )
+    r2 = df2.collect()[0]
+    assert r2.wrapped == 1
+    assert r2.fmt == "23:59:59"
+    assert (r2.h, r2.m, r2.s) == (23, 59, 59)
+    assert r2.rh == 23 * 3600
+    assert r2.rm == 23 * 3600 + 59 * 60
+
+    # negative arithmetic wraps backward through midnight
+    df3 = spark.createDataFrame([(10,)], "t int").select(
+        itime_add("t", -30).alias("back")
+    )
+    assert df3.collect()[0].back == 86380
