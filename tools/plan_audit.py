@@ -30,6 +30,10 @@ EXPECT_NESTED_LOOP = {
     "asof_roll_nearest", "vecseq_expand",
     # drop=FALSE CJ of per-rowvar level frames (tiny, broadcast)
     "dcast_drop_false",
+    # ANN recall contracts combine three SINGLE-ROW aggregates with
+    # crossJoin (1x1 rows by construction) — the candidate generation
+    # itself is bucketed equi-join, audited via the underlying ops
+    "embedding_lsh_pairs", "lsh_ann_topk", "ivf_ann_topk",
 }
 
 SKIP = {  # streaming queries execute eagerly; fread writes files
