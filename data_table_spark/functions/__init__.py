@@ -104,6 +104,30 @@ def chmatch(x: Column | str, values: Sequence) -> Column:
     return expr.otherwise(out) if expr is not None else out
 
 
+def chgroup(df, col: str, order: Sequence[str]):
+    """chgroup (reference R/data.table.R chgroup, src/chmatch.c): group
+    identical strings together, groups ordered by each value's FIRST
+    appearance in the declared order. Relational form: window-min of
+    the appearance rank per value, sort by (first_rank, rank) — two
+    codegen window passes, no per-row hashing. `order` names the
+    columns that define appearance order (the reference uses vector
+    position; a distributed engine needs it declared — same contract as
+    every positional op here)."""
+    from pyspark.sql import Window
+
+    sdf = df.df if hasattr(df, "df") else df
+    pos = F.row_number().over(
+        Window.orderBy(*[F.col(c) for c in order])
+    )
+    first = F.min("__pos__").over(Window.partitionBy(col))
+    return (
+        sdf.withColumn("__pos__", pos)
+        .withColumn("__first__", first)
+        .orderBy("__first__", "__pos__")
+        .drop("__pos__", "__first__")
+    )
+
+
 def like(x: Column | str, pattern: str, fixed: bool = False) -> Column:
     """%like% — regex (or fixed-string) match (reference R/like.R:1-24)."""
     x = _col(x)

@@ -607,3 +607,16 @@ def test_itime_surface(spark):
         itime_add("t", -30).alias("back")
     )
     assert df3.collect()[0].back == 86380
+
+
+def test_chgroup_first_appearance(spark):
+    """chgroup: identical strings grouped, groups in first-appearance
+    order of the declared ordering (reference src/chmatch.c chgroup)."""
+    from data_table_spark.functions import chgroup
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "b"), (4, "c"), (5, "a")],
+        "pos int, s string",
+    )
+    got = [r.s for r in chgroup(df, "s", ["pos"]).collect()]
+    assert got == ["b", "b", "a", "a", "c"]
