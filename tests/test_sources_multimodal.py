@@ -432,3 +432,15 @@ def test_fread_csvy_handwritten(spark):
         "int", "double"
     ]
     assert {r["k"]: r["val"] for r in dt.collect()} == {1: 2.5, 2: 4.5}
+
+
+def test_fread_bz2(spark):
+    """bz2-compressed csv reads transparently via the Hadoop codec
+    (reference R/fread.R:1-35 decompression reopeners)."""
+    import bz2
+
+    p = f"{TMP}/comp.csv.bz2"
+    with bz2.open(p, "wt") as f:
+        f.write("k,v\n1,alpha\n2,beta\n")
+    dt = fread(spark, p)
+    assert {r["k"]: r["v"] for r in dt.collect()} == {1: "alpha", 2: "beta"}
