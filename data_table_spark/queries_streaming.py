@@ -186,6 +186,15 @@ def q_stream_stateful(spark, sf_dir):
     return res.withColumn("sum_value", F.round("sum_value", 4))
 
 
+# NOTE: a transformWithStateInPandas twin of stream_stateful_stats
+# exists (`streaming.stateful_user_stats_tws` — Spark 4 typed-state
+# API with timers/TTL) but is NOT registered as a driver query: its
+# Python worker requires the `protobuf` package, absent from this
+# container, so it is environment-gated with an explicit probe and a
+# skipping test (tests/test_queries_oracle.py::test_stateful_tws)
+# instead of a permanently-red registry row.
+
+
 @query(
     "stream_stream_join",
     """

@@ -265,6 +265,80 @@ def stateful_user_stats(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
     )
 
 
+def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running stats on Spark 4's transformWithStateInPandas —
+    the successor to applyInPandasWithState (SURVEY §2.12): explicit
+    typed state handles (ValueState here; the API adds ListState/
+    MapState, event/processing-time timers, and state TTL that the old
+    flatMapGroupsWithState surface lacks). Same semantics as
+    stateful_user_stats, so the same batch GROUP BY is the oracle.
+
+    Scale posture: state is per-key in the state store (RocksDB in
+    production), partitioned by the shuffle on user_id; TTL/timers give
+    bounded state without watermark gymnastics.
+
+    ENVIRONMENT GATE: the transformWithState Python worker speaks a
+    protobuf protocol to the JVM state server; without the `protobuf`
+    package the streaming runner crashes at init. Probe up front and
+    raise a clear error (this container lacks protobuf — the
+    applyInPandasWithState path, `stateful_user_stats`, computes the
+    identical result and is the oracle-checked one here)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "stateful_user_stats_tws needs the `protobuf` package"
+            " (transformWithStateInPandas state protocol); use"
+            " stateful_user_stats (applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("n_types", T.LongType()),
+    ])
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n bigint, s double, types array<string>"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._state.exists():
+                n, s, types = self._state.get()
+            else:
+                n, s, types = 0, 0.0, []
+            types = set(types or [])
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].fillna(0.0).sum())
+                types |= set(pdf["event_type"].dropna())
+            self._state.update((n, s, sorted(types)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "n_types": [len(types)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_stream_join(
     events: DataFrame,
     left_type: str = "purchase",
