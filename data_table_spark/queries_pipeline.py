@@ -344,11 +344,11 @@ _SQL_ANN_RECALL = (
 )
 
 
-def _ann_recall_result(approx, exact, k: int, bound: float):
+def _ann_recall_result(approx, exact, bound: float):
     """Aggregate recall@k of an ANN result against the exact top-k:
     (n_queries, recall_ok). n_queries counts queries the ANN path
     actually answered (a broken bucket join drops queries → row-count /
-    hash mismatch); recall_ok asserts total hits >= bound · (8·k)."""
+    hash mismatch); recall_ok asserts total hits >= bound · |exact|."""
     hits = approx.join(
         exact.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],
@@ -383,7 +383,7 @@ def q_lsh_ann_topk(spark, sf_dir):
         emb, dim=64, query_ids_below=8, k=5, n_tables=16, n_planes=4
     )
     exact = cosine_topk(emb, query_ids_below=8, k=5)
-    return _ann_recall_result(approx, exact, k=5, bound=0.7)
+    return _ann_recall_result(approx, exact, bound=0.7)
 
 
 # §pipeline: text analysis ----------------------------------------------
@@ -606,7 +606,7 @@ def q_ivf_ann_topk(spark, sf_dir):
         emb, n_centroids=16, n_probe=2, query_ids_below=8, k=5
     )
     exact = cosine_topk(emb, query_ids_below=8, k=5)
-    return _ann_recall_result(approx, exact, k=5, bound=0.25)
+    return _ann_recall_result(approx, exact, bound=0.25)
 
 
 @query(
