@@ -146,3 +146,35 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFr
         F.array_min(hashes).alias("fingerprint"),
         F.size(sh).cast("long").alias("n_kgrams"),
     )
+
+
+# PII scrubbing patterns: ASCII-only classes so Java regex (Spark) and
+# RE2 (DuckDB) agree byte-for-byte. Ordered scrub: emails first, then
+# IPs, then phone-shaped digit runs (so an already-masked [IP] cannot
+# re-match as a phone number).
+PII_PATTERNS = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"),
+    ("phone", "\\+[0-9]{7,15}\\b", "[PHONE]"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII scrub: mask emails / IPv4s / +international
+    phone runs and count each kind (counted on the pre-scrub text;
+    masking is sequential so earlier masks can't re-match). Pure
+    regexp_replace/regexp_extract_all column expressions — no UDF, the
+    scan stays in whole-stage codegen at any corpus size."""
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0)))
+            .cast("long"),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return out.withColumn("text_scrubbed", scrubbed).withColumn(
+        "n_pii",
+        (F.col("n_email") + F.col("n_ip") + F.col("n_phone")).cast("long"),
+    )

@@ -1009,3 +1009,67 @@ def q_vocab_topk(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("token", "n", "rank")
     )
+
+
+_SQL_PII = """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com from 10.0.' || (doc_id % 256) ||
+             '.7 call +1555' || lpad((doc_id % 10000)::VARCHAR, 7, '0')
+               AS t
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id,
+        len(regexp_extract_all(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+          AS n_email,
+        len(regexp_extract_all(t,
+          '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::BIGINT
+          AS n_ip,
+        len(regexp_extract_all(t, '\\+[0-9]{7,15}\\b'))::BIGINT AS n_phone,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+              '[EMAIL]', 'g'),
+            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+            '[IP]', 'g'),
+          '\\+[0-9]{7,15}\\b', '[PHONE]', 'g') AS scrubbed
+      FROM aug
+    )
+    SELECT doc_id, n_email, n_ip, n_phone,
+           (n_email + n_ip + n_phone)::BIGINT AS n_pii,
+           md5(scrubbed) AS scrub_md5
+    FROM counted
+"""
+
+
+@query("pii_scrub", _SQL_PII)
+def q_pii_scrub(spark, sf_dir):
+    """Training-data PII scrub (emails / IPv4 / international phone
+    runs masked, per-kind counts). The corpus text carries no real PII,
+    so both engines append identical synthetic PII derived from doc_id
+    before scrubbing — the operator path under test is the ordered
+    regexp_replace chain + match counting, codegen-only (no UDF).
+    scrub_md5 pins the masked text byte-for-byte across engines."""
+    from .pipeline.text import scrub_pii
+
+    t = load_tables(spark, sf_dir)
+    aug = t["documents"].df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1555"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0"),
+        ).alias("text"),
+    )
+    out = scrub_pii(aug, "text")
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_phone", "n_pii",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )

@@ -444,3 +444,23 @@ def test_fread_bz2(spark):
         f.write("k,v\n1,alpha\n2,beta\n")
     dt = fread(spark, p)
     assert {r["k"]: r["v"] for r in dt.collect()} == {1: "alpha", 2: "beta"}
+
+
+def test_scrub_pii(spark):
+    """PII scrub masks emails/IPs/phones and counts per kind; ordered
+    masking prevents re-matching."""
+    from data_table_spark.pipeline.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io and b@y.org ip 10.1.2.3 tel +15551234567"),
+         (2, "clean text")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_email, r1.n_ip, r1.n_phone, r1.n_pii) == (2, 1, 1, 4)
+    assert r1.text_scrubbed == (
+        "mail [EMAIL] and [EMAIL] ip [IP] tel [PHONE]"
+    )
+    r2 = rows[2]
+    assert r2.n_pii == 0 and r2.text_scrubbed == "clean text"
