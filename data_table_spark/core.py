@@ -421,16 +421,18 @@ def derive_event_time(df: DataFrame) -> DataFrame:
             .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
         )
     if isinstance(dtype, TimestampNTZType):
+        # column order mirrors the legacy branch: original columns with
+        # ts replaced by ts_ns in place, then ts_us and ts appended
+        order = [
+            "ts_ns" if c == "ts" else c for c in df.columns
+        ] + ["ts_us", "ts"]
         return (
             df.withColumn(
                 "ts_us", F.expr(_EPOCH_US_FROM_NTZ.format(c="ts"))
             )
             .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
             .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-            .select(
-                "event_id", "ts_ns", "user_id", "event_type", "value",
-                "props", "ts_us", "ts",
-            )
+            .select(*order)
         )
     # already TimestampType (e.g. a re-written micros parquet)
     return (
