@@ -1073,3 +1073,55 @@ def q_pii_scrub(spark, sf_dir):
         "doc_id", "n_email", "n_ip", "n_phone", "n_pii",
         F.md5("text_scrubbed").alias("scrub_md5"),
     )
+
+
+_SQL_CHUNK_DEDUP = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    st AS (SELECT doc_id, toks,
+                  unnest(range(1, greatest(len(toks), 1) + 1, 24)) AS start
+           FROM toks),
+    ch AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[start:start+31], ' ') AS chunk_text
+      FROM st
+      WHERE least(32, len(toks) - start + 1) = 32
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM ch a JOIN ch b
+        ON a.chunk_text = b.chunk_text AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+    FROM p WHERE n_shared >= 2
+"""
+
+
+@query("chunk_dedup_pairs", _SQL_CHUNK_DEDUP)
+def q_chunk_dedup_pairs(spark, sf_dir):
+    """Paragraph-level dedup: docs sharing >= 2 identical FULL 32-token
+    chunks (stride 24) — the standard pretraining pass that catches
+    partial/boilerplate duplication exact-Jaccard misses at doc
+    granularity. Composition of chunk_documents with a chunk-text
+    equi-join (the blocking key is the chunk text itself: one shuffle,
+    never the doc-pair space; short tail chunks excluded so trivial
+    fragments can't pair). At 100 TB add a max-document-frequency guard
+    on ultra-common chunks (boilerplate) before the self-join."""
+    from .pipeline import chunk_documents
+
+    t = load_tables(spark, sf_dir)
+    ch = (
+        chunk_documents(t["documents"].df, size=32, overlap=8)
+        .filter(F.col("n_tokens") == 32)
+        .select("doc_id", "chunk_text")
+        .distinct()
+    )
+    a = ch.select(F.col("doc_id").alias("doc_a"), "chunk_text")
+    b = ch.select(F.col("doc_id").alias("doc_b"), "chunk_text")
+    return (
+        a.join(b, "chunk_text")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
