@@ -402,3 +402,78 @@ def ivf_ann_topk(
             F.round("cos_full", 4).alias("cos"),
         )
     )
+
+
+def sq8_quantize(emb: DataFrame) -> DataFrame:
+    """Scalar 8-bit quantization (the faiss-SQ8 storage trick): each
+    vector stores per-vector (mn, scale) + an int byte-code array +
+    its true norm — 4x smaller than float32 at 100 TB, decoded only
+    inside the dot product. Pure column expressions."""
+    c = _corpus(emb)
+    mn = F.array_min(F.col("v"))
+    mx = F.array_max(F.col("v"))
+    scale = (mx - mn) / F.lit(255.0)
+    safe = F.when(scale == 0, F.lit(1.0)).otherwise(scale)
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.round((x - mn) / safe).cast("int"),
+    )
+    return c.select(
+        "vec_id",
+        mn.alias("mn"),
+        safe.alias("scale"),
+        q.alias("q"),
+        F.col("nrm").alias("nrm"),
+    )
+
+
+def sq8_cosine_topk(
+    emb: DataFrame, query_ids_below: int = 8, k: int = 5
+) -> DataFrame:
+    """Asymmetric SQ8 search: full-precision queries against the
+    int8-quantized corpus. dot(qv, dequant(code)) folds exactly to
+    mn*sum(qv) + scale*dot(qv, code) — one pass over the byte codes,
+    no per-element dequant materialization. Approximate only through
+    the 8-bit rounding, so recall@k vs the exact `cosine_topk` is
+    near-1 and makes a tight driver contract."""
+    from pyspark.sql import Window
+
+    codes = sq8_quantize(emb)
+    qset = _corpus(emb).filter(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.aggregate(
+            F.col("v"), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("q_sum"),
+    )
+    j = codes.join(
+        F.broadcast(qset), F.col("vec_id") != F.col("query_id")
+    )
+    qdot = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("q"),
+            lambda x, code: x * code.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    approx_dot = F.col("mn") * F.col("q_sum") + F.col("scale") * qdot
+    cos_q = approx_dot / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q"), F.asc("neighbor_id")
+    )
+    return (
+        j.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos_q.alias("cos_q"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos_q", 4).alias("cos"),
+        )
+    )
