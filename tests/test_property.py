@@ -382,3 +382,24 @@ def test_decontaminate_empty_benchmark(spark):
     )
     bench = spark.createDataFrame([], "doc_id long, text string")
     assert decontaminate(docs, bench, n=4).count() == 0
+
+
+def test_itime_format_parse_inverse(spark):
+    """Property: as_itime(itime_format(s)) == s for all seconds-of-day
+    (formatter and parser are exact inverses on the full domain) —
+    checked exhaustively over the boundary-heavy subset."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.functions import as_itime, itime_format
+
+    secs = (
+        list(range(0, 61))             # around midnight + minute edge
+        + list(range(3540, 3661))      # hour boundary
+        + list(range(43170, 43230))    # midday
+        + list(range(86340, 86400))    # day end
+    )
+    df = spark.createDataFrame([(s,) for s in secs], "s int")
+    out = df.select(
+        "s", as_itime(itime_format(F.col("s"))).alias("back")
+    ).filter(F.col("s") != F.col("back"))
+    assert out.count() == 0
