@@ -7,11 +7,15 @@ JSON line::
     {"metric": "total_headline_sec", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
 
-Each query is executed twice per measurement pattern: a first pass is NOT
-taken (JVM/codegen warm-up is excluded only for the session as a whole via
-a trivial warm-up action, not per query — per-query caching would hide the
-real scan cost). Timing covers plan + execution to a count/collect of the
-result, i.e. what a user would wait for.
+Each query is measured REPS (3) times and the per-query MEDIAN is
+reported: one-shot numbers on this box carry +/-50% ambient noise
+(NOTES_r2 §10 / NOTES_r4 measured a 20% total delta on byte-identical
+code), and a median-of-3 in one session is the cheapest robust
+estimator. Reps run back-to-back per query (plan compile amortizes into
+rep 1; the median discards it when warm reps are faster, which is the
+steady-state number a user sees). No per-query caching — every rep
+re-scans parquet, so the real scan cost stays in. Timing covers plan +
+execution to a count of the result, i.e. what a user would wait for.
 """
 
 from __future__ import annotations
@@ -55,20 +59,32 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
     names = [n for n in HEADLINE if n in QUERIES]
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     # fall back: if a headline name is missing, still produce a line
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            sdf = df.df if hasattr(df, "df") else df
-            n = sdf.count()
-        except Exception as e:  # one broken query must not kill the line
-            print(f"# {name}: FAILED {e}", file=sys.stderr)
+        samples: list[float] = []
+        n = 0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                sdf = df.df if hasattr(df, "df") else df
+                n = sdf.count()
+            except Exception as e:  # one broken query must not kill the line
+                print(f"# {name}: FAILED {e}", file=sys.stderr)
+                samples = []
+                break
+            samples.append(time.perf_counter() - t0)
+        if not samples:
             continue
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 4)
+        detail = "/".join(f"{s:.2f}" for s in sorted(samples))
+        print(
+            f"# {name}: median {timings[name]:.3f}s of [{detail}] ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     try:

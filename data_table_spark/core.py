@@ -434,10 +434,14 @@ def derive_event_time(df: DataFrame) -> DataFrame:
             .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
             .select(*order)
         )
-    # already TimestampType (e.g. a re-written micros parquet)
+    # already TimestampType (e.g. a re-written micros parquet) — same
+    # column contract as the other branches: ts_ns in place of ts, then
+    # ts_us and ts appended, so every read path yields one schema
+    order = ["ts_ns" if c == "ts" else c for c in df.columns] + ["ts_us", "ts"]
     return (
         df.withColumn("ts_us", F.unix_micros(F.col("ts")))
         .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+        .select(*order)
     )
 
 

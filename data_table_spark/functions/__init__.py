@@ -107,24 +107,28 @@ def chmatch(x: Column | str, values: Sequence) -> Column:
 def chgroup(df, col: str, order: Sequence[str]):
     """chgroup (reference R/data.table.R chgroup, src/chmatch.c): group
     identical strings together, groups ordered by each value's FIRST
-    appearance in the declared order. Relational form: window-min of
-    the appearance rank per value, sort by (first_rank, rank) — two
-    codegen window passes, no per-row hashing. `order` names the
-    columns that define appearance order (the reference uses vector
-    position; a distributed engine needs it declared — same contract as
-    every positional op here)."""
-    from pyspark.sql import Window
+    appearance in the declared order. `order` names the columns that
+    define appearance order and must form a TOTAL order (the reference
+    uses vector position; a distributed engine needs it declared — same
+    contract as every positional op here; ties would make the grouping
+    nondeterministic).
 
+    Relational form (no global windows — the earlier two-window form
+    funneled all rows through one partition): per-value first-appearance
+    key via groupBy(col).agg(min(struct(order...))), joined back (one
+    row per distinct value — AQE broadcasts it when it fits), then a
+    distributed range-partitioned sort on (first_key, order...). One
+    agg shuffle + one sort shuffle, both fully parallel."""
     sdf = df.df if hasattr(df, "df") else df
-    pos = F.row_number().over(
-        Window.orderBy(*[F.col(c) for c in order])
+    order_cols = [F.col(c) for c in order]
+    firsts = sdf.groupBy(col).agg(
+        F.min(F.struct(*order_cols)).alias("__first__")
     )
-    first = F.min("__pos__").over(Window.partitionBy(col))
     return (
-        sdf.withColumn("__pos__", pos)
-        .withColumn("__first__", first)
-        .orderBy("__first__", "__pos__")
-        .drop("__pos__", "__first__")
+        sdf.join(firsts, on=col, how="inner")
+        .orderBy(F.col("__first__"), *order_cols)
+        .drop("__first__")
+        .select(*sdf.columns)
     )
 
 
@@ -187,7 +191,8 @@ def as_itime(x: Column | str) -> Column:
     """as.ITime (reference R/IDateTime.R:175): from a timestamp/date
     (seconds-of-day of its wall clock), an 'HH:MM:SS' / 'HH:MM' string,
     or an integer second count (taken modulo day, negative wraps —
-    matching the integer-storage semantics)."""
+    matching the integer-storage semantics). A bare date (DateType or
+    'YYYY-MM-DD' literal) is midnight → 0, matching as.ITime(Date)."""
     c = _col(x)
     secs = (
         F.when(
@@ -195,6 +200,10 @@ def as_itime(x: Column | str) -> Column:
             F.hour(c.cast("timestamp")) * 3600
             + F.minute(c.cast("timestamp")) * 60
             + F.second(c.cast("timestamp")),
+        )
+        .when(
+            c.cast("string").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+            F.lit(0),
         )
         .when(
             c.cast("string").rlike("^[0-9]{1,2}:[0-9]{2}(:[0-9]{2})?$"),

@@ -322,24 +322,54 @@ def _is_small(y: DT) -> bool:
 
 
 def eachi(x: DT, y: DT, on=None, j: Mapping | None = None, nomatch=None) -> DT:
-    """``X[Y, j, by=.EACHI]`` — evaluate j once per Y row over its matches
-    (reference R/data.table.R:573,915-959). Groups by the Y join keys
-    (plus Y payload), aggregates j."""
+    """``X[Y, j, by=.EACHI]`` — evaluate j once per Y ROW over its matches
+    (reference R/data.table.R:573,915-959), NOT per distinct key value:
+    two Y rows carrying the same key each produce their own output row.
+
+    Implemented by tagging each Y row with a unique id before the lookup
+    and grouping on (id, join keys); the id is dropped from the output.
+    One shuffle on the (id, key) tuple — same cost shape as grouping on
+    the key alone, and no driver involvement.
+    """
     pairs = _resolve_on(x, y, on)
-    joined = lookup(x, y, on=on, nomatch="NA" if nomatch == "NA" else None)
+    y_tagged = DT(
+        y.df.withColumn(_YID, F.monotonically_increasing_id()),
+        key=y.key,
+        order_by=y.order_by,
+    )
+    joined = lookup(x, y_tagged, on=on, nomatch="NA" if nomatch == "NA" else None)
     group_cols = [b for _, _, b in pairs]
     exprs = [
         (F.expr(v) if isinstance(v, str) else v).alias(k) for k, v in (j or {}).items()
     ]
-    return DT(joined.df.groupBy(*group_cols).agg(*exprs))
+    out = joined.df.groupBy(_YID, *group_cols).agg(*exprs).drop(_YID)
+    return DT(out)
 
 
 def mergelist(tables: Sequence[DT], on=None, how: str = "left", mult: str = "all") -> DT:
-    """mergelist — n-way fold of joins (reference R/mergelist.R:347)."""
+    """mergelist — n-way fold of joins (reference R/mergelist.R:84-259,347).
+
+    ``mult`` applies per fold step to the incoming (right) table's matches,
+    as the reference's per-step cardinality control:
+
+    - "all" (default): every matching right row.
+    - "first"/"last": the right table is reduced to one row per join key
+      (first/last in its declared key/order, else table order via a
+      monotonic id) BEFORE the merge — a per-key window shuffle on the
+      small right side, no driver involvement.
+    - "error": raise if the right table carries duplicate join keys
+      (reference mergelist mult="error" semantics); costs one extra
+      aggregate job on the right side.
+    """
     if not tables:
         raise ValueError("empty table list")
+    if mult not in ("all", "first", "last", "error"):
+        raise ValueError(f'bad mult: {mult!r}')
     acc = tables[0]
     for t in tables[1:]:
+        if mult != "all" and how in ("left", "inner", "full", "right"):
+            by = _namelist(on) or [c for c in acc.columns if c in t.columns]
+            t = _apply_mult(t, by, mult)
         if how == "cross":
             acc = DT(acc.df.crossJoin(t.df))
         elif how in ("semi", "anti"):
@@ -352,6 +382,35 @@ def mergelist(tables: Sequence[DT], on=None, how: str = "left", mult: str = "all
         else:
             raise ValueError(f"bad how: {how}")
     return acc
+
+
+def _apply_mult(t: DT, by: Sequence[str], mult: str) -> DT:
+    """Reduce ``t`` to one row per ``by`` key (mult="first"/"last") or
+    raise on duplicate keys (mult="error")."""
+    if not by:
+        raise ValueError("mergelist mult requires join columns")
+    if mult == "error":
+        dups = t.df.groupBy(*by).count().filter(F.col("count") > 1)
+        if dups.limit(1).count() > 0:
+            raise ValueError(
+                'mergelist(mult="error"): right table has duplicate join keys'
+            )
+        return t
+    order_cols = [c for c in (t.key or t.order_by) if c in t.columns and c not in by]
+    tdf = t.df
+    if not order_cols:
+        tdf = tdf.withColumn("__ord__", F.monotonically_increasing_id())
+        order_cols = ["__ord__"]
+    ordering = [
+        F.col(c).desc() if mult == "last" else F.col(c).asc() for c in order_cols
+    ]
+    w = Window.partitionBy(*by).orderBy(*ordering)
+    out = (
+        tdf.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__", "__ord__")
+    )
+    return DT(out, key=t.key, order_by=t.order_by)
 
 
 def CJ(spark, sorted_: bool = True, unique: bool = False, **cols) -> DT:

@@ -593,20 +593,30 @@ def q_ivf_ann_topk(spark, sf_dir):
     """IVF coarse-quantized ANN (KMeans cells + n_probe search): the
     inverted-file scale path alongside the hyperplane LSH variant,
     recall-checked against the exact brute-force top-5 (seeded KMeans →
-    deterministic cells → deterministic hit count). n_probe=2 of 16
-    cells scans ~1/8 of the corpus; measured recall@5 = 0.325 at
-    sf0.01 (the low-similarity regime scatters true neighbors across
-    cells; raising n_probe trades scan fraction for recall), bound
-    asserts >= 0.25."""
+    deterministic cells → deterministic hit count). n_probe=6 of 16
+    cells scans ~3/8 of the corpus (the testdata's low-similarity
+    regime scatters true neighbors across cells; n_probe trades scan
+    fraction for recall — measured recall@5 at sf0.01: 0.425 @2,
+    0.675 @4, 0.775 @6, 0.875 @8). Bound asserts >= 0.6 — a real
+    contract (an index returning mostly junk fails), with 0.175
+    margin against dataset drift.
+
+    SF-dependence of the bound (ADVICE r4): recall varies with corpus
+    size/geometry — measured for THIS config across SFs: 0.775 @
+    sf0.001, 0.775 @ sf0.01, 0.700 @ sf0.1, so the 0.6 bound holds
+    with >= 0.1 margin at every generated SF. A driver SF change
+    beyond these must re-measure before a red row is read as an ANN
+    regression. Same caveat applies to lsh_ann_topk (0.7) and
+    sq8_ann_topk (0.8), both measured at sf0.01."""
     from .pipeline import ivf_ann_topk
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].df
     approx = ivf_ann_topk(
-        emb, n_centroids=16, n_probe=2, query_ids_below=8, k=5
+        emb, n_centroids=16, n_probe=6, query_ids_below=8, k=5
     )
     exact = cosine_topk(emb, query_ids_below=8, k=5)
-    return _ann_recall_result(approx, exact, bound=0.25)
+    return _ann_recall_result(approx, exact, bound=0.6)
 
 
 @query(

@@ -620,3 +620,56 @@ def test_chgroup_first_appearance(spark):
     )
     got = [r.s for r in chgroup(df, "s", ["pos"]).collect()]
     assert got == ["b", "b", "a", "a", "c"]
+
+
+def test_eachi_duplicate_i_rows(spark):
+    """by=.EACHI evaluates j once per i ROW, not per distinct key
+    (reference R/data.table.R:915-959): two Y rows with the same key
+    each produce their own output row."""
+    from data_table_spark.operators.joins import eachi
+
+    x = DT(spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "k int, v double"
+    ))
+    y = DT(spark.createDataFrame(
+        [(1,), (1,), (2,)], "k int"
+    ))
+    out = eachi(x, y, on="k", j={"n": F.count(F.lit(1)),
+                                 "s": F.sum("v")})
+    rows = sorted(out.df.collect(), key=lambda r: (r.k, r.n))
+    # key 1 appears TWICE in y -> two identical groups; key 2 once
+    assert [(r.k, r.n, r.s) for r in rows] == [
+        (1, 2, 30.0), (1, 2, 30.0), (2, 1, 5.0)
+    ]
+
+
+def test_mergelist_mult_first_last_error(spark):
+    """mergelist mult= is per-step cardinality control (reference
+    R/mergelist.R:84-259), not a silently-ignored parameter."""
+    from data_table_spark.operators.joins import mergelist
+
+    left = DT(spark.createDataFrame([(1, "L1"), (2, "L2")], "k int, l string"))
+    dup = DT(
+        spark.createDataFrame(
+            [(1, 100), (1, 200), (2, 300)], "k int, r int"
+        ),
+        order_by=["r"],
+    )
+    first = mergelist([left, dup], on="k", how="left", mult="first")
+    got = sorted((r.k, r.r) for r in first.df.collect())
+    assert got == [(1, 100), (2, 300)]
+
+    last = mergelist([left, dup], on="k", how="left", mult="last")
+    got = sorted((r.k, r.r) for r in last.df.collect())
+    assert got == [(1, 200), (2, 300)]
+
+    with pytest.raises(ValueError, match="duplicate join keys"):
+        mergelist([left, dup], on="k", how="left", mult="error")
+
+    # unique right keys pass mult="error" untouched
+    uniq = DT(spark.createDataFrame([(1, 100), (2, 300)], "k int, r int"))
+    ok = mergelist([left, uniq], on="k", how="left", mult="error")
+    assert ok.df.count() == 2
+
+    with pytest.raises(ValueError, match="bad mult"):
+        mergelist([left, uniq], on="k", how="left", mult="bogus")
