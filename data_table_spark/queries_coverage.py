@@ -580,3 +580,49 @@ def q_cogroup(spark, sf_dir):
         " total_spend double",
     )
     return out.df
+
+
+@query(
+    "setindex_bucketed",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_setindex_bucketed(spark, sf_dir):
+    """Physical secondary index (reference R/setkey.R:11-19): persist
+    orders AND customer bucketed+sorted on the custkey via
+    setindex_physical, then join on the index columns — both sides
+    read pre-hashed buckets, so the join runs with ZERO exchanges
+    (asserted by test_setindex_bucketed_elides_exchange; the only
+    shuffle left in this plan is the final group-by). The durable
+    100 TB shape: the shuffle is paid once at write, not per query."""
+    import os
+
+    from .sources import setindex_physical
+
+    os.makedirs("/root/repo/.tmp/bucketed", exist_ok=True)
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].query(j=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = t["customer"].query(j=["c_custkey", "c_mktsegment"])
+    obk = setindex_physical(
+        orders, spark, "dts_orders_bk", "o_custkey", n_buckets=8,
+        path="/root/repo/.tmp/bucketed/orders_bk",
+    )
+    cbk = setindex_physical(
+        cust, spark, "dts_customer_bk", "c_custkey", n_buckets=8,
+        path="/root/repo/.tmp/bucketed/customer_bk",
+    )
+    joined = obk.df.join(
+        cbk.df, obk.df["o_custkey"] == cbk.df["c_custkey"], "inner"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -10,6 +10,9 @@ is an anti-pattern, so `fwrite` writes a directory unless asked).
 """
 
 from .fread import fread, fread_parquet
-from .fwrite import fwrite, fwrite_parquet
+from .fwrite import fwrite, fwrite_parquet, setindex_physical
 
-__all__ = ["fread", "fread_parquet", "fwrite", "fwrite_parquet"]
+__all__ = [
+    "fread", "fread_parquet", "fwrite", "fwrite_parquet",
+    "setindex_physical",
+]

@@ -288,7 +288,10 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
     except ImportError as e:
         raise ImportError(
             "stateful_user_stats_tws needs the `protobuf` package"
-            " (transformWithStateInPandas state protocol); use"
+            " (transformWithStateInPandas speaks protobuf to the JVM"
+            " state server; PySpark 4.x pins protobuf==5.28.x in its"
+            " connect/streaming extras — `pip install 'protobuf>=5.28'`"
+            " in an environment that allows it); use"
             " stateful_user_stats (applyInPandasWithState) instead"
         ) from e
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle

@@ -673,3 +673,31 @@ def test_mergelist_mult_first_last_error(spark):
 
     with pytest.raises(ValueError, match="bad mult"):
         mergelist([left, uniq], on="k", how="left", mult="bogus")
+
+
+def test_setindex_bucketed_elides_exchange(spark):
+    """Physical setindex (bucketed+sorted saveAsTable, reference
+    R/setkey.R:11-19): a join on the index columns of two bucketed
+    tables must read pre-hashed buckets and run with ZERO exchanges
+    before the join — the only shuffle in join+group-by is the final
+    group-by (1 Exchange total, vs 3 for the raw-parquet plan)."""
+    import contextlib
+    import io
+    import re
+
+    from data_table_spark.queries import QUERIES
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["setindex_bucketed"](spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    # both scans actually read bucket metadata
+    assert plan.count("SelectedBucketsCount") == 2

@@ -40,6 +40,9 @@ SKIP = {  # streaming queries execute eagerly; fread writes files
     "stream_tumbling_agg", "stream_sliding_agg", "stream_session_agg",
     "stream_dedup", "stream_static_join", "stream_decontaminate",
     "fread_fwrite_roundtrip",
+    # writes bucketed tables; its exchange-elision contract is asserted
+    # directly by tests/test_api_unit.py::test_setindex_bucketed_elides_exchange
+    "setindex_bucketed",
     # iterative label propagation executes during construction
     # (localCheckpoint per round); the interesting plans are the pair
     # generators, audited under their own names
