@@ -450,13 +450,35 @@ def jaccard_prefix_pairs(
     )
     prefix = ranked.filter(
         F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("doc_id", "s", "sz")
+    ).select("doc_id", "s", "sz", "rk")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin in-join filters (both codegen'd, applied BEFORE the
+    # distinct, which is what keeps the candidate set bounded when the
+    # shingle space saturates — measured on the synthetic corpus, whose
+    # ~30k distinct shingles over 2.6M rows make prefixes alone prune
+    # poorly):
+    # - length filter: jaccard >= t forces t*|B| <= |A| (and symm.)
+    # - position filter: a match at prefix ranks (rka, rkb) caps the
+    #   achievable overlap at min(|A|-rka, |B|-rkb)+1, which must reach
+    #   alpha = ceil(t/(1+t) * (|A|+|B|)) (PPJoin's Allen et al. bound)
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.sz") + F.col("b.sz"))
+    )
+    max_overlap = (
+        F.least(
+            F.col("a.sz") - F.col("a.rk"), F.col("b.sz") - F.col("b.rk")
+        )
+        + 1
+    )
     cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz")))
+            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
+            & (max_overlap >= alpha),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

@@ -626,3 +626,75 @@ def q_setindex_bucketed(spark, sf_dir):
         .cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "na_omit_cols",
+    """
+    SELECT event_id,
+           CASE WHEN value < 0.2 THEN NULL ELSE value END AS v2,
+           event_type
+    FROM events
+    WHERE NOT (value < 0.2)
+    """,
+)
+def q_na_omit_cols(spark, sf_dir):
+    """na.omit with cols= (reference R/data.table.R:2640-2674): drop
+    rows that are NA in the NAMED columns only — other columns may
+    keep their NAs. Nulls are synthesized (the testdata carries none);
+    the filter is a narrow scan predicate, fully pushed down."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].let(
+        v2=F.when(F.col("value") < 0.2, F.lit(None)).otherwise(
+            F.col("value")
+        )
+    )
+    out = ev.na_omit(cols=["v2"])
+    return out.query(j=["event_id", "v2", "event_type"]).df
+
+
+@query(
+    "fdistinct_last",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1
+    """,
+)
+def q_fdistinct_last(spark, sf_dir):
+    """fdistinct(mult="last") (reference R/mergelist.R:50): one row per
+    key keeping the LAST row's payload in declared order — per-key
+    window rank, one shuffle on the key, no global ordering."""
+    from .operators.grouping import fdistinct
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].query(
+        j=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    out = fdistinct(orders, on="o_custkey", mult="last",
+                    order=["o_orderkey"])
+    return out.df
+
+
+@query(
+    "which_rows",
+    """
+    SELECT which FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY n_nationkey) AS which,
+               n_regionkey
+        FROM nation) t
+    WHERE n_regionkey = 2
+    """,
+)
+def q_which_rows(spark, sf_dir):
+    """DT[i, which=TRUE] (reference R/data.table.R:617-619): 1-based
+    global row positions of matching rows. Global positions need a
+    total order — the op documents its single-reducer cost and is
+    meant for small/driver-bound outputs (here: the 25-row nation
+    dim)."""
+    from .core import DT
+
+    t = load_tables(spark, sf_dir)
+    nation = DT(t["nation"].df, order_by=["n_nationkey"])
+    return nation.which(F.col("n_regionkey") == 2)

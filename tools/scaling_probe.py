@@ -5,10 +5,16 @@ local[32]); super-linear growth flags a pair-explosion or a
 single-reducer choke.
 
 Usage: python tools/scaling_probe.py [q1 q2 ...]
+Env:   SPARK_GRAFT_SFS  comma-separated SF dirs (default the three
+       driver SFs; add e.g. /root/repo/.tmp/sf1 from
+       tools/make_scale_data.py for a dynamic point above sf0.1)
+       SPARK_GRAFT_PROBE_REPS  reps per (query, sf); median reported
+       (default 1 for backward compatibility).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -20,8 +26,10 @@ DEFAULT = [
     "text_quality",
 ]
 
-SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
-       "/root/testdata/sf0.1"]
+SFS = os.environ.get(
+    "SPARK_GRAFT_SFS",
+    "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1",
+).split(",")
 
 
 def main():
@@ -29,25 +37,28 @@ def main():
     from data_table_spark.queries import QUERIES
 
     names = sys.argv[1:] or DEFAULT
+    reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "1"))
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(f"{SFS[0]}/nation.parquet").count()  # warm-up
 
-    print(f"| query | sf0.001 | sf0.01 | sf0.1 | 0.1/0.01 ratio |")
-    print("|---|---|---|---|---|")
+    labels = [os.path.basename(s.rstrip("/")) for s in SFS]
+    print("| query | " + " | ".join(labels) + " | last/prev ratio |")
+    print("|---|" + "---|" * (len(SFS) + 1))
     for name in names:
         fn = QUERIES[name]
         ts = []
         for sf in SFS:
-            t0 = time.perf_counter()
-            df = fn(spark, sf)
-            (df.df if hasattr(df, "df") else df).count()
-            ts.append(time.perf_counter() - t0)
-        ratio = ts[2] / ts[1] if ts[1] > 0 else float("nan")
-        print(
-            f"| {name} | {ts[0]:.2f}s | {ts[1]:.2f}s | {ts[2]:.2f}s "
-            f"| {ratio:.1f}x |"
-        )
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df = fn(spark, sf)
+                (df.df if hasattr(df, "df") else df).count()
+                samples.append(time.perf_counter() - t0)
+            ts.append(sorted(samples)[len(samples) // 2])
+        ratio = ts[-1] / ts[-2] if ts[-2] > 0 else float("nan")
+        cells = " | ".join(f"{t:.2f}s" for t in ts)
+        print(f"| {name} | {cells} | {ratio:.1f}x |")
 
 
 if __name__ == "__main__":
