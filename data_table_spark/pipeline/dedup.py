@@ -50,8 +50,43 @@ SIMHASH_BANDS = 4  # exact for hamming <= SIMHASH_BANDS - 1
 def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: keep the min-id row per distinct value of `cols`.
     Hash-shuffle on the content columns; map-side partial aggregation
-    makes this one narrow pass + one shuffle of distinct values only."""
+    makes this one narrow pass + one shuffle of distinct values only.
+    Returns the content columns — when only the surviving ids are
+    needed (the usual keep-list at corpus scale), `dedup_exact_ids`
+    shuffles a 128-bit digest instead of the content bytes."""
     return df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
+
+
+def dedup_exact_ids(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep-list form of exact dedup: the surviving id per distinct
+    content value, grouped on a 128-bit md5 of the content columns so
+    the shuffle carries (16-byte digest, id) PER ROW instead of the
+    content itself — at 100 TB that is the difference between shuffling
+    ~tens of bytes per document and re-shuffling the corpus. Collision
+    odds are the md5 birthday bound: ~1e-15 at 10^12 documents, far
+    below any hardware error rate, so the result is exact for every
+    real corpus. Columns are joined with an \\x1f separator so
+    ("ab","c") and ("a","bc") hash differently, and each value is
+    length-prefixed so NULL (encoded as a bare "n") can never collide
+    with any real string (concat_ws would otherwise silently DROP
+    nulls, merging ("a",NULL,"b") with ("a","b"))."""
+    enc = [
+        F.coalesce(
+            F.concat(
+                F.length(F.col(c).cast("string")).cast("string"),
+                F.lit(":"),
+                F.col(c).cast("string"),
+            ),
+            F.lit("n"),
+        )
+        for c in cols
+    ]
+    key = F.md5(F.concat_ws("\x1f", *enc))
+    return (
+        df.groupBy(key.alias("__h__"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -1151,3 +1151,19 @@ def q_sq8_ann_topk(spark, sf_dir):
     approx = sq8_cosine_topk(emb, query_ids_below=8, k=5)
     exact = cosine_topk(emb, query_ids_below=8, k=5)
     return _ann_recall_result(approx, exact, bound=0.8)
+
+
+@query(
+    "dedup_exact_ids",
+    "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+)
+def q_dedup_exact_ids(spark, sf_dir):
+    """Keep-list exact dedup (the 100 TB form): group on a 128-bit md5
+    of the content so the shuffle carries (digest, id) rows — bytes per
+    document — instead of the text itself; output is just the surviving
+    ids. See pipeline.dedup.dedup_exact_ids for the collision-bound
+    argument (md5 birthday ~1e-15 at 10^12 docs)."""
+    from .pipeline import dedup_exact_ids
+
+    t = load_tables(spark, sf_dir)
+    return dedup_exact_ids(t["documents"].df, ["text"], "doc_id")

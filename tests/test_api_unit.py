@@ -701,3 +701,23 @@ def test_setindex_bucketed_elides_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     # both scans actually read bucket metadata
     assert plan.count("SelectedBucketsCount") == 2
+
+
+def test_dedup_exact_ids_null_and_boundary_safe(spark):
+    """dedup_exact_ids groups on a length-prefixed md5: NULL patterns
+    and value-boundary shifts must NOT merge (concat_ws would drop
+    nulls; unprefixed concat would merge ('ab','c') with ('a','bc'))."""
+    from data_table_spark.pipeline import dedup_exact_ids
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "b"), (2, "a", "b"),       # true dup -> keep 1
+            (3, "ab", None), (4, None, "ab"),   # distinct null patterns
+            (5, "ab", "c"), (6, "a", "bc"),     # boundary shift
+        ],
+        "id int, x string, y string",
+    )
+    kept = sorted(
+        r.id for r in dedup_exact_ids(df, ["x", "y"], "id").collect()
+    )
+    assert kept == [1, 3, 4, 5, 6]

@@ -34,6 +34,7 @@ EXPECT_NESTED_LOOP = {
     # crossJoin (1x1 rows by construction) — the candidate generation
     # itself is bucketed equi-join, audited via the underlying ops
     "embedding_lsh_pairs", "lsh_ann_topk", "ivf_ann_topk",
+    "sq8_ann_topk",
 }
 
 SKIP = {  # streaming queries execute eagerly; fread writes files
