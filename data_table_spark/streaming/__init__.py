@@ -53,12 +53,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp ts), so batch and stream agree to the microsecond."""
     from ..core import derive_event_time
 
-    raw = (
-        spark.readStream.schema(_events_schema(spark, sf_dir))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    raw = _parquet_stream(
+        spark.readStream.schema(_events_schema(spark, sf_dir)),
+        sf_dir,
+        "events.parquet",
     )
     return derive_event_time(raw)
+
+
+def _parquet_stream(reader, sf_dir: str, name: str) -> DataFrame:
+    """Stream one named table from sf_dir, handling BOTH physical
+    layouts: the driver testdata's single file (`<dir>/<name>` is a
+    file → pathGlobFilter on the parent) and Spark-written output
+    (`<dir>/<name>` is a DIRECTORY of part files → stream the
+    directory; a name glob would match nothing and silently yield an
+    empty stream, which bit the sf1 scale sweep)."""
+    path = f"{sf_dir}/{name}"
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", name).parquet(sf_dir)
 
 
 DOCUMENTS_SCHEMA = T.StructType([
@@ -74,10 +87,9 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet (the continuous-
     ingest posture of a training-data pipeline: each arriving file is a
     micro-batch of new documents)."""
-    return (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+    return _parquet_stream(
+        spark.readStream.schema(DOCUMENTS_SCHEMA), sf_dir,
+        "documents.parquet",
     )
 
 

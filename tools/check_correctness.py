@@ -73,7 +73,12 @@ def main():
         spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single files; Spark-written data (e.g.
+        # tools/make_scale_data.py output) is a directory of part files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
