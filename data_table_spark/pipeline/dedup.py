@@ -81,7 +81,9 @@ def dedup_exact_ids(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
         )
         for c in cols
     ]
-    key = F.md5(F.concat_ws("\x1f", *enc))
+    # unhex -> BinaryType so the grouping key really is 16 bytes on the
+    # wire, not md5's 32-char hex string
+    key = F.unhex(F.md5(F.concat_ws("\x1f", *enc)))
     return (
         df.groupBy(key.alias("__h__"))
         .agg(F.min(id_col).alias(id_col))
@@ -468,8 +470,22 @@ def jaccard_prefix_pairs(
     more importantly, hot (frequent) shingles mostly fall OUT of
     prefixes, collapsing the quadratic bucket blowup on common
     shingles. Verification is the same relational exact-Jaccard count
-    as the LSH path."""
+    as the LSH path.
+
+    LOSSLESSNESS UNDER FLOAT: every ceil'd bound here subtracts _EPS
+    first. t*|s| and t/(1+t)*(|A|+|B|) are float products whose last
+    bit can land ABOVE the exact rational value (0.8*35 =
+    28.000000000000004 -> ceil 29, wrongly excluding a pair at jaccard
+    exactly 0.8). ceil(x - eps) relaxes each bound by at most one unit
+    in those boundary cases — a few extra CANDIDATES, which exact
+    verification then filters, so the output stays bit-identical to
+    the exact oracle while the pruning claim stays honest."""
     from pyspark.sql import Window as _W
+
+    _EPS = 1e-6  # >> float64 rounding error at any realistic t*|s|
+
+    def _fceil(x):
+        return F.ceil(x - F.lit(_EPS))
 
     sr = shingle_rows(docs, n)
     df_freq = sr.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -484,7 +500,7 @@ def jaccard_prefix_pairs(
         .withColumn("sz", F.count(F.lit(1)).over(_W.partitionBy("doc_id")))
     )
     prefix = ranked.filter(
-        F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        F.col("rk") <= F.col("sz") - _fceil(F.lit(threshold) * F.col("sz")) + 1
     ).select("doc_id", "s", "sz", "rk")
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin in-join filters (both codegen'd, applied BEFORE the
@@ -496,7 +512,7 @@ def jaccard_prefix_pairs(
     # - position filter: a match at prefix ranks (rka, rkb) caps the
     #   achievable overlap at min(|A|-rka, |B|-rkb)+1, which must reach
     #   alpha = ceil(t/(1+t) * (|A|+|B|)) (PPJoin's Allen et al. bound)
-    alpha = F.ceil(
+    alpha = _fceil(
         F.lit(threshold / (1.0 + threshold))
         * (F.col("a.sz") + F.col("b.sz"))
     )
@@ -511,8 +527,8 @@ def jaccard_prefix_pairs(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz")))
-            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
+            & (F.col("a.sz") >= _fceil(F.lit(threshold) * F.col("b.sz")))
+            & (F.col("b.sz") >= _fceil(F.lit(threshold) * F.col("a.sz")))
             & (max_overlap >= alpha),
         )
         .select(

@@ -599,23 +599,31 @@ def q_setindex_bucketed(spark, sf_dir):
     setindex_physical, then join on the index columns — both sides
     read pre-hashed buckets, so the join runs with ZERO exchanges
     (asserted by test_setindex_bucketed_elides_exchange; the only
-    shuffle left in this plan is the final group-by). The durable
-    100 TB shape: the shuffle is paid once at write, not per query."""
+    shuffle left in this plan is the final group-by). At 100 TB the
+    write is a one-time indexing job and every later query reuses the
+    buckets; THIS gate query performs write+read in one call to stay
+    self-contained, so its wall time includes the indexing write.
+    Table names and paths carry the Spark applicationId so concurrent
+    gate sessions (pytest + check_correctness, or two SFs) never race
+    on shared catalog entries or part files."""
     import os
+    import re as _re
 
     from .sources import setindex_physical
 
-    os.makedirs("/root/repo/.tmp/bucketed", exist_ok=True)
+    tag = _re.sub(r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId)
+    base = f"/root/repo/.tmp/bucketed/{tag}"
+    os.makedirs(base, exist_ok=True)
     t = load_tables(spark, sf_dir)
     orders = t["orders"].query(j=["o_orderkey", "o_custkey", "o_totalprice"])
     cust = t["customer"].query(j=["c_custkey", "c_mktsegment"])
     obk = setindex_physical(
-        orders, spark, "dts_orders_bk", "o_custkey", n_buckets=8,
-        path="/root/repo/.tmp/bucketed/orders_bk",
+        orders, spark, f"dts_orders_bk_{tag}", "o_custkey", n_buckets=8,
+        path=f"{base}/orders_bk",
     )
     cbk = setindex_physical(
-        cust, spark, "dts_customer_bk", "c_custkey", n_buckets=8,
-        path="/root/repo/.tmp/bucketed/customer_bk",
+        cust, spark, f"dts_customer_bk_{tag}", "c_custkey", n_buckets=8,
+        path=f"{base}/customer_bk",
     )
     joined = obk.df.join(
         cbk.df, obk.df["o_custkey"] == cbk.df["c_custkey"], "inner"

@@ -721,3 +721,27 @@ def test_dedup_exact_ids_null_and_boundary_safe(spark):
         r.id for r in dedup_exact_ids(df, ["x", "y"], "id").collect()
     )
     assert kept == [1, 3, 4, 5, 6]
+
+
+def test_ppjoin_lossless_at_exact_threshold(spark):
+    """PPJoin filters must keep a pair whose jaccard is EXACTLY the
+    threshold: 0.8*35 floats to 28.000000000000004, so an un-relaxed
+    ceil turns the bound into 29 and wrongly prunes |A|=28, |B|=35,
+    overlap 28 (jaccard = 28/35 = 0.8). The prefix/length/position
+    ceils subtract an epsilon so candidate generation stays lossless."""
+    from data_table_spark.pipeline import (
+        jaccard_prefix_pairs, ngram_jaccard_pairs,
+    )
+
+    words_a = [f"w{i}" for i in range(30)]         # 28 shingles
+    words_b = words_a + [f"x{i}" for i in range(7)]  # 35 shingles, 28 shared
+    df = spark.createDataFrame(
+        [(1, " ".join(words_a)), (2, " ".join(words_b))],
+        "doc_id long, text string",
+    )
+    exact = {(r.doc_a, r.doc_b) for r in
+             ngram_jaccard_pairs(df, threshold=0.8).collect()}
+    pp = {(r.doc_a, r.doc_b) for r in
+          jaccard_prefix_pairs(df, threshold=0.8).collect()}
+    assert exact == {(1, 2)}
+    assert pp == exact

@@ -56,7 +56,9 @@ def main():
                 (df.df if hasattr(df, "df") else df).count()
                 samples.append(time.perf_counter() - t0)
             ts.append(sorted(samples)[len(samples) // 2])
-        ratio = ts[-1] / ts[-2] if ts[-2] > 0 else float("nan")
+        ratio = (
+            ts[-1] / ts[-2] if len(ts) >= 2 and ts[-2] > 0 else float("nan")
+        )
         cells = " | ".join(f"{t:.2f}s" for t in ts)
         print(f"| {name} | {cells} | {ratio:.1f}x |")
 
