@@ -29,8 +29,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 registration-order
 # entries. Round-5 window (VERDICT r4 items 1-4 + NOTES_r4 plan):
-# (a) the last 5 never-driver-checked queries — green rows here close
-#     the cumulative gap to 121/121 (plus the two round-5 additions);
+# (a) the last 5 never-driver-checked r4 queries PLUS the 4 queries
+#     ADDED this round — green rows here close the cumulative gap to
+#     126/126;
 # (b) queries whose semantics/contract CHANGED this round: eachi now
 #     groups per i ROW (dup-key Y safe), ivf_ann_topk carries a real
 #     recall bound (0.6 at n_probe=6, was 0.25 at 2), setindex_bucketed
@@ -38,20 +39,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) canaries: one events read-path proof + one streaming event-time
 #     proof from the r4 fix (NOTES_r4 "Carried forward");
 # (d) refresh of the r1-green core surface (filters, joins, grouping,
-#     reshape, overlaps) not re-checked by the driver since round 1.
+#     reshape, overlaps) not re-checked by the driver since round 1
+#     (filter_notin/between/like and fifelse_fcase yielded their slots
+#     to the (a) additions; they stay r1-green + locally verified).
 # Everything else has been driver-green in r1-r4 and remains locally
 # verified by tools/check_correctness.py + pytest every session.
 _PRIORITY = [
     # (a) never driver-checked
     "frollapply_median", "froll_adaptive_median", "pii_scrub",
     "chunk_dedup_pairs", "sq8_ann_topk",
+    "na_omit_cols", "fdistinct_last", "which_rows", "dedup_exact_ids",
     # (b) changed this round
     "eachi_join_agg", "ivf_ann_topk", "setindex_bucketed",
     # (c) r4-fix canaries
     "shift_lag_lead", "stream_session_agg",
     # (d) r1-green refresh: scan/filter/compute surface
     "gforce_q1", "select_compute", "filter_scan", "filter_chin",
-    "filter_notin", "filter_between", "filter_like", "fifelse_fcase",
     # (d) r1-green refresh: join surface
     "lookup_join", "join_inner", "anti_join", "semi_join", "mult_first",
     "mult_last", "update_on_join", "merge_full", "cj_cross",
