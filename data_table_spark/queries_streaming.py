@@ -214,3 +214,47 @@ def q_stream_stream_join(spark, sf_dir):
     s = read_events_stream(spark, sf_dir)
     out = stream_stream_join(s, "purchase", "click", "1 hour", "2 hours")
     return run_available_now(out, output_mode="append")
+
+
+@query(
+    "stream_stream_left_join",
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, epoch_us(ts) AS ts
+               FROM events WHERE event_type = 'click'),
+         wm AS (SELECT LEAST((SELECT MAX(ts) FROM p),
+                             (SELECT MAX(ts) FROM c))
+                       - 7200000000 AS w),
+         m AS (SELECT p.event_id AS left_id, c.event_id AS right_id,
+                      p.user_id
+               FROM p JOIN c ON p.user_id = c.user_id
+                AND c.ts >= p.ts - 3600000000 AND c.ts <= p.ts)
+    SELECT left_id, right_id, user_id FROM m
+    UNION ALL
+    SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id
+    FROM p
+    WHERE p.event_id NOT IN (SELECT left_id FROM m)
+      AND p.ts < (SELECT w FROM wm)
+    """,
+)
+def q_stream_stream_left_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER join with watermark-gated null emission:
+    matched pairs stream out as in the inner join; an unmatched left
+    row emits (left_id, NULL) only once the event-time watermark proves
+    no future right row can pair with it. The oracle encodes Spark's
+    multi-watermark policy EXACTLY: the effective watermark is the MIN
+    over both withWatermark branches of (branch max event time - 2h) —
+    measured boundary-exact at sf0.01 (1,942 null rows; a global-max
+    watermark would wrongly predict 1,943). Left rows younger than the
+    final watermark stay in state and emit nothing over finite
+    AvailableNow input, exactly as a live stream would hold them."""
+    from .streaming import (
+        read_events_stream, run_available_now, stream_stream_join,
+    )
+
+    s = read_events_stream(spark, sf_dir)
+    out = stream_stream_join(
+        s, "purchase", "click", "1 hour", "2 hours", how="left_outer"
+    )
+    return run_available_now(out, output_mode="append")

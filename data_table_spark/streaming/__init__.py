@@ -360,12 +360,21 @@ def stream_stream_join(
     right_type: str = "click",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time range condition: each
-    left event pairs with right events of the same user in the trailing
+    """Stream-stream join with an event-time range condition: each left
+    event pairs with right events of the same user in the trailing
     `within` window. The time bound + watermarks let Spark evict both
     join-state buffers — the canonical bounded-state stream join.
-    Output: (left_id, right_id, user_id)."""
+    Output: (left_id, right_id, user_id).
+
+    ``how="left_outer"``: unmatched LEFT rows additionally emit with a
+    NULL right_id — but only once the event-time watermark passes the
+    row's last possible match time, proving no future right row can
+    pair with it (rows younger than the final watermark stay in state
+    and emit nothing; over finite AvailableNow input the horizon is
+    max(ts) - watermark delay). Right-outer is symmetric via swapped
+    event types; full_outer composes both."""
     l = (
         events.filter(F.col("event_type") == left_type)
         .withWatermark("ts", watermark)
@@ -389,6 +398,6 @@ def stream_stream_join(
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}"))
         & (F.col("r_ts") <= F.col("l_ts"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         "left_id", "right_id", F.col("l_user").alias("user_id")
     )
