@@ -706,3 +706,24 @@ def q_which_rows(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     nation = DT(t["nation"].df, order_by=["n_nationkey"])
     return nation.which(F.col("n_regionkey") == 2)
+
+
+@query(
+    "chmatch_rank",
+    """
+    SELECT doc_id,
+           CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 3
+           END AS lang_pos
+    FROM documents
+    """,
+)
+def q_chmatch_rank(spark, sf_dir):
+    """chmatch (reference src/chmatch.c:154): 1-based index of each
+    value's first match in a lookup vector, NULL when absent (zh/es
+    here) — compiled to a when-chain, pure codegen, no join."""
+    from .functions import chmatch
+
+    t = load_tables(spark, sf_dir)
+    return t["documents"].df.select(
+        "doc_id", chmatch("lang", ["en", "de", "fr"]).alias("lang_pos")
+    )
