@@ -403,3 +403,43 @@ def test_itime_format_parse_inverse(spark):
         "s", as_itime(itime_format(F.col("s"))).alias("back")
     ).filter(F.col("s") != F.col("back"))
     assert out.count() == 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=3, max_size=12,
+        ),
+        min_size=2, max_size=8,
+    ),
+    thr=st.sampled_from([0.5, 0.6, 0.8]),
+)
+def test_ppjoin_equals_exact_jaccard(spark, docs, thr):
+    """jaccard_prefix_pairs (PPJoin prefix+length+position filters) must
+    return EXACTLY the pairs of the unfiltered blocked join on any
+    corpus and threshold — the losslessness contract, stressed with a
+    5-word vocabulary so shingles collide heavily and short docs sit
+    on ceil boundaries."""
+    from data_table_spark.pipeline import (
+        jaccard_prefix_pairs, ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in ngram_jaccard_pairs(df, threshold=thr).collect()
+    }
+    pp = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in jaccard_prefix_pairs(df, threshold=thr).collect()
+    }
+    assert pp == exact
