@@ -59,7 +59,9 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
     names = [n for n in HEADLINE if n in QUERIES]
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # max(1, ·): reps<=0 would silently skip every query and emit a fake
+    # all-zero benchmark line
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # fall back: if a headline name is missing, still produce a line
     timings: dict[str, float] = {}
     for name in names:

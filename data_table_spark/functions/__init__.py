@@ -123,12 +123,14 @@ def chgroup(df, col: str, order: Sequence[str]):
     order_cols = [F.col(c) for c in order]
     firsts = sdf.groupBy(col).agg(
         F.min(F.struct(*order_cols)).alias("__first__")
-    )
+    ).withColumnRenamed(col, "__val__")
+    # null-safe equality: NULL group-values form their own group (as the
+    # reference and the former window form do) instead of being dropped
+    # by a null-unsafe equi-join
     return (
-        sdf.join(firsts, on=col, how="inner")
+        sdf.join(firsts, sdf[col].eqNullSafe(firsts["__val__"]), "inner")
         .orderBy(F.col("__first__"), *order_cols)
-        .drop("__first__")
-        .select(*sdf.columns)
+        .select(*[sdf[c] for c in sdf.columns])
     )
 
 

@@ -365,6 +365,11 @@ def mergelist(tables: Sequence[DT], on=None, how: str = "left", mult: str = "all
         raise ValueError("empty table list")
     if mult not in ("all", "first", "last", "error"):
         raise ValueError(f'bad mult: {mult!r}')
+    if mult != "all" and how not in ("left", "inner", "full", "right"):
+        # semi/anti never multiply rows and cross multiplies by design;
+        # accepting-and-ignoring mult here would repeat the silent no-op
+        # this argument was added to eliminate
+        raise ValueError(f'mult={mult!r} is not meaningful for how={how!r}')
     acc = tables[0]
     for t in tables[1:]:
         if mult != "all" and how in ("left", "inner", "full", "right"):
@@ -386,7 +391,10 @@ def mergelist(tables: Sequence[DT], on=None, how: str = "left", mult: str = "all
 
 def _apply_mult(t: DT, by: Sequence[str], mult: str) -> DT:
     """Reduce ``t`` to one row per ``by`` key (mult="first"/"last") or
-    raise on duplicate keys (mult="error")."""
+    raise on duplicate keys (mult="error"). Delegates the keep-one-row
+    window to grouping.unique (the one implementation of that pattern);
+    only the no-declared-order fallback (table order via a monotonic
+    id) lives here."""
     if not by:
         raise ValueError("mergelist mult requires join columns")
     if mult == "error":
@@ -396,21 +404,18 @@ def _apply_mult(t: DT, by: Sequence[str], mult: str) -> DT:
                 'mergelist(mult="error"): right table has duplicate join keys'
             )
         return t
+    from .grouping import unique
+
     order_cols = [c for c in (t.key or t.order_by) if c in t.columns and c not in by]
-    tdf = t.df
-    if not order_cols:
-        tdf = tdf.withColumn("__ord__", F.monotonically_increasing_id())
-        order_cols = ["__ord__"]
-    ordering = [
-        F.col(c).desc() if mult == "last" else F.col(c).asc() for c in order_cols
-    ]
-    w = Window.partitionBy(*by).orderBy(*ordering)
-    out = (
-        tdf.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .drop("__rn__", "__ord__")
+    if order_cols:
+        return unique(t, by=by, fromLast=(mult == "last"), order=order_cols)
+    tagged = DT(
+        t.df.withColumn("__ord__", F.monotonically_increasing_id()),
+        key=t.key,
+        order_by=t.order_by,
     )
-    return DT(out, key=t.key, order_by=t.order_by)
+    out = unique(tagged, by=by, fromLast=(mult == "last"), order=["__ord__"])
+    return DT(out.df.drop("__ord__"), key=t.key, order_by=t.order_by)
 
 
 def CJ(spark, sorted_: bool = True, unique: bool = False, **cols) -> DT:

@@ -608,12 +608,28 @@ def q_setindex_bucketed(spark, sf_dir):
     on shared catalog entries or part files."""
     import os
     import re as _re
+    import shutil
+    import time as _time
 
     from .sources import setindex_physical
 
     tag = _re.sub(r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId)
-    base = f"/root/repo/.tmp/bucketed/{tag}"
+    # tree-root-relative (not a hardcoded absolute path): a copied
+    # checkout writes under ITS OWN .tmp, never another tree's
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bucketed = os.path.join(root, ".tmp", "bucketed")
+    base = os.path.join(bucketed, tag)
     os.makedirs(base, exist_ok=True)
+    # bound disk growth: sweep sibling tags from sessions that ended
+    # hours ago (live concurrent sessions keep fresh mtimes; best-effort)
+    try:
+        cutoff = _time.time() - 6 * 3600
+        for d in os.listdir(bucketed):
+            p = os.path.join(bucketed, d)
+            if d != tag and os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
     t = load_tables(spark, sf_dir)
     orders = t["orders"].query(j=["o_orderkey", "o_custkey", "o_totalprice"])
     cust = t["customer"].query(j=["c_custkey", "c_mktsegment"])

@@ -393,11 +393,16 @@ def stream_stream_join(
             F.col("ts").alias("r_ts"),
         )
     )
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
+        raise ValueError(f"bad how for stream-stream join: {how!r}")
     cond = (
         (F.col("l_user") == F.col("r_user"))
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {within}"))
         & (F.col("r_ts") <= F.col("l_ts"))
     )
+    # coalesce: outer rows carry whichever side exists (an unmatched
+    # right row under right/full outer has only r_user)
     return l.join(r, cond, how).select(
-        "left_id", "right_id", F.col("l_user").alias("user_id")
+        "left_id", "right_id",
+        F.coalesce(F.col("l_user"), F.col("r_user")).alias("user_id"),
     )

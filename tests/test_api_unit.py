@@ -745,3 +745,28 @@ def test_ppjoin_lossless_at_exact_threshold(spark):
           jaccard_prefix_pairs(df, threshold=0.8).collect()}
     assert exact == {(1, 2)}
     assert pp == exact
+
+
+def test_chgroup_null_keys_kept(spark):
+    """chgroup must keep rows whose grouping value is NULL as their own
+    group (the agg+join form needs null-safe equality; a plain equi-join
+    silently dropped them)."""
+    from data_table_spark.functions import chgroup
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, None), (3, "b"), (4, None)],
+        "pos int, s string",
+    )
+    got = [r.s for r in chgroup(df, "s", ["pos"]).collect()]
+    assert got == ["b", "b", None, None]
+
+
+def test_mergelist_mult_rejected_for_semi(spark):
+    """mult= must not be silently ignored for join types it cannot
+    apply to (semi/anti never multiply; cross multiplies by design)."""
+    from data_table_spark.operators.joins import mergelist
+
+    a = DT(spark.createDataFrame([(1,)], "k int"))
+    b = DT(spark.createDataFrame([(1,), (1,)], "k int"))
+    with pytest.raises(ValueError, match="not meaningful"):
+        mergelist([a, b], on="k", how="semi", mult="error")

@@ -82,6 +82,7 @@ def main():
     results: dict[str, tuple[float, float]] = {}
     for name in common:
         ta, tb = [], []
+        broken = False
         for _ in range(reps):
             for fn, acc, snap, tree in (
                 (qa[name], ta, snap_a, tree_a),
@@ -93,8 +94,19 @@ def main():
                     df = fn(spark, sf_dir)
                     (df.df if hasattr(df, "df") else df).count()
                     acc.append(time.perf_counter() - t0)
+                except Exception as e:
+                    # one broken query (e.g. an older tree missing a
+                    # column) must not discard every other measurement
+                    print(f"# {name}: FAILED in {tree}: {e}",
+                          file=sys.stderr)
+                    broken = True
+                    break
                 finally:
                     _uninstall(tree)
+            if broken:
+                break
+        if broken or not ta or not tb:
+            continue
         med = lambda xs: sorted(xs)[len(xs) // 2]
         results[name] = (med(ta), med(tb))
         print(
