@@ -42,6 +42,8 @@ from .dedup import (
 )
 from .similarity import (
     cosine_topk,
+    pq_ann_topk,
+    pq_encode,
     cosine_pairs,
     lsh_ann_topk,
     ivf_ann_topk,
@@ -59,5 +61,6 @@ __all__ = [
     "dedup_exact", "dedup_exact_ids", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "simhash_pairs", "jaccard_prefix_pairs", "dedup_clusters",
     "cosine_topk", "cosine_pairs", "lsh_ann_topk", "ivf_ann_topk",
+    "pq_ann_topk", "pq_encode",
     "decontaminate", "keep_best", "chunk_documents", "repetition_metrics",
 ]

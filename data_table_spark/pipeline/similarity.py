@@ -477,3 +477,174 @@ def sq8_cosine_topk(
             F.round("cos_q", 4).alias("cos"),
         )
     )
+
+
+def pq_encode(
+    emb: DataFrame, m: int = 8, k_centroids: int = 16, seed: int = 42
+):
+    """Product quantization (the faiss-PQ storage layout): split each
+    vector into `m` subvectors, KMeans each subspace to `k_centroids`
+    centroids, store per vector only the m centroid codes + the true
+    norm — 64 float32 dims become 8 nibble-codes (32x compression at
+    k=16). Returns (encoded df: vec_id, nrm, c0..c{m-1}, v;
+    centroids[m][k][sub_dim]).
+
+    Scale posture: the m KMeans fits are TRAINING — at corpus scale
+    they run on a sample (faiss trains on ~100k vectors regardless of
+    corpus size); encoding itself is one narrow pass per subspace.
+    Centroid tables are tiny by construction (m*k*sub_dim floats)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # persist for the duration of the m fits: each KMeans triggers
+    # several jobs, and without the cache every one re-reads the scan +
+    # all previous assignment projections (the documented AQE-pinning
+    # cost of persist() doesn't matter inside a bounded training loop).
+    # coalesce(8): a training set of thousands of rows scheduled over
+    # hundreds of default shuffle partitions pays pure task overhead —
+    # KMeans runs many small jobs, so partition count dominates its
+    # wall time at gate SFs.
+    c = _corpus(emb).coalesce(8).persist()
+    try:
+        dim = len(c.select("v").first()["v"])
+        sub = dim // m
+        assigned = c
+        centroids = []
+        for s in range(m):
+            sl = F.slice(F.col("v"), s * sub + 1, sub)
+            feat = assigned.withColumn("fv", array_to_vector(sl))
+            km = KMeans(
+                k=k_centroids, seed=seed + s, featuresCol="fv",
+                predictionCol=f"c{s}", maxIter=10, initMode="random",
+            )
+            model = km.fit(feat)
+            assigned = model.transform(feat).drop("fv")
+            centroids.append(
+                [list(map(float, ct)) for ct in model.clusterCenters()]
+            )
+        # materialize the full code table off the cached lineage before
+        # unpersisting (16 chained transforms over the cache)
+        assigned = assigned.localCheckpoint(eager=True)
+        return assigned, centroids
+    finally:
+        c.unpersist()
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    query_ids_below: int = 8,
+    k: int = 5,
+    m: int = 16,
+    k_centroids: int = 32,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k with exact re-rank refinement
+    (the faiss IndexRefine composition). Per query the m×k lookup
+    table LUT[s][c] = dot(query_slice_s, centroid[s][c]) is computed
+    ONCE (m*k*n_queries rows — tiny, broadcast), then
+    approx_dot(q, v) = Σ_s LUT[s][code_s(v)] is a (subspace, code)
+    equi-join + per-(query, vec) sum — the corpus codes are touched
+    once, no per-row dequantization, no corpus floats shuffled. The
+    top `rerank` (default 8k) ADC candidates per query are then scored
+    with the EXACT cosine — full vectors are read for only
+    n_queries*rerank rows, so the refinement cost is independent of
+    corpus size.
+
+    The query set is collected to the driver to build the LUT — the
+    same broadcast-queries contract as cosine_topk (queries are few by
+    definition; the CORPUS never leaves the executors). At 100 TB this
+    composes with IVF cells (IVF-PQ): probe cells first, ADC-join only
+    the probed fraction."""
+    from pyspark.sql import Window
+
+    if rerank is None:
+        rerank = 8 * k
+
+    encoded, centroids = pq_encode(emb, m=m, k_centroids=k_centroids)
+    sub = len(centroids[0][0])
+
+    qrows = (
+        _corpus(emb)
+        .filter(F.col("vec_id") < query_ids_below)
+        .select("vec_id", "v", "nrm")
+        .collect()
+    )
+    spark = emb.sparkSession
+    lut_rows = []
+    for qr in qrows:
+        qv = qr["v"]
+        for s in range(m):
+            qs = qv[s * sub:(s + 1) * sub]
+            for ci, ctr in enumerate(centroids[s]):
+                lut_rows.append(
+                    (
+                        int(qr["vec_id"]), float(qr["nrm"]), s, ci,
+                        float(sum(a * b for a, b in zip(qs, ctr))),
+                    )
+                )
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, qn double, s int, code int, part double"
+    )
+
+    codes_long = encoded.select(
+        "vec_id", "nrm",
+        F.posexplode(F.array(*[F.col(f"c{s}") for s in range(m)])).alias(
+            "s", "code"
+        ),
+    )
+    scored = (
+        codes_long.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum("part").alias("approx_dot"),
+            F.first("nrm").alias("nrm"),
+            F.first("qn").alias("qn"),
+        )
+    )
+    cos_q = F.col("approx_dot") / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos_q.alias("cos_q"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: full vectors for the shortlist rows only
+    corpus = _corpus(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nnrm"),
+    )
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), list(map(float, r["v"])), float(r["nrm"]))
+         for r in qrows],
+        "query_id long, qv array<double>, qn double",
+    )
+    exact = (
+        shortlist.join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nnrm"))
+             ).alias("cos_full"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos_full", 4).alias("cos"),
+        )
+    )

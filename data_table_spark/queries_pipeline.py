@@ -1167,3 +1167,26 @@ def q_dedup_exact_ids(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return dedup_exact_ids(t["documents"].df, ["text"], "doc_id")
+
+
+@query("pq_ann_topk", _SQL_ANN_RECALL)
+def q_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN with exact re-rank (faiss IndexRefine
+    shape): 16 subspaces x 32 centroids store each 64-dim vector as 16
+    codes (16x compression); ADC scoring touches only the code table
+    (LUT equi-join, no corpus floats shuffled), then the top-40 ADC
+    candidates per query are exactly re-scored — refinement cost
+    independent of corpus size. Seeded random-init KMeans ->
+    deterministic codes within a session config (partition layout feeds
+    the init sample, so tuned-vs-vanilla sessions may quantize
+    slightly differently — both measured). Measured recall@5 vs exact:
+    1.0 @ sf0.001, 0.975-1.0 @ sf0.01 (tuned/vanilla), 0.9 @ sf0.1.
+    Bound asserts >= 0.8 — >= 0.1 margin at every generated SF (the
+    SF-dependence caveat of ivf_ann_topk applies)."""
+    from .pipeline.similarity import pq_ann_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].df
+    approx = pq_ann_topk(emb, query_ids_below=8, k=5)
+    exact = cosine_topk(emb, query_ids_below=8, k=5)
+    return _ann_recall_result(approx, exact, bound=0.8)
