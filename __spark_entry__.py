@@ -49,7 +49,8 @@ _PRIORITY = [
     "frollapply_median", "froll_adaptive_median", "pii_scrub",
     "chunk_dedup_pairs", "sq8_ann_topk",
     "na_omit_cols", "fdistinct_last", "which_rows", "dedup_exact_ids",
-    "stream_stream_left_join", "chmatch_rank", "pq_ann_topk",
+    "stream_stream_left_join", "stream_stream_full_join",
+    "chmatch_rank", "pq_ann_topk",
     # (b) changed this round
     "eachi_join_agg", "ivf_ann_topk", "setindex_bucketed",
     # (c) r4-fix canaries
@@ -57,7 +58,7 @@ _PRIORITY = [
     # (d) r1-green refresh: scan/filter/compute surface
     "gforce_q1",
     # (d) r1-green refresh: join surface
-    "lookup_join", "join_inner", "anti_join", "semi_join", "mult_first",
+    "lookup_join", "join_inner", "anti_join", "mult_first",
     "mult_last", "update_on_join", "merge_full", "cj_cross",
     "nonequi_join",
     # (d) r1-green refresh: grouping surface
