@@ -51,6 +51,7 @@ _PRIORITY = [
     "na_omit_cols", "fdistinct_last", "which_rows", "dedup_exact_ids",
     "stream_stream_left_join", "stream_stream_full_join",
     "chmatch_rank", "pq_ann_topk",
+    "bm25_topk", "frank_random", "stream_stream_right_join",
     # (b) changed this round
     "eachi_join_agg", "ivf_ann_topk", "setindex_bucketed",
     # (c) r4-fix canaries
@@ -68,8 +69,7 @@ _PRIORITY = [
     # (d) r1-green refresh: window / overlap / reshape surface
     "frank_ties", "rowid_counter", "foverlaps_any", "foverlaps_within",
     "foverlaps_start", "inrange_semi", "dcast_pivot", "dcast_multi_agg",
-    "dcast_drop_false", "melt_unpivot", "melt_multi_measure",
-    "funion_all",
+    "dcast_drop_false",
 ]
 
 

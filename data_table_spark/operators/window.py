@@ -223,16 +223,40 @@ def frank(
     by=None,
     desc: bool = False,
     out_col: str = "rank",
+    tiebreak=None,
+    seed: int = 0,
 ) -> DT:
     """frank — ranking with data.table tie methods (reference R/frank.R:1,
     src/frank.c:112).
 
-    ties: average | first | min (data.table "min") | max | dense.
-    (ties="random" omitted: non-deterministic by definition.)
+    ties: average | first | min (data.table "min") | max | dense | random.
+
+    ties="random" (reference breaks ties with the R RNG stream) is
+    adapted to a SEEDED deterministic permutation: ties are ordered by
+    md5(seed ':' tiebreak-key), a uniform pseudo-random draw that is
+    reproducible across runs, partitionings, and engines (the DuckDB
+    oracle computes the identical hash). Requires ``tiebreak=`` columns
+    forming a unique key — random tie-breaking on a distributed engine
+    is only well-defined relative to stable row identity.
     """
     c = F.col(col).desc() if desc else F.col(col).asc()
-    w = (Window.partitionBy(*_namelist(by)) if by else Window.partitionBy()).orderBy(c)
-    if ties == "first":
+    part = Window.partitionBy(*_namelist(by)) if by else Window.partitionBy()
+    w = part.orderBy(c)
+    if ties == "random":
+        if not tiebreak:
+            raise ValueError(
+                "ties='random' needs tiebreak= unique-key columns for a "
+                "deterministic seeded permutation"
+            )
+        salt = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(seed)),
+                *[F.col(t).cast("string") for t in _namelist(tiebreak)],
+            )
+        )
+        r = F.row_number().over(part.orderBy(c, salt.asc()))
+    elif ties == "first":
         r = F.row_number().over(w)
     elif ties == "min":
         r = F.rank().over(w)

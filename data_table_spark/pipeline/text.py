@@ -178,3 +178,75 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n_pii",
         (F.col("n_email") + F.col("n_ip") + F.col("n_phone")).cast("long"),
     )
+
+
+def _eq_lit(t: str):
+    """One-arg lambda factory for F.filter (a two-parameter lambda would
+    be called as (element, index) by the higher-order-function binding,
+    so a `t=t` default capture is NOT safe here)."""
+    return lambda x: x == F.lit(t)
+
+
+def bm25_rank(
+    df: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    topk: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval of the corpus against a bag of query terms.
+
+    Scale shape (the part that matters at 100 TB): per-doc term
+    frequencies and document length are ONE narrow codegen pass (array
+    filter/size per query term — no explode, no per-term shuffle); the
+    corpus statistics (N, Σdl, per-term document frequency) are a single
+    tiny global aggregate broadcast back with a crossJoin; top-k is
+    TakeOrderedAndProject. Total cost: one scan + one 1-row exchange.
+
+    Engine-portable numerics: tf/dl/df/N are exact integers; idf =
+    ln((N-df+0.5)/(df+0.5)+1) (the BM25+ form, always >= 0) is rounded
+    to 6 dp before use so a last-ulp libm difference between the JVM and
+    DuckDB cannot propagate; every other operation is IEEE-deterministic
+    double arithmetic in a fixed association order mirrored exactly by
+    the oracle SQL.
+    """
+    toks = tokens_col(text_col)
+    d = df.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col,
+        F.size("_toks").alias("dl"),
+        *[
+            F.size(F.filter(F.col("_toks"), _eq_lit(t))).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    g = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = d.crossJoin(F.broadcast(g))
+    avgdl = F.col("sumdl").cast("double") / F.col("n")
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+    score = None
+    for i in range(len(terms)):
+        idf = F.round(
+            F.log((F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0),
+            6,
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        denom = tf + F.lit(k1) * (
+            F.lit(one_minus_b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+        )
+        term = idf * (tf * F.lit(k1p1)) / denom
+        score = term if score is None else score + term
+    out = (
+        joined.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+    )
+    return out.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(topk)

@@ -841,6 +841,36 @@ def q_frank(spark, sf_dir):
 
 
 @query(
+    "frank_random",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (
+             PARTITION BY l_returnflag
+             ORDER BY l_quantity,
+               md5('42:' || CAST(l_orderkey AS VARCHAR) || ':'
+                          || CAST(l_linenumber AS VARCHAR))
+           ) AS rrank
+    FROM lineitem
+    """,
+)
+def q_frank_random(spark, sf_dir):
+    """frank ties="random" (reference src/frank.c:112 breaks ties with
+    the R RNG). Distributed adaptation: the tie permutation is a SEEDED
+    md5 draw over a unique tiebreak key — reproducible across runs,
+    partitionings, and engines, which is the only well-defined "random"
+    on a distributed table. DuckDB computes the identical hash, so the
+    oracle is exact."""
+    from .operators.window import frank
+
+    t = load_tables(spark, sf_dir)
+    out = frank(
+        t["lineitem"], "l_quantity", ties="random", by=["l_returnflag"],
+        out_col="rrank", tiebreak=["l_orderkey", "l_linenumber"], seed=42,
+    )
+    return out.query(j=["l_orderkey", "l_linenumber", "rrank"]).df
+
+
+@query(
     "rleid_runs",
     """
     WITH flagged AS (

@@ -467,6 +467,65 @@ def q_token_counts(spark, sf_dir):
     return token_counts(t["documents"].df)
 
 
+# BM25 oracle: mirrors pipeline.text.bm25_rank EXACTLY — same integer
+# statistics, same association order in every double expression, idf
+# rounded to 6 dp on both sides before use, e0-suffixed literals so
+# DuckDB parses them as DOUBLE (a bare `0.5` is DECIMAL there and would
+# change the arithmetic type lattice).
+_BM25_TERMS = ["vector", "hash", "merge"]
+
+
+def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    split = "regexp_split_to_array(trim(text), ' +')"
+    tf_cols = ",\n             ".join(
+        f"len(list_filter({split}, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    k1p1, one_minus_b = k1 + 1.0, 1.0 - b
+    term_exprs = " + ".join(
+        f"ROUND(LN((n - df{i} + 0.5e0) / (df{i} + 0.5e0) + 1.0e0), 6)"
+        f" * (CAST(tf{i} AS DOUBLE) * {k1p1!r}e0)"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1!r}e0 * ({one_minus_b!r}e0"
+        f" + {b!r}e0 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, len({split}) AS dl,
+             {tf_cols}
+      FROM documents
+    ),
+    g AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+             {df_cols}
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, ROUND({term_exprs}, 6) AS bm25
+      FROM d CROSS JOIN g
+    )
+    SELECT doc_id, bm25 FROM s WHERE bm25 > 0
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """
+
+
+@query("bm25_topk", _sql_bm25(_BM25_TERMS))
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (top-20 docs for a 3-term query). One
+    narrow codegen scan computes tf/dl per doc; corpus stats (N, Σdl,
+    df_t) are a single 1-row aggregate broadcast back; top-k is
+    TakeOrderedAndProject — no explode, no per-term shuffle, scales by
+    partition count alone."""
+    from .pipeline.text import bm25_rank
+
+    t = load_tables(spark, sf_dir)
+    return bm25_rank(t["documents"].df, _BM25_TERMS)
+
+
 _SQL_FINGERPRINT = """
     WITH sh AS (
       SELECT doc_id,

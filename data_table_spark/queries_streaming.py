@@ -261,6 +261,47 @@ def q_stream_stream_left_join(spark, sf_dir):
 
 
 @query(
+    "stream_stream_right_join",
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, epoch_us(ts) AS ts
+               FROM events WHERE event_type = 'click'),
+         wm AS (SELECT LEAST((SELECT MAX(ts) FROM p),
+                             (SELECT MAX(ts) FROM c))
+                       - 7200000000 AS w),
+         m AS (SELECT p.event_id AS left_id, c.event_id AS right_id,
+                      p.user_id
+               FROM p JOIN c ON p.user_id = c.user_id
+                AND c.ts >= p.ts - 3600000000 AND c.ts <= p.ts)
+    SELECT left_id, right_id, user_id FROM m
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), c.event_id, c.user_id
+    FROM c
+    WHERE c.event_id NOT IN (SELECT right_id FROM m)
+      AND c.ts + 3600000000 < (SELECT w FROM wm)
+    """,
+)
+def q_stream_stream_right_join(spark, sf_dir):
+    """Stream-stream RIGHT OUTER join — completes the outer-join matrix
+    (inner/left/full already registered). Unmatched right (click) rows
+    emit (NULL, right_id) once the watermark passes their eviction
+    horizon r_ts + 1h: under the range condition r_ts in [l_ts - 1h,
+    l_ts] a click can still match purchases up to an hour AFTER it, so
+    its null must wait past that window. Same min-branch watermark
+    policy as the left/full oracles."""
+    from .streaming import (
+        read_events_stream, run_available_now, stream_stream_join,
+    )
+
+    s = read_events_stream(spark, sf_dir)
+    out = stream_stream_join(
+        s, "purchase", "click", "1 hour", "2 hours", how="right_outer"
+    )
+    return run_available_now(out, output_mode="append")
+
+
+@query(
     "stream_stream_full_join",
     """
     WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts

@@ -71,6 +71,48 @@ def test_frank_tie_modes(spark):
     assert got["average"] == [1.0, 2.5, 2.5, 4.0]
 
 
+def test_frank_random_seeded_permutation(spark):
+    # 6 rows, all tied on x: ties="random" must assign each rank 1..6
+    # exactly once, deterministically for a given seed, and differently
+    # across seeds (md5 draw over the tiebreak key).
+    df = spark.createDataFrame([(5, i) for i in range(6)], ["x", "id"])
+    dt = DT(df, order_by=["id"])
+
+    def ranks(seed):
+        out = frank(dt, "x", ties="random", tiebreak=["id"], seed=seed,
+                    out_col="rr")
+        return [r["rr"] for r in out.df.orderBy("id").collect()]
+
+    r42a, r42b, r7 = ranks(42), ranks(42), ranks(7)
+    assert sorted(r42a) == [1, 2, 3, 4, 5, 6]
+    assert r42a == r42b          # deterministic per seed
+    assert r42a != r7            # seed actually changes the permutation
+    # non-tied values still rank by the order column before the salt
+    df2 = spark.createDataFrame([(1, 0), (3, 1), (2, 2)], ["x", "id"])
+    out2 = frank(DT(df2, order_by=["id"]), "x", ties="random",
+                 tiebreak=["id"], out_col="rr")
+    assert {r["x"]: r["rr"] for r in out2.df.collect()} == {1: 1, 2: 2, 3: 3}
+    with pytest.raises(ValueError):
+        frank(dt, "x", ties="random")  # tiebreak is required
+
+
+def test_bm25_rank_small(spark):
+    from data_table_spark.pipeline.text import bm25_rank
+
+    rows = [
+        (1, "cat dog cat"),         # tf(cat)=2, short doc
+        (2, "cat mouse mouse mouse mouse mouse mouse mouse"),  # long doc
+        (3, "dog dog"),
+        (4, "bird"),                # no query terms -> excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["bm25"] for r in bm25_rank(df, ["cat", "dog"]).collect()}
+    assert set(got) == {1, 2, 3}           # doc 4 scores 0 and is dropped
+    assert all(v > 0 for v in got.values())
+    # doc 1 beats doc 2 on 'cat': higher tf AND shorter length
+    assert got[1] > got[2]
+
+
 def test_rleid_restarts_per_group(spark):
     df = spark.createDataFrame(
         [("a", 1, "x"), ("a", 2, "x"), ("a", 3, "y"), ("b", 1, "x")],

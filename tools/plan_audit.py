@@ -34,7 +34,10 @@ EXPECT_NESTED_LOOP = {
     # crossJoin (1x1 rows by construction) — the candidate generation
     # itself is bucketed equi-join, audited via the underlying ops
     "embedding_lsh_pairs", "lsh_ann_topk", "ivf_ann_topk",
-    "sq8_ann_topk",
+    "sq8_ann_topk", "pq_ann_topk",
+    # BM25: corpus stats (N, Σdl, df_t) are ONE aggregated row
+    # crossJoin-broadcast back to the per-doc frame
+    "bm25_topk",
 }
 
 SKIP = {  # streaming queries execute eagerly; fread writes files
