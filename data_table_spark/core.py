@@ -93,6 +93,8 @@ class DT:
         self.key: list[str] = _namelist(key)
         #: declared row order for order-sensitive operators
         self.order_by: list[str] = _namelist(order_by) or list(self.key)
+        #: secondary-index metadata (setindex, R/setkey.R:11-19)
+        self.index_names: list[str] = []
 
     # ------------------------------------------------------------------ util
     @property
@@ -298,9 +300,33 @@ class DT:
         )
 
     def setindex(self, *cols: str) -> "DT":
-        """setindex (reference R/setkey.R:11-19): metadata-only no-op here —
-        Parquet min/max pruning + AQE replace secondary indices (SURVEY §1.1)."""
+        """setindex (reference R/setkey.R:11-19): metadata-only here —
+        Parquet min/max pruning + AQE replace stored order vectors
+        (SURVEY §1.1); the PHYSICAL analog is
+        ``sources.setindex_physical`` (bucketed+sorted table whose joins
+        elide their exchange). Records the index name like the
+        reference's ``__col1__col2`` attribute so ``indices()`` can
+        report it."""
+        name = "__" + "__".join(cols)
+        if cols and name not in self.index_names:
+            self.index_names.append(name)
         return self
+
+    def indices(self) -> list[str]:
+        """indices() (reference R/setkey.R:90-106): names of recorded
+        secondary indices, reference-style ``__col1__col2`` strings."""
+        return list(self.index_names)
+
+    def subset(self, i=None, select=None) -> "DT":
+        """subset.data.table (reference NAMESPACE S3 method): base-R verb
+        over the same i/j machinery — filter rows, keep columns."""
+        return self.query(i=i, j=_namelist(select) or None)
+
+    def transform_cols(self, **cols) -> "DT":
+        """transform.data.table / within.data.table (reference NAMESPACE
+        S3 methods): add or replace computed columns; same rebind
+        semantics as :meth:`let` minus column deletion."""
+        return self.let(**cols)
 
     def copy(self) -> "DT":
         """copy() (reference R/data.table.R:2846) — identity under

@@ -300,3 +300,46 @@ def chmatchdup_table(
         "left",
     ).drop("__occ__", "__val__")
     return out
+
+
+def timetaken(started_at: float, cpu_started_at: float | None = None) -> str:
+    """timetaken (reference R/timetaken.R:1-14): format elapsed wall +
+    cpu time with the reference's width rules — "HH:MM:SS" above a
+    minute, "12.3s" above ten seconds, "0.123s" below. Pass
+    ``time.perf_counter()`` (and optionally ``time.process_time()``)
+    captured before the work."""
+    import time as _time
+
+    def _fmt(secs: float) -> str:
+        if secs > 60.0:
+            s = int(secs)
+            return f"{s // 3600:02d}:{(s // 60) % 60:02d}:{s % 60:02d}"
+        return f"{secs:.1f}s" if secs >= 10.0 else f"{secs:.3f}s"
+
+    wall = _time.perf_counter() - started_at
+    cpu = (
+        _time.process_time() - cpu_started_at
+        if cpu_started_at is not None
+        else wall
+    )
+    return f"{_fmt(wall)} elapsed ({_fmt(cpu)} cpu)"
+
+
+def set_dt_threads(spark, n: int | None = None) -> int:
+    """setDTthreads (reference src/openmp-utils.c:66 via R wrapper):
+    the reference throttles its OpenMP team; the Spark analog of "how
+    parallel is a table operation" is the shuffle-partition count
+    (executor threading itself is cluster-managed, not per-query).
+    Sets ``spark.sql.shuffle.partitions`` (``n=None``/0 = leave
+    unchanged, mirroring ``setDTthreads(0)`` = all) and returns the
+    PREVIOUS value, like the reference."""
+    prev = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if n:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+    return prev
+
+
+def get_dt_threads(spark) -> int:
+    """getDTthreads — current shuffle-partition count (see
+    set_dt_threads for the mapping rationale)."""
+    return int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -304,3 +304,41 @@ def patterns(regex: str, columns: Sequence[str]) -> list[str]:
     import re as _re
 
     return [c for c in columns if _re.search(regex, c)]
+
+
+def measure_pattern(
+    columns: Sequence[str], pattern: str
+) -> dict[str, list[str]]:
+    """measure(pattern=) / measurev selector (reference R/fmelt.R:64-139):
+    like measure(sep=) but the (stem, suffix) split comes from a regex
+    with exactly TWO capture groups — group 1 names the value column of
+    the melt group, group 2 orders the columns within it. Non-matching
+    columns stay id vars; single-member stems are dropped like
+    measure_sep. Returns the same {stem: [cols...]} shape melt_multi
+    consumes."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+    if rx.groups != 2:
+        raise ValueError(
+            f"measure_pattern needs exactly 2 capture groups, got {rx.groups}"
+        )
+    groups: dict[str, list[tuple[str, str]]] = {}
+    for c in columns:
+        m = rx.search(c)
+        if not m:
+            continue
+        stem, idx = m.group(1), m.group(2)
+        groups.setdefault(stem, []).append((idx, c))
+
+    def keyf(t):
+        try:
+            return (0, int(t[0]), t[0])
+        except ValueError:
+            return (1, 0, t[0])
+
+    return {
+        stem: [c for _, c in sorted(v, key=keyf)]
+        for stem, v in groups.items()
+        if len(v) > 1
+    }

@@ -184,6 +184,8 @@ def fread(
     dec: str = ".",
     multiline: bool = False,
     yaml: bool = False,
+    strip_white: bool = True,
+    logical01: bool = False,
 ) -> DT:
     """Read a CSV/TSV into a DT. See module docstring for the mapping.
 
@@ -296,6 +298,10 @@ def fread(
         .option("multiLine", "true" if (multiline or multiline_charset) else "false")
         .option("escape", '"')
         .option("mode", "PERMISSIVE" if fill else "FAILFAST")
+        # strip.white (reference R/fread.R:40, default TRUE): Spark's
+        # csv reader keeps surrounding field whitespace by default
+        .option("ignoreLeadingWhiteSpace", "true" if strip_white else "false")
+        .option("ignoreTrailingWhiteSpace", "true" if strip_white else "false")
         .option("nullValue", na_strings[0] if na_strings else "")
         # accepts both "yyyy-MM-dd HH:mm:ss.SSSSSS" and fwrite's ISO
         # "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'" via optional sections
@@ -387,6 +393,33 @@ def fread(
         df = df.drop(*drop)
     if nrows is not None:
         df = df.limit(nrows)
+    if logical01:
+        # logical01 (reference R/fread.R:41, src/fread.c type bumping):
+        # integer columns holding only 0/1/NA read as logical. The
+        # reference decides during its sampled parse; distributed
+        # equivalent is one min/max aggregate over the parsed frame
+        # (exact, not sampled — a sample-based promise could be wrong
+        # at the 100 TB tail).
+        from pyspark.sql import functions as _F
+
+        int_cols = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, (T.IntegerType, T.LongType))
+            and f.name not in (col_classes or {})
+        ]
+        if int_cols:
+            stats = df.agg(
+                *[_F.min(c).alias(f"mn_{c}") for c in int_cols],
+                *[_F.max(c).alias(f"mx_{c}") for c in int_cols],
+            ).collect()[0]
+            bool_cols = {
+                c: _F.col(c).cast(T.BooleanType())
+                for c in int_cols
+                if stats[f"mn_{c}"] is not None
+                and stats[f"mn_{c}"] >= 0 and stats[f"mx_{c}"] <= 1
+            }
+            if bool_cols:
+                df = df.withColumns(bool_cols)
     return DT(df, key=key)
 
 

@@ -812,3 +812,44 @@ def test_mergelist_mult_rejected_for_semi(spark):
     b = DT(spark.createDataFrame([(1,), (1,)], "k int"))
     with pytest.raises(ValueError, match="not meaningful"):
         mergelist([a, b], on="k", how="semi", mult="error")
+
+
+def test_namespace_parity_utilities(spark):
+    # timetaken formatting tiers (reference R/timetaken.R:4-10)
+    import time
+    from data_table_spark.functions import (
+        timetaken, set_dt_threads, get_dt_threads,
+    )
+
+    t0 = time.perf_counter()
+    out = timetaken(t0)
+    assert "elapsed" in out and "cpu" in out and out.startswith("0.0")
+    assert timetaken(t0 - 5.0).startswith("5.0")      # 0.3fs tier... 5.000s
+    assert timetaken(t0 - 30.0).startswith("30.0s")   # .1fs tier
+    assert timetaken(t0 - 3700.0).startswith("01:0")  # HH:MM:SS tier
+
+    # setDTthreads maps to shuffle partitions and returns the previous
+    prev = get_dt_threads(spark)
+    assert set_dt_threads(spark, prev + 1) == prev
+    assert get_dt_threads(spark) == prev + 1
+    set_dt_threads(spark, prev)
+
+    # setindex records reference-style names; subset/transform verbs
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["x", "g"])
+    dt = DT(df).setindex("g").setindex("x", "g")
+    assert dt.indices() == ["__g", "__x__g"]
+    sub = dt.subset(i=F.col("x") > 1, select=["g"])
+    assert sub.df.columns == ["g"] and sub.df.count() == 1
+    tr = dt.transform_cols(y=F.col("x") * 2)
+    assert [r["y"] for r in tr.df.orderBy("x").collect()] == [2, 4]
+
+
+def test_measure_pattern_groups():
+    from data_table_spark.operators.reshape import measure_pattern
+
+    cols = ["id", "a_1", "a_2", "b_1", "b_2", "b_10", "lone_x"]
+    got = measure_pattern(cols, r"^([ab])_(\d+)$")
+    assert got == {"a": ["a_1", "a_2"], "b": ["b_1", "b_2", "b_10"]}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        measure_pattern(cols, r"^[ab]_(\d+)$")  # needs 2 groups

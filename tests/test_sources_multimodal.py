@@ -464,3 +464,22 @@ def test_scrub_pii(spark):
     )
     r2 = rows[2]
     assert r2.n_pii == 0 and r2.text_scrubbed == "clean text"
+
+
+def test_fread_strip_white_and_logical01(spark):
+    """strip.white (reference R/fread.R:40, default TRUE) trims field
+    padding; logical01 (R/fread.R:41) promotes integer columns holding
+    only 0/1 to boolean via one exact min/max aggregate."""
+    os.makedirs(TMP, exist_ok=True)
+    p = f"{TMP}/stripwhite.csv"
+    with open(p, "w") as f:
+        f.write("id,tag,flag\n1,  a  ,1\n2,  b  ,0\n3, c ,1\n")
+    dt = fread(spark, p, logical01=True)
+    assert [r["tag"] for r in dt.df.orderBy("id").collect()] == ["a", "b", "c"]
+    types = {f.name: f.dataType.simpleString() for f in dt.schema.fields}
+    assert types["flag"] == "boolean"       # 0/1 promoted
+    assert types["id"] == "int"             # 1..3 stays integer
+    assert [r["flag"] for r in dt.df.orderBy("id").collect()] == [True, False, True]
+    # strip_white=False keeps the padding (Spark csv default behavior)
+    raw = fread(spark, p, strip_white=False)
+    assert [r["tag"] for r in raw.df.orderBy("id").collect()] == ["  a  ", "  b  ", " c "]
