@@ -52,6 +52,7 @@ _PRIORITY = [
     "stream_stream_left_join", "stream_stream_full_join",
     "chmatch_rank", "pq_ann_topk",
     "bm25_topk", "frank_random", "stream_stream_right_join",
+    "tfidf_keywords",
     # (b) changed this round
     "eachi_join_agg", "ivf_ann_topk", "setindex_bucketed",
     # (c) r4-fix canaries
@@ -69,7 +70,6 @@ _PRIORITY = [
     # (d) r1-green refresh: window / overlap / reshape surface
     "frank_ties", "rowid_counter", "foverlaps_any", "foverlaps_within",
     "foverlaps_start", "inrange_semi", "dcast_pivot", "dcast_multi_agg",
-    "dcast_drop_false",
 ]
 
 

@@ -10,7 +10,7 @@ partition count alone (narrow, no shuffle).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small multi-language stopword profiles for the n-gram/stopword scoring
@@ -177,6 +177,59 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("text_scrubbed", scrubbed).withColumn(
         "n_pii",
         (F.col("n_email") + F.col("n_ip") + F.col("n_phone")).cast("long"),
+    )
+
+
+def tfidf_topterms(
+    df: DataFrame,
+    topk_per_doc: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction: top-k terms by tf-idf.
+
+    Plan shape: posexplode-free narrow explode of whitespace tokens →
+    partial-combined groupBy (doc, term) for tf → term-level document
+    frequency (distinct doc per term, partial-agg'd) joined back on
+    term. The df side is vocabulary-sized: tiny here (broadcast), and
+    at a 100 TB corpus it is still orders smaller than the tf table —
+    AQE picks broadcast vs shuffle join on measured size, both shapes
+    shuffle only IDs and counts, never text. Top-k per doc is one
+    row_number window partitioned by doc.
+
+    Engine-portable: tf/df/N exact integers; idf = ln((1+N)/(1+df))+1
+    (smoothed, always > 0) rounded to 6 dp before the tf multiply;
+    score ties break on the term string.
+    """
+    toks = tokens_col(text_col)
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = exploded.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))
+    doc_freq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log((1 + F.col("n")) / (1 + F.col("df")).cast("double")) + 1.0,
+                6,
+            ),
+        )
+        .select("term", "idf")
+    )
+    scored = tf.join(doc_freq, "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= topk_per_doc)
+        .select(id_col, "term_rank", "term", "tfidf")
     )
 
 

@@ -526,6 +526,46 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_rank(t["documents"].df, _BM25_TERMS)
 
 
+_SQL_TFIDF = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), ' +')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    idf AS (
+      SELECT term,
+             ROUND(LN((1 + n) / CAST(1 + df AS DOUBLE)) + 1.0e0, 6) AS idf
+      FROM dfq CROSS JOIN n
+    ),
+    scored AS (
+      SELECT t.doc_id, t.term, ROUND(t.tf * i.idf, 6) AS tfidf
+      FROM tf t JOIN idf i USING (term)
+    ),
+    r AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS term_rank
+      FROM scored
+    )
+    SELECT doc_id, term_rank, term, tfidf FROM r WHERE term_rank <= 3
+"""
+
+
+@query("tfidf_keywords", _SQL_TFIDF)
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc keyword extraction: top-3 terms by smoothed tf-idf.
+    Narrow explode -> partial-agg'd (doc,term) tf -> vocabulary-sized
+    idf side joined back on term -> one per-doc window. Only IDs and
+    counts ride the shuffles; text never does."""
+    from .pipeline.text import tfidf_topterms
+
+    t = load_tables(spark, sf_dir)
+    return tfidf_topterms(t["documents"].df, topk_per_doc=3)
+
+
 _SQL_FINGERPRINT = """
     WITH sh AS (
       SELECT doc_id,

@@ -35,9 +35,9 @@ EXPECT_NESTED_LOOP = {
     # itself is bucketed equi-join, audited via the underlying ops
     "embedding_lsh_pairs", "lsh_ann_topk", "ivf_ann_topk",
     "sq8_ann_topk", "pq_ann_topk",
-    # BM25: corpus stats (N, Σdl, df_t) are ONE aggregated row
-    # crossJoin-broadcast back to the per-doc frame
-    "bm25_topk",
+    # BM25 / tf-idf: corpus stats (N, Σdl, df_t) are ONE aggregated row
+    # crossJoin-broadcast back to the per-doc / per-term frame
+    "bm25_topk", "tfidf_keywords",
 }
 
 SKIP = {  # streaming queries execute eagerly; fread writes files
