@@ -526,6 +526,40 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_rank(t["documents"].df, _BM25_TERMS)
 
 
+_SQL_WINNOW = """
+    WITH g AS (
+      SELECT doc_id, pos,
+             md5(substring(text, CAST(pos AS INT), 12)) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, len(text) - 10)) AS pos
+            FROM documents)
+    ),
+    m AS (
+      SELECT doc_id, pos, h,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wmin
+      FROM g
+    ),
+    fp AS (SELECT DISTINCT doc_id, h FROM m WHERE pos >= 8 AND h = wmin)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+"""
+
+
+@query("winnow_dup_pairs", _SQL_WINNOW)
+def q_winnow_dup_pairs(spark, sf_dir):
+    """Winnowing (MOSS) near-dup pairs: char-12-gram hashes, window-8
+    local minima as fingerprints, pairs sharing >= 5. Position-robust
+    substring detection with guaranteed coverage of any shared run
+    >= k+w-1 chars; fingerprint-blocked join, never all-pairs."""
+    from .pipeline.dedup import winnow_dup_pairs
+
+    t = load_tables(spark, sf_dir)
+    return winnow_dup_pairs(t["documents"].df, k=12, w=8, min_shared=5)
+
+
 _SQL_TFIDF = """
     WITH toks AS (
       SELECT doc_id,

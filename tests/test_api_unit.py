@@ -853,3 +853,29 @@ def test_measure_pattern_groups():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         measure_pattern(cols, r"^[ab]_(\d+)$")  # needs 2 groups
+
+
+def test_winnow_guarantee_and_selectivity(spark):
+    """Winnowing's coverage guarantee: any shared substring of length
+    >= k + w - 1 produces at least one shared fingerprint; disjoint
+    texts share none (md5 collisions aside)."""
+    from data_table_spark.pipeline.dedup import winnow_dup_pairs, winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "AAA " + shared + " BBB"),
+        (2, "CCCCC " + shared + " DDDD"),   # same substring, shifted
+        (3, "zyxwvutsrqponmlkjihgfedcba 0123456789 completely other"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_dup_pairs(df, k=12, w=8, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    # density: fingerprints ~2/(w+1) of gram count, far below 1.0
+    fp = winnow_fingerprints(df, k=12, w=8).groupBy("doc_id").count().collect()
+    n_grams = {r[0]: len(r[1]) - 11 for r in rows}
+    for r in fp:
+        assert r["count"] < 0.6 * n_grams[r["doc_id"]]
