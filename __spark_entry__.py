@@ -52,7 +52,7 @@ _PRIORITY = [
     "stream_stream_left_join", "stream_stream_full_join",
     "chmatch_rank", "pq_ann_topk",
     "bm25_topk", "frank_random", "stream_stream_right_join",
-    "tfidf_keywords", "winnow_dup_pairs",
+    "tfidf_keywords", "winnow_dup_pairs", "sketch_quantiles",
     # (b) changed this round
     "eachi_join_agg", "ivf_ann_topk", "setindex_bucketed",
     # (c) r4-fix canaries
@@ -69,7 +69,7 @@ _PRIORITY = [
     "groupingsets_agg", "gforce_var_sd",
     # (d) r1-green refresh: window / overlap / reshape surface
     "frank_ties", "rowid_counter", "foverlaps_any", "foverlaps_within",
-    "foverlaps_start", "inrange_semi", "dcast_pivot",
+    "foverlaps_start", "inrange_semi",
 ]
 
 

@@ -1117,6 +1117,64 @@ def q_sketch_distinct_tokens(spark, sf_dir):
     )
 
 
+_QSKETCH_QS = [0.25, 0.5, 0.75, 0.95]
+_QSKETCH_ACC = 1000  # percentile_approx accuracy: rank error <= n/1000
+
+
+@query(
+    "sketch_quantiles",
+    """
+    SELECT l_returnflag, q, TRUE AS rank_ok
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+    CROSS JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) AS t(q)
+    """,
+)
+def q_sketch_quantiles(spark, sf_dir):
+    """Mergeable quantile sketch with a deterministic rank-error
+    contract (the ANN-recall pattern applied to quantiles): per-group
+    percentile_approx — Spark's Greenwald-Khanna sketch, which
+    partial-aggregates map-side and merges associatively, the only
+    quantile that scales to 100 TB (exact percentile shuffles every
+    value to one reducer per group) — then the sketch's OWN guarantee
+    |rank(v) - q*n| <= n/accuracy is CHECKED exactly: one broadcast
+    probe of the 12-row (group, q, v) table over the fact scan counts
+    rank(v) = #{x <= v}. The oracle pins every contract row TRUE; a
+    sketch drifting past its bound goes red."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].df.select("l_returnflag", "l_extendedprice")
+    qarr = F.array(*[F.lit(q) for q in _QSKETCH_QS])
+    ap = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", qarr, F.lit(_QSKETCH_ACC)
+            ).alias("av"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("l_returnflag").alias("rf"), "n",
+            F.posexplode("av").alias("qi", "v"),
+        )
+        .withColumn("q", F.element_at(qarr, F.col("qi") + 1))
+    )
+    ranks = (
+        li.join(
+            F.broadcast(ap),
+            (F.col("l_returnflag") == F.col("rf"))
+            & (F.col("l_extendedprice") <= F.col("v")),
+        )
+        .groupBy("rf", "q", "n")
+        .agg(F.count(F.lit(1)).alias("rank_le"))
+    )
+    bound = F.col("n") / _QSKETCH_ACC + 1
+    return ranks.select(
+        F.col("rf").alias("l_returnflag"),
+        "q",
+        (F.abs(F.col("rank_le") - F.col("q") * F.col("n")) <= bound)
+        .alias("rank_ok"),
+    )
+
+
 @query(
     "vocab_topk",
     """
