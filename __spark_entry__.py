@@ -53,6 +53,8 @@ _PRIORITY = [
     "chmatch_rank", "pq_ann_topk",
     "bm25_topk", "frank_random", "stream_stream_right_join",
     "tfidf_keywords", "winnow_dup_pairs", "sketch_quantiles",
+    "mergelist_fold", "fsetequal_check", "chgroup_first_appearance",
+    "foverlaps_equal",
     # (b) changed this round
     "eachi_join_agg", "ivf_ann_topk", "setindex_bucketed",
     # (c) r4-fix canaries
@@ -67,9 +69,8 @@ _PRIORITY = [
     "uniqueN_by", "unique_first", "duplicated_flag", "ghead_per_group",
     "weighted_mean", "gforce_minmax_firstlast", "rollup_agg", "cube_agg",
     "groupingsets_agg", "gforce_var_sd",
-    # (d) r1-green refresh: window / overlap / reshape surface
-    "frank_ties", "rowid_counter", "foverlaps_any", "foverlaps_within",
-    "foverlaps_start", "inrange_semi",
+    # (d) r1-green refresh: window / overlap surface
+    "foverlaps_any", "inrange_semi",
 ]
 
 

@@ -343,3 +343,28 @@ def get_dt_threads(spark) -> int:
     """getDTthreads — current shuffle-partition count (see
     set_dt_threads for the mapping rationale)."""
     return int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def chgroup_ids(df, col: str, order: Sequence[str]):
+    """First-appearance group ids — the relational core of chgroup
+    exposed as a column: every row gains `grp`, the 1-based rank of its
+    value's FIRST appearance in the declared total order (reference
+    chgroup's group ordering, src/chmatch.c). The dense_rank window
+    runs only over the per-value frame (vocabulary-sized, one row per
+    distinct value); the row table itself never funnels through a
+    single partition."""
+    from pyspark.sql import Window as _W
+
+    sdf = df.df if hasattr(df, "df") else df
+    order_cols = [F.col(c) for c in order]
+    firsts = (
+        sdf.groupBy(col)
+        .agg(F.min(F.struct(*order_cols)).alias("__first__"))
+        .withColumn("grp", F.dense_rank().over(_W.orderBy("__first__")))
+        .drop("__first__")
+        .withColumnRenamed(col, "__val__")
+    )
+    return (
+        sdf.join(firsts, sdf[col].eqNullSafe(F.col("__val__")), "inner")
+        .drop("__val__")
+    )

@@ -743,3 +743,129 @@ def q_chmatch_rank(spark, sf_dir):
     return t["documents"].df.select(
         "doc_id", chmatch("lang", ["en", "de", "fr"]).alias("lang_pos")
     )
+
+
+@query(
+    "mergelist_fold",
+    """
+    SELECT n.n_nationkey, n.n_regionkey, n.n_name,
+           r.r_name AS r_name, c.n_cust
+    FROM nation n
+    LEFT JOIN (SELECT r_regionkey AS n_regionkey, r_name FROM region) r
+      USING (n_regionkey)
+    LEFT JOIN (SELECT c_nationkey AS n_nationkey,
+                      COUNT(*) AS n_cust
+               FROM customer GROUP BY 1) c
+      USING (n_nationkey)
+    """,
+)
+def q_mergelist_fold(spark, sf_dir):
+    """mergelist n-way fold (reference R/mergelist.R:84-259,347):
+    nation <- region <- per-nation customer counts, natural-key left
+    joins with mult="error" asserting key uniqueness per fold step
+    (one extra aggregate job per step, the reference's cardinality
+    guard). Both right sides are dims — Catalyst broadcasts them."""
+    from .core import DT
+    from .operators.joins import mergelist
+
+    t = load_tables(spark, sf_dir)
+    nat = t["nation"]
+    reg = DT(t["region"].df.select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    ))
+    cust = DT(
+        t["customer"].df.groupBy(
+            F.col("c_nationkey").alias("n_nationkey")
+        ).agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    out = mergelist([nat, reg, cust], how="left", mult="error")
+    return out.df.select(
+        "n_nationkey", "n_regionkey", "n_name", "r_name", "n_cust"
+    )
+
+
+@query(
+    "fsetequal_check",
+    "SELECT TRUE AS eq_same, FALSE AS eq_filtered",
+)
+def q_fsetequal_check(spark, sf_dir):
+    """fsetequal (reference R/setops.R:98): multiset equality via
+    exceptAll both ways. A table equals its re-shuffled self; dropping
+    one priority class breaks equality. Driver-scalar by nature (the
+    reference returns a logical) — each check short-circuits on the
+    first differing row (limit(1))."""
+    from .core import DT
+    from .operators.setops import fsetequal
+
+    t = load_tables(spark, sf_dir)
+    x = DT(t["orders"].df.select("o_orderpriority", "o_orderstatus"))
+    x_shuffled = DT(x.df.repartition(7, "o_orderstatus"))
+    y = DT(x.df.filter(F.col("o_orderpriority") != "1-URGENT"))
+    return spark.createDataFrame(
+        [(fsetequal(x, x_shuffled), fsetequal(x, y))],
+        "eq_same boolean, eq_filtered boolean",
+    )
+
+
+@query(
+    "chgroup_first_appearance",
+    """
+    WITH f AS (SELECT o_orderpriority AS val, MIN(o_orderkey) AS fk
+               FROM orders GROUP BY 1),
+         g AS (SELECT val, CAST(DENSE_RANK() OVER (ORDER BY fk) AS INT)
+                      AS grp
+               FROM f)
+    SELECT o.o_orderkey, o.o_orderpriority, g.grp
+    FROM orders o JOIN g ON o.o_orderpriority = g.val
+    """,
+)
+def q_chgroup_first_appearance(spark, sf_dir):
+    """chgroup (reference src/chmatch.c): group identical strings,
+    groups numbered by each value's FIRST appearance in the declared
+    order (o_orderkey). The rank window runs only over the per-value
+    frame (5 rows); row data takes one agg shuffle + one broadcast
+    join back."""
+    from .functions import chgroup_ids
+
+    t = load_tables(spark, sf_dir)
+    return chgroup_ids(
+        t["orders"].df.select("o_orderkey", "o_orderpriority"),
+        "o_orderpriority", ["o_orderkey"],
+    )
+
+
+@query(
+    "foverlaps_equal",
+    """
+    SELECT c.c_custkey, s.s_suppkey
+    FROM customer c JOIN supplier s
+      ON c.c_nationkey = s.s_nationkey
+     AND FLOOR(c.c_acctbal / 100) = FLOOR(s.s_acctbal / 100)
+     AND FLOOR(c.c_acctbal / 100) + 5 = FLOOR(s.s_acctbal / 100) + 5
+    """,
+)
+def q_foverlaps_equal(spark, sf_dir):
+    """foverlaps type="equal" (reference R/foverlaps.R predicate table:
+    x.start = y.start AND x.end = y.end) over bucketed-balance
+    intervals — both equalities become extra equi-join keys, so
+    Catalyst hash-joins with zero range probes."""
+    from .core import DT
+    from .operators.overlaps import foverlaps
+
+    t = load_tables(spark, sf_dir)
+    cust = DT(t["customer"].df.select(
+        "c_custkey", "c_nationkey",
+        F.floor(F.col("c_acctbal") / 100).alias("cs"),
+        (F.floor(F.col("c_acctbal") / 100) + 5).alias("ce"),
+    ))
+    supp = DT(t["supplier"].df.select(
+        "s_suppkey", "s_nationkey",
+        F.floor(F.col("s_acctbal") / 100).alias("ss"),
+        (F.floor(F.col("s_acctbal") / 100) + 5).alias("se"),
+    ))
+    out = foverlaps(
+        cust, supp,
+        by_x=["c_nationkey", "cs", "ce"], by_y=["s_nationkey", "ss", "se"],
+        type_="equal",
+    )
+    return out.query(j=["c_custkey", "s_suppkey"]).df
