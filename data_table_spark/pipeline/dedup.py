@@ -672,10 +672,16 @@ def winnow_fingerprints(
         .orderBy("pos")
         .rowsBetween(-(w - 1), 0)
     )
+    # fingerprints = the DISTINCT window-minimum VALUES over all full
+    # windows. (Selecting rows where the current gram equals its window
+    # min instead is subtly wrong: a window whose minimum sits at an
+    # earlier position contributes nothing at that row, and a document
+    # of near-identical grams can end up with ZERO fingerprints —
+    # found by the hypothesis coverage-guarantee test.)
     return (
         exploded.withColumn("wmin", F.min("h").over(win))
-        .filter((F.col("pos") >= w) & (F.col("h") == F.col("wmin")))
-        .select(id_col, "h")
+        .filter(F.col("pos") >= w)
+        .select(id_col, F.col("wmin").alias("h"))
         .distinct()
     )
 
@@ -685,16 +691,33 @@ def winnow_dup_pairs(
     k: int = 12,
     w: int = 8,
     min_shared: int = 5,
+    max_df: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Document pairs sharing >= min_shared winnowing fingerprints —
     substring-level near-dup detection (robust to reordering of large
-    blocks, the case token-set MinHash underweights). The join is
-    fingerprint-blocked: only (doc_id, hash) pairs ride the shuffle
-    and the cost is sum(df_h^2) over fingerprint buckets (measured max
-    bucket 53 at sf0.01), never all-pairs."""
+    blocks, the case token-set MinHash underweights).
+
+    The join is fingerprint-blocked: only (doc_id, hash) pairs ride the
+    shuffle and the cost is sum(df_h^2) over fingerprint buckets, never
+    all-pairs. ``max_df`` drops fingerprints appearing in more than
+    that many documents BEFORE the join — MOSS's own over-common-
+    fingerprint rule: a hash shared by thousands of documents carries
+    no dup signal but costs df^2 join rows, and on a saturated corpus
+    (this synthetic 31-word vocabulary; boilerplate at 100 TB) the
+    uncapped join degenerates quadratically. The cap bounds the join
+    at sum(min(df, max_df)^2) — the same hot-bucket discipline as the
+    LSH band joins."""
     fp = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    if max_df is not None:
+        keep = (
+            fp.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df_h"))
+            .filter(F.col("df_h") <= max_df)
+            .select("h")
+        )
+        fp = fp.join(keep, "h")
     a = fp.select(F.col(id_col).alias("doc_a"), "h")
     b = fp.select(F.col(id_col).alias("doc_b"), "h")
     return (

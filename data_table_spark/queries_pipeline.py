@@ -540,7 +540,9 @@ _SQL_WINNOW = """
                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wmin
       FROM g
     ),
-    fp AS (SELECT DISTINCT doc_id, h FROM m WHERE pos >= 8 AND h = wmin)
+    fp0 AS (SELECT DISTINCT doc_id, wmin AS h FROM m WHERE pos >= 8),
+    keep AS (SELECT h FROM fp0 GROUP BY h HAVING COUNT(*) <= 50),
+    fp AS (SELECT fp0.doc_id, fp0.h FROM fp0 JOIN keep USING (h))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
     FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY 1, 2
@@ -551,9 +553,11 @@ _SQL_WINNOW = """
 @query("winnow_dup_pairs", _SQL_WINNOW)
 def q_winnow_dup_pairs(spark, sf_dir):
     """Winnowing (MOSS) near-dup pairs: char-12-gram hashes, window-8
-    local minima as fingerprints, pairs sharing >= 5. Position-robust
-    substring detection with guaranteed coverage of any shared run
-    >= k+w-1 chars; fingerprint-blocked join, never all-pairs."""
+    local minima as fingerprints, pairs sharing >= 5, fingerprints in
+    > 50 docs dropped (MOSS's over-common rule — no dup signal, df^2
+    join cost). Position-robust substring detection with guaranteed
+    coverage of any shared run >= k+w-1 chars; fingerprint-blocked
+    join bounded at sum(min(df,50)^2), never all-pairs."""
     from .pipeline.dedup import winnow_dup_pairs
 
     t = load_tables(spark, sf_dir)

@@ -443,3 +443,25 @@ def test_ppjoin_equals_exact_jaccard(spark, docs, thr):
         for r in jaccard_prefix_pairs(df, threshold=thr).collect()
     }
     assert pp == exact
+
+
+@SET
+@given(
+    shared=st.text(alphabet="abcdef ", min_size=19, max_size=40),
+    pre_a=st.text(alphabet="uvwxyz", min_size=0, max_size=15),
+    pre_b=st.text(alphabet="nopqrs", min_size=0, max_size=15),
+)
+def test_winnow_coverage_guarantee(spark, shared, pre_b, pre_a):
+    """Winnowing guarantee (Schleimer et al.): two documents sharing a
+    substring of length >= k + w - 1 (k=12, w=8 -> 19) ALWAYS share at
+    least one selected fingerprint, no matter how the shared run is
+    shifted by unrelated prefixes."""
+    from data_table_spark.pipeline.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, pre_a + shared), (2, pre_b + shared)], ["doc_id", "text"]
+    )
+    fp = winnow_fingerprints(df, k=12, w=8).collect()
+    a = {r["h"] for r in fp if r["doc_id"] == 1}
+    b = {r["h"] for r in fp if r["doc_id"] == 2}
+    assert a & b, "shared >= k+w-1 run must yield a shared fingerprint"
