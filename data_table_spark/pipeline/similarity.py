@@ -648,3 +648,30 @@ def pq_ann_topk(
             F.round("cos_full", 4).alias("cos"),
         )
     )
+
+
+def embedding_centroids(emb: DataFrame, label_col: str = "label") -> DataFrame:
+    """Exact per-label centroid of the embedding column — the building
+    block IVF/KMeans training and cluster-canonicalization consume.
+
+    Plan shape: posexplode to (label, dim, component) — a narrow 64×
+    fan-out of FLOAT scalars, no text/vector payload beyond the
+    component — then ONE partial-aggregated groupBy (label, dim). The
+    mean is decimal-summed (order-independent exact, the repo-wide
+    convention for float aggregates) and emitted rounded to 6 dp, so
+    the DuckDB oracle matches hash-exactly regardless of partition
+    count or summation order."""
+    e = emb.select(
+        F.col(label_col), F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        label_col,
+        (F.col("pos0") + 1).alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return e.groupBy(label_col, "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid")
+    )

@@ -564,6 +564,33 @@ def q_winnow_dup_pairs(spark, sf_dir):
     return winnow_dup_pairs(t["documents"].df, k=12, w=8, min_shared=5)
 
 
+_SQL_CENTROIDS = """
+    WITH idx AS (
+      SELECT label, embedding,
+             unnest(range(1, 65)) AS dim
+      FROM embeddings
+    ),
+    e AS (SELECT label, CAST(dim AS INT) AS dim,
+                 CAST(embedding[dim] AS DOUBLE) AS v
+          FROM idx)
+    SELECT label, dim,
+           CAST(ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS centroid
+    FROM e GROUP BY 1, 2
+"""
+
+
+@query("embedding_centroids", _SQL_CENTROIDS)
+def q_embedding_centroids(spark, sf_dir):
+    """Exact per-label embedding centroids (IVF-training / cluster-
+    canonicalization building block): posexplode to (label, dim,
+    component), one partial-agg'd groupBy, decimal-exact mean."""
+    from .pipeline.similarity import embedding_centroids
+
+    t = load_tables(spark, sf_dir)
+    return embedding_centroids(t["embeddings"].df)
+
+
 _SQL_TFIDF = """
     WITH toks AS (
       SELECT doc_id,
