@@ -54,7 +54,7 @@ _PRIORITY = [
     "bm25_topk", "frank_random", "stream_stream_right_join",
     "tfidf_keywords", "winnow_dup_pairs", "sketch_quantiles",
     "mergelist_fold", "fsetequal_check", "chgroup_first_appearance",
-    "foverlaps_equal", "embedding_centroids",
+    "foverlaps_equal", "embedding_centroids", "foverlaps_end",
     # (b) changed this round
     "eachi_join_agg", "ivf_ann_topk", "setindex_bucketed",
     # (c) r4-fix canaries
@@ -69,8 +69,6 @@ _PRIORITY = [
     "uniqueN_by", "unique_first", "duplicated_flag", "ghead_per_group",
     "weighted_mean", "gforce_minmax_firstlast", "rollup_agg", "cube_agg",
     "groupingsets_agg", "gforce_var_sd",
-    # (d) r1-green refresh: overlap surface
-    "foverlaps_any",
 ]
 
 

@@ -1281,6 +1281,47 @@ def q_foverlaps_start(spark, sf_dir):
 
 
 @query(
+    "foverlaps_end",
+    """
+    SELECT c.c_custkey, s.s_suppkey
+    FROM customer c JOIN supplier s
+      ON c.c_nationkey = s.s_nationkey
+     AND CAST(FLOOR(c.c_acctbal / 10) AS BIGINT) + 10
+         = CAST(FLOOR(s.s_acctbal / 10) + 100 AS BIGINT)
+    """,
+)
+def q_foverlaps_end(spark, sf_dir):
+    """foverlaps type="end" (reference R/foverlaps.R predicate table:
+    x.end = y.end): like type="start", the boundary equality becomes an
+    extra equi key — pure hash join, no range probe."""
+    from .operators.overlaps import foverlaps
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].query(
+        j={
+            "c_custkey": F.col("c_custkey"),
+            "c_nationkey": F.col("c_nationkey"),
+            "cs": F.floor(F.col("c_acctbal") / 10).cast("bigint"),
+            "ce": F.floor(F.col("c_acctbal") / 10).cast("bigint") + 10,
+        }
+    )
+    supp = t["supplier"].query(
+        j={
+            "s_suppkey": F.col("s_suppkey"),
+            "s_nationkey": F.col("s_nationkey"),
+            "ss": (F.floor(F.col("s_acctbal") / 10) - 100).cast("bigint"),
+            "se": (F.floor(F.col("s_acctbal") / 10) + 100).cast("bigint"),
+        }
+    )
+    out = foverlaps(
+        cust, supp,
+        by_x=["c_nationkey", "cs", "ce"], by_y=["s_nationkey", "ss", "se"],
+        type_="end",
+    )
+    return out.query(j=["c_custkey", "s_suppkey"]).df
+
+
+@query(
     "inrange_semi",
     """
     SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem x
