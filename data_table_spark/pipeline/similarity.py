@@ -656,11 +656,17 @@ def embedding_centroids(emb: DataFrame, label_col: str = "label") -> DataFrame:
 
     Plan shape: posexplode to (label, dim, component) — a narrow 64×
     fan-out of FLOAT scalars, no text/vector payload beyond the
-    component — then ONE partial-aggregated groupBy (label, dim). The
-    mean is decimal-summed (order-independent exact, the repo-wide
-    convention for float aggregates) and emitted rounded to 6 dp, so
-    the DuckDB oracle matches hash-exactly regardless of partition
-    count or summation order."""
+    component — then ONE partial-aggregated groupBy (label, dim).
+
+    Exactness: the mean is decimal-summed (order-independent exact,
+    the repo-wide float-aggregate convention); the sum fits a double
+    EXACTLY (≤ ~1e11 millionths « 2^53), so emitting
+    cast(sum as double) / count is a division of bit-identical doubles
+    in both engines — deterministic with NO final rounding. (A
+    round(mean, 6) variant failed at sf0.1 on a true midpoint: Spark's
+    exact-BigDecimal HALF_UP and DuckDB's multiply-round-divide
+    disagree on the same input double — rounding a derived quotient is
+    the trap; dividing exact integers/decimals is not.)"""
     e = emb.select(
         F.col(label_col), F.posexplode("embedding").alias("pos0", "v")
     ).select(
@@ -669,9 +675,8 @@ def embedding_centroids(emb: DataFrame, label_col: str = "label") -> DataFrame:
         F.col("v").cast("double").alias("v"),
     )
     return e.groupBy(label_col, "dim").agg(
-        F.round(
+        (
             F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+            / F.count(F.lit(1))
         ).alias("centroid")
     )

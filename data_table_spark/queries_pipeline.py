@@ -574,8 +574,8 @@ _SQL_CENTROIDS = """
                  CAST(embedding[dim] AS DOUBLE) AS v
           FROM idx)
     SELECT label, dim,
-           CAST(ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
-                      / COUNT(*), 6) AS DOUBLE) AS centroid
+           CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS centroid
     FROM e GROUP BY 1, 2
 """
 
