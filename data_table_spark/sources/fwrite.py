@@ -35,6 +35,7 @@ def fwrite(
     bom: bool = False,
     yaml: bool = False,
     single_file: bool = False,
+    logical01: bool = False,
 ) -> None:
     """See module docstring. Additional reference options:
 
@@ -65,6 +66,12 @@ def fwrite(
                 f.name,
                 F.concat_ws(sep2, F.col(f.name).cast("array<string>")),
             )
+    # logical01 (reference R/fwrite.R:6): booleans as 1/0 instead of
+    # the writer's true/false — round-trips with fread(logical01=True)
+    if logical01:
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.BooleanType):
+                df = df.withColumn(f.name, F.col(f.name).cast("int"))
     # column transforms happen BEFORE the writer is built so every
     # branch keeps the full option set (quote/emptyValue/etc.)
     if date_time_as == "epoch":

@@ -483,3 +483,24 @@ def test_fread_strip_white_and_logical01(spark):
     # strip_white=False keeps the padding (Spark csv default behavior)
     raw = fread(spark, p, strip_white=False)
     assert [r["tag"] for r in raw.df.orderBy("id").collect()] == ["  a  ", "  b  ", " c "]
+
+
+def test_fwrite_fread_logical01_roundtrip(spark):
+    """fwrite(logical01=True) writes booleans as 1/0 (reference
+    R/fwrite.R:6); fread(logical01=True) promotes them back."""
+    from data_table_spark.sources.fwrite import fwrite
+
+    os.makedirs(TMP, exist_ok=True)
+    out = f"{TMP}/logical01_rt"
+    df = spark.createDataFrame(
+        [(1, True), (2, False), (3, True)], ["id", "flag"]
+    )
+    fwrite(df, out, single_file=True, logical01=True)
+    import glob
+    fpath = glob.glob(f"{out}/*.csv")[0]
+    body = open(fpath).read()
+    assert "true" not in body and "1" in body
+    back = fread(spark, fpath, logical01=True)
+    types = {f.name: f.dataType.simpleString() for f in back.schema.fields}
+    assert types["flag"] == "boolean"
+    assert {r["id"]: r["flag"] for r in back.collect()} == {1: True, 2: False, 3: True}
