@@ -389,6 +389,34 @@ def dogroups(
     return DT(dt.df.groupBy(*by).applyInPandas(wrapped, schema=schema))
 
 
+def dogroups_arrow(
+    dt: DT,
+    by,
+    fn: Callable,
+    schema,
+    order=None,
+) -> DT:
+    """Arrow-native dogroups twin (Spark 4 ``applyInArrow``): the group
+    arrives as a ``pyarrow.Table`` and ``fn`` returns one — skipping
+    the Arrow→pandas→Arrow conversion ``applyInPandas`` pays on both
+    edges. Prefer this for j-functions expressible in pyarrow.compute
+    (or that feed Arrow-native libraries); keep the pandas form for
+    numpy/pandas-idiom logic. Same contract: rows arrive sorted by the
+    declared order, output schema is explicit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    by = _namelist(by)
+    order = _namelist(order) or dt.order_by
+
+    def wrapped(tbl: "pa.Table") -> "pa.Table":
+        if order:
+            tbl = tbl.sort_by([(c, "ascending") for c in order])
+        return fn(tbl)
+
+    return DT(dt.df.groupBy(*by).applyInArrow(wrapped, schema=schema))
+
+
 def salted_agg(
     dt: DT,
     by,

@@ -195,6 +195,57 @@ def q_dogroups(spark, sf_dir):
 
 
 @query(
+    "dogroups_arrow_udtf",
+    """
+    SELECT l_returnflag,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ) AS BIGINT) AS ord,
+           l_orderkey, l_linenumber
+    FROM lineitem
+    """,
+)
+def q_dogroups_arrow(spark, sf_dir):
+    """Arrow-native dogroups twin (Spark 4 applyInArrow): identical
+    per-group UDTF semantics to dogroups_udtf but the group flows as a
+    pyarrow.Table end-to-end — no Arrow→pandas→Arrow conversion on the
+    worker. Same oracle as the pandas form; both must match it."""
+    import pyarrow as pa
+
+    from .operators.grouping import dogroups_arrow
+
+    t = load_tables(spark, sf_dir)
+
+    def per_group(tbl: "pa.Table") -> "pa.Table":
+        # applyInArrow does NOT auto-widen types the way pandas
+        # conversion does: the returned table must match the declared
+        # schema exactly (parquet int32 -> declared long needs a cast)
+        n = tbl.num_rows
+        return pa.table(
+            {
+                "l_returnflag": tbl["l_returnflag"],
+                "ord": pa.array(range(1, n + 1), type=pa.int64()),
+                "l_orderkey": tbl["l_orderkey"].cast(pa.int64()),
+                "l_linenumber": tbl["l_linenumber"].cast(pa.int64()),
+            }
+        )
+
+    li = t["lineitem"].query(
+        j=["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"]
+    )
+    out = dogroups_arrow(
+        li,
+        by=["l_returnflag"],
+        fn=per_group,
+        schema="l_returnflag string, ord long, l_orderkey long,"
+        " l_linenumber long",
+        order=["l_extendedprice", "l_orderkey", "l_linenumber"],
+    )
+    return out.df
+
+
+@query(
     "frollapply_median",
     """
     WITH w AS (

@@ -879,3 +879,34 @@ def test_winnow_guarantee_and_selectivity(spark):
     n_grams = {r[0]: len(r[1]) - 11 for r in rows}
     for r in fp:
         assert r["count"] < 0.6 * n_grams[r["doc_id"]]
+
+
+def test_dogroups_arrow_matches_pandas(spark):
+    """applyInArrow dogroups twin returns exactly what the pandas form
+    returns for the same per-group UDTF."""
+    import pyarrow as pa
+    from data_table_spark.operators.grouping import dogroups, dogroups_arrow
+
+    df = spark.createDataFrame(
+        [("a", 3, 1), ("a", 1, 2), ("b", 2, 3), ("a", 2, 4), ("b", 1, 5)],
+        ["g", "v", "id"],
+    )
+    dt = DT(df, order_by=["v", "id"])
+    schema = "g string, ord long, id long"
+
+    def fn_pd(pdf):
+        pdf = pdf.reset_index(drop=True)
+        pdf["ord"] = pdf.index + 1
+        return pdf[["g", "ord", "id"]]
+
+    def fn_pa(tbl):
+        n = tbl.num_rows
+        return pa.table({
+            "g": tbl["g"],
+            "ord": pa.array(range(1, n + 1), type=pa.int64()),
+            "id": tbl["id"].cast(pa.int64()),
+        })
+
+    a = sorted(map(tuple, dogroups(dt, ["g"], fn_pd, schema).collect()))
+    b = sorted(map(tuple, dogroups_arrow(dt, ["g"], fn_pa, schema).collect()))
+    assert a == b
