@@ -136,15 +136,34 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def doc_fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
     """Winnowing-style fingerprint: min md5 over character k-grams (the
     1-permutation MinHash of the k-gram set) + the distinct k-gram count.
-    md5 is bit-identical across engines, so the oracle matches exactly."""
+    md5 is bit-identical across engines, so the oracle matches exactly.
+
+    Relational form: posexplode_outer of the position sequence +
+    row-level substr/md5 + one partial-agg'd groupBy — the array-HOF
+    form (transform + array_min) runs interpreted and loses by 25% at
+    sf0.1, growing with gram count (same finding as winnowing / the
+    dedup.py:84 re-encodings). min over the gram MULTISET equals min
+    over the set; posexplode_outer keeps sub-k-length documents as a
+    (null fingerprint, 0 count) row like the array form did."""
     from .dedup import spread
 
-    sh = char_shingles(F.col(text_col), k)
-    hashes = F.transform(sh, lambda s: F.md5(s))
-    return spread(df).select(
+    c = F.col(text_col)
+    pos_arr = F.when(
+        F.length(c) >= k, F.sequence(F.lit(1), F.length(c) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    e = spread(df).select(
+        "doc_id", c.alias("_t"),
+        F.posexplode_outer(pos_arr).alias("_x", "pos"),
+    ).select(
         "doc_id",
-        F.array_min(hashes).alias("fingerprint"),
-        F.size(sh).cast("long").alias("n_kgrams"),
+        F.when(
+            F.col("pos").isNotNull(),
+            F.col("_t").substr(F.col("pos"), F.lit(k)),
+        ).alias("g"),
+    )
+    return e.groupBy("doc_id").agg(
+        F.min(F.md5("g")).alias("fingerprint"),
+        F.count_distinct("g").cast("long").alias("n_kgrams"),
     )
 
 
