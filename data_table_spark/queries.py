@@ -1519,6 +1519,44 @@ def q_melt(spark, sf_dir):
 
 
 @query(
+    "melt_narm",
+    """
+    WITH src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_totalprice END AS price,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE CAST(o_custkey AS DOUBLE) END AS prio
+      FROM orders
+    )
+    SELECT o_orderkey, 'price' AS variable, price AS value
+    FROM src WHERE price IS NOT NULL
+    UNION ALL
+    SELECT o_orderkey, 'prio', prio FROM src WHERE prio IS NOT NULL
+    """,
+)
+def q_melt_narm(spark, sf_dir):
+    """melt(na.rm=TRUE) (reference R/fmelt.R na.rm arg): NULL cells are
+    dropped from the long form. NULLs synthesized deterministically by
+    key modulus (the driver tables ship without NAs)."""
+    from .operators.reshape import melt
+
+    t = load_tables(spark, sf_dir)
+    src = t["orders"].query(
+        j={
+            "o_orderkey": F.col("o_orderkey"),
+            "price": F.when(
+                F.col("o_orderkey") % 7 == 0, F.lit(None)
+            ).otherwise(F.col("o_totalprice")),
+            "prio": F.when(
+                F.col("o_orderkey") % 11 == 0, F.lit(None)
+            ).otherwise(F.col("o_custkey").cast("double")),
+        }
+    )
+    return melt(src, ["o_orderkey"], ["price", "prio"], na_rm=True).df
+
+
+@query(
     "melt_multi_measure",
     """
     SELECT l_orderkey, l_linenumber, 1 AS variable,
