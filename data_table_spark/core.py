@@ -325,13 +325,23 @@ class DT:
     def transform_cols(self, **cols) -> "DT":
         """transform.data.table / within.data.table (reference NAMESPACE
         S3 methods): add or replace computed columns; same rebind
-        semantics as :meth:`let` minus column deletion."""
+        semantics as :meth:`let` minus column deletion (a None value —
+        let's delete marker — is rejected here, not silently applied)."""
+        dels = [k for k, v in cols.items() if v is None]
+        if dels:
+            raise ValueError(
+                f"transform_cols does not delete columns: {dels};"
+                " use let(col=None)"
+            )
         return self.let(**cols)
 
     def copy(self) -> "DT":
         """copy() (reference R/data.table.R:2846) — identity under
-        immutability."""
-        return self._wrap(self.df, key=self.key, order_by=self.order_by)
+        immutability; carries key/order AND index metadata like the
+        reference's attribute copy."""
+        out = self._wrap(self.df, key=self.key, order_by=self.order_by)
+        out.index_names = list(self.index_names)
+        return out
 
     # ------------------------------------------------------------- helpers
     def head(self, n: int = 6) -> "DT":

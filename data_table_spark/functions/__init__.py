@@ -120,10 +120,8 @@ def chgroup(df, col: str, order: Sequence[str]):
     distributed range-partitioned sort on (first_key, order...). One
     agg shuffle + one sort shuffle, both fully parallel."""
     sdf = df.df if hasattr(df, "df") else df
+    firsts = _first_appearance(sdf, col, order)
     order_cols = [F.col(c) for c in order]
-    firsts = sdf.groupBy(col).agg(
-        F.min(F.struct(*order_cols)).alias("__first__")
-    ).withColumnRenamed(col, "__val__")
     # null-safe equality: NULL group-values form their own group (as the
     # reference and the former window form do) instead of being dropped
     # by a null-unsafe equi-join
@@ -131,6 +129,19 @@ def chgroup(df, col: str, order: Sequence[str]):
         sdf.join(firsts, sdf[col].eqNullSafe(firsts["__val__"]), "inner")
         .orderBy(F.col("__first__"), *order_cols)
         .select(*[sdf[c] for c in sdf.columns])
+    )
+
+
+def _first_appearance(sdf, col: str, order: Sequence[str]):
+    """Per-distinct-value first-appearance key frame shared by chgroup
+    and chgroup_ids: groupBy(col).agg(min(struct(order...))) — one
+    partial-aggregated shuffle, one row per distinct value, renamed to
+    __val__/__first__ for a null-safe join back."""
+    order_cols = [F.col(c) for c in order]
+    return (
+        sdf.groupBy(col)
+        .agg(F.min(F.struct(*order_cols)).alias("__first__"))
+        .withColumnRenamed(col, "__val__")
     )
 
 
@@ -317,11 +328,10 @@ def timetaken(started_at: float, cpu_started_at: float | None = None) -> str:
         return f"{secs:.1f}s" if secs >= 10.0 else f"{secs:.3f}s"
 
     wall = _time.perf_counter() - started_at
-    cpu = (
-        _time.process_time() - cpu_started_at
-        if cpu_started_at is not None
-        else wall
-    )
+    if cpu_started_at is None:
+        # no cpu baseline captured -> don't fabricate a cpu figure
+        return f"{_fmt(wall)} elapsed"
+    cpu = _time.process_time() - cpu_started_at
     return f"{_fmt(wall)} elapsed ({_fmt(cpu)} cpu)"
 
 
@@ -356,13 +366,10 @@ def chgroup_ids(df, col: str, order: Sequence[str]):
     from pyspark.sql import Window as _W
 
     sdf = df.df if hasattr(df, "df") else df
-    order_cols = [F.col(c) for c in order]
     firsts = (
-        sdf.groupBy(col)
-        .agg(F.min(F.struct(*order_cols)).alias("__first__"))
+        _first_appearance(sdf, col, order)
         .withColumn("grp", F.dense_rank().over(_W.orderBy("__first__")))
         .drop("__first__")
-        .withColumnRenamed(col, "__val__")
     )
     return (
         sdf.join(firsts, sdf[col].eqNullSafe(F.col("__val__")), "inner")

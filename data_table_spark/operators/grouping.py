@@ -403,13 +403,10 @@ def dogroups_arrow(
     (or that feed Arrow-native libraries); keep the pandas form for
     numpy/pandas-idiom logic. Same contract: rows arrive sorted by the
     declared order, output schema is explicit."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     by = _namelist(by)
     order = _namelist(order) or dt.order_by
 
-    def wrapped(tbl: "pa.Table") -> "pa.Table":
+    def wrapped(tbl):
         if order:
             tbl = tbl.sort_by([(c, "ascending") for c in order])
         return fn(tbl)

@@ -268,6 +268,31 @@ def rowwiseDT(spark, columns: Sequence[str], *rows) -> DT:
     return DT(spark.createDataFrame([tuple(r) for r in rows], list(columns)))
 
 
+def _suffix_groups(
+    pairs: "Sequence[tuple[str, str, str]]",
+) -> dict[str, list[str]]:
+    """Shared tail of the measure() selectors: group (stem, suffix,
+    column) triples by stem, order members by suffix (numeric when the
+    suffix parses as an int; a missing suffix sorts like a non-numeric
+    one), and drop single-member stems (the reference requires >1
+    measure per group — they stay id vars)."""
+    groups: dict[str, list[tuple[str, str]]] = {}
+    for stem, idx, col in pairs:
+        groups.setdefault(stem, []).append((idx, col))
+
+    def keyf(t):
+        try:
+            return (0, int(t[0]), t[0])
+        except (ValueError, TypeError):
+            return (1, 0, t[0] or "")
+
+    return {
+        stem: [c for _, c in sorted(v, key=keyf)]
+        for stem, v in groups.items()
+        if len(v) > 1
+    }
+
+
 def measure_sep(
     columns: Sequence[str], sep: str = "_"
 ) -> dict[str, list[str]]:
@@ -277,25 +302,13 @@ def measure_sep(
     form one value group, ordered by suffix (numeric when possible).
     Stems with a single column are left alone (they stay id vars),
     matching the reference's requirement of >1 measure per group."""
-    groups: dict[str, list[tuple[str, str]]] = {}
+    pairs = []
     for c in columns:
         parts = c.split(sep)
         if len(parts) < 2:
             continue
-        stem, idx = sep.join(parts[:-1]), parts[-1]
-        groups.setdefault(stem, []).append((idx, c))
-
-    def keyf(t):
-        try:
-            return (0, int(t[0]), t[0])
-        except ValueError:
-            return (1, 0, t[0])
-
-    return {
-        stem: [c for _, c in sorted(v, key=keyf)]
-        for stem, v in groups.items()
-        if len(v) > 1
-    }
+        pairs.append((sep.join(parts[:-1]), parts[-1], c))
+    return _suffix_groups(pairs)
 
 
 def patterns(regex: str, columns: Sequence[str]) -> list[str]:
@@ -323,22 +336,10 @@ def measure_pattern(
         raise ValueError(
             f"measure_pattern needs exactly 2 capture groups, got {rx.groups}"
         )
-    groups: dict[str, list[tuple[str, str]]] = {}
+    pairs = []
     for c in columns:
         m = rx.search(c)
         if not m:
             continue
-        stem, idx = m.group(1), m.group(2)
-        groups.setdefault(stem, []).append((idx, c))
-
-    def keyf(t):
-        try:
-            return (0, int(t[0]), t[0])
-        except ValueError:
-            return (1, 0, t[0])
-
-    return {
-        stem: [c for _, c in sorted(v, key=keyf)]
-        for stem, v in groups.items()
-        if len(v) > 1
-    }
+        pairs.append((m.group(1), m.group(2), c))
+    return _suffix_groups(pairs)

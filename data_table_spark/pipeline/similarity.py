@@ -650,7 +650,7 @@ def pq_ann_topk(
     )
 
 
-def embedding_centroids(emb: DataFrame, label_col: str = "label") -> DataFrame:
+def embedding_centroids(emb: DataFrame, label_col: str = "label", dim: int = 64) -> DataFrame:
     """Exact per-label centroid of the embedding column — the building
     block IVF/KMeans training and cluster-canonicalization consume.
 
@@ -667,7 +667,14 @@ def embedding_centroids(emb: DataFrame, label_col: str = "label") -> DataFrame:
     exact-BigDecimal HALF_UP and DuckDB's multiply-round-divide
     disagree on the same input double — rounding a derived quotient is
     the trap; dividing exact integers/decimals is not.)"""
-    e = emb.select(
+    # drop NULL / wrong-dimension vectors BEFORE the explode (the
+    # oracle applies the identical predicate): a non-outer posexplode
+    # would silently drop a NULL embedding's rows while a fixed-range
+    # oracle would keep them as NULL components in the divisor
+    clean = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    )
+    e = clean.select(
         F.col(label_col), F.posexplode("embedding").alias("pos0", "v")
     ).select(
         label_col,

@@ -284,6 +284,8 @@ def bm25_rank(
     double arithmetic in a fixed association order mirrored exactly by
     the oracle SQL.
     """
+    if not terms:
+        raise ValueError("bm25_rank needs at least one query term")
     toks = tokens_col(text_col)
     d = df.select(F.col(id_col), toks.alias("_toks")).select(
         id_col,

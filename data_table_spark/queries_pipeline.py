@@ -569,6 +569,7 @@ _SQL_CENTROIDS = """
       SELECT label, embedding,
              unnest(range(1, 65)) AS dim
       FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
     ),
     e AS (SELECT label, CAST(dim AS INT) AS dim,
                  CAST(embedding[dim] AS DOUBLE) AS v
@@ -1188,6 +1189,12 @@ def q_sketch_quantiles(spark, sf_dir):
         )
         .withColumn("q", F.element_at(qarr, F.col("qi") + 1))
     )
+    # The sketch guarantees SOME rank position of v — any in
+    # [#{x < v} + 1, #{x <= v}] when v is duplicated — lies within
+    # n/accuracy of q*n, so the contract checks that the value's rank
+    # INTERVAL intersects the allowed band (checking the upper rank
+    # alone would be stronger than the guarantee and could go red on a
+    # correct sketch over heavily-duplicated data).
     ranks = (
         li.join(
             F.broadcast(ap),
@@ -1195,14 +1202,22 @@ def q_sketch_quantiles(spark, sf_dir):
             & (F.col("l_extendedprice") <= F.col("v")),
         )
         .groupBy("rf", "q", "n")
-        .agg(F.count(F.lit(1)).alias("rank_le"))
+        .agg(
+            F.count(F.lit(1)).alias("rank_le"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("v")).cast("long")
+            ).alias("rank_lt"),
+        )
     )
     bound = F.col("n") / _QSKETCH_ACC + 1
+    target = F.col("q") * F.col("n")
     return ranks.select(
         F.col("rf").alias("l_returnflag"),
         "q",
-        (F.abs(F.col("rank_le") - F.col("q") * F.col("n")) <= bound)
-        .alias("rank_ok"),
+        (
+            (F.col("rank_le") >= target - bound)
+            & (F.col("rank_lt") + 1 <= target + bound)
+        ).alias("rank_ok"),
     )
 
 

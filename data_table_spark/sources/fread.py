@@ -251,6 +251,7 @@ def fread(
             col_classes={k: "character" for k in want} if want else None,
             col_names=col_names, na_strings=na_strings, skip=skip,
             quote=quote, fill=fill, encoding=encoding, key=key,
+            strip_white=strip_white, logical01=logical01,
         )
         from pyspark.sql import functions as _F
 

@@ -823,7 +823,9 @@ def test_namespace_parity_utilities(spark):
 
     t0 = time.perf_counter()
     out = timetaken(t0)
-    assert "elapsed" in out and "cpu" in out and out.startswith("0.0")
+    assert "elapsed" in out and out.startswith("0.0")
+    assert "cpu" not in out  # no cpu baseline -> no fabricated figure
+    assert "cpu" in timetaken(t0, time.process_time())
     assert timetaken(t0 - 5.0).startswith("5.0")      # 0.3fs tier... 5.000s
     assert timetaken(t0 - 30.0).startswith("30.0s")   # .1fs tier
     assert timetaken(t0 - 3700.0).startswith("01:0")  # HH:MM:SS tier
