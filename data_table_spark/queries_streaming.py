@@ -95,6 +95,55 @@ def q_stream_session(spark, sf_dir):
 
 
 @query(
+    "stream_session_dynamic",
+    f"""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    g AS (SELECT user_id, us,
+            CASE WHEN event_type = 'purchase' THEN 600000000
+                 WHEN event_type IN ('click', 'view') THEN 300000000
+                 ELSE 120000000 END AS gap_us
+          FROM e),
+    m AS (SELECT user_id, us,
+            MAX(us + gap_us) OVER (PARTITION BY user_id ORDER BY us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS prev_end
+          FROM g),
+    f AS (SELECT user_id, us,
+            CASE WHEN prev_end IS NULL OR us >= prev_end
+                 THEN 1 ELSE 0 END AS brk
+          FROM m),
+    s AS (SELECT user_id, us,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM f)
+    SELECT MIN(us) AS session_start_us, user_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_dynamic(spark, sf_dir):
+    """Session windows with a DYNAMIC per-event gap (purchases hold a
+    session open 10 minutes, clicks/views 5, signups/errors 2).
+    Spark merges transitively-overlapping [ts, ts+gap(event)) windows,
+    which for time-sorted events is exactly 'break when ts >= the
+    running max of previous (ts + gap)' — the oracle encodes that rule
+    with the same exclusive end as the static-gap session oracle."""
+    from .streaming import read_events_stream, run_available_now, session_agg_dynamic
+
+    s = read_events_stream(spark, sf_dir)
+    # session_window's dynamic gap needs CalendarIntervalType — ANSI
+    # INTERVAL literals are DayTimeIntervalType and are rejected; a
+    # STRING column of interval text is parsed to the right type
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("10 minutes"))
+        .when(F.col("event_type").isin("click", "view"), F.lit("5 minutes"))
+        .otherwise(F.lit("2 minutes"))
+    )
+    return run_available_now(
+        session_agg_dynamic(s, gap, watermark="30 minutes")
+    )
+
+
+@query(
     "stream_dedup",
     """
     SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value

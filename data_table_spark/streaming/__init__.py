@@ -27,7 +27,7 @@ from __future__ import annotations
 import itertools
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -203,6 +203,30 @@ def session_agg(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            "user_id", "n_events",
+        )
+    )
+
+
+def session_agg_dynamic(
+    events: DataFrame,
+    gap_expr: Column,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-user sessions with a DYNAMIC per-event gap (Spark's
+    session_window accepts a Column gap): each event extends its
+    session to ts + gap(event), so e.g. purchases hold a session open
+    longer than clicks. Same state-merge execution as the static-gap
+    form; the break rule is ts >= running-max of previous events'
+    (ts + gap) — the semantics the oracle encodes exactly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap_expr), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             F.unix_micros(F.col("session_window.start")).alias(
