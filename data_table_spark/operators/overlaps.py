@@ -24,10 +24,29 @@ from ..core import DT, _namelist
 __all__ = ["foverlaps", "inrange"]
 
 
-def _overlap_pred(xs, xe, ys, ye, type_: str) -> Column:
+def _overlap_pred(
+    xs, xe, ys, ye, type_: str, maxgap: int = 0, minoverlap: int = 1
+) -> Column:
     """Predicate table for foverlaps type= (reference R/foverlaps.R:1-249).
-    x = the i-side intervals being looked up, y = the keyed table."""
+    x = the i-side intervals being looked up, y = the keyed table.
+
+    maxgap / minoverlap (the reference RESERVES these arguments and
+    errors on non-default values — implemented here, a strict surface
+    extension): with closed integer intervals, overlap length
+    ov = min(xe, ye) - max(xs, ys) + 1 is the number of shared
+    positions; when the intervals are disjoint, -ov is the number of
+    positions strictly between them (adjacent intervals have ov = 0).
+    So type="any" generalizes to ONE predicate threshold:
+    - minoverlap = m > 1: require ov >= m (at least m shared positions)
+    - maxgap = g > 0: require ov >= -g (overlap, touch, or a gap of at
+      most g positions)
+    The two knobs are mutually exclusive, as the reference documents."""
     if type_ == "any":        # intervals intersect (closed ends)
+        if maxgap and minoverlap > 1:
+            raise ValueError("maxgap and minoverlap are mutually exclusive")
+        if maxgap or minoverlap > 1:
+            ov = F.least(xe, ye) - F.greatest(xs, ys) + F.lit(1)
+            return ov >= F.lit(minoverlap if minoverlap > 1 else -maxgap)
         return (xs <= ye) & (ys <= xe)
     if type_ == "within":     # x within y
         return (xs >= ys) & (xe <= ye)
@@ -49,13 +68,20 @@ def foverlaps(
     mult: str = "all",
     nomatch: str | None = None,
     prefix: str = "i_",
+    maxgap: int = 0,
+    minoverlap: int = 1,
 ) -> DT:
     """foverlaps(x, y): for each x interval, find overlapping y intervals.
 
     by_x / by_y: equi key columns followed by (start, end) — the
     reference's convention that the last two key columns are the interval
     (R/foverlaps.R docs). Output: x columns + y payload (prefix on clash).
+    maxgap/minoverlap (type="any" only, integer intervals): see
+    _overlap_pred — implemented here although the reference only
+    reserves them.
     """
+    if (maxgap or minoverlap > 1) and type_ != "any":
+        raise ValueError("maxgap/minoverlap apply to type='any' only")
     by_x = _namelist(by_x)
     by_y = _namelist(by_y) or by_x
     *keys_x, sx, ex = by_x
@@ -63,7 +89,12 @@ def foverlaps(
 
     xdf, ydf = x.df, y.df
     conds = [xdf[a] == ydf[b] for a, b in zip(keys_x, keys_y)]
-    conds.append(_overlap_pred(xdf[sx], xdf[ex], ydf[sy], ydf[ey], type_))
+    conds.append(
+        _overlap_pred(
+            xdf[sx], xdf[ex], ydf[sy], ydf[ey], type_,
+            maxgap=maxgap, minoverlap=minoverlap,
+        )
+    )
     cond = reduce(lambda l, r: l & r, conds)
     how = "left" if nomatch == "NA" else "inner"
     joined = xdf.join(ydf, cond, how)

@@ -912,3 +912,32 @@ def test_dogroups_arrow_matches_pandas(spark):
     a = sorted(map(tuple, dogroups(dt, ["g"], fn_pd, schema).collect()))
     b = sorted(map(tuple, dogroups_arrow(dt, ["g"], fn_pa, schema).collect()))
     assert a == b
+
+
+def test_foverlaps_maxgap_minoverlap(spark):
+    """maxgap/minoverlap extension on type='any' (the reference reserves
+    these args; integer-interval semantics: ov = min(e)-max(s)+1, gap =
+    -ov, adjacency is gap 0)."""
+    from data_table_spark.operators.overlaps import foverlaps
+
+    x = DT(spark.createDataFrame([(1, 1, 2)], ["xid", "xs", "xe"]))
+    rows = [
+        (10, 1, 2),    # identical: ov=2
+        (11, 2, 5),    # ov=1
+        (12, 3, 5),    # adjacent: ov=0, gap=0
+        (13, 4, 5),    # gap=1
+        (14, 5, 6),    # gap=2
+    ]
+    y = DT(spark.createDataFrame(rows, ["yid", "ys", "ye"]))
+
+    def ids(**kw):
+        out = foverlaps(x, y, by_x=["xs", "xe"], by_y=["ys", "ye"], **kw)
+        return sorted(r["yid"] for r in out.df.collect())
+
+    assert ids() == [10, 11]                      # plain any
+    assert ids(maxgap=1) == [10, 11, 12, 13]      # touch + gap<=1
+    assert ids(minoverlap=2) == [10]              # >=2 shared positions
+    with pytest.raises(ValueError):
+        ids(maxgap=1, minoverlap=2)
+    with pytest.raises(ValueError):
+        ids(type_="within", maxgap=1)
