@@ -56,6 +56,7 @@ _PRIORITY = [
     "mergelist_fold", "fsetequal_check", "chgroup_first_appearance",
     "foverlaps_equal", "embedding_centroids", "foverlaps_end",
     "dogroups_arrow_udtf", "melt_narm", "stream_session_dynamic",
+    "dedup_cluster_sizes",
     # (b) changed this round
     "eachi_join_agg", "ivf_ann_topk", "setindex_bucketed",
     # (c) r4-fix canaries
@@ -68,7 +69,7 @@ _PRIORITY = [
     "nonequi_join",
     # (d) r1-green refresh: grouping surface
     "uniqueN_by", "unique_first", "duplicated_flag", "ghead_per_group",
-    "weighted_mean", "gforce_minmax_firstlast", "rollup_agg",
+    "weighted_mean", "gforce_minmax_firstlast",
 ]
 
 

@@ -112,6 +112,38 @@ _SQL_DEDUP_CLUSTERS = f"""
 """
 
 
+_SQL_CLUSTER_SIZES = f"""
+    WITH c AS ({_SQL_DEDUP_CLUSTERS}),
+    per AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM c GROUP BY 1)
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM per GROUP BY cluster_size
+"""
+
+
+@query("dedup_cluster_sizes", _SQL_CLUSTER_SIZES)
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Corpus dup-profile: the cluster-SIZE histogram over the
+    connected-component duplicate clusters (how many singletons, how
+    many k-way dup families, how many documents they hold) — the
+    report a curation run reads before choosing keep-best policy. Two
+    tiny aggregations over the cluster labels; cost is the clustering
+    itself."""
+    from .pipeline import dedup_clusters
+
+    t = load_tables(spark, sf_dir)
+    labels = dedup_clusters(t["documents"].df, threshold=0.8)
+    per = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return per.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+    )
+
+
 @query("dedup_clusters", _SQL_DEDUP_CLUSTERS)
 def q_dedup_clusters(spark, sf_dir):
     """Connected-component duplicate clusters (transitive closure of
