@@ -465,3 +465,61 @@ def test_winnow_coverage_guarantee(spark, shared, pre_b, pre_a):
     a = {r["h"] for r in fp if r["doc_id"] == 1}
     b = {r["h"] for r in fp if r["doc_id"] == 2}
     assert a & b, "shared >= k+w-1 run must yield a shared fingerprint"
+
+
+def _asof_brute(xs, is_, roll):
+    """Reference-semantics as-of oracle in plain Python: for each i
+    time, pick the x observation per the roll rule. xs: [(t, v)],
+    is_: [t]. Returns {i_time: v_or_None} (one key group, default
+    rollends)."""
+    out = {}
+    ts = sorted(xs)
+    for it in is_:
+        exact = [v for t, v in ts if t == it]
+        if exact:
+            out[it] = exact[-1]
+            continue
+        before = [(t, v) for t, v in ts if t < it]
+        after = [(t, v) for t, v in ts if t > it]
+        if roll == "forward":        # LOCF, rollends=(False, True)
+            out[it] = before[-1][1] if before else None
+        elif roll == "backward":     # NOCB, rollends=(True, False)
+            out[it] = after[0][1] if after else None
+        else:                        # nearest, rollends=(True, True)
+            cands = []
+            if before:
+                cands.append((it - before[-1][0], 0, before[-1][1]))
+            if after:
+                # ties prefer the EARLIER observation (forward fill
+                # wins), matching the reference's nearest rule
+                cands.append((after[0][0] - it, 1, after[0][1]))
+            out[it] = min(cands)[2] if cands else None
+    return out
+
+
+@SET
+@given(
+    xts=st.lists(st.integers(min_value=0, max_value=20), min_size=1,
+                 max_size=8, unique=True),
+    its=st.lists(st.integers(min_value=-2, max_value=23), min_size=1,
+                 max_size=8, unique=True),
+    mode=st.sampled_from(["forward", "backward", "nearest"]),
+)
+def test_asof_join_matches_brute_oracle(spark, xts, its, mode):
+    """Randomized as-of join vs a plain-Python reference oracle —
+    covers boundary cases (i before first / after last observation,
+    exact-timestamp hits, nearest ties) the fixed driver datasets
+    may not."""
+    from data_table_spark.operators.asof import asof_join
+
+    xs = [(t, t * 10) for t in xts]
+    x = DT(spark.createDataFrame(
+        [("k", t, v) for t, v in xs], ["k", "t", "v"]), order_by=["t"])
+    i = DT(spark.createDataFrame(
+        [("k", t) for t in its], ["k", "ti"]), order_by=["ti"])
+    roll = {"forward": True, "backward": float("-inf"),
+            "nearest": "nearest"}[mode]
+    out = asof_join(x, i, on=["k"], time_x="t", time_i="ti", roll=roll)
+    got = {r["ti"]: r["v"] for r in out.df.collect()}
+    want = _asof_brute(xs, its, mode)
+    assert got == want
