@@ -523,3 +523,36 @@ def test_asof_join_matches_brute_oracle(spark, xts, its, mode):
     got = {r["ti"]: r["v"] for r in out.df.collect()}
     want = _asof_brute(xs, its, mode)
     assert got == want
+
+
+@SET
+@given(
+    xrows=st.lists(st.tuples(st.integers(0, 3), st.integers(-5, 5)),
+                   min_size=1, max_size=10),
+    yks=st.lists(st.integers(0, 4), min_size=1, max_size=5, unique=True),
+    mode=st.sampled_from(["all", "first", "last"]),
+)
+def test_lookup_mult_matches_brute_oracle(spark, xrows, yks, mode):
+    """Randomized X[Y] lookup cardinality semantics vs a brute oracle:
+    one row per Y row (per match under mult='all'), first/last pick by
+    X's declared order, unmatched Y rows keep NULL payload."""
+    from data_table_spark.operators.joins import lookup
+
+    xs = [(k, i, v) for i, (k, v) in enumerate(xrows)]  # xo = i unique
+    x = DT(spark.createDataFrame(xs, ["k", "xo", "v"]), order_by=["xo"])
+    y = DT(spark.createDataFrame([(k,) for k in yks], ["k"]))
+    out = lookup(x, y, on=["k"], mult=mode)
+    got = sorted((r["k"], r["v"]) for r in out.df.collect())
+
+    want = []
+    for k in yks:
+        matches = sorted((xo, v) for kk, xo, v in xs if kk == k)
+        if not matches:
+            want.append((k, None))
+        elif mode == "all":
+            want.extend((k, v) for _, v in matches)
+        elif mode == "first":
+            want.append((k, matches[0][1]))
+        else:
+            want.append((k, matches[-1][1]))
+    assert got == sorted(want)
