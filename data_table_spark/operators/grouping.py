@@ -479,3 +479,30 @@ def cogroup_apply(
 
     cg = x.df.groupBy(*by).cogroup(y.df.groupBy(*by))
     return DT(cg.applyInPandas(wrapped, schema=schema))
+
+
+def cogroup_apply_arrow(
+    x: DT, y: DT, by: Sequence[str], fn, schema: str,
+    order_x=None, order_y=None,
+) -> DT:
+    """Arrow-native co-grouped map (cogroup().applyInArrow): `fn(key,
+    x_tbl, y_tbl) -> pyarrow.Table` — the two-table twin of
+    dogroups_arrow, skipping both sides' Arrow↔pandas conversions.
+    Same contract as cogroup_apply: each side's rows arrive sorted by
+    its declared order, output schema is explicit (applyInArrow does
+    not auto-widen types — match it exactly)."""
+    by = _namelist(by)
+    ox = _namelist(order_x) or x.order_by
+    oy = _namelist(order_y) or y.order_by
+
+    def wrapped(key, xt, yt):
+        if ox:
+            xt = xt.sort_by([(c, "ascending") for c in ox
+                             if c in xt.column_names])
+        if oy:
+            yt = yt.sort_by([(c, "ascending") for c in oy
+                             if c in yt.column_names])
+        return fn(key, xt, yt)
+
+    cg = x.df.groupBy(*by).cogroup(y.df.groupBy(*by))
+    return DT(cg.applyInArrow(wrapped, schema=schema))

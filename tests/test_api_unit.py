@@ -941,3 +941,41 @@ def test_foverlaps_maxgap_minoverlap(spark):
         ids(maxgap=1, minoverlap=2)
     with pytest.raises(ValueError):
         ids(type_="within", maxgap=1)
+
+
+def test_cogroup_arrow_matches_pandas(spark):
+    """cogroup applyInArrow twin returns exactly what the pandas form
+    returns for the same two-table per-key function."""
+    import pyarrow as pa
+    from data_table_spark.operators.grouping import (
+        cogroup_apply, cogroup_apply_arrow,
+    )
+
+    x = DT(spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 5)], ["k", "i", "xv"]),
+        order_by=["i"])
+    y = DT(spark.createDataFrame(
+        [("a", 1, 100), ("c", 1, 7)], ["k", "i", "yv"]), order_by=["i"])
+    schema = "k string, n_x long, n_y long, sum_xv long"
+
+    def fn_pd(key, xp, yp):
+        import pandas as pd
+        return pd.DataFrame({
+            "k": [key[0]], "n_x": [len(xp)], "n_y": [len(yp)],
+            "sum_xv": [int(xp["xv"].sum()) if len(xp) else 0],
+        })
+
+    def fn_pa(key, xt, yt):
+        import pyarrow.compute as pc
+        s = pc.sum(xt["xv"]).as_py() if xt.num_rows else 0
+        return pa.table({
+            "k": pa.array([key[0].as_py() if hasattr(key[0], "as_py")
+                           else key[0]], type=pa.string()),
+            "n_x": pa.array([xt.num_rows], type=pa.int64()),
+            "n_y": pa.array([yt.num_rows], type=pa.int64()),
+            "sum_xv": pa.array([s or 0], type=pa.int64()),
+        })
+
+    a = sorted(map(tuple, cogroup_apply(x, y, ["k"], fn_pd, schema).collect()))
+    b = sorted(map(tuple, cogroup_apply_arrow(x, y, ["k"], fn_pa, schema).collect()))
+    assert a == b
