@@ -57,6 +57,8 @@ _PRIORITY = [
     "foverlaps_equal", "embedding_centroids", "foverlaps_end",
     "dogroups_arrow_udtf", "melt_narm", "stream_session_dynamic",
     "dedup_cluster_sizes",
+    "mixture_sample", "split_leakfree", "shuffle_shards",
+    "bigram_lm_score",
     # (b) changed this round
     "eachi_join_agg", "ivf_ann_topk", "setindex_bucketed",
     # (c) r4-fix canaries
@@ -67,9 +69,11 @@ _PRIORITY = [
     "lookup_join", "join_inner", "anti_join", "mult_first",
     "mult_last", "update_on_join", "merge_full", "cj_cross",
     "nonequi_join",
-    # (d) r1-green refresh: grouping surface
-    "uniqueN_by", "unique_first", "duplicated_flag", "ghead_per_group",
-    "weighted_mean", "gforce_minmax_firstlast",
+    # (d) r1-green refresh: grouping surface (unique_first,
+    # duplicated_flag, weighted_mean, gforce_minmax_firstlast yielded
+    # their slots to the four training-run-assembly additions above;
+    # all r1-green + locally re-verified)
+    "uniqueN_by", "ghead_per_group",
 ]
 
 

@@ -34,6 +34,9 @@ __all__ = [
     "keep_best",
     "chunk_documents",
     "repetition_metrics",
+    "mixture_sample",
+    "split_by_cluster",
+    "shuffle_shards",
 ]
 
 
@@ -164,3 +167,147 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
         ).alias("dup_2gram_ratio")
     )
     return tc.join(bs, "doc_id")
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, int],
+    budget_pct: int = 50,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Target-mixture sampling: pick per-group keep rates so the sample
+    approximates a TARGET mixture over ``group_col`` (the data-mixing
+    step of a training run: "web 50%, books 25%, code 25%" over a
+    corpus whose observed mix is whatever crawling produced).
+
+    ``targets`` maps group value -> integer share WEIGHT (relative;
+    groups absent from the dict are dropped). The overall sample budget
+    is ``budget_pct`` percent of the corpus. For each group g:
+
+        T      = total_rows * budget_pct div 100
+        want_g = T * share_g div share_total
+        thr_g  = min(2^24, want_g * 2^24 div count_g)   (rate capped at 1)
+
+    and a row is kept iff the top-24-bit integer of md5(id) < thr_g —
+    the same deterministic content-hash gate as hash_sample, so the
+    sample is reproducible across engines, runs, partitionings, and
+    cluster sizes, and all rate arithmetic is EXACT bigint (div, never
+    float division, so both engines compute identical thresholds).
+
+    Scale shape (100 TB): one tiny per-group count aggregate + a 1-row
+    total, broadcast back as a (group, threshold) plan table; the
+    corpus itself streams through a broadcast-hash join + narrow
+    filter. No corpus shuffle at all. Groups whose want exceeds their
+    count keep everything (rate cap) — the standard behavior when a
+    target mixture over-asks a small source (epoch reweighting, not
+    row duplication, is the fix upstream).
+    """
+    share_total = sum(targets.values())
+    if share_total <= 0:
+        raise ValueError("mixture_sample targets must have positive total weight")
+    share = None
+    for g, s in targets.items():
+        cond = F.col(group_col) == F.lit(g)
+        share = F.when(cond, F.lit(int(s))) if share is None else share.when(cond, F.lit(int(s)))
+    share = share.otherwise(F.lit(0))
+
+    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    tot = df.agg(F.count(F.lit(1)).alias("_tot"))
+    plan = (
+        cnt.crossJoin(F.broadcast(tot))
+        .withColumn("_share", share)
+        .filter(F.col("_share") > 0)
+        .withColumn("_T", F.expr(f"_tot * {int(budget_pct)} DIV 100"))
+        .withColumn("_want", F.expr(f"_T * _share DIV {int(share_total)}"))
+        .withColumn(
+            "_thr",
+            F.least(F.lit(1 << 24), F.expr(f"_want * {1 << 24} DIV _cnt")),
+        )
+        .select(group_col, "_thr")
+    )
+    h24 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(plan), group_col)
+        .filter(h24 < F.col("_thr"))
+        .select(id_col, group_col)
+    )
+
+
+def split_by_cluster(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    test_pct: int = 20,
+) -> DataFrame:
+    """Leakage-free train/test split: assign each document to a split
+    by hashing its duplicate-CLUSTER representative, not its own id,
+    so near-duplicate documents always land on the same side (splitting
+    by row id leaks eval rows into training through their rewrites —
+    the classic contamination bug this operator exists to prevent).
+
+    Composes dedup_clusters (blocked pair join + min-label propagation;
+    singletons keep their own id) with one narrow projection:
+    split = 'test' iff (top-16-bit integer of md5(cluster_id)) mod 100
+    < test_pct, else 'train'. Deterministic across engines/runs/
+    partitionings; the whole-cluster granularity means realized test
+    share converges to test_pct over many clusters rather than being
+    exact per-row.
+
+    Scale shape: cost is the clustering itself (see dedup_clusters);
+    the split assignment adds zero shuffles.
+    """
+    labels = dedup_clusters(docs, threshold=threshold)
+    h = F.conv(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h % 100 < test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row gets
+    (shard, pos) such that reading shards in order, each sorted by pos,
+    visits the corpus in a seeded pseudo-random permutation — the
+    "shuffle the corpus before training" step, made reproducible (same
+    seed -> same order on any cluster size/partitioning/engine, unlike
+    rand()-based orderBy).
+
+    shard = top-16-bit integer of md5(seed:id) mod n_shards;
+    pos    = row_number within shard ordered by (md5(seed:id), id).
+
+    Scale shape (100 TB): shard assignment is a narrow hash projection;
+    per-shard positions are ONE row_number window partitioned by shard
+    — a single shuffle on shard. Each shard's numbering runs in one
+    task, so n_shards must scale with the corpus (pick n_shards ~
+    corpus_size / 1 GB; at 100 TB that's ~10^5 shards, each a
+    single-task sort of ~1 GB — exactly the shard files a training
+    loader wants). The md5 sort key is uniformly distributed, so shards
+    are balanced within binomial noise.
+    """
+    h = F.md5(
+        F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string"))
+    )
+    d = df.select(F.col(id_col), h.alias("_h"))
+    shard = (
+        F.conv(F.substring("_h", 1, 4), 16, 10).cast("long")
+        % int(n_shards)
+    ).alias("shard")
+    d = d.select(id_col, "_h", shard)
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return d.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

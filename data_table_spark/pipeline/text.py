@@ -324,3 +324,95 @@ def bm25_rank(
         .filter(F.col("bm25") > 0)
     )
     return out.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(topk)
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained bigram language-model quality score per document
+    (the CCNet-style LM filter: rank documents by how surprising they
+    are under a model trained on the corpus itself — gibberish and
+    boilerplate land in the tails).
+
+    Model: add-one-smoothed bigram LM. For each bigram occurrence
+    (w1, w2): logprob = ln((C(w1,w2) + 1) / (C(w1·) + V)) where C(w1·)
+    counts w1 as a bigram head and V is the unigram vocabulary size.
+    Per doc: n_bigrams and avg_lp (mean logprob in nats; higher = more
+    typical of the corpus).
+
+    Scale shape (100 TB): bigram assembly is posexplode + window-lead
+    (whole-stage codegen, one doc_id shuffle — same encoding as
+    shingle_rows; the array-HOF form runs interpreted, measured ~50x
+    slower). Counts are two key-partitioned aggregates on (w1,w2) / w1
+    — map-side combined, so the shuffle carries the bigram TYPE
+    distribution, not occurrences. Scoring joins the per-doc bigram
+    COUNT table (not occurrences) to the logprob table on bigram keys
+    — equi-joins all the way down, no driver state, V is a 1-row
+    aggregate broadcast back.
+
+    Engine-portable numerics: counts are exact integers; the only
+    transcendental, ln(exact-int-double / exact-int-double), is scaled
+    to integer MICRO-nats in one rounding (round(ln(x)*1e6) as bigint)
+    so every downstream sum/product is exact bigint arithmetic; avg_lp
+    divides two bit-identical doubles in a fixed order — no decimal
+    midpoint traps anywhere (the embedding_centroids lesson).
+
+    Reference anchor: no data.table analog (its text surface stops at
+    grep-style helpers); this extends the pipeline family like bm25.
+    """
+    from .dedup import spread
+
+    tok = spread(df).select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "w")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = (
+        tok.select(
+            id_col,
+            F.col("w").alias("w1"),
+            F.lead("w").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    # per-doc bigram counts: the scoring join carries bigram TYPES per
+    # doc, not occurrences
+    db = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = tok.agg(F.countDistinct("w").alias("v"))
+    lp = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        db.join(lp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("lp_micro")).alias("_sum_lp"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (
+                F.col("_sum_lp").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.lit(1e6))
+            ).alias("avg_lp"),
+        )
+    )

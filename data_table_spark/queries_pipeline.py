@@ -1459,3 +1459,147 @@ def q_pq_ann_topk(spark, sf_dir):
     approx = pq_ann_topk(emb, query_ids_below=8, k=5)
     exact = cosine_topk(emb, query_ids_below=8, k=5)
     return _ann_recall_result(approx, exact, bound=0.8)
+
+
+# §pipeline: training-run assembly (mixing, splitting, shuffling, LM filter)
+
+
+def _sql_md5_int(expr: str, hexdigits: int = 4) -> str:
+    """DuckDB expression: first `hexdigits` hex chars of md5(expr) as a
+    BIGINT (mirror of Spark's conv(substring(md5(x),1,n),16,10))."""
+    return (
+        f"list_sum([(strpos('0123456789abcdef', substr(md5({expr}), k+1, 1))"
+        f" - 1)::BIGINT << (4*({hexdigits - 1}-k)) for k in range(0,{hexdigits})])"
+    )
+
+
+_MIXTURE_TARGETS = {
+    **{f"src{i}": 8 for i in range(5)},
+    **{f"src{i}": 4 for i in range(5, 10)},
+    **{f"src{i}": 2 for i in range(10, 20)},
+}
+
+_SQL_MIXTURE = f"""
+    WITH cnt AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS t FROM documents),
+    sh AS (
+      SELECT source, c, t,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 8
+                  WHEN source IN ('src5','src6','src7','src8','src9') THEN 4
+                  ELSE 2 END AS share
+      FROM cnt CROSS JOIN tot),
+    plan AS (
+      SELECT source,
+             LEAST(CAST(16777216 AS BIGINT),
+                   ((t * 50 // 100) * share // 80) * 16777216 // c) AS thr
+      FROM sh)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN plan USING (source)
+    WHERE {_sql_md5_int("CAST(d.doc_id AS VARCHAR)", 6)} < plan.thr
+"""
+
+
+@query("mixture_sample", _SQL_MIXTURE)
+def q_mixture_sample(spark, sf_dir):
+    """Target-mixture sampling (the data-mixing step of a training run):
+    per-source keep thresholds computed EXACTLY in bigint from observed
+    counts vs target shares (src0-4 weight 8, src5-9 weight 4, rest 2;
+    50% budget), then the md5-gate filter. One tiny count aggregate
+    broadcast back; the corpus never shuffles."""
+    from .pipeline.curation import mixture_sample
+
+    t = load_tables(spark, sf_dir)
+    return mixture_sample(
+        t["documents"].df, _MIXTURE_TARGETS, budget_pct=50
+    )
+
+
+_SQL_SPLIT_LEAKFREE = f"""
+    WITH c AS ({_SQL_DEDUP_CLUSTERS})
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_sql_md5_int("CAST(cluster_id AS VARCHAR)", 4)} % 100 < 20
+                THEN 'test' ELSE 'train' END AS split
+    FROM c
+"""
+
+
+@query("split_leakfree", _SQL_SPLIT_LEAKFREE)
+def q_split_leakfree(spark, sf_dir):
+    """Leakage-free train/test split: hash the duplicate-CLUSTER
+    representative (not the row id) so near-duplicates land on the same
+    side — the contamination-proof split a training pipeline needs.
+    Cost is the clustering; the split adds zero shuffles."""
+    from .pipeline.curation import split_by_cluster
+
+    t = load_tables(spark, sf_dir)
+    return split_by_cluster(t["documents"].df, threshold=0.8, test_pct=20)
+
+
+_SQL_SHUFFLE_SHARDS = f"""
+    WITH h AS (
+      SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS hh
+      FROM documents),
+    s AS (
+      SELECT doc_id, hh,
+             ({_sql_md5_int("'42:' || CAST(doc_id AS VARCHAR)", 4)}) % 8
+               AS shard
+      FROM h)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+"""
+
+
+@query("shuffle_shards", _SQL_SHUFFLE_SHARDS)
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global training-order shuffle: seeded md5 assigns
+    each doc a shard and an in-shard position; reading shards in order
+    visits a reproducible pseudo-random permutation. One shuffle
+    (the per-shard row_number window); n_shards scales with the
+    corpus so each shard stays a single-task ~1 GB sort."""
+    from .pipeline.curation import shuffle_shards
+
+    t = load_tables(spark, sf_dir)
+    return shuffle_shards(t["documents"].df, n_shards=8, seed=42)
+
+
+_SQL_BIGRAM_LM = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+      FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS w FROM toks),
+    big AS (
+      SELECT doc_id,
+             unnest([toks[i] for i in range(1, len(toks))]) AS w1,
+             unnest([toks[i+1] for i in range(1, len(toks))]) AS w2
+      FROM toks WHERE len(toks) >= 2),
+    db AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM big GROUP BY 1, 2, 3),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+    vv AS (SELECT COUNT(DISTINCT w) AS v FROM ex),
+    lp AS (
+      SELECT w1, w2,
+             CAST(ROUND(LN(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+                        * 1e6, 0) AS BIGINT) AS lp_micro
+      FROM c2 JOIN c1 USING (w1) CROSS JOIN vv)
+    SELECT db.doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           CAST(SUM(k * lp_micro) AS DOUBLE)
+             / (CAST(SUM(k) AS DOUBLE) * 1e6) AS avg_lp
+    FROM db JOIN lp USING (w1, w2)
+    GROUP BY db.doc_id
+"""
+
+
+@query("bigram_lm_score", _SQL_BIGRAM_LM)
+def q_bigram_lm_score(spark, sf_dir):
+    """Corpus-trained add-one bigram LM quality score per doc (the
+    CCNet-style LM filter). All counts exact bigint; the single
+    transcendental is quantized to integer micro-nats in one rounding,
+    so per-doc sums are exact integer arithmetic — no float-order or
+    decimal-midpoint exposure. Key-partitioned aggregates + equi-joins
+    only."""
+    from .pipeline.text import bigram_lm_scores
+
+    t = load_tables(spark, sf_dir)
+    return bigram_lm_scores(t["documents"].df)

@@ -979,3 +979,115 @@ def test_cogroup_arrow_matches_pandas(spark):
     a = sorted(map(tuple, cogroup_apply(x, y, ["k"], fn_pd, schema).collect()))
     b = sorted(map(tuple, cogroup_apply_arrow(x, y, ["k"], fn_pa, schema).collect()))
     assert a == b
+
+
+def test_mixture_sample_thresholds_and_cap(spark):
+    """Rate arithmetic: a group whose want exceeds its count keeps
+    everything (threshold capped at 2^24); a zero-weight group is
+    dropped; realized counts approximate want within binomial noise."""
+    from data_table_spark.pipeline.curation import mixture_sample
+    import pyspark.sql.functions as F
+
+    rows = (
+        [(i, "tiny") for i in range(5)]
+        + [(100 + i, "big") for i in range(400)]
+        + [(1000 + i, "off") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # budget 50% of 455 = 227; shares tiny:60 big:40 (total 100)
+    # want_tiny = 227*60//100 = 136 > 5  -> cap: keep all 5
+    # want_big  = 227*40//100 = 90 of 400 -> thr = 90*2^24//400
+    out = mixture_sample(
+        df, {"tiny": 60, "big": 40}, budget_pct=50
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, 0)
+        by_src[r.source] += 1
+    assert by_src.get("tiny") == 5  # capped: all kept
+    assert "off" not in by_src  # zero-weight group dropped
+    # binomial(400, 90/400): expect ~90, allow wide noise band
+    assert 55 <= by_src.get("big", 0) <= 125
+    # determinism: second run returns the identical id set
+    out2 = mixture_sample(df, {"tiny": 60, "big": 40}, budget_pct=50).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in out2)
+
+
+def test_shuffle_shards_is_a_permutation(spark):
+    """(shard, pos) is a proper numbering: positions within each shard
+    are exactly 1..count, every input id appears once, and the order is
+    seed-sensitive but seed-deterministic."""
+    from data_table_spark.pipeline.curation import shuffle_shards
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id long"
+    )
+    out = shuffle_shards(df, n_shards=4, seed=7).collect()
+    assert sorted(r.doc_id for r in out) == list(range(300))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic under same seed, different under another seed
+    again = shuffle_shards(df, n_shards=4, seed=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = shuffle_shards(df, n_shards=4, seed=8).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_split_by_cluster_keeps_near_dups_together(spark):
+    """Near-duplicate docs (same cluster) always land on the same split
+    side, and both splits are non-empty on a corpus with many
+    singleton clusters."""
+    from data_table_spark.pipeline.curation import split_by_cluster
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(1, base * 3), (2, base * 3 + "extra token"), (3, base * 3)]
+    # many distinct singletons so both split sides appear
+    rows += [
+        (10 + i, f"unique document number {i} " + " ".join(
+            f"w{i}x{j}" for j in range(30)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_by_cluster(df, threshold=0.8, test_pct=30).collect()
+    split_of = {r.doc_id: r.split for r in out}
+    cluster_of = {r.doc_id: r.cluster_id for r in out}
+    # 1,2,3 are near-dups of each other -> one cluster, one side
+    assert cluster_of[1] == cluster_of[2] == cluster_of[3]
+    assert split_of[1] == split_of[2] == split_of[3]
+    assert {"train", "test"} == set(split_of.values())
+
+
+def test_bigram_lm_score_matches_hand_computation(spark):
+    """Tiny corpus where the add-one bigram LM is computable by hand."""
+    import math
+
+    from data_table_spark.pipeline.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c a")],
+        "doc_id long, text string",
+    )
+    # bigrams: d1: (a,b),(b,a),(a,b)  d2: (a,b)  d3: (c,a)
+    # C2: (a,b)=4? no: (a,b) appears 3 (d1 twice, d2 once); (b,a)=1; (c,a)=1
+    # C1: a=4? a as head: d1 pos1,pos3 + d2 pos1 = 3... recount:
+    #   heads: d1: a,b,a ; d2: a ; d3: c  -> C1(a)=3, C1(b)=1, C1(c)=1
+    # V = |{a,b,c}| = 3
+    lp = {
+        ("a", "b"): round(math.log((3 + 1) / (3 + 3)) * 1e6),
+        ("b", "a"): round(math.log((1 + 1) / (1 + 3)) * 1e6),
+        ("c", "a"): round(math.log((1 + 1) / (1 + 3)) * 1e6),
+    }
+    expect = {
+        1: (3, (2 * lp[("a", "b")] + lp[("b", "a")]) / (3 * 1e6)),
+        2: (1, lp[("a", "b")] / 1e6),
+        3: (1, lp[("c", "a")] / 1e6),
+    }
+    out = {r.doc_id: (r.n_bigrams, r.avg_lp) for r in bigram_lm_scores(df).collect()}
+    assert set(out) == set(expect)
+    for k in expect:
+        assert out[k][0] == expect[k][0]
+        assert abs(out[k][1] - expect[k][1]) < 1e-9
