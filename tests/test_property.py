@@ -556,3 +556,136 @@ def test_lookup_mult_matches_brute_oracle(spark, xrows, yks, mode):
         else:
             want.append((k, matches[-1][1]))
     assert got == sorted(want)
+
+
+@SET
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40),
+                   min_size=1, max_size=4),
+    weights=st.lists(st.integers(min_value=0, max_value=5),
+                     min_size=4, max_size=4),
+    budget=st.integers(min_value=10, max_value=100),
+)
+def test_mixture_sample_matches_python_oracle(spark, sizes, weights, budget):
+    """mixture_sample's kept-id SET equals a pure-Python replay of the
+    bigint threshold arithmetic + md5 gate (derandomized: the 'sample'
+    is a deterministic function of ids, counts, and targets)."""
+    import hashlib
+
+    from hypothesis import assume
+
+    from data_table_spark.pipeline.curation import mixture_sample
+
+    assume(sum(w for w in weights[: len(sizes)]) > 0)
+    groups = [f"g{i}" for i in range(len(sizes))]
+    targets = {g: w for g, w in zip(groups, weights)}
+    rows, nid = [], 0
+    for g, n in zip(groups, sizes):
+        for _ in range(n):
+            rows.append((nid, g))
+            nid += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    share_total = sum(targets.values())
+    total = len(rows)
+    T = total * budget // 100
+    expect = set()
+    for g, n in zip(groups, sizes):
+        want = T * targets[g] // share_total
+        thr = min(1 << 24, want * (1 << 24) // n)
+        for i, gg in rows:
+            if gg != g:
+                continue
+            h24 = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+            if h24 < thr:
+                expect.add(i)
+
+    got = {
+        r.doc_id
+        for r in mixture_sample(df, targets, budget_pct=budget).collect()
+    }
+    assert got == expect
+
+
+@SET
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**6),
+                 min_size=1, max_size=60, unique=True),
+    n_shards=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=99),
+)
+def test_shuffle_shards_matches_python_oracle(spark, ids, n_shards, seed):
+    """shuffle_shards (shard, pos) equals a pure-Python replay of the
+    seeded md5 shard assignment and in-shard ordering."""
+    import hashlib
+
+    from data_table_spark.pipeline.curation import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    def h(i):
+        return hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+
+    expect = {}
+    by_shard = {}
+    for i in ids:
+        shard = int(h(i)[:4], 16) % n_shards
+        by_shard.setdefault(shard, []).append(i)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda i: (h(i), i))
+        for pos, i in enumerate(members, start=1):
+            expect[i] = (shard, pos)
+
+    out = shuffle_shards(df, n_shards=n_shards, seed=seed).collect()
+    got = {r.doc_id: (r.shard, r.pos) for r in out}
+    assert got == expect
+
+
+@SET
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bigram_lm_matches_python_oracle(spark, docs):
+    """bigram_lm_scores equals a pure-Python add-one bigram LM (counts,
+    vocab, micro-nat quantization, exact integer sums) on random tiny
+    corpora over a 4-token alphabet."""
+    import math
+
+    from data_table_spark.pipeline.text import bigram_lm_scores
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # tokenization mirror: split on runs of spaces after trim; empty
+    # text tokenizes to [''] in both engines (same as tokens_col)
+    toked = {i: (t.strip().split() if t.strip() else [""]) for i, t in rows}
+    c2, c1, vocab = {}, {}, set()
+    for toks in toked.values():
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    V = len(vocab)
+    expect = {}
+    for i, toks in toked.items():
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            continue
+        s = 0
+        for ab in bgs:
+            lp = math.log((c2[ab] + 1) / (c1[ab[0]] + V)) * 1e6
+            # mirror HALF_UP (away from zero) rather than banker's
+            s += int(math.floor(lp + 0.5)) if lp >= 0 else -int(
+                math.floor(-lp + 0.5))
+        expect[i] = (len(bgs), s / (len(bgs) * 1e6))
+
+    out = {r.doc_id: (r.n_bigrams, r.avg_lp)
+           for r in bigram_lm_scores(df).collect()}
+    assert set(out) == set(expect)
+    for k, (n, avg) in expect.items():
+        assert out[k][0] == n
+        assert abs(out[k][1] - avg) < 1e-12

@@ -38,6 +38,10 @@ EXPECT_NESTED_LOOP = {
     # BM25 / tf-idf: corpus stats (N, Σdl, df_t) are ONE aggregated row
     # crossJoin-broadcast back to the per-doc / per-term frame
     "bm25_topk", "tfidf_keywords",
+    # same 1-row-stats shape: vocabulary size V (bigram LM) / corpus
+    # total (mixture plan table) are single-row aggregates
+    # crossJoin-broadcast back; all other joins are equi-joins
+    "bigram_lm_score", "mixture_sample",
 }
 
 SKIP = {  # streaming queries execute eagerly; fread writes files
