@@ -232,6 +232,50 @@ def minhash_signature(shingles: Column) -> Column:
     )
 
 
+def lsh_band_index(
+    docs: DataFrame, n: int = 3, with_shingles: bool = False
+) -> DataFrame:
+    """LSH band index over a corpus: (doc_id, band, bh) rows, one per
+    (document, band), where bh = xxhash64 of the band's LSH_ROWS
+    minhash-signature slots. This is the shared candidate-generation
+    substrate of `minhash_lsh_pairs` (self-join on (band, bh)) and the
+    streaming near-dup screen (stream-static join on (band, bh)).
+
+    Signature computation is the relational encoding: codegen'd
+    projection of MINHASH_PERMS permutations -> map-side-combining hash
+    aggregate of mins (see _perm_min_aggs; the array-HOF form runs
+    interpreted, measured ~50x slower). Documents with fewer than n
+    tokens have no shingles and no index rows (they cannot near-dup).
+
+    ``with_shingles`` additionally attaches the per-doc distinct
+    shingle SET (collect_set over the shingle rows) as an array column
+    `sh` — the join-time verification payload for the streaming screen,
+    where Spark's single-streaming-aggregation limit rules out the
+    batch onepass roll-up. Batch callers should leave it off: arrays
+    riding a candidate shuffle was the r2 OOM lesson."""
+    sr = shingle_rows(docs, n)
+    ex = sr.select(
+        "doc_id", F.xxhash64("s").bitwiseAND(F.lit(_P31)).alias("h")
+    )
+    sig = ex.groupBy("doc_id").agg(*_perm_min_aggs())
+    band_structs = ", ".join(
+        "struct({j} as band, xxhash64({cols}) as bh)".format(
+            j=j,
+            cols=", ".join(
+                f"sig{j * LSH_ROWS + r}" for r in range(LSH_ROWS)
+            ),
+        )
+        for j in range(LSH_BANDS)
+    )
+    bands = sig.select(
+        "doc_id", F.expr(f"explode(array({band_structs})) as bb")
+    ).select("doc_id", "bb.band", "bb.bh")
+    if with_shingles:
+        sh = sr.groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
+        bands = bands.join(sh, "doc_id")
+    return bands
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.8, n: int = 3,
     verify: str = "onepass",
@@ -261,24 +305,7 @@ def minhash_lsh_pairs(
     (A persisted-shingles variant loses badly at this SF — persist()
     disables AQE above the cache and pins 32-partition shuffles.)"""
     sr = shingle_rows(docs, n)
-    # relational minhash: codegen'd projection of 126 perms ->
-    # map-side-combining hash aggregate of mins (see _perm_min_aggs)
-    ex = sr.select(
-        "doc_id", F.xxhash64("s").bitwiseAND(F.lit(_P31)).alias("h")
-    )
-    sig = ex.groupBy("doc_id").agg(*_perm_min_aggs())
-    band_structs = ", ".join(
-        "struct({j} as band, xxhash64({cols}) as bh)".format(
-            j=j,
-            cols=", ".join(
-                f"sig{j * LSH_ROWS + r}" for r in range(LSH_ROWS)
-            ),
-        )
-        for j in range(LSH_BANDS)
-    )
-    bands = sig.select(
-        "doc_id", F.expr(f"explode(array({band_structs})) as bb")
-    ).select("doc_id", "bb.band", "bb.bh")
+    bands = lsh_band_index(docs, n)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -396,3 +396,51 @@ def q_stream_stream_full_join(spark, sf_dir):
         s, "purchase", "click", "1 hour", "2 hours", how="full_outer"
     )
     return run_available_now(out, output_mode="append")
+
+
+_SQL_STREAM_NEARDUP = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                              for i in range(1, len(toks)-1)])
+             ELSE [] END AS shingles
+      FROM toks),
+    sz AS (SELECT doc_id, shingles, len(shingles) AS sz FROM sh),
+    ex AS (SELECT doc_id, sz, unnest(shingles) AS s FROM sz),
+    p AS (
+      SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
+             a.sz AS sa, b.sz AS sb, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, match_id,
+           CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard
+    FROM p
+    WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.8
+"""
+
+
+@query("stream_neardup_screen", _SQL_STREAM_NEARDUP)
+def q_stream_neardup_screen(spark, sf_dir):
+    """Streaming near-duplicate screen: the documents file stream is
+    minhash-banded statelessly (Arrow-batched signature UDF — the one
+    streaming aggregation is spent on candidate dedup), joined
+    stream-static against the batch LSH band index, and exact-Jaccard
+    verified row-locally. Over finite input this equals the SYMMETRIC
+    exact-Jaccard >= 0.8 pairs (both orientations, self excluded) with
+    the same near-certain LSH recall the batch minhash oracle relies
+    on."""
+    from .streaming import (
+        read_documents_stream,
+        run_available_now,
+        stream_neardup_screen,
+    )
+
+    t = load_tables(spark, sf_dir)
+    s = read_documents_stream(spark, sf_dir)
+    out = stream_neardup_screen(s, t["documents"].df, n=3, threshold=0.8)
+    return run_available_now(out)

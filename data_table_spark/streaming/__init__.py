@@ -27,6 +27,9 @@ from __future__ import annotations
 import itertools
 import os
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -115,6 +118,105 @@ def stream_decontaminate(
         ex.join(F.broadcast(bench_grams), "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+
+
+def stream_neardup_screen(
+    docs_stream: DataFrame,
+    static_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Streaming near-duplicate screen: incoming documents are checked
+    against a STATIC corpus LSH index (continuous-ingest dedup — "is
+    this new page a rewrite of something we already hold?").
+
+    Per stream row, STATELESSLY: distinct word n-grams -> xxhash64
+    shingle hashes (JVM-side) -> minhash signature via an Arrow-batched
+    pandas_udf (numpy (a*h+b) mod p row-min over all permutations —
+    the relational min-aggregate encoding used in batch needs a
+    groupBy, and Spark allows only ONE streaming aggregation, spent
+    below on candidate dedup; an array-HOF signature would run
+    interpreted ~50x slower, the repo's standing measurement) -> band
+    hashes -> stream-static equi-join on (band, bh) against
+    `lsh_band_index(static_docs, with_shingles=True)` -> exact Jaccard
+    verification from the two distinct-shingle sets, row-local (no
+    aggregation) -> threshold filter. The single stateful operator is
+    the final per-(doc, match) groupBy that collapses multi-band hits.
+
+    Permutations/bands are identical to the batch `minhash_lsh_pairs`,
+    so over finite input the verified output equals the symmetric
+    exact-Jaccard pairs with the same near-certain LSH recall the
+    batch oracle relies on.
+
+    100 TB posture: candidate generation is a slim (band, bh) join; the
+    verification payload (the candidate's shingle set) rides ONLY
+    matched candidates, bounded per micro-batch — not the corpus. For
+    very hot ingest you'd split verification into a batch job (the
+    onepass roll-up); the screen itself stays stateless map-side work
+    plus one bounded aggregation."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..pipeline.dedup import (
+        _P31,
+        _PERM_A,
+        _PERM_B,
+        LSH_BANDS,
+        LSH_ROWS,
+        lsh_band_index,
+    )
+    from ..pipeline.text import tokens_col, word_shingles
+
+    A = np.asarray(_PERM_A, dtype=np.int64)[:, None]
+    B = np.asarray(_PERM_B, dtype=np.int64)[:, None]
+
+    @pandas_udf("array<long>")
+    def _sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            hh = np.asarray(h, dtype=np.int64)[None, :]
+            out.append(((A * hh + B) % _P31).min(axis=1))
+        return pd.Series(out)
+
+    s = docs_stream.select(
+        "doc_id", word_shingles(tokens_col("text"), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    hs = F.transform(F.col("sh"), lambda x: F.xxhash64(x).bitwiseAND(F.lit(_P31)))
+    sig = s.select("doc_id", "sh", _sig(hs).alias("sig"))
+    bb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.xxhash64(
+                        *[F.col("sig")[j * LSH_ROWS + r] for r in range(LSH_ROWS)]
+                    ).alias("bh"),
+                )
+                for j in range(LSH_BANDS)
+            ]
+        )
+    )
+    bands = sig.select("doc_id", "sh", bb.alias("bb")).select(
+        "doc_id", "sh", "bb.band", "bb.bh"
+    )
+    idx = lsh_band_index(static_docs, n, with_shingles=True).select(
+        F.col("doc_id").alias("match_id"),
+        "band",
+        "bh",
+        F.col("sh").alias("match_sh"),
+    )
+    cand = bands.join(idx, ["band", "bh"]).filter(
+        F.col("match_id") != F.col("doc_id")
+    )
+    inter = F.size(F.array_intersect("sh", "match_sh"))
+    jac = inter.cast("double") / (
+        F.size("sh") + F.size("match_sh") - inter
+    )
+    ver = cand.select(
+        "doc_id", "match_id", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+    return ver.groupBy("doc_id", "match_id").agg(
+        F.max("jaccard").alias("jaccard")
     )
 
 

