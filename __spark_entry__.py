@@ -58,7 +58,7 @@ _PRIORITY = [
     "dogroups_arrow_udtf", "melt_narm", "stream_session_dynamic",
     "dedup_cluster_sizes",
     "mixture_sample", "split_leakfree", "shuffle_shards",
-    "bigram_lm_score", "stream_neardup_screen",
+    "bigram_lm_score", "stream_neardup_screen", "funnel_stages",
     # (b) changed this round
     "eachi_join_agg", "ivf_ann_topk", "setindex_bucketed",
     # (c) r4-fix canaries
@@ -67,7 +67,7 @@ _PRIORITY = [
     "gforce_q1",
     # (d) r1-green refresh: join surface
     "lookup_join", "join_inner", "anti_join", "mult_first",
-    "mult_last", "update_on_join", "merge_full",
+    "update_on_join", "merge_full",
     "nonequi_join",
     # (d) r1-green refresh: grouping surface (unique_first,
     # duplicated_flag, weighted_mean, gforce_minmax_firstlast yielded

@@ -648,3 +648,58 @@ def sessionize(
         out_col, F.sum("__brk__").over(run).cast("long")
     ).drop("__brk__")
     return DT(df, key=dt.key, order_by=dt.order_by)
+
+
+def funnel_stages(
+    events: "DataFrame",
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+) -> "DataFrame":
+    """Funnel / ordered-sequence matching per user: for an ordered list
+    of event types [s1, s2, ..., sk], find t1 = first s1, t2 = first s2
+    STRICTLY AFTER t1, ..., tk = first sk strictly after t(k-1), and
+    the deepest stage reached. The standard product-analytics funnel,
+    and the reference-free cousin of a CEP MATCH_RECOGNIZE for the
+    strictly-ordered-first-occurrence pattern.
+
+    Output: (user_col, t1..tk nullable, stage int in [1, k]) — one row
+    per user who completed at least step 1. "Strictly after" uses the
+    timestamp alone, so same-timestamp step pairs do NOT chain (a
+    deterministic contract that needs no tiebreak key and is portable
+    to any engine; min() makes ties within one step irrelevant).
+
+    Scale shape (100 TB): k conditional MIN aggregates + (k-1)
+    equi-joins, every one keyed on user_col — a single partitioning
+    reused across all stages (AQE/co-partitioning elides re-shuffles);
+    no windows, no state, no explode. Filters on type_col push to the
+    scan per stage.
+    """
+    if not steps:
+        raise ValueError("funnel_stages needs at least one step")
+    ev = events.select(user_col, type_col, ts_col)
+    cur = (
+        ev.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    out = cur
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col(type_col) == s)
+            .join(cur.select(user_col, f"t{i-1}"), user_col)
+            .filter(F.col(ts_col) > F.col(f"t{i-1}"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t{i}"))
+        )
+        out = out.join(nxt.select(user_col, f"t{i}"), user_col, "left")
+        cur = nxt
+    stage = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        stage = stage + F.col(f"t{i}").isNotNull().cast("int")
+    return out.select(
+        user_col,
+        *[f"t{i}" for i in range(1, len(steps) + 1)],
+        stage.cast("int").alias("stage"),
+    )

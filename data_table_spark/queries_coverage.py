@@ -869,3 +869,32 @@ def q_foverlaps_equal(spark, sf_dir):
         type_="equal",
     )
     return out.query(j=["c_custkey", "s_suppkey"]).df
+
+
+@query(
+    "funnel_stages",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    t1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+    t2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN t1 USING (user_id)
+           WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+    t3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN t2 USING (user_id)
+           WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+    SELECT t1.user_id, t1.t1, t2.t2, t3.t3,
+           CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS INT) AS stage
+    FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+    """,
+)
+def q_funnel_stages(spark, sf_dir):
+    """Per-user funnel view -> click -> purchase: first occurrence of
+    each step strictly after the previous step's timestamp, plus the
+    deepest stage reached. k conditional MIN aggregates + (k-1)
+    equi-joins, all keyed on user_id — one partitioning reused across
+    every stage."""
+    from .operators.window import funnel_stages
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].query(j=["user_id", "event_type", "ts_us"]).df
+    return funnel_stages(ev, ["view", "click", "purchase"])

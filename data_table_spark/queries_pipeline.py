@@ -1541,8 +1541,8 @@ _SQL_SHUFFLE_SHARDS = f"""
       FROM documents),
     s AS (
       SELECT doc_id, hh,
-             ({_sql_md5_int("'42:' || CAST(doc_id AS VARCHAR)", 4)}) % 8
-               AS shard
+             CAST(({_sql_md5_int("'42:' || CAST(doc_id AS VARCHAR)", 4)}) % 8
+                  AS BIGINT) AS shard
       FROM h)
     SELECT doc_id, shard,
            CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id)

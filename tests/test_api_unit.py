@@ -1132,3 +1132,34 @@ def test_stream_neardup_screen_finds_planted_dup(spark):
     # a (band, bh) self-consistency probe through the public surface
     idx = lsh_band_index(docs, 3)
     assert idx.filter(F.col("doc_id") == 1).count() > 0
+
+
+def test_funnel_stages_strict_ordering(spark):
+    """Funnel semantics: steps must occur strictly after the previous
+    step's first occurrence — same-timestamp pairs don't chain, earlier
+    occurrences of later steps don't count, users missing step 1 are
+    absent."""
+    from data_table_spark.operators.window import funnel_stages
+
+    rows = [
+        # u1: full funnel in order
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        # u2: click BEFORE view -> stage stops at view
+        (2, "click", 50), (2, "view", 100),
+        # u3: click at the SAME ts as view -> strict, doesn't chain
+        (3, "view", 100), (3, "click", 100),
+        # u4: no view at all -> absent
+        (4, "click", 10), (4, "purchase", 20),
+        # u5: purchase before click -> stage 2
+        (5, "view", 10), (5, "purchase", 15), (5, "click", 20),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_us long"
+    )
+    out = {r.user_id: r for r in
+           funnel_stages(ev, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert (out[1].stage, out[1].t1, out[1].t2, out[1].t3) == (3, 100, 200, 300)
+    assert (out[2].stage, out[2].t2) == (1, None)
+    assert (out[3].stage, out[3].t2) == (1, None)
+    assert (out[5].stage, out[5].t2, out[5].t3) == (2, 20, None)
