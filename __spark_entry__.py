@@ -59,16 +59,17 @@ _PRIORITY = [
     "dedup_cluster_sizes",
     "mixture_sample", "split_leakfree", "shuffle_shards",
     "bigram_lm_score", "stream_neardup_screen", "funnel_stages",
+    "jsonl_roundtrip", "orc_roundtrip", "retention_cohorts",
     # (b) changed this round
     "eachi_join_agg", "ivf_ann_topk", "setindex_bucketed",
     # (c) r4-fix canaries
     "shift_lag_lead", "stream_session_agg",
     # (d) r1-green refresh: scan/filter/compute surface
     "gforce_q1",
-    # (d) r1-green refresh: join surface
-    "lookup_join", "join_inner", "anti_join", "mult_first",
-    "update_on_join", "merge_full",
-    "nonequi_join",
+    # (d) r1-green refresh: join surface (anti_join, mult_last,
+    # update_on_join, nonequi_join, cj_cross yielded slots to the
+    # continuation additions; all r1-green + locally re-verified)
+    "lookup_join", "join_inner", "mult_first", "merge_full",
     # (d) r1-green refresh: grouping surface (unique_first,
     # duplicated_flag, weighted_mean, gforce_minmax_firstlast yielded
     # their slots to the four training-run-assembly additions above;

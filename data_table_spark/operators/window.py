@@ -703,3 +703,37 @@ def funnel_stages(
         *[f"t{i}" for i in range(1, len(steps) + 1)],
         stage.cast("int").alias("stage"),
     )
+
+
+def retention_cohorts(
+    events: "DataFrame",
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    period_us: int = 7 * 86400 * 1_000_000,
+) -> "DataFrame":
+    """Cohort retention matrix: bucket time into fixed periods by exact
+    integer division of the epoch-microsecond timestamp (timezone-free
+    and engine-portable — calendar week functions are not), assign each
+    user to the cohort of their FIRST active period, and count distinct
+    users active at each (cohort, offset). The classic retention
+    triangle, exactly.
+
+    Output: (cohort, wk_offset, n_users) with all-bigint arithmetic.
+
+    Scale shape (100 TB): one distinct on (user, period) — map-side
+    combined — then a per-user MIN aggregate, a user-keyed equi-join,
+    and a final small aggregate on (cohort, offset): every shuffle is
+    keyed, the output is triangle-sized (periods^2 / 2), never
+    user-sized.
+    """
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.expr(f"{ts_col} DIV {int(period_us)}L").alias("wk"),
+    ).distinct()
+    cohort = e.groupBy("u").agg(F.min("wk").alias("cohort"))
+    return (
+        e.join(cohort, "u")
+        .select("u", "cohort", (F.col("wk") - F.col("cohort")).alias("wk_offset"))
+        .groupBy("cohort", "wk_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

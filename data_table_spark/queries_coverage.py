@@ -898,3 +898,29 @@ def q_funnel_stages(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     ev = t["events"].query(j=["user_id", "event_type", "ts_us"]).df
     return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "retention_cohorts",
+    """
+    WITH e AS (SELECT DISTINCT user_id AS u,
+                      epoch_us(ts) // 604800000000 AS wk
+               FROM events),
+    c AS (SELECT u, MIN(wk) AS cohort FROM e GROUP BY 1)
+    SELECT CAST(cohort AS BIGINT) AS cohort,
+           CAST(wk - cohort AS BIGINT) AS wk_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM e JOIN c USING (u)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle over fixed 7-day periods: exact
+    integer epoch-microsecond bucketing (timezone-free, portable),
+    cohort = first active period per user, distinct active users per
+    (cohort, offset). Keyed shuffles only; triangle-sized output."""
+    from .operators.window import retention_cohorts
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].query(j=["user_id", "ts_us"]).df
+    return retention_cohorts(ev)

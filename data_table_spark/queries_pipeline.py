@@ -1603,3 +1603,56 @@ def q_bigram_lm_score(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return bigram_lm_scores(t["documents"].df)
+
+
+@query(
+    "jsonl_roundtrip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_jsonl_roundtrip(spark, sf_dir):
+    """fwrite_jsonl -> fread_jsonl round-trip: write the documents
+    table as sharded JSON-lines (the training-data interchange format)
+    and read it back with an EXPLICIT schema (inference is a full extra
+    pass at 100 TB). Strings and integers round-trip exactly; the
+    oracle is the original parquet."""
+    import os
+
+    from .sources import fread_jsonl, fwrite_jsonl
+
+    t = load_tables(spark, sf_dir)
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    out = "/root/repo/.tmp/roundtrip_jsonl"
+    proj = t["documents"].df.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    fwrite_jsonl(proj, out)
+    back = fread_jsonl(
+        spark, out,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return back.df.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
+    "orc_roundtrip",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders",
+)
+def q_orc_roundtrip(spark, sf_dir):
+    """fwrite_orc -> fread_orc round-trip: the other columnar format
+    Spark speaks natively (vectorized reader, pushdown, zstd). IEEE
+    doubles round-trip bit-exact through ORC's binary encoding; the
+    oracle is the original parquet."""
+    import os
+
+    from .sources import fread_orc, fwrite_orc
+
+    t = load_tables(spark, sf_dir)
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    out = "/root/repo/.tmp/roundtrip_orc"
+    proj = t["orders"].df.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    fwrite_orc(proj, out)
+    return fread_orc(spark, out).df.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )

@@ -9,10 +9,17 @@ shard per partition (the scale-correct shape — a single 100 TB CSV file
 is an anti-pattern, so `fwrite` writes a directory unless asked).
 """
 
-from .fread import fread, fread_parquet
-from .fwrite import fwrite, fwrite_parquet, setindex_physical
+from .fread import fread, fread_jsonl, fread_orc, fread_parquet
+from .fwrite import (
+    fwrite,
+    fwrite_jsonl,
+    fwrite_orc,
+    fwrite_parquet,
+    setindex_physical,
+)
 
 __all__ = [
-    "fread", "fread_parquet", "fwrite", "fwrite_parquet",
+    "fread", "fread_jsonl", "fread_orc", "fread_parquet",
+    "fwrite", "fwrite_jsonl", "fwrite_orc", "fwrite_parquet",
     "setindex_physical",
 ]

@@ -431,3 +431,20 @@ def fread_parquet(
     is the 100 TB-native source: column pruning + predicate pushdown +
     partition pruning all reach the scan)."""
     return DT(spark.read.parquet(path), key=key)
+
+
+def fread_jsonl(spark: SparkSession, path: str, schema=None) -> DT:
+    """JSON-lines ingest. Pass an explicit `schema` (DDL string or
+    StructType) for production reads: schema inference is a full extra
+    pass over the data and types drift with content — at 100 TB the
+    inference pass alone is the cost of the job."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return DT(r.json(path))
+
+
+def fread_orc(spark: SparkSession, path: str, key: Sequence[str] | None = None) -> DT:
+    """ORC ingest — vectorized reader with column pruning + predicate
+    pushdown reaching the scan, same as parquet."""
+    return DT(spark.read.orc(path), key=key)

@@ -200,3 +200,25 @@ def setindex_physical(
         dt, path or "", bucket_by=cols, n_buckets=n_buckets, table=table
     )
     return DT(spark.table(table), key=cols)
+
+
+def fwrite_jsonl(dt, path: str, mode: str = "overwrite",
+                 compression: str | None = None) -> None:
+    """JSON-lines sink (one JSON object per line, sharded) — the
+    training-data interchange format (no reference analog; fwrite is
+    CSV-only). Strings/integers round-trip exactly; escaping is
+    JSON-standard. Narrow per-partition write, no shuffle."""
+    df = dt.df if hasattr(dt, "df") else dt
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def fwrite_orc(dt, path: str, mode: str = "overwrite",
+               compression: str = "zstd") -> None:
+    """ORC sink — the other columnar interchange format Spark speaks
+    natively (vectorized reader, predicate pushdown, zstd). Same write
+    surface as fwrite_parquet without the bucketing path."""
+    df = dt.df if hasattr(dt, "df") else dt
+    df.write.mode(mode).option("compression", compression).orc(path)
