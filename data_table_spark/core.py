@@ -592,3 +592,8 @@ def _ncol(self) -> int:
 
 DT.nrow = property(_nrow)
 DT.ncol = property(_ncol)
+
+
+def is_data_table(x) -> bool:
+    """is.data.table (reference R/data.table.R): True for DT handles."""
+    return isinstance(x, DT)

@@ -445,3 +445,10 @@ def SJ(spark, **cols) -> DT:
     rows = list(zip(*cols.values()))
     df = spark.createDataFrame(rows, names).orderBy(*names)
     return DT(df, key=names, order_by=names)
+
+
+# setmergelist (reference R/mergelist.R set* variant): the reference
+# mutates the first table in place; under Spark immutability every
+# "set" verb is identity-by-design (SURVEY §1 copy/setattr rationale),
+# so the in-place spelling IS the functional fold.
+setmergelist = mergelist

@@ -343,3 +343,8 @@ def measure_pattern(
             continue
         pairs.append((m.group(1), m.group(2), c))
     return _suffix_groups(pairs)
+
+
+# setcbindlist (reference R/mergelist.R:setcbindlist): in-place spelling
+# of cbindlist — identity-by-design under Spark immutability.
+setcbindlist = cbindlist

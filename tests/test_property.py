@@ -689,3 +689,53 @@ def test_bigram_lm_matches_python_oracle(spark, docs):
     for k, (n, avg) in expect.items():
         assert out[k][0] == n
         assert abs(out[k][1] - avg) < 1e-12
+
+
+@SET
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),     # user
+            st.sampled_from(["a", "b", "c", "x"]),     # type
+            st.integers(min_value=0, max_value=20),    # ts
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_funnel_stages_matches_python_oracle(spark, events):
+    """funnel_stages equals a brute-force Python fold (first step-1,
+    then first of each later step strictly after the previous) on
+    random event streams with duplicate timestamps and interleaved
+    noise events."""
+    from data_table_spark.operators.window import funnel_stages
+
+    ev = spark.createDataFrame(
+        events, "user_id long, event_type string, ts_us long"
+    )
+    steps = ["a", "b", "c"]
+    expect = {}
+    for u in {e[0] for e in events}:
+        mine = [(t, ts) for (uu, t, ts) in events if uu == u]
+        ts_of = [None] * 3
+        prev = None
+        for i, s in enumerate(steps):
+            cand = [
+                ts for (t, ts) in mine
+                if t == s and (prev is None or ts > prev)
+            ]
+            if i == 0 and not cand:
+                break
+            if not cand:
+                break
+            ts_of[i] = min(cand)
+            prev = ts_of[i]
+        if ts_of[0] is not None:
+            stage = sum(1 for t in ts_of if t is not None)
+            expect[u] = (ts_of[0], ts_of[1], ts_of[2], stage)
+
+    got = {
+        r.user_id: (r.t1, r.t2, r.t3, r.stage)
+        for r in funnel_stages(ev, steps).collect()
+    }
+    assert got == expect
