@@ -60,6 +60,7 @@ _PRIORITY = [
     "mixture_sample", "split_leakfree", "shuffle_shards",
     "bigram_lm_score", "stream_neardup_screen", "funnel_stages",
     "jsonl_roundtrip", "orc_roundtrip", "retention_cohorts",
+    "udtf_chunk_lateral",
     # (b) changed this round
     "eachi_join_agg", "ivf_ann_topk", "setindex_bucketed",
     # (c) r4-fix canaries
@@ -71,10 +72,10 @@ _PRIORITY = [
     # continuation additions; all r1-green + locally re-verified)
     "lookup_join", "join_inner", "mult_first", "merge_full",
     # (d) r1-green refresh: grouping surface (unique_first,
-    # duplicated_flag, weighted_mean, gforce_minmax_firstlast yielded
-    # their slots to the four training-run-assembly additions above;
+    # duplicated_flag, weighted_mean, gforce_minmax_firstlast,
+    # uniqueN_by yielded their slots to the continuation additions;
     # all r1-green + locally re-verified)
-    "uniqueN_by", "ghead_per_group",
+    "ghead_per_group",
 ]
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "mixture_sample",
     "split_by_cluster",
     "shuffle_shards",
+    "chunk_documents_udtf",
 ]
 
 
@@ -310,4 +311,46 @@ def shuffle_shards(
         id_col,
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+def chunk_documents_udtf(
+    docs: DataFrame, size: int = 32, overlap: int = 8
+) -> DataFrame:
+    """Spark 4 Python-UDTF twin of `chunk_documents`: the same
+    context-window packing contract expressed as a user-defined TABLE
+    function applied with a LATERAL join (`df.lateralJoin(udtf(...))`)
+    — the §2.11 API-surface demonstration for arbitrary one-row ->
+    many-rows logic the relational form can't express (here it CAN, so
+    the relational `chunk_documents` remains the hot path; this twin
+    shares its oracle, pinning that both forms agree bit-for-bit).
+
+    Scale shape: the UDTF runs per input row in Python workers
+    (Arrow-batched transfer when enabled by the session); no shuffle —
+    the lateral join is a per-partition flatMap. Tokenization mirrors
+    tokens_col (trim, split on space runs) exactly.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+
+    @udtf(returnType="chunk_id bigint, chunk_text string, n_tokens bigint")
+    class _ChunkT:
+        def eval(self, text: str):
+            toks = re.split(" +", (text or "").strip())
+            n = max(len(toks), 1)
+            k = 0
+            for start in range(0, n, stride):
+                seg = toks[start : start + size]
+                yield k, " ".join(seg), min(size, len(toks) - start)
+                k += 1
+
+    return (
+        docs.select("doc_id", "text")
+        .lateralJoin(_ChunkT(F.col("text").outer()))
+        .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
     )

@@ -1656,3 +1656,15 @@ def q_orc_roundtrip(spark, sf_dir):
     return fread_orc(spark, out).df.select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+
+
+@query("udtf_chunk_lateral", _SQL_CHUNKS)
+def q_udtf_chunk_lateral(spark, sf_dir):
+    """Python-UDTF + LATERAL join twin of doc_chunking (same oracle):
+    the Spark 4 user-defined TABLE function surface, exercised through
+    DataFrame.lateralJoin. The relational chunker stays the hot path;
+    this pins the API and that both forms agree."""
+    from .pipeline.curation import chunk_documents_udtf
+
+    t = load_tables(spark, sf_dir)
+    return chunk_documents_udtf(t["documents"].df, size=32, overlap=8)
