@@ -27,6 +27,14 @@ DRIFT_PRONE = [
     "embedding_cosine_pairs",
     "text_quality",
     "froll_mean_sum",
+    # determinism-contract ops: their whole claim is that partitioning
+    # cannot change the answer (seeded permutation, bigint thresholds,
+    # micro-nat LM sums, strict-order funnel, epoch-bucket retention)
+    "shuffle_shards",
+    "mixture_sample",
+    "bigram_lm_score",
+    "funnel_stages",
+    "retention_cohorts",
 ]
 
 
