@@ -656,6 +656,7 @@ def funnel_stages(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts_us",
+    within_us: int | None = None,
 ) -> "DataFrame":
     """Funnel / ordered-sequence matching per user: for an ordered list
     of event types [s1, s2, ..., sk], find t1 = first s1, t2 = first s2
@@ -669,6 +670,9 @@ def funnel_stages(
     timestamp alone, so same-timestamp step pairs do NOT chain (a
     deterministic contract that needs no tiebreak key and is portable
     to any engine; min() makes ties within one step irrelevant).
+    ``within_us`` additionally bounds each step to at most that many
+    timestamp units after the PREVIOUS step's first occurrence (the
+    conversion-window form real funnels use); None = unbounded.
 
     Scale shape (100 TB): k conditional MIN aggregates + (k-1)
     equi-joins, every one keyed on user_col — a single partitioning
@@ -686,10 +690,15 @@ def funnel_stages(
     )
     out = cur
     for i, s in enumerate(steps[1:], start=2):
+        cond = F.col(ts_col) > F.col(f"t{i-1}")
+        if within_us is not None:
+            cond = cond & (
+                F.col(ts_col) <= F.col(f"t{i-1}") + F.lit(int(within_us))
+            )
         nxt = (
             ev.filter(F.col(type_col) == s)
             .join(cur.select(user_col, f"t{i-1}"), user_col)
-            .filter(F.col(ts_col) > F.col(f"t{i-1}"))
+            .filter(cond)
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"t{i}"))
         )

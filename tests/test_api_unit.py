@@ -1163,3 +1163,27 @@ def test_funnel_stages_strict_ordering(spark):
     assert (out[2].stage, out[2].t2) == (1, None)
     assert (out[3].stage, out[3].t2) == (1, None)
     assert (out[5].stage, out[5].t2, out[5].t3) == (2, 20, None)
+
+
+def test_funnel_stages_within_window(spark):
+    """within_us bounds each step to a conversion window after the
+    previous step's first occurrence."""
+    from data_table_spark.operators.window import funnel_stages
+
+    rows = [
+        (1, "view", 100), (1, "click", 150), (1, "purchase", 190),
+        # u2: click arrives 200 after view -> outside within=100
+        (2, "view", 100), (2, "click", 300), (2, "purchase", 350),
+        # u3: click in window, purchase 500 after click -> stage 2
+        (3, "view", 100), (3, "click", 150), (3, "purchase", 700),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_us long"
+    )
+    out = {r.user_id: r.stage for r in funnel_stages(
+        ev, ["view", "click", "purchase"], within_us=100).collect()}
+    assert out == {1: 3, 2: 1, 3: 2}
+    # unbounded form unchanged
+    out2 = {r.user_id: r.stage for r in funnel_stages(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert out2 == {1: 3, 2: 3, 3: 3}
