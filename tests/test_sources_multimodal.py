@@ -90,6 +90,17 @@ def test_fwrite_parquet_partitioned(spark, tables):
     assert len(dirs) >= 2
     back = spark.read.parquet(out).filter("o_orderstatus = 'F'")
     assert back.count() > 0
+    # the PLAN prunes: the predicate lands in PartitionFilters (scan
+    # skips every other partition directory — no data filter needed)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "o_orderstatus" in pf[0]
 
 
 def test_idatetime_and_plike(spark, tables):
