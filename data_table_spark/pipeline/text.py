@@ -377,10 +377,13 @@ def bigram_lm_scores(
         .filter(F.col("w2").isNotNull())
     )
     # per-doc bigram counts: the scoring join carries bigram TYPES per
-    # doc, not occurrences
+    # doc, not occurrences — and the CORPUS counts roll up from this
+    # table (c2 = sum k over docs, c1 = sum c2 over w2), so occurrence
+    # rows are shuffled exactly once; the two corpus aggregates run on
+    # type-level rows
     db = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
-    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = db.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = tok.agg(F.countDistinct("w").alias("v"))
     lp = (
         c2.join(c1, "w1")
