@@ -1621,7 +1621,9 @@ def q_jsonl_roundtrip(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     os.makedirs("/root/repo/.tmp", exist_ok=True)
-    out = "/root/repo/.tmp/roundtrip_jsonl"
+    # applicationId-unique path: concurrent sessions (driver gate +
+    # local sweeps) must not race on the same write target
+    out = f"/root/repo/.tmp/roundtrip_jsonl_{spark.sparkContext.applicationId}"
     proj = t["documents"].df.select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
@@ -1648,7 +1650,7 @@ def q_orc_roundtrip(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     os.makedirs("/root/repo/.tmp", exist_ok=True)
-    out = "/root/repo/.tmp/roundtrip_orc"
+    out = f"/root/repo/.tmp/roundtrip_orc_{spark.sparkContext.applicationId}"
     proj = t["orders"].df.select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )

@@ -986,7 +986,6 @@ def test_mixture_sample_thresholds_and_cap(spark):
     everything (threshold capped at 2^24); a zero-weight group is
     dropped; realized counts approximate want within binomial noise."""
     from data_table_spark.pipeline.curation import mixture_sample
-    import pyspark.sql.functions as F
 
     rows = (
         [(i, "tiny") for i in range(5)]
