@@ -597,3 +597,31 @@ DT.ncol = property(_ncol)
 def is_data_table(x) -> bool:
     """is.data.table (reference R/data.table.R): True for DT handles."""
     return isinstance(x, DT)
+
+
+def session_scratch_dir(spark, kind: str) -> str:
+    """Per-Spark-application scratch directory under this TREE's .tmp
+    (never another checkout's): .tmp/<kind>/<applicationId-tag>.
+    Concurrent sessions get disjoint write targets (no overwrite race);
+    disk growth is bounded by a best-effort sweep of sibling tags whose
+    mtime is hours old (live sessions keep fresh mtimes). Same pattern
+    as the bucketed-index query."""
+    import os
+    import re as _re
+    import shutil
+    import time as _time
+
+    tag = _re.sub(r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parent = os.path.join(root, ".tmp", kind)
+    base = os.path.join(parent, tag)
+    os.makedirs(base, exist_ok=True)
+    try:
+        cutoff = _time.time() - 6 * 3600
+        for d in os.listdir(parent):
+            p = os.path.join(parent, d)
+            if d != tag and os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    return base

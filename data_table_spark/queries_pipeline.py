@@ -701,11 +701,11 @@ def q_fread_roundtrip(spark, sf_dir):
     oracle is the original parquet)."""
     import os
 
+    from .core import session_scratch_dir
     from .sources import fread, fwrite
 
     t = load_tables(spark, sf_dir)
-    out_dir = "/root/repo/.tmp/roundtrip_csv"
-    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    out_dir = os.path.join(session_scratch_dir(spark, "roundtrip"), "csv")
     proj = t["supplier"].query(j=["s_suppkey", "s_name", "s_acctbal"])
     fwrite(proj, out_dir)
     back = fread(
@@ -1619,11 +1619,12 @@ def q_jsonl_roundtrip(spark, sf_dir):
 
     from .sources import fread_jsonl, fwrite_jsonl
 
+    from .core import session_scratch_dir
+
     t = load_tables(spark, sf_dir)
-    os.makedirs("/root/repo/.tmp", exist_ok=True)
-    # applicationId-unique path: concurrent sessions (driver gate +
-    # local sweeps) must not race on the same write target
-    out = f"/root/repo/.tmp/roundtrip_jsonl_{spark.sparkContext.applicationId}"
+    # per-application scratch (no overwrite race across concurrent
+    # sessions; stale siblings swept) — see core.session_scratch_dir
+    out = os.path.join(session_scratch_dir(spark, "roundtrip"), "jsonl")
     proj = t["documents"].df.select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
@@ -1648,9 +1649,10 @@ def q_orc_roundtrip(spark, sf_dir):
 
     from .sources import fread_orc, fwrite_orc
 
+    from .core import session_scratch_dir
+
     t = load_tables(spark, sf_dir)
-    os.makedirs("/root/repo/.tmp", exist_ok=True)
-    out = f"/root/repo/.tmp/roundtrip_orc_{spark.sparkContext.applicationId}"
+    out = os.path.join(session_scratch_dir(spark, "roundtrip"), "orc")
     proj = t["orders"].df.select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
