@@ -1186,3 +1186,47 @@ def test_funnel_stages_within_window(spark):
     out2 = {r.user_id: r.stage for r in funnel_stages(
         ev, ["view", "click", "purchase"]).collect()}
     assert out2 == {1: 3, 2: 3, 3: 3}
+
+
+def test_streaming_checkpoint_exactly_once(spark):
+    """Production streaming posture: a file-sink query with a
+    checkpointLocation restarted over a grown source processes ONLY the
+    new files (offset tracking survives restart; no duplicates, no
+    loss) — the exactly-once contract the memory-sink test harness
+    doesn't exercise."""
+    import tempfile
+
+    schema = "id long, v string"
+    with tempfile.TemporaryDirectory() as d:
+        src, sink, ckpt = f"{d}/src", f"{d}/sink", f"{d}/ckpt"
+
+        def run_once():
+            q = (
+                spark.readStream.schema(schema).parquet(src)
+                .withColumn("v2", F.upper("v"))
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        spark.createDataFrame(
+            [(i, f"a{i}") for i in range(100)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        first = spark.read.parquet(sink).collect()
+        assert sorted(r.id for r in first) == list(range(100))
+
+        # grow the source; restart from the SAME checkpoint
+        spark.createDataFrame(
+            [(i, f"b{i}") for i in range(100, 150)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        both = spark.read.parquet(sink).collect()
+        # exactly-once: every id exactly once, transform applied
+        ids = sorted(r.id for r in both)
+        assert ids == list(range(150))
+        assert all(r.v2 == r.v.upper() for r in both)

@@ -739,3 +739,36 @@ def test_funnel_stages_matches_python_oracle(spark, events):
         for r in funnel_stages(ev, steps).collect()
     }
     assert got == expect
+
+
+@SET
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),    # user
+            st.integers(min_value=0, max_value=40),   # ts (period = 10)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_retention_cohorts_matches_python_oracle(spark, events):
+    """retention_cohorts equals a plain-Python cohort fold (integer
+    period bucketing, first-period cohort, distinct active users per
+    (cohort, offset)) on random event streams."""
+    from data_table_spark.operators.window import retention_cohorts
+
+    ev = spark.createDataFrame(events, "user_id long, ts_us long")
+    out = retention_cohorts(ev, period_us=10)
+
+    active = {(u, ts // 10) for (u, ts) in events}
+    cohort = {}
+    for u, wk in active:
+        cohort[u] = min(cohort.get(u, wk), wk)
+    expect = {}
+    for u, wk in active:
+        key = (cohort[u], wk - cohort[u])
+        expect[key] = expect.get(key, 0) + 1
+
+    got = {(r.cohort, r.wk_offset): r.n_users for r in out.collect()}
+    assert got == expect
