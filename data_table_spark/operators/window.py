@@ -151,6 +151,7 @@ def froll(
     align: str = "right",
     partial: bool = False,
     give_names: bool = True,
+    na_rm: bool = False,
 ) -> DT:
     """frollmean/sum/... — fixed-width rolling aggregate (reference
     R/froll.R:158-224, src/froll.c:24).
@@ -160,6 +161,13 @@ def froll(
     (fill=NA for incomplete windows). Spark's WindowExec maintains the
     frame buffer — the analog of the reference's online-add/subtract
     "fast" algorithm (src/froll.c:40-42).
+
+    na_rm mirrors the reference's na.rm: Spark window aggregates SKIP
+    nulls natively (= na.rm=TRUE), so the reference DEFAULT — an NA
+    anywhere in the window poisons that window's result to NA
+    (src/froll.c hasNA branch) — is restored by masking windows where
+    count(col) over the frame falls short of count(*). na_rm=True is
+    the native skip behavior.
     """
     ns = list(n) if isinstance(n, (list, tuple)) else [n]
     base = win(dt, by=by, order=order)
@@ -182,6 +190,12 @@ def froll(
                 val = F.product(F.col(c)).over(w)
             else:
                 val = _ROLL_FNS[fun](F.col(c)).over(w)
+            if not na_rm:
+                # reference default: any NA in the window -> NA result
+                val = F.when(
+                    F.count(F.col(c)).over(w) == F.count(F.lit(1)).over(w),
+                    val,
+                )
             if not partial:
                 val = F.when(F.count(F.lit(1)).over(w) >= k, val)
             out[name] = val

@@ -1230,3 +1230,19 @@ def test_streaming_checkpoint_exactly_once(spark):
         ids = sorted(r.id for r in both)
         assert ids == list(range(150))
         assert all(r.v2 == r.v.upper() for r in both)
+
+
+def test_froll_na_rm_semantics(small):
+    """Reference parity: froll default na.rm=FALSE poisons any window
+    containing an NA; na_rm=True skips NAs (Spark's native behavior)."""
+    from data_table_spark.operators.window import froll
+
+    # g='a' v = [1.0, None, 3.0]; rolling sum width 2, right-aligned
+    strict = froll(small, "sum", "v", 2, by="g")
+    vals = _col(strict, "v_rollsum_2")
+    # a: [None(partial), None(NA in win), None(NA in win)], b: [None, 30.0]
+    assert vals == [None, None, None, None, 30.0]
+    skip = froll(small, "sum", "v", 2, by="g", na_rm=True)
+    vals2 = _col(skip, "v_rollsum_2")
+    # windows skip the NA: [partial, 1.0, 3.0], [partial, 30.0]
+    assert vals2 == [None, 1.0, 3.0, None, 30.0]
