@@ -53,6 +53,18 @@ GFORCE = {
 }
 
 
+def gforce_strict(fun: str, col: str) -> Column:
+    """Reference-R NA semantics for a grouped aggregate (na.rm=FALSE,
+    the R default): any NA in the group makes the group's result NA.
+    Spark/ANSI-SQL aggregates skip nulls (= na.rm=TRUE), which is this
+    repo's default because it matches the SQL oracle semantics; this
+    wrapper restores the R default by masking groups whose non-null
+    count falls short of the row count. Same pattern as
+    window.froll(na_rm=False)."""
+    base = GFORCE[fun](F.col(col))
+    return F.when(F.count(F.col(col)) == F.count(F.lit(1)), base)
+
+
 def agg_exprs(spec: Mapping[str, tuple[str, str] | Column]) -> list[Column]:
     """Build an aggregate list from {alias: ("fun", "col")} using the
     GForce mapping, or raw Columns."""

@@ -1246,3 +1246,20 @@ def test_froll_na_rm_semantics(small):
     vals2 = _col(skip, "v_rollsum_2")
     # windows skip the NA: [partial, 1.0, 3.0], [partial, 30.0]
     assert vals2 == [None, 1.0, 3.0, None, 30.0]
+
+
+def test_gforce_strict_na_semantics(spark):
+    """gforce_strict restores R's na.rm=FALSE default: a group with any
+    NA aggregates to NA; the repo default (ANSI/oracle semantics)
+    skips nulls."""
+    from data_table_spark.operators.grouping import GFORCE, gforce_strict
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 5.0)], ["g", "v"]
+    )
+    out = {r.g: (r.s_strict, r.s_skip) for r in df.groupBy("g").agg(
+        gforce_strict("sum", "v").alias("s_strict"),
+        GFORCE["sum"](F.col("v")).alias("s_skip"),
+    ).collect()}
+    assert out["a"] == (None, 1.0)
+    assert out["b"] == (5.0, 5.0)
