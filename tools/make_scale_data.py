@@ -53,13 +53,13 @@ DIMS = ["region", "nation"]
 
 _SHUFFLE_TEXT = (
     "array_join(transform(array_sort(transform("
-    "  split(text, ' '), (w, p) -> struct(md5(concat(w, ':', p, ':', {i}))"
+    "  split(text, ' '), (w, p) -> struct(md5(concat(w, ':', p, ':', _copy))"
     "    AS k, w AS w))), s -> s.w), ' ')"
 )
 
 _PERTURB_VEC = (
     "transform(embedding, (x, j) ->"
-    " cast(x + {i} * 0.001 * cast(j % 7 - 3 as float) as float))"
+    " cast(x + _copy * 0.001 * cast(j % 7 - 3 as float) as float))"
 )
 
 
@@ -88,23 +88,36 @@ def main() -> None:
 
     for t, keys in FACT_KEYS.items():
         df = spark.read.parquet(f"{src}/{t}.parquet")
-        copies = []
-        for i in range(k):
-            c = df
-            for col, group in keys.items():
-                c = c.withColumn(
-                    col, F.col(col) + F.lit(i * stride(group, df, col))
-                )
-            if t == "documents" and i > 0:
-                c = c.withColumn("text", F.expr(_SHUFFLE_TEXT.format(i=i)))
-                c = c.withColumn("n_chars", F.length("text").cast("long"))
-            if t == "embeddings" and i > 0:
-                c = c.withColumn("embedding", F.expr(_PERTURB_VEC.format(i=i)))
-            copies.append(c)
-        out = copies[0]
-        for c in copies[1:]:
-            out = out.unionByName(c)
-        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        # ONE scan x broadcast copies frame, offsets from the copy
+        # index — a K-way union's logical plan is O(K) branches and
+        # Catalyst analysis grinds to a halt near K=1000; this form is
+        # O(1) plan size for any K and produces IDENTICAL values
+        # (same per-copy offset/permutation/perturbation formulas)
+        copies = spark.range(k).select(F.col("id").alias("_copy"))
+        c = df.crossJoin(F.broadcast(copies))
+        for col, group in keys.items():
+            c = c.withColumn(
+                col,
+                F.col(col) + F.col("_copy") * F.lit(stride(group, df, col)),
+            )
+        if t == "documents":
+            c = c.withColumn(
+                "text",
+                F.when(F.col("_copy") == 0, F.col("text")).otherwise(
+                    F.expr(_SHUFFLE_TEXT)
+                ),
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        if t == "embeddings":
+            c = c.withColumn(
+                "embedding",
+                F.when(F.col("_copy") == 0, F.col("embedding")).otherwise(
+                    F.expr(_PERTURB_VEC)
+                ),
+            )
+        # spread the per-copy row blocks across output files
+        c.drop("_copy").repartition(max(32, min(k, 200))).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
         n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
         print(f"{t}: {n} rows ({k}x)")
 
