@@ -93,8 +93,12 @@ def main() -> None:
         # Catalyst analysis grinds to a halt near K=1000; this form is
         # O(1) plan size for any K and produces IDENTICAL values
         # (same per-copy offset/permutation/perturbation formulas)
+        # parallelize the expansion: the small source arrives in a few
+        # partitions, and the crossJoin multiplies rows INSIDE each —
+        # repartition the source FIRST so K-fold row generation runs
+        # wide, not 3 tasks deep
         copies = spark.range(k).select(F.col("id").alias("_copy"))
-        c = df.crossJoin(F.broadcast(copies))
+        c = df.repartition(64).crossJoin(F.broadcast(copies))
         for col, group in keys.items():
             c = c.withColumn(
                 col,
@@ -114,10 +118,10 @@ def main() -> None:
                     F.expr(_PERTURB_VEC)
                 ),
             )
-        # spread the per-copy row blocks across output files
-        c.drop("_copy").repartition(max(32, min(k, 200))).write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/{t}.parquet")
+        # output files = the 64 expansion partitions; no second shuffle
+        c.drop("_copy").write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
         n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
         print(f"{t}: {n} rows ({k}x)")
 
