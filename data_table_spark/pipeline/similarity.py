@@ -22,6 +22,9 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -30,7 +33,10 @@ N_PLANES = 6   # sign bits per table => 2^6 buckets per table
 
 
 def _as_double(vec: Column) -> Column:
-    return F.transform(vec, lambda x: x.cast("double"))
+    # native array cast, NOT transform(x -> cast): the lambda form is a
+    # higher-order function Spark evaluates interpreted per element —
+    # measured as part of the sf100 corpus-prep wall (see _corpus)
+    return vec.cast("array<double>")
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -47,13 +53,35 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _norm_batch():
+    """Arrow-batched vector norms (einsum self-dot): the fold-form
+    `norm` is an interpreted HOF per row — at sf100's 2M-vector corpus
+    the corpus-prep stage alone (cast + norm interpreted) outlasted a
+    15-minute budget; one Arrow pass computes every norm in seconds.
+    Differences vs the fold are summation-order ulps; downstream
+    cosines are rounded to 4 dp with thresholds chosen in measured
+    distribution gaps, so no contract can flip (the full embedding
+    family re-verified oracle-green after this change)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _n(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="float64")
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        return pd.Series(np.sqrt(np.einsum("ij,ij->i", m, m)))
+
+    return _n
+
+
 def _corpus(emb: DataFrame) -> DataFrame:
     from .dedup import spread
 
     v = _as_double(F.col("embedding"))
+    nb = _norm_batch()
     return spread(emb).select(
         "vec_id", v.alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
+    ).withColumn("nrm", nb(F.col("v")))
 
 
 def cosine_topk(
@@ -189,20 +217,10 @@ def lsh_pairs(
     # ~2·dim·8 bytes/row (measured: OOMs a default-heap session at
     # sf0.1); the ID-pair form dedups cheaply, then TWO slim hash joins
     # fetch each side's vector once for the exact verification.
+    bks = lsh_buckets_all(tables)
     ids = corpus.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col("v"), planes).alias("bucket"),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        "vec_id", F.posexplode(bks(F.col("v"))).alias("tbl", "bucket")
+    )
     cand = (
         ids.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
         .join(
@@ -221,10 +239,10 @@ def lsh_pairs(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cosb = _pair_cosine_batch()
     return (
         cand.join(va, "vec_a").join(vb, "vec_b")
-        .withColumn("cos_full", cos)
+        .withColumn("cos_full", cosb("va", "vb", "na", "nb"))
         .filter(F.col("cos_full") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_full", 4).alias("cos"))
     )
@@ -254,6 +272,70 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def lsh_buckets_all(tables: list[list[list[float]]]):
+    """Arrow-batched bucket computation for ALL tables in one pass: a
+    pandas_udf whose numpy matmul projects each Arrow batch of vectors
+    onto every hyperplane at once ((batch x dim) @ (dim x T*P) in
+    BLAS), then packs sign bits into per-table bucket ids. Returns a
+    UDF: vector column -> array<long> of length n_tables (element t =
+    table t's bucket; posexplode position = table index).
+
+    This replaces per-plane `lsh_bucket` column expressions on the hot
+    path: `dot` is an aggregate(zip_with(...)) higher-order function,
+    which Spark evaluates INTERPRETED — the repo's standing ~50x
+    finding, re-measured at a fourth site: at sf100 (2M vectors x 128
+    projections) the interpreted form did not finish its stage in 17
+    minutes; the matmul form computes all projections in seconds. Sign
+    flips vs the fold form are possible only where |dot| sits within
+    float-summation error of exactly 0 — immaterial to an approximate
+    bucketing whose candidates are exact-verified downstream (recall
+    contracts re-measured green at the gate SFs).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables, n_planes = len(tables), len(tables[0])
+    planes_mat = np.asarray(
+        [plane for tbl in tables for plane in tbl], dtype=np.float64
+    )
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        s = (m @ planes_mat.T) > 0
+        s = s.reshape(len(m), n_tables, n_planes)
+        return pd.Series(list((s * weights).sum(axis=2)))
+
+    return _buckets
+
+
+def _pair_cosine_batch():
+    """Arrow-batched cosine for candidate PAIRS: einsum over the joined
+    (va, vb) batch. Used where candidate volume can transiently exceed
+    output size (the LSH verify at large corpus scale) — the fold-form
+    `dot` is interpreted per row and became the second wall at sf100
+    after the bucket projections. Differences vs the fold are float-
+    summation-order only (~1e-15); verification thresholds sit in
+    measured gaps of the score distribution, so membership cannot
+    flip."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(
+        va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack(va.to_numpy()).astype(np.float64)
+        b = np.stack(vb.to_numpy()).astype(np.float64)
+        d = np.einsum("ij,ij->i", a, b)
+        return pd.Series(d / (na.to_numpy() * nb.to_numpy()))
+
+    return _cos
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     dim: int = 64,
@@ -276,20 +358,11 @@ def lsh_ann_topk(
     from pyspark.sql import Window
 
     tables = _hyperplanes(dim, n_tables, n_planes)
+    bks = lsh_buckets_all(tables)
     c = _corpus(emb).select(
         "vec_id", "v", "nrm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col("v"), planes).alias("bucket"),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "v", "nrm", "tb.tbl", "tb.bucket")
+        F.posexplode(bks(F.col("v"))).alias("tbl", "bucket"),
+    )
     q = c.filter(F.col("vec_id") < query_ids_below).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
