@@ -194,6 +194,7 @@ def lsh_pairs(
     n_tables: int = 8,
     n_planes: int = 8,
     dim: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Sub-quadratic near-dup pair generation: random-hyperplane LSH
     buckets -> exact cosine verification (the embedding analog of
@@ -221,6 +222,22 @@ def lsh_pairs(
     ids = corpus.select(
         "vec_id", F.posexplode(bks(F.col("v"))).alias("tbl", "bucket")
     )
+    if max_bucket is not None:
+        # hot-bucket cap (the sign-sketch analog of winnowing's max_df
+        # rule): on label-CLUSTERED corpora an entire cluster shares the
+        # same sign pattern in EVERY table, so one mega-bucket costs
+        # occupancy^2 join rows per table while carrying no NEAR-DUP
+        # signal (intra-cluster similarity sits far below real near-dup
+        # thresholds here — measured cos 0.45-0.55; dense clusters are
+        # the clustering path's job, embedding_dup_clusters). Dropping
+        # buckets above the cap bounds the join at sum(min(occ, cap)^2).
+        keep = (
+            ids.groupBy("tbl", "bucket")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") <= max_bucket)
+            .select("tbl", "bucket")
+        )
+        ids = ids.join(keep, ["tbl", "bucket"])
     cand = (
         ids.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
         .join(

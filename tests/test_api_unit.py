@@ -1263,3 +1263,37 @@ def test_gforce_strict_na_semantics(spark):
     ).collect()}
     assert out["a"] == (None, 1.0)
     assert out["b"] == (5.0, 5.0)
+
+
+def test_lsh_pairs_max_bucket_cap(spark):
+    """The hot-bucket cap bounds the bucket join on clustered inputs:
+    capped output is a subset of the uncapped pairs, and a cap below a
+    planted mega-cluster's size drops its intra-cluster pairs while
+    keeping pairs from small buckets."""
+    import numpy as np
+
+    from data_table_spark.pipeline.similarity import lsh_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+    # mega-cluster: 40 near-identical vectors; plus 2 isolated near-dups
+    rows = [(i, (base + rng.randn(64) * 0.01).astype("float32").tolist(), 0)
+            for i in range(40)]
+    other = rng.randn(64)
+    rows += [(100, other.astype("float32").tolist(), 1),
+             (101, (other + rng.randn(64) * 0.01).astype("float32").tolist(), 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    full = {(r.vec_a, r.vec_b)
+            for r in lsh_pairs(df, threshold=0.9, n_tables=6, n_planes=4).collect()}
+    capped = {(r.vec_a, r.vec_b)
+              for r in lsh_pairs(df, threshold=0.9, n_tables=6, n_planes=4,
+                                 max_bucket=8).collect()}
+    assert capped <= full
+    # the small-bucket near-dup pair survives the cap
+    assert (100, 101) in capped
+    # the mega-cluster's pairs are (mostly) dropped by the cap
+    mega_full = {p for p in full if p[0] < 40 and p[1] < 40}
+    mega_capped = {p for p in capped if p[0] < 40 and p[1] < 40}
+    assert len(mega_full) > 0
+    assert len(mega_capped) < len(mega_full)
