@@ -74,14 +74,20 @@ def _norm_batch():
     return _n
 
 
-def _corpus(emb: DataFrame) -> DataFrame:
+def _corpus(emb: DataFrame, batched_norm: bool = False) -> DataFrame:
+    """Corpus prep: doubles + per-vector norm. ``batched_norm`` picks
+    the Arrow/numpy norm (the scale path — at sf100's 2M vectors the
+    interpreted fold stalls the stage) vs the deterministic fold (the
+    exact-duty/gate-sized path: no Python round-trip, so tiny-SF
+    latency stays JVM-only, and the documented index-ordered summation
+    holds for the oracle-compared exact operators)."""
     from .dedup import spread
 
     v = _as_double(F.col("embedding"))
-    nb = _norm_batch()
-    return spread(emb).select(
-        "vec_id", v.alias("v")
-    ).withColumn("nrm", nb(F.col("v")))
+    out = spread(emb).select("vec_id", v.alias("v"))
+    if batched_norm:
+        return out.withColumn("nrm", _norm_batch()(F.col("v")))
+    return out.withColumn("nrm", norm(F.col("v")))
 
 
 def cosine_topk(
@@ -211,7 +217,7 @@ def lsh_pairs(
     continuous through 0.45 — see SCALE.md). Exact baseline + oracle
     duty: cosine_pairs."""
     tables = _hyperplanes(dim, n_tables, n_planes)
-    corpus = _corpus(emb)
+    corpus = _corpus(emb, batched_norm=True)
     # SLIM candidate generation: only (tbl, bucket, vec_id) flows through
     # the bucket self-join — never the vectors. Carrying both dim-sized
     # arrays through the candidate shuffle multiplies its payload by
@@ -376,7 +382,7 @@ def lsh_ann_topk(
 
     tables = _hyperplanes(dim, n_tables, n_planes)
     bks = lsh_buckets_all(tables)
-    c = _corpus(emb).select(
+    c = _corpus(emb, batched_norm=True).select(
         "vec_id", "v", "nrm",
         F.posexplode(bks(F.col("v"))).alias("tbl", "bucket"),
     )
