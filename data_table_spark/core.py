@@ -603,9 +603,11 @@ def session_scratch_dir(spark, kind: str) -> str:
     """Per-Spark-application scratch directory under this TREE's .tmp
     (never another checkout's): .tmp/<kind>/<applicationId-tag>.
     Concurrent sessions get disjoint write targets (no overwrite race);
-    disk growth is bounded by a best-effort sweep of sibling tags whose
-    mtime is hours old (live sessions keep fresh mtimes). Same pattern
-    as the bucketed-index query."""
+    disk growth is bounded by a best-effort sweep of sibling tags.
+    Liveness is tracked by a heartbeat file the owning session touches
+    on every call (a directory's own mtime only moves on direct child
+    changes, so raw dir-mtime could reap a long-lived quiet session —
+    ADVICE r5); sweep requires the heartbeat to be >48h stale."""
     import os
     import re as _re
     import shutil
@@ -616,11 +618,21 @@ def session_scratch_dir(spark, kind: str) -> str:
     parent = os.path.join(root, ".tmp", kind)
     base = os.path.join(parent, tag)
     os.makedirs(base, exist_ok=True)
+    hb = os.path.join(base, ".heartbeat")
     try:
-        cutoff = _time.time() - 6 * 3600
+        with open(hb, "w") as f:
+            f.write(str(_time.time()))
+    except OSError:
+        pass
+    try:
+        cutoff = _time.time() - 48 * 3600
         for d in os.listdir(parent):
             p = os.path.join(parent, d)
-            if d != tag and os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+            if d == tag or not os.path.isdir(p):
+                continue
+            marker = os.path.join(p, ".heartbeat")
+            ts = os.path.getmtime(marker) if os.path.exists(marker) else os.path.getmtime(p)
+            if ts < cutoff:
                 shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass

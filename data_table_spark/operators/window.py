@@ -749,9 +749,14 @@ def retention_cohorts(
     keyed, the output is triangle-sized (periods^2 / 2), never
     user-sized.
     """
+    # Floor division, not DIV (which truncates toward zero): pre-1970
+    # timestamps must bucket the same way the // oracles do (ADVICE r5).
+    # pmod-adjusted DIV keeps it exact bigint arithmetic — double
+    # division could misfloor at exact period multiples.
+    p = int(period_us)
     e = events.select(
         F.col(user_col).alias("u"),
-        F.expr(f"{ts_col} DIV {int(period_us)}L").alias("wk"),
+        F.expr(f"(({ts_col} - pmod({ts_col}, {p}L)) DIV {p}L)").alias("wk"),
     ).distinct()
     cohort = e.groupBy("u").agg(F.min("wk").alias("cohort"))
     return (

@@ -285,8 +285,11 @@ def shuffle_shards(
     seed -> same order on any cluster size/partitioning/engine, unlike
     rand()-based orderBy).
 
-    shard = top-16-bit integer of md5(seed:id) mod n_shards;
+    shard = top-48-bit integer of md5(seed:id) mod n_shards;
     pos    = row_number within shard ordered by (md5(seed:id), id).
+    48 bits keeps every shard reachable and the modulo bias < 2^-31
+    even at the ~1e5 shards a 100 TB corpus wants (16 bits capped the
+    shard space at 65536 — ADVICE r5).
 
     Scale shape (100 TB): shard assignment is a narrow hash projection;
     per-shard positions are ONE row_number window partitioned by shard
@@ -302,7 +305,7 @@ def shuffle_shards(
     )
     d = df.select(F.col(id_col), h.alias("_h"))
     shard = (
-        F.conv(F.substring("_h", 1, 4), 16, 10).cast("long")
+        F.conv(F.substring("_h", 1, 12), 16, 10).cast("long")
         % int(n_shards)
     ).alias("shard")
     d = d.select(id_col, "_h", shard)

@@ -799,9 +799,9 @@ def q_shift(spark, sf_dir):
     "froll_mean_sum",
     """
     SELECT event_id, user_id,
-           CASE WHEN COUNT(*) OVER w >= 5
+           CASE WHEN COUNT(*) OVER w >= 5 AND COUNT(value) OVER w = COUNT(*) OVER w
                 THEN AVG(value) OVER w END AS value_rollmean_5,
-           CASE WHEN COUNT(*) OVER w >= 5
+           CASE WHEN COUNT(*) OVER w >= 5 AND COUNT(value) OVER w = COUNT(*) OVER w
                 THEN SUM(value) OVER w END AS value_rollsum_5
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -810,13 +810,53 @@ def q_shift(spark, sf_dir):
 def q_froll(spark, sf_dir):
     """frollmean/frollsum fixed window, right-aligned, NULL until full
     (reference R/froll.R:158-224, src/froll.c:24). WindowExec's frame
-    buffer is the online add/subtract algorithm's distributed analog."""
+    buffer is the online add/subtract algorithm's distributed analog.
+    The oracle encodes the reference's na.rm=FALSE default — a NULL
+    anywhere in the window poisons the result — via the
+    COUNT(value)=COUNT(*) mask, so a nullable input diverges loudly
+    instead of silently (ADVICE r5)."""
     from .operators.window import froll
 
     t = load_tables(spark, sf_dir)
     out = froll(t["events"], "mean", ["value"], 5, by=["user_id"])
     out = froll(out, "sum", ["value"], 5, by=["user_id"])
     return out.query(j=["event_id", "user_id", "value_rollmean_5", "value_rollsum_5"]).df
+
+
+@query(
+    "froll_narm",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+      FROM events
+    )
+    SELECT event_id, user_id, value,
+           CASE WHEN COUNT(*) OVER w >= 4 AND COUNT(value) OVER w = COUNT(*) OVER w
+                THEN SUM(value) OVER w END AS strict_sum,
+           CASE WHEN COUNT(*) OVER w >= 4
+                THEN SUM(value) OVER w END AS skip_sum
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_froll_narm(spark, sf_dir):
+    """froll na.rm semantics on genuinely nullable input (reference
+    src/froll.c hasNA branch): na_rm=False (reference default) poisons
+    any window containing an NA; na_rm=True skips NAs like native SQL
+    window aggregates. Nulls are synthesized on event_id % 7 so both
+    branches are exercised on real data (ADVICE r5 medium item)."""
+    from .operators.window import froll
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].let(
+        value=F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+    out = froll(ev, "sum", ["value"], 4, by=["user_id"], na_rm=False)
+    out = out.setnames("value_rollsum_4", "strict_sum")
+    out = froll(out, "sum", ["value"], 4, by=["user_id"], na_rm=True)
+    out = out.setnames("value_rollsum_4", "skip_sum")
+    return out.query(j=["event_id", "user_id", "value", "strict_sum", "skip_sum"]).df
 
 
 @query(

@@ -1486,8 +1486,14 @@ _SQL_MIXTURE = f"""
       SELECT source, c, t,
              CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 8
                   WHEN source IN ('src5','src6','src7','src8','src9') THEN 4
-                  ELSE 2 END AS share
-      FROM cnt CROSS JOIN tot),
+                  WHEN source IN ('src10','src11','src12','src13','src14',
+                                  'src15','src16','src17','src18','src19') THEN 2
+                  ELSE NULL END AS share
+      FROM cnt CROSS JOIN tot
+      -- sources absent from the targets dict are DROPPED (Spark-side
+      -- contract); a new source value in the data must surface as an
+      -- oracle mismatch, not silently inherit a share (ADVICE r5)
+      ),
     plan AS (
       SELECT source,
              LEAST(CAST(16777216 AS BIGINT),
@@ -1541,7 +1547,7 @@ _SQL_SHUFFLE_SHARDS = f"""
       FROM documents),
     s AS (
       SELECT doc_id, hh,
-             CAST(({_sql_md5_int("'42:' || CAST(doc_id AS VARCHAR)", 4)}) % 8
+             CAST(({_sql_md5_int("'42:' || CAST(doc_id AS VARCHAR)", 12)}) % 8
                   AS BIGINT) AS shard
       FROM h)
     SELECT doc_id, shard,

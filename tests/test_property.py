@@ -629,7 +629,7 @@ def test_shuffle_shards_matches_python_oracle(spark, ids, n_shards, seed):
     expect = {}
     by_shard = {}
     for i in ids:
-        shard = int(h(i)[:4], 16) % n_shards
+        shard = int(h(i)[:12], 16) % n_shards
         by_shard.setdefault(shard, []).append(i)
     for shard, members in by_shard.items():
         members.sort(key=lambda i: (h(i), i))
