@@ -25,6 +25,7 @@ __all__ = [
     "melt",
     "melt_multi",
     "transpose",
+    "transpose_distributed",
     "tstrsplit",
     "rbindlist",
     "cbindlist",
@@ -186,13 +187,76 @@ def melt_multi(
 def transpose(dt: DT, spark=None) -> DT:
     """transpose (reference src/transpose.c:5) — rows↔cols is inherently
     driver-side (the result schema depends on the data); restricted to
-    small tables, like the reference's in-memory use."""
+    small tables, like the reference's in-memory use. For tables whose
+    CELLS are too big to collect (but whose row count is still a legal
+    column count), use :func:`transpose_distributed`."""
     import pandas as pd
 
     pdf = dt.df.toPandas().T.reset_index()
     pdf.columns = ["column"] + [f"V{i+1}" for i in range(len(pdf.columns) - 1)]
     spark = spark or dt.df.sparkSession
     return DT(spark.createDataFrame(pdf.astype(str)))
+
+
+def transpose_distributed(dt: DT, order=None) -> DT:
+    """Medium-table transpose (reference src/transpose.c:5 semantics)
+    with NO driver collect of cell data — removes the `transpose`
+    cliff for tables where nrow (= output ncol) is bounded (Spark's
+    practical column limit, ~10k) but nrow*ncol cells exceed what the
+    driver should hold.
+
+    Plan: (1) the output column for each input row is its 1-based rank
+    in `order` (must be a unique key — verified); the rank map is built
+    from a projection of ONLY the order columns, so the single-task
+    global sort never carries payload, and joins back as a broadcast;
+    (2) melt every column to (rn, column, val-as-string) via stack —
+    row-local; (3) groupBy(column) + ONE collect_list(struct(rn,val))
+    aggregate, array_sort'd, then a flat element_at projection to
+    V1..Vn. (A pivot over n values would emit n aggregate expressions
+    — measured pathological past ~2k columns — whereas one array agg +
+    n simple projections codegens in seconds at the 10k cap.) One
+    shuffle keyed by output row; each output row holds n cells, which
+    is exactly the per-row width any n-column result needs anyway.
+    Output matches `transpose`: (column, V1..Vn), all strings.
+    """
+    df = dt.df
+    order_cols = _namelist(order) or list(dt.order_by or ()) or list(dt.key or ())
+    if not order_cols:
+        raise ValueError(
+            "transpose_distributed needs a deterministic row order: pass "
+            "order= or set a key/order_by on the DT (output columns are "
+            "positional — SURVEY §2.8, Spark DataFrames are unordered)"
+        )
+    n = df.count()
+    if n > 10_000:
+        raise ValueError(
+            f"transpose of {n} rows would create {n} output columns; "
+            "Spark's columnar plans degrade past ~10k columns — reshape "
+            "with melt instead (SURVEY §2.8)"
+        )
+    keys = df.select(*order_cols)
+    if keys.distinct().count() != n:
+        raise ValueError("transpose_distributed order= must be a unique key")
+    from pyspark.sql import Window
+
+    rank_map = keys.withColumn(
+        "__rn__", F.row_number().over(Window.orderBy(*[F.col(c) for c in order_cols]))
+    )
+    with_rn = df.join(F.broadcast(rank_map), on=order_cols)
+    cols = [c for c in df.columns]
+    stack_expr = "stack({}, {}) as (column, val)".format(
+        len(cols),
+        ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols),
+    )
+    cells = with_rn.select(F.col("__rn__"), F.expr(stack_expr))
+    packed = cells.groupBy("column").agg(
+        F.array_sort(F.collect_list(F.struct("__rn__", "val"))).alias("__arr__")
+    )
+    out = packed.select(
+        "column",
+        *[F.element_at("__arr__", i)["val"].alias(f"V{i}") for i in range(1, n + 1)],
+    )
+    return DT(out)
 
 
 def tstrsplit(

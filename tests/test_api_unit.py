@@ -1297,3 +1297,54 @@ def test_lsh_pairs_max_bucket_cap(spark):
     mega_capped = {p for p in capped if p[0] < 40 and p[1] < 40}
     assert len(mega_full) > 0
     assert len(mega_capped) < len(mega_full)
+
+
+def test_transpose_distributed_matches_driver_form(spark):
+    """group+pivot transpose equals the collect-based form on the same
+    table, and enforces its contracts (unique order key, column cap)."""
+    import pytest
+
+    from data_table_spark.core import DT
+    from data_table_spark.operators.reshape import (
+        transpose,
+        transpose_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i:03d}", i, float(i) * 1.5) for i in range(50)],
+        "k string, a int, b double",
+    )
+    dist = transpose_distributed(DT(df), order=["k"])
+    drv = transpose(DT(df.orderBy("k")), spark)
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert sorted(dist.columns) == sorted(drv.columns)
+    got = key(dist.df.select(*drv.columns).collect())
+    want = key(drv.df.collect())
+    assert got == want
+
+    with pytest.raises(ValueError, match="unique"):
+        dup = spark.createDataFrame([("x", 1), ("x", 2)], "k string, a int")
+        transpose_distributed(DT(dup), order=["k"])
+    with pytest.raises(ValueError, match="order"):
+        transpose_distributed(DT(df))
+
+
+def test_transpose_distributed_no_collect_medium(spark):
+    """5k rows x 6 cols transposes without any driver collect of cells
+    (the plan is pure join+stack+pivot; only scalar counts hit the
+    driver) — the r5-verdict medium-table cliff removal."""
+    from data_table_spark.core import DT
+    from data_table_spark.operators.reshape import transpose_distributed
+
+    df = spark.range(5000).selectExpr(
+        "format_string('r%05d', id) AS k",
+        "id AS a", "id * 2 AS b", "CAST(id AS DOUBLE) / 7 AS c",
+        "concat('s', id % 13) AS d", "id % 2 = 0 AS e",
+    )
+    out = transpose_distributed(DT(df), order=["k"])
+    assert len(out.columns) == 5001
+    rows = {r["column"]: r for r in out.df.collect()}
+    assert set(rows) == {"k", "a", "b", "c", "d", "e"}
+    assert rows["a"]["V1"] == "0"
+    assert rows["a"]["V5000"] == "4999"
+    assert rows["k"]["V42"] == "r00041"
