@@ -28,54 +28,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 registration-order
-# entries. Round-5 window (VERDICT r4 items 1-4 + NOTES_r4 plan):
-# (a) the last 5 never-driver-checked r4 queries PLUS the 4 queries
-#     ADDED this round — green rows here close the cumulative gap to
-#     126/126;
-# (b) queries whose semantics/contract CHANGED this round: eachi now
-#     groups per i ROW (dup-key Y safe), ivf_ann_topk carries a real
-#     recall bound (0.6 at n_probe=6, was 0.25 at 2), setindex_bucketed
-#     is the new physical-index shuffle-elision demo;
-# (c) canaries: one events read-path proof + one streaming event-time
-#     proof from the r4 fix (NOTES_r4 "Carried forward");
-# (d) refresh of the r1-green core surface (filters, joins, grouping,
-#     reshape, overlaps) not re-checked by the driver since round 1
-#     (filter_notin/between/like and fifelse_fcase yielded their slots
-#     to the (a) additions; they stay r1-green + locally verified).
-# Everything else has been driver-green in r1-r4 and remains locally
-# verified by tools/check_correctness.py + pytest every session.
+# entries. Round-6 window (VERDICT r5 item 1: finish the r1-green
+# refresh — after this window every registered query has a driver row
+# dated r5-or-later):
+# (a) queries ADDED or semantically CHANGED this round: transpose_medium
+#     (new distributed transpose), froll_narm (new, nullable-input froll
+#     semantics), froll_mean_sum (oracle gained the NULL-poisoning mask
+#     per ADVICE r5), shuffle_shards (48-bit shard hash), retention_cohorts
+#     (floor-division cohorts), mixture_sample (explicit source
+#     enumeration), pq_ann_topk (LUT now built distributively);
+# (b) ALL 32 queries whose latest driver row is round 1 — the complete
+#     staleness list computed from CORRECTNESS_r01..r05 (VERDICT r5
+#     "What's wrong" item 3);
+# (c) remaining slots: oldest r3-latest rows, most load-bearing first.
+# Everything else is driver-green r4/r5 and locally re-verified by
+# tools/check_correctness.py + pytest every session.
 _PRIORITY = [
-    # (a) never driver-checked
-    "frollapply_median", "froll_adaptive_median", "pii_scrub",
-    "chunk_dedup_pairs", "sq8_ann_topk",
-    "na_omit_cols", "fdistinct_last", "which_rows", "dedup_exact_ids",
-    "stream_stream_left_join", "stream_stream_full_join",
-    "chmatch_rank", "pq_ann_topk",
-    "bm25_topk", "frank_random", "stream_stream_right_join",
-    "tfidf_keywords", "winnow_dup_pairs", "sketch_quantiles",
-    "mergelist_fold", "fsetequal_check", "chgroup_first_appearance",
-    "foverlaps_equal", "embedding_centroids", "foverlaps_end",
-    "dogroups_arrow_udtf", "melt_narm", "stream_session_dynamic",
-    "dedup_cluster_sizes",
-    "mixture_sample", "split_leakfree", "shuffle_shards",
-    "bigram_lm_score", "stream_neardup_screen", "funnel_stages",
-    "jsonl_roundtrip", "orc_roundtrip", "retention_cohorts",
-    "udtf_chunk_lateral",
-    # (b) changed this round
-    "eachi_join_agg", "ivf_ann_topk", "setindex_bucketed",
-    # (c) r4-fix canaries
-    "shift_lag_lead", "stream_session_agg",
-    # (d) r1-green refresh: scan/filter/compute surface
-    "gforce_q1",
-    # (d) r1-green refresh: join surface (anti_join, mult_last,
-    # update_on_join, nonequi_join, cj_cross yielded slots to the
-    # continuation additions; all r1-green + locally re-verified)
-    "lookup_join", "join_inner", "mult_first", "merge_full",
-    # (d) r1-green refresh: grouping surface (unique_first,
-    # duplicated_flag, weighted_mean, gforce_minmax_firstlast,
-    # uniqueN_by yielded their slots to the continuation additions;
-    # all r1-green + locally re-verified)
-    "ghead_per_group",
+    # (a) new or changed this round
+    "transpose_medium", "frollapply_adaptive", "froll_narm",
+    "froll_mean_sum", "shuffle_shards", "retention_cohorts",
+    "mixture_sample", "pq_ann_topk",
+    # (b) the complete r1-stale list (32)
+    "anti_join", "cj_cross", "cube_agg", "dcast_drop_false",
+    "dcast_multi_agg", "dcast_pivot", "duplicated_flag",
+    "fifelse_fcase", "filter_between", "filter_chin", "filter_like",
+    "filter_notin", "filter_scan", "foverlaps_any", "foverlaps_start",
+    "foverlaps_within", "frank_ties", "gforce_minmax_firstlast",
+    "groupingsets_agg", "inrange_semi", "melt_multi_measure",
+    "melt_unpivot", "mult_last", "nonequi_join", "rollup_agg",
+    "rowid_counter", "select_compute", "semi_join", "uniqueN_by",
+    "unique_first", "update_on_join", "weighted_mean",
+    # (c) oldest r3-latest refresh
+    "gforce_var_sd", "funion_all", "dedup_exact", "minhash_lsh_pairs",
+    "text_quality", "date_parts", "fread_fwrite_roundtrip",
+    "ann_cosine_topk", "dogroups_udtf", "lang_id",
 ]
 
 

@@ -635,6 +635,83 @@ def frolladaptive_median(
     return DT(out, key=dt.key, order_by=dt.order_by)
 
 
+def frollapply_adaptive(
+    dt: DT, col, n_col, fn, by=None, order=None, out_col: str | None = None,
+) -> DT:
+    """Adaptive frollapply (reference src/frolladaptive.c composed with
+    R/frollapply.R:128): an ARBITRARY function over a PER-ROW window
+    width n_i — the cross product the fixed-width `frollapply` and the
+    aggregate-only `frolladaptive` each cover half of.
+
+    Spark shape: the explode-expansion of `frolladaptive_median` (each
+    complete target row explodes into its n_i source positions; one
+    co-partitioned equi-join fetches values) but instead of an exact
+    aggregate, each target packs its window into an order-preserving
+    array (collect_list of (pos, val) structs, array_sort — pos is
+    unique within a target, so the sort is total and the value order is
+    the declared row order), and ONE Arrow-batched pandas_udf applies
+    `fn` per window array. O(rows·W̄) expansion work — the same the
+    reference's per-window loop pays single-node — spread across the
+    cluster; the only Python is the final per-window `fn` call.
+    NULL source values reach `fn` as NaN (frollapply's convention); a
+    NaN return maps back to NULL (pandas->Arrow NaN-as-NA — i.e. the
+    reference's NA-poisoning under na.rm=FALSE); rows with pos < n_i
+    (incomplete window) yield NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    grp = _namelist(by)
+    w = win(dt, by=by, order=order)
+    base = dt.df.withColumn("__pos__", F.row_number().over(w)).withColumn(
+        "__nn__", F.col(n_col).cast("int")
+    )
+    need = base.select(
+        *[F.col(g).alias(f"__tg_{g}__") for g in grp],
+        F.col("__pos__").alias("__tpos__"),
+        F.explode(
+            F.when(
+                (F.col("__nn__") >= 1) & (F.col("__pos__") >= F.col("__nn__")),
+                F.sequence(
+                    F.col("__pos__") - F.col("__nn__") + 1, F.col("__pos__")
+                ),
+            )
+        ).alias("__spos__"),
+    )
+    cond = F.col("__spos__") == F.col("__pos__")
+    for g in grp:
+        cond = cond & (F.col(f"__tg_{g}__") == F.col(g))
+    src_val = F.when(
+        F.col(col).isNull(), F.lit(float("nan"))
+    ).otherwise(F.col(col).cast("double"))
+    vals = need.join(
+        base.select(*grp, "__pos__", src_val.alias("__v__")), on=cond
+    )
+    packed = vals.groupBy(
+        *[F.col(f"__tg_{g}__") for g in grp], F.col("__tpos__")
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__spos__", "__v__"))),
+            lambda s: s["__v__"],
+        ).alias("__warr__")
+    )
+
+    @pandas_udf("double")
+    def apply_fn(s: pd.Series) -> pd.Series:
+        return s.map(lambda a: None if a is None else float(fn(a)))
+
+    packed = packed.withColumn("__out__", apply_fn(F.col("__warr__")))
+    name = out_col or f"{col}_adaptive"
+    back = F.col("__tpos__") == F.col("__pos__")
+    for g in grp:
+        back = back & (F.col(f"__tg_{g}__") == F.col(g))
+    out = base.join(
+        packed.drop("__warr__"), on=back, how="left"
+    ).withColumn(name, F.col("__out__")).drop(
+        "__pos__", "__nn__", "__out__", "__tpos__",
+        *[f"__tg_{g}__" for g in grp],
+    )
+    return DT(out, key=dt.key, order_by=dt.order_by)
+
+
 def sessionize(
     dt: DT, ts_col: str, gap: int, by=None, order=None,
     out_col: str = "session_id",

@@ -183,6 +183,52 @@ def q_froll_adaptive_median(spark, sf_dir):
 
 
 @query(
+    "frollapply_adaptive",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, value,
+             1 + CAST(event_id % 6 AS INT) AS nn,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS pos
+      FROM events
+    )
+    SELECT a.event_id, a.user_id,
+           CASE WHEN a.pos >= a.nn THEN (
+             SELECT MAX(b2.value) - MIN(b2.value) FROM b b2
+             WHERE b2.user_id = a.user_id
+               AND b2.pos BETWEEN a.pos - a.nn + 1 AND a.pos) END
+             AS roll_range
+    FROM b a
+    """,
+)
+def q_frollapply_adaptive(spark, sf_dir):
+    """Adaptive frollapply (reference src/frolladaptive.c composed with
+    R/frollapply.R:128 — VERDICT r5 item 5): an arbitrary Python
+    function (np.ptp, the max-min range: exact element arithmetic, no
+    summation-order drift) over per-row window widths n_i = 1 +
+    event_id % 6. Explode-expansion + one Arrow-batched pandas_udf;
+    oracle is the correlated range subquery."""
+    import numpy as np
+
+    from .operators.window import frollapply_adaptive
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].query(
+        j={
+            "event_id": F.col("event_id"),
+            "user_id": F.col("user_id"),
+            "value": F.col("value"),
+            "nn": (1 + F.col("event_id") % 6).cast("int"),
+        }
+    )
+    out = frollapply_adaptive(
+        ev, "value", "nn", np.ptp, by=["user_id"], order=["event_id"],
+        out_col="roll_range",
+    )
+    return out.df.select("event_id", "user_id", "roll_range")
+
+
+@query(
     "transpose_small",
     """
     WITH a AS (

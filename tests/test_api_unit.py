@@ -1348,3 +1348,44 @@ def test_transpose_distributed_no_collect_medium(spark):
     assert rows["a"]["V1"] == "0"
     assert rows["a"]["V5000"] == "4999"
     assert rows["k"]["V42"] == "r00041"
+
+
+def test_frollapply_adaptive_contracts(spark):
+    """Adaptive frollapply: per-row widths honored, incomplete windows
+    NULL, source NULLs reach fn as NaN (frollapply's convention), and
+    window value order is the declared row order."""
+    import math
+
+    from data_table_spark.core import DT
+    from data_table_spark.operators.window import frollapply_adaptive
+
+    rows = [
+        # g, pos-order key, value, window width
+        ("a", 1, 10.0, 1),
+        ("a", 2, 20.0, 2),
+        ("a", 3, None, 2),   # NULL value: fn sees NaN in windows covering it
+        ("a", 4, 40.0, 3),
+        ("b", 1, 5.0, 2),    # incomplete (needs 2, has 1) -> NULL
+        ("b", 2, 7.0, 2),
+    ]
+    df = spark.createDataFrame(rows, "g string, k int, v double, nn int")
+
+    def last_minus_first(a):
+        # order-sensitive fn: proves the array preserves row order
+        if any(math.isnan(x) for x in a):
+            return float("nan")
+        return a[-1] - a[0]
+
+    out = frollapply_adaptive(
+        DT(df), "v", "nn", last_minus_first, by=["g"], order=["k"],
+        out_col="r",
+    )
+    got = {(r["g"], r["k"]): r["r"] for r in out.df.collect()}
+    assert got[("a", 1)] == 0.0          # width 1: v - v
+    assert got[("a", 2)] == 10.0         # 20 - 10, order preserved
+    # fn saw NaN for the NULL source value and returned NaN; pandas ->
+    # Arrow maps a NaN result to NULL (data.table's NA), not a NaN cell
+    assert got[("a", 3)] is None
+    assert got[("a", 4)] is None         # window [20, NULL, 40]
+    assert got[("b", 1)] is None         # incomplete window
+    assert got[("b", 2)] == 2.0          # 7 - 5
