@@ -772,3 +772,113 @@ def test_retention_cohorts_matches_python_oracle(spark, events):
 
     got = {(r.cohort, r.wk_offset): r.n_users for r in out.collect()}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# The oracle methodology itself (VERDICT r5 item 8): every double-sum
+# comparison in the registry rides on the DECIMAL(18,4) convention --
+# "cast both engines' addends to DECIMAL(18,4), sum exactly, cast back".
+# This test attacks the convention directly with adversarial doubles
+# (half-ulp rounding boundaries, large magnitudes, sign cancellation)
+# and asserts the two engines agree UNDER THE CHECKER'S OWN cell
+# normalization, so an engine divergence in cast-rounding or overflow
+# behavior fails here before it can corrupt a query comparison.
+# ---------------------------------------------------------------------------
+
+
+def _checker_sig(pdf):
+    """Load the REAL frame_sig/norm_cell from tools/check_correctness.py
+    (not a copy) so the property protects the shipped methodology."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "check_correctness.py",
+    )
+    spec = importlib.util.spec_from_file_location("_ccheck", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.frame_sig(pdf)
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.one_of(
+                # rounding-boundary probes: x.xxxx5 half-way cases
+                st.integers(min_value=-10_000_000, max_value=10_000_000).map(
+                    lambda n: n / 1e5
+                ),
+                # magnitude probes near the sf100 headroom note in SCALE.md
+                st.integers(min_value=-(10**12), max_value=10**12).map(float),
+                st.floats(
+                    min_value=-1e9, max_value=1e9,
+                    allow_nan=False, allow_infinity=False,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_decimal_sum_convention_matches_duckdb(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["g", "x"])
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.groupBy("g")
+        .agg(
+            F.sum(F.col("x").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("s")
+        )
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute(
+        "SELECT g, CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS s"
+        " FROM t GROUP BY g"
+    ).fetchdf()
+    assert _checker_sig(got) == _checker_sig(exp)
+
+
+def test_decimal_sum_overflow_margin(spark):
+    """Pin the MEASURED overflow geometry of the DECIMAL(18,4) oracle
+    convention (VERDICT r5 worried sf100 sums approached the 10^14
+    cap): (a) the cap binds PER ADDEND, not per sum -- both engines
+    widen the accumulator (Spark decimal(28,4), DuckDB DECIMAL(38,4)),
+    so a 1.98e14 SUM of in-range addends is exact and equal in both;
+    (b) a single addend past 10^14 is LOUD in both engines (Spark 4
+    defaults ANSI on -> ArithmeticException; DuckDB ConversionException)
+    -- never a silent NULL that could hash-mismatch. If either behavior
+    shifts with a version bump (e.g. ansi.enabled flipped off), this
+    test fails and the checker's margin logic must be revisited."""
+    big = 9.9e13
+    pdf = pd.DataFrame({"g": [0, 0], "x": [big, big]})
+    got = (
+        spark.createDataFrame(pdf)
+        .groupBy("g")
+        .agg(F.sum(F.col("x").cast("decimal(18,4)")).cast("double").alias("s"))
+        .collect()
+    )
+    assert got[0]["s"] == pytest.approx(1.98e14)  # widened accumulator
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute(
+        "SELECT g, CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS s"
+        " FROM t GROUP BY g"
+    ).fetchdf()
+    assert exp["s"][0] == pytest.approx(1.98e14)
+
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    over = pd.DataFrame({"x": [2.0e14]})
+    with pytest.raises(ArithmeticException):
+        spark.createDataFrame(over).select(
+            F.col("x").cast("decimal(18,4)").alias("c")
+        ).collect()
+    with pytest.raises(duckdb.ConversionException):
+        con.execute("SELECT CAST(2.0e14 AS DECIMAL(18,4))").fetchall()

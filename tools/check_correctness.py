@@ -38,6 +38,23 @@ def norm_cell(v):
     return str(v)
 
 
+def decimal_margin(pdf, cap=1e13):
+    """Return a description of any numeric output cell within 10x of the
+    DECIMAL(18,4) magnitude cap (10^14), else None."""
+    worst = None
+    for c in pdf.columns:
+        col = pdf[c]
+        if col.dtype.kind not in "fi":
+            continue
+        m = col.abs().max()
+        if m is not None and m == m and m >= cap:
+            if worst is None or m > worst[1]:
+                worst = (c, float(m))
+    if worst:
+        return f"column {worst[0]} max |value| {worst[1]:.3g}"
+    return None
+
+
 def frame_sig(pdf):
     cols = sorted(pdf.columns)
     rows = []
@@ -82,7 +99,7 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    n_pass = n_fail = n_rows_only = 0
+    n_pass = n_fail = n_rows_only = n_margin = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -121,9 +138,22 @@ def main():
             print(f"   duck : {bad[0][1][:300]}")
             n_fail += 1
             continue
+        margin = decimal_margin(got)
+        if margin:
+            # DECIMAL(18,4) overflow margin (tests/test_property.py
+            # test_decimal_sum_overflow_margin pins the geometry): the
+            # cap binds per ADDEND at 10^14 and is loud in both engines,
+            # but an output magnitude past 10^13 means a further
+            # aggregation level at a bigger SF would push addends toward
+            # the cap — flag it before sf100 does.
+            print(f"MARGIN {name}: {margin} (within 10x of the "
+                  f"DECIMAL(18,4) cap — revisit the cast convention "
+                  f"before scaling this query up)")
+            n_margin += 1
         print(f"PASS {name}: {len(gr)} rows ({time.time()-t0:.1f}s)")
         n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only, "
+          f"{n_margin} margin-flags")
     sys.exit(1 if n_fail else 0)
 
 
