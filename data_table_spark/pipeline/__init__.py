@@ -47,6 +47,7 @@ from .similarity import (
     cosine_pairs,
     lsh_ann_topk,
     ivf_ann_topk,
+    ivfpq_ann_topk,
 )
 from .curation import (
     decontaminate,
@@ -61,6 +62,6 @@ __all__ = [
     "dedup_exact", "dedup_exact_ids", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "simhash_pairs", "jaccard_prefix_pairs", "dedup_clusters",
     "cosine_topk", "cosine_pairs", "lsh_ann_topk", "ivf_ann_topk",
-    "pq_ann_topk", "pq_encode",
+    "pq_ann_topk", "pq_encode", "ivfpq_ann_topk",
     "decontaminate", "keep_best", "chunk_documents", "repetition_metrics",
 ]

@@ -718,26 +718,37 @@ def pq_ann_topk(
         .select("query_id", "neighbor_id")
     )
     # exact re-rank: full vectors for the shortlist rows only
+    return _exact_rerank(shortlist, emb, qdf, k)
+
+
+def _exact_rerank(
+    shortlist: DataFrame, emb: DataFrame, qdf: DataFrame, k: int
+) -> DataFrame:
+    """Shared refinement tail of the quantized ANN paths (pq / ivfpq):
+    exact cosine over ONLY the shortlisted (query, neighbor) rows —
+    full vectors are read for n_queries*rerank rows, so the cost is
+    independent of corpus size — then the final top-k window."""
+    from pyspark.sql import Window
+
     corpus = _corpus(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("nv"),
         F.col("nrm").alias("nnrm"),
     )
-    queries = qdf
     exact = (
         shortlist.join(corpus, "neighbor_id")
-        .join(F.broadcast(queries), "query_id")
+        .join(F.broadcast(qdf), "query_id")
         .select(
             "query_id", "neighbor_id",
             (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nnrm"))
              ).alias("cos_full"),
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(
+    w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_full"), F.asc("neighbor_id")
     )
     return (
-        exact.withColumn("rank", F.row_number().over(w2))
+        exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id",
@@ -745,6 +756,136 @@ def pq_ann_topk(
             F.round("cos_full", 4).alias("cos"),
         )
     )
+
+
+def ivfpq_ann_topk(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    query_ids_below: int = 8,
+    k: int = 5,
+    m: int = 16,
+    k_centroids: int = 32,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF-PQ composed ANN (the faiss IndexIVFPQ layout, by_residual
+    =False): coarse KMeans cells bound WHICH corpus rows each query
+    touches (the IVF promise: ~n_probe/n_centroids of the data), and
+    PQ codes bound WHAT is read per touched row (m nibble codes + a
+    norm instead of the float vector) — the composition both module
+    docstrings promise for 100 TB, made concrete.
+
+    Plan: coarse-assign (one narrow KMeans transform) joins its cell id
+    onto the PQ code table; per query the n_probe best cells come from
+    the same plan-expression argsort as ivf_ann_topk and the m*k ADC
+    LUT is built distributively as in pq_ann_topk; the two tiny frames
+    join into a broadcast (query, cell, s, code, partial-dot) table of
+    n_q*n_probe*m*k rows, and ONE broadcast equi-join on
+    (s, code, cell) scores exactly the probed fraction of the code
+    table — cells are disjoint, so each (query, vec, s) matches at
+    most once and the per-(query, vec) SUM is the ADC dot. Exact
+    re-rank refines the top `rerank` (default 8k) candidates.
+    Approximate => recall-contract check against the exact baseline."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    if rerank is None:
+        rerank = 8 * k
+
+    # coarse quantizer (IVF): cell per corpus vector
+    c = _corpus(emb)
+    feat = c.withColumn("fv", array_to_vector(F.col("v")))
+    km = KMeans(k=n_centroids, seed=42, featuresCol="fv",
+                predictionCol="cell")
+    model = km.fit(feat)
+    cells = model.transform(feat).select("vec_id", "cell")
+    centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+
+    # fine quantizer (PQ): code table + cell id, no full vectors
+    encoded, centroids = pq_encode(emb, m=m, k_centroids=k_centroids)
+    sub = len(centroids[0][0])
+    coded = encoded.select(
+        "vec_id", "nrm", *[f"c{s}" for s in range(m)]
+    ).join(cells, "vec_id")
+
+    qdf = c.filter(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    # probe cells: n_probe best coarse centroids per query, as plan
+    # expressions (negdot-first struct sort => best dot first)
+    cell_arr = F.array(
+        *[
+            F.struct(
+                (-dot(F.col("qv"), F.array(*[F.lit(x) for x in ctr])))
+                .alias("negdot"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, ctr in enumerate(centers)
+        ]
+    )
+    probes = qdf.select(
+        "query_id",
+        F.explode(F.slice(F.array_sort(cell_arr), 1, n_probe)).alias("pr"),
+    ).select("query_id", F.col("pr.cell").alias("qcell"))
+
+    # distributed ADC LUT (as pq_ann_topk), restricted to probed cells
+    spark = emb.sparkSession
+    ctr = spark.createDataFrame(
+        [(s, ci, [float(x) for x in cs])
+         for s in range(m) for ci, cs in enumerate(centroids[s])],
+        "s int, code int, ctr array<double>",
+    )
+    lut = qdf.crossJoin(F.broadcast(ctr)).select(
+        "query_id", "qn", "s", "code",
+        dot(
+            F.slice(F.col("qv"), F.col("s") * sub + 1, F.lit(sub)),
+            F.col("ctr"),
+        ).alias("part"),
+    )
+    lut_probed = lut.join(probes, "query_id").select(
+        "query_id", "qn", "qcell", "part",
+        F.col("s").alias("qs"), F.col("code").alias("qcode"),
+    )
+
+    codes_long = coded.select(
+        "vec_id", "nrm", "cell",
+        F.posexplode(F.array(*[F.col(f"c{s}") for s in range(m)])).alias(
+            "s", "code"
+        ),
+    )
+    scored = (
+        codes_long.join(
+            F.broadcast(lut_probed),
+            (F.col("s") == F.col("qs"))
+            & (F.col("code") == F.col("qcode"))
+            & (F.col("cell") == F.col("qcell")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum("part").alias("approx_dot"),
+            F.first("nrm").alias("nrm"),
+            F.first("qn").alias("qn"),
+        )
+    )
+    cos_q = F.col("approx_dot") / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos_q.alias("cos_q"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(shortlist, emb, qdf, k)
 
 
 def embedding_centroids(emb: DataFrame, label_col: str = "label", dim: int = 64) -> DataFrame:

@@ -1461,6 +1461,28 @@ def q_pq_ann_topk(spark, sf_dir):
     return _ann_recall_result(approx, exact, bound=0.8)
 
 
+@query("ivfpq_ann_topk", _SQL_ANN_RECALL)
+def q_ivfpq_ann_topk(spark, sf_dir):
+    """IVF-PQ composed ANN (faiss IndexIVFPQ, by_residual=False): the
+    coarse KMeans cells bound WHICH rows a query touches (n_probe=6 of
+    16 cells) and the PQ codes bound WHAT is read per row (16 codes +
+    a norm, no corpus floats) — the 100 TB composition both index
+    families' docstrings promise, scored by one broadcast equi-join on
+    (subspace, code, cell) and refined by exact re-rank. Measured
+    recall@5 vs exact: 0.775 @ sf0.001, 0.75 @ sf0.01, 0.65 @ sf0.1 —
+    the product of the measured IVF (0.70-0.78) and PQ (0.9-1.0)
+    losses, as composition predicts. Bound asserts >= 0.55 (>= 0.10
+    margin at every generated SF; the ivf_ann_topk SF-dependence
+    caveat applies)."""
+    from .pipeline.similarity import ivfpq_ann_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].df
+    approx = ivfpq_ann_topk(emb, query_ids_below=8, k=5)
+    exact = cosine_topk(emb, query_ids_below=8, k=5)
+    return _ann_recall_result(approx, exact, bound=0.55)
+
+
 # §pipeline: training-run assembly (mixing, splitting, shuffling, LM filter)
 
 
