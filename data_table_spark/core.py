@@ -28,7 +28,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["DT", "N", "GRP", "fread_parquet", "fsort"]
+__all__ = ["DT", "N", "GRP", "fread_parquet", "fsort",
+           "format_dt", "print_dt", "set_print_options"]
 
 def N() -> Column:
     """data.table special symbol .N (group size) — man/special-symbols.Rd:14.
@@ -540,43 +541,196 @@ def tables(spark: SparkSession, registry: "Tables | None" = None):
     )
 
 
-def _dt_repr(self) -> str:
-    """print.data.table-style preview (reference R/print.data.table.R):
-    first 5 + last 5 rows with a 1-based index gutter and a --- break.
-    Collects at most 10 rows; the count() is one Spark job."""
-    n = self.df.count()
-    cols = self.df.columns
-    if not self.order_by:
-        head = self.df.limit(10).collect()
-        rows = [(i + 1, r) for i, r in enumerate(head)]
-        broken = False
-    else:
-        ob = [_ocol(c) for c in self.order_by]
-        head = self.df.orderBy(*ob).limit(5).collect()
-        rows = [(i + 1, r) for i, r in enumerate(head)]
-        broken = n > 10
-        if n > 5:
-            tail = (
-                self.df.orderBy(*[_ocol(_oflip(c)) for c in self.order_by])
-                .limit(5).collect()
-            )
-            rows += [
-                (n - i, r) for i, r in reversed(list(enumerate(tail)))
-                if n - i > 5
-            ]
-    w = [max(len(c), *(len(str(r[c])) for _, r in rows)) if rows else len(c)
-         for c in cols]
-    iw = len(str(n)) + 1
-    lines = [" " * iw + "  ".join(c.rjust(x) for c, x in zip(cols, w))]
-    for pos, (idx, r) in enumerate(rows):
-        if broken and pos == 5:
-            lines.append("---")
-        lines.append(
-            f"{idx}:".rjust(iw)[:iw]
-            + "  ".join(str(r[c]).rjust(x) for c, x in zip(cols, w))
+# datatable.print.* option analogs (reference R/print.data.table.R:3-13).
+# Mutable module state, read by format_dt at call time; set via
+# set_print_options(topn=..., ...) like options(datatable.print.topn=).
+PRINT_OPTS = {
+    "topn": 5,          # datatable.print.topn
+    "nrows": 100,       # datatable.print.nrows
+    "class": False,     # datatable.print.class (class row under names)
+    "row_names": True,  # datatable.print.rownames ("1:" gutter)
+    "col_names": "auto",  # datatable.print.colnames auto|top|none
+    "print_keys": True,   # datatable.print.keys (Key:/Index: header)
+    "trunc_char": 0,      # datatable.prettyprint.char (0 = no cell cap)
+}
+
+_CLASS_ABB = {
+    # reference class_abb table (R/print.data.table.R:108-112) keyed by
+    # the Spark simpleString type instead of the R class
+    "int": "<int>", "smallint": "<int>", "tinyint": "<int>",
+    "bigint": "<i64>", "double": "<num>", "float": "<num>",
+    "string": "<char>", "boolean": "<lgcl>", "date": "<Date>",
+    "timestamp": "<POSc>", "timestamp_ntz": "<POSc>", "binary": "<raw>",
+}
+
+
+def set_print_options(**kw) -> None:
+    """options(datatable.print.*) analog; unknown keys raise."""
+    for k, v in kw.items():
+        if k not in PRINT_OPTS:
+            raise ValueError(f"unknown print option: {k}")
+        PRINT_OPTS[k] = v
+
+
+def _abb(spark_type: str) -> str:
+    if spark_type in _CLASS_ABB:
+        return _CLASS_ABB[spark_type]
+    if spark_type.startswith("decimal"):
+        return "<num>"
+    if spark_type.startswith(("array", "map", "struct")):
+        return "<list>"
+    return f"<{spark_type}>"
+
+
+def _fmt_cell(v, trunc_char: int, is_char: bool, na_print=None) -> str:
+    if v is None:
+        # na.encode=FALSE convention: character NA prints <NA>, other
+        # types plain NA (reference print.data.table format call)
+        if na_print is not None:
+            return na_print
+        return "<NA>" if is_char else "NA"
+    s = str(v)
+    if trunc_char and len(s) > trunc_char:
+        s = s[:trunc_char] + "..."
+    return s
+
+
+def format_dt(
+    dt: "DT",
+    topn: int | None = None,
+    nrows: int | None = None,
+    class_: bool | None = None,
+    row_names: bool | None = None,
+    col_names: str | None = None,
+    print_keys: bool | None = None,
+    trunc_char: int | None = None,
+    na_print: str | None = None,
+) -> str:
+    """print.data.table fidelity (reference R/print.data.table.R:1-162):
+    top-n + '---' + bottom-n with TRUE row numbers when the table is
+    large (n > nrows, or topn explicitly given), whole table otherwise;
+    optional class row under the names; Key:/Index: header lines;
+    col.names auto|top|none with the >20-row bottom-repeat rule; cell
+    truncation at trunc_char; character NA as <NA>. Driver cost is
+    bounded: collects at most 2*topn (or nrows) rows; one count() job.
+    The bottom-n rows come from orderBy-desc + limit when the DT
+    declares an order, else DataFrame.tail (physical order, like the
+    reference's memory order)."""
+    o = PRINT_OPTS
+    topn_given = topn is not None
+    topn = max(int(topn if topn_given else o["topn"]), 1)
+    nrows = int(nrows if nrows is not None else o["nrows"])
+    class_ = o["class"] if class_ is None else class_
+    row_names = o["row_names"] if row_names is None else row_names
+    col_names = o["col_names"] if col_names is None else col_names
+    print_keys = o["print_keys"] if print_keys is None else print_keys
+    trunc_char = o["trunc_char"] if trunc_char is None else trunc_char
+    if col_names not in ("auto", "top", "none"):
+        raise ValueError(
+            "Valid options for col.names are 'auto', 'top', and 'none'"
         )
-    lines.append(f"[{n} rows x {len(cols)} cols]")
-    return "\n".join(lines)
+    if nrows <= 0:
+        return ""
+    cols = self_cols = dt.df.columns
+    header = []
+    if print_keys:
+        if dt.key:
+            header.append(f"Key: <{', '.join(dt.key)}>")
+        idx = dt.indices() if hasattr(dt, "indices") else []
+        if idx:
+            # reference prints indices() names ("a__b") wrapped in <>
+            label = "Index" if len(idx) == 1 else "Indices"
+            header.append(
+                f"{label}: "
+                + ", ".join(f"<{i.removeprefix('__')}>" for i in idx)
+            )
+    if not cols:
+        return "Null data.table (0 rows and 0 cols)"
+    n = dt.df.count()
+    if n == 0:
+        shown = ",".join(cols[:6]) + ("..." if len(cols) > 6 else "")
+        return (
+            f"Empty data.table (0 rows and {len(cols)} cols): {shown}"
+        )
+    printdots = (topn * 2 + 1) < n and (n > nrows or topn_given)
+    if printdots:
+        if dt.order_by:
+            ob = [_ocol(c) for c in dt.order_by]
+            head = dt.df.orderBy(*ob).limit(topn).collect()
+            tail = list(reversed(
+                dt.df.orderBy(*[_ocol(_oflip(c)) for c in dt.order_by])
+                .limit(topn).collect()
+            ))
+        else:
+            head = dt.df.limit(topn).collect()
+            tail = dt.df.tail(topn)
+        rows = [(i + 1, r) for i, r in enumerate(head)]
+        rows += [(n - topn + i + 1, r) for i, r in enumerate(tail)]
+    else:
+        src = (
+            dt.df.orderBy(*[_ocol(c) for c in dt.order_by])
+            if dt.order_by else dt.df
+        )
+        rows = [(i + 1, r) for i, r in enumerate(src.limit(n).collect())]
+    types = dict(dt.df.dtypes)
+    is_char = {c: types[c] == "string" for c in cols}
+    cells = [
+        [_fmt_cell(r[c], trunc_char, is_char[c], na_print) for c in cols]
+        for _, r in rows
+    ]
+    show_names = col_names != "none"
+    show_class = class_ and show_names
+    name_row = cols if show_names else [""] * len(cols)
+    class_row = [_abb(types[c]) for c in cols] if show_class else None
+    widths = [
+        max(
+            len(name_row[j]),
+            len(class_row[j]) if class_row else 0,
+            *(len(row[j]) for row in cells),
+        )
+        for j in range(len(cols))
+    ]
+    iw = (len(str(n)) + 1) if row_names else 0
+
+    def line(gutter: str, vals) -> str:
+        return gutter.rjust(iw) + " " + "  ".join(
+            v.rjust(w) for v, w in zip(vals, widths)
+        )
+
+    out = list(header)
+    body = []
+    if show_names:
+        body.append(line("", name_row))
+    if class_row:
+        body.append(line("", class_row))
+    for pos, ((idx, _), row) in enumerate(zip(rows, cells)):
+        if printdots and pos == topn:
+            body.append("---".rjust(iw + 3) if row_names else "---")
+        body.append(line(f"{idx}:" if row_names else "", row))
+    # reference: repeat colnames (and class row) at the bottom when over
+    # 20 printed rows and col.names == "auto", so you don't scroll up
+    if not printdots and len(cells) > 20 and col_names == "auto":
+        body.append(line("", name_row))
+        if class_row:
+            body.append(line("", class_row))
+    out.extend(body)
+    return "\n".join(out)
+
+
+def print_dt(dt: "DT", **kw) -> None:
+    """print.data.table (reference R/print.data.table.R:3)."""
+    s = format_dt(dt, **kw)
+    if s:
+        print(s)
+
+
+def _dt_repr(self) -> str:
+    """print.data.table-style preview via format_dt, plus the repo's
+    [n rows x m cols] trailer (the Spark-native shape summary)."""
+    body = format_dt(self)
+    n = self.df.count()
+    trailer = f"[{n} rows x {len(self.df.columns)} cols]"
+    return (body + "\n" if body else "") + trailer
 
 
 DT.__repr__ = _dt_repr

@@ -1389,3 +1389,68 @@ def test_frollapply_adaptive_contracts(spark):
     assert got[("a", 4)] is None         # window [20, NULL, 40]
     assert got[("b", 1)] is None         # incomplete window
     assert got[("b", 2)] == 2.0          # 7 - 5
+
+
+def test_print_data_table_fidelity(spark):
+    """format_dt matches reference R/print.data.table.R rules: topn +
+    '---' + TRUE bottom row numbers past nrows, whole-table print under
+    nrows, class abbreviation row, Key:/Index: header, col.names modes,
+    cell truncation, character NA as <NA>, empty/zero-col messages."""
+    from data_table_spark.core import DT, format_dt
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(1, 151)],
+        "id int, s string, x double",
+    )
+    dt = DT(df, order_by=["id"], key=["id"]).setindex("s")
+
+    out = format_dt(dt)
+    lines = out.splitlines()
+    assert lines[0] == "Key: <id>"
+    assert lines[1] == "Index: <s>"
+    assert "---" in out
+    assert "1:" in lines[3] and lines[-1].strip().startswith("150:")
+    # topn rows above and below the break
+    import re
+
+    body = [l for l in lines if re.match(r"^\s*\d+:", l)]
+    assert len(body) == 10
+
+    # under nrows -> whole table, no break; >20 rows + auto -> names
+    # repeated at the bottom
+    small_n = 25
+    df2 = spark.createDataFrame(
+        [(i,) for i in range(1, small_n + 1)], "id int"
+    )
+    out2 = format_dt(DT(df2, order_by=["id"]))
+    assert "---" not in out2
+    assert out2.splitlines()[-1].strip() == "id"  # bottom repeat
+    assert f"{small_n}:" in out2
+
+    # explicit topn forces the dots even under nrows (reference
+    # topnmiss rule)
+    out3 = format_dt(DT(df2, order_by=["id"]), topn=3)
+    assert "---" in out3 and "25:" in out3
+
+    # class row + col_names none + NA rendering
+    df3 = spark.createDataFrame(
+        [(1, None, None)], "a bigint, s string, x double"
+    )
+    out4 = format_dt(DT(df3), class_=True)
+    assert "<i64>" in out4 and "<char>" in out4 and "<num>" in out4
+    assert "<NA>" in out4 and " NA" in out4
+    out5 = format_dt(DT(df3), col_names="none")
+    assert "a" not in out5.splitlines()[0]
+
+    # truncation
+    df4 = spark.createDataFrame([("abcdefghij",)], "s string")
+    assert "abc..." in format_dt(DT(df4), trunc_char=3)
+
+    # empty & null
+    assert format_dt(DT(df.filter("id > 999"))).startswith(
+        "Empty data.table (0 rows and 3 cols)"
+    )
+    assert format_dt(DT(df.select())) == "Null data.table (0 rows and 0 cols)"
+
+    # nrows <= 0 turns printing off
+    assert format_dt(dt, nrows=0) == ""
