@@ -25,6 +25,11 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    # the oracle differential collect-compares full result frames; at
+    # sf10 sweep scale row-level outputs exceed the 1g default cap
+    # (funion_all hit it) — raise it for local tooling, a cluster
+    # deployment overrides
+    "spark.driver.maxResultSize": "8g",
     # small-dim broadcast threshold: region/nation/customer/supplier/part
     # are broadcastable at any realistic SF; lineitem/orders never are.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
