@@ -39,12 +39,16 @@ def norm_cell(v):
 
 
 def decimal_margin(pdf, cap=1e13):
-    """Return a description of any numeric output cell within 10x of the
-    DECIMAL(18,4) magnitude cap (10^14), else None."""
+    """Return a description of any FLOAT output cell within 10x of the
+    DECIMAL(18,4) magnitude cap (10^14), else None. Only float columns:
+    the decimal-cast convention rides on double aggregates cast back to
+    double; integer columns are ids / epoch timestamps / counts that
+    never pass through the decimal cast (epoch-µs values sit at ~1e15
+    by nature and would be pure noise here)."""
     worst = None
     for c in pdf.columns:
         col = pdf[c]
-        if col.dtype.kind not in "fi":
+        if col.dtype.kind != "f":
             continue
         m = col.abs().max()
         if m is not None and m == m and m >= cap:
