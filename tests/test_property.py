@@ -882,3 +882,55 @@ def test_decimal_sum_overflow_margin(spark):
         ).collect()
     with pytest.raises(duckdb.ConversionException):
         con.execute("SELECT CAST(2.0e14 AS DECIMAL(18,4))").fetchall()
+
+
+@SET
+@given(
+    fvals=st.lists(
+        st.one_of(
+            st.floats(allow_nan=True, allow_infinity=False, width=64),
+            st.integers(min_value=-(10**14), max_value=10**14).map(float),
+            st.just(None),
+        ),
+        min_size=1, max_size=30,
+    ),
+    ivals=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1, max_size=30,
+    ),
+    svals=st.lists(
+        st.one_of(st.text(max_size=8), st.just(None), st.booleans()),
+        min_size=1, max_size=30,
+    ),
+)
+def test_frame_sig_vectorization_equivalence(fvals, ivals, svals):
+    """The vectorized frame_sig (numpy %.9g / %d fast paths) emits
+    byte-identical signatures to a cell-by-cell norm_cell loop across
+    floats (incl. NaN / None-coerced-to-NaN / .5-boundary / near-cap),
+    int64, and object columns — the checker's whole comparison rides
+    on this."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "check_correctness.py",
+    )
+    spec = importlib.util.spec_from_file_location("_ccheck2", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    n = max(len(fvals), len(ivals), len(svals))
+    fvals = (fvals * n)[:n]
+    ivals = (ivals * n)[:n]
+    svals = (svals * n)[:n]
+    pdf = pd.DataFrame({"f": pd.Series(fvals, dtype="float64"),
+                        "i": pd.Series(ivals, dtype="int64"),
+                        "s": pd.Series(svals, dtype="object")})
+    cols, rows = mod.frame_sig(pdf)
+    # reference loop, pre-vectorization semantics
+    ref = sorted(
+        "\x1f".join(mod.norm_cell(v) for v in tup)
+        for tup in pdf[cols].itertuples(index=False)
+    )
+    assert rows == ref
