@@ -899,11 +899,25 @@ def test_decimal_sum_overflow_margin(spark):
         min_size=1, max_size=30,
     ),
     svals=st.lists(
-        st.one_of(st.text(max_size=8), st.just(None), st.booleans()),
+        st.one_of(st.text(max_size=8), st.just(None), st.booleans(),
+                  st.just(float("nan"))),
+        min_size=1, max_size=30,
+    ),
+    tvals=st.lists(
+        st.one_of(
+            # epoch-µs timestamps, mixed whole-second and sub-second
+            st.integers(min_value=0, max_value=2**40).map(
+                lambda us: pd.Timestamp(us * 1000000, unit="us")
+            ),
+            st.integers(min_value=0, max_value=2**50).map(
+                lambda us: pd.Timestamp(us, unit="us")
+            ),
+            st.just(pd.NaT),
+        ),
         min_size=1, max_size=30,
     ),
 )
-def test_frame_sig_vectorization_equivalence(fvals, ivals, svals):
+def test_frame_sig_vectorization_equivalence(fvals, ivals, svals, tvals):
     """The vectorized frame_sig (numpy %.9g / %d fast paths) emits
     byte-identical signatures to a cell-by-cell norm_cell loop across
     floats (incl. NaN / None-coerced-to-NaN / .5-boundary / near-cap),
@@ -920,13 +934,15 @@ def test_frame_sig_vectorization_equivalence(fvals, ivals, svals):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    n = max(len(fvals), len(ivals), len(svals))
+    n = max(len(fvals), len(ivals), len(svals), len(tvals))
     fvals = (fvals * n)[:n]
     ivals = (ivals * n)[:n]
     svals = (svals * n)[:n]
+    tvals = (tvals * n)[:n]
     pdf = pd.DataFrame({"f": pd.Series(fvals, dtype="float64"),
                         "i": pd.Series(ivals, dtype="int64"),
-                        "s": pd.Series(svals, dtype="object")})
+                        "s": pd.Series(svals, dtype="object"),
+                        "t": pd.Series(tvals, dtype="datetime64[us]")})
     cols, rows = mod.frame_sig(pdf)
     # reference loop, pre-vectorization semantics
     ref = sorted(

@@ -84,8 +84,32 @@ def _norm_col(col):
         return out.tolist()
     if col.dtype.kind in "iu":
         return np.char.mod("%d", col.to_numpy()).astype(object).tolist()
-    # object / bool / datetime / decimal: python map, None/NaT -> NULL
-    return [norm_cell(v) for v in col]
+    # object / bool / datetime / decimal: normalize each UNIQUE value
+    # once and take() — the per-cell python loop over 15M-row x 4
+    # timestamp-column frames (date_round at sf10) ran ~20 minutes;
+    # factorize+take is ~200x on low-cardinality columns and within
+    # ~20% of the plain map even when every value is distinct. Nulls
+    # (None/NaN/NaT) are factorized to the -1 sentinel as one class but
+    # normalize DIFFERENTLY ("NULL"/"NaN"/"NaT"), so null slots are
+    # per-element normalized instead of taken from uniques. Caveat
+    # (documented precondition): values that compare == across types
+    # (True == 1) would share a factorize code and collapse to one
+    # repr; engine result columns never mix types like that.
+    import pandas as pd
+
+    try:
+        codes, uniq = pd.factorize(col, use_na_sentinel=True)
+    except TypeError:
+        # unhashable cells (list/array columns) can't factorize
+        return [norm_cell(v) for v in col]
+    vals = np.array([norm_cell(v) for v in uniq], dtype=object)
+    out = np.empty(len(col), dtype=object)
+    mask = codes >= 0
+    out[mask] = vals[codes[mask]]
+    if not mask.all():
+        idx = np.nonzero(~mask)[0]
+        out[idx] = [norm_cell(v) for v in col.iloc[idx]]
+    return out.tolist()
 
 
 def frame_sig(pdf):
