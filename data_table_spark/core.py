@@ -234,6 +234,27 @@ class DT:
             df = df.drop(*drops)
         return self._wrap(df, key=self.key, order_by=self.order_by)
 
+    def let_by(self, by, **cols) -> "DT":
+        """Grouped ``:=``: ``DT[, c := mean(v), by=g]`` — attach a
+        per-group AGGREGATE to every row of its group, keeping all rows
+        (reference R/data.table.R grouped assign; the dogroups path in
+        src/dogroups.c:61 when j is ``:=``). Each value must be an
+        aggregate expression; it is evaluated over the whole group as
+        an unordered window (partition-frame aggregate), so the plan is
+        ONE hash exchange on the group key — no collect, no self-join
+        back, and on a setkey'd / bucketed layout matching ``by`` the
+        exchange is elided by EnsureRequirements. Arbitrary per-group
+        vector expressions (not aggregate-shaped) belong to
+        operators.grouping.dogroups."""
+        from pyspark.sql.window import Window
+
+        names = [by] if isinstance(by, (str, Column)) else list(by)
+        w = Window.partitionBy(*[_to_col(b) for b in names])
+        adds = {k: _to_col(v).over(w) for k, v in cols.items()}
+        return self._wrap(
+            self.df.withColumns(adds), key=self.key, order_by=self.order_by
+        )
+
     def set_where(self, i, **cols) -> "DT":
         """Sub-assign on i rows: ``DT[i, c := v]`` → when(i, v).otherwise(c)
         (reference R/data.table.R:1520-1642)."""

@@ -45,6 +45,39 @@ def q_mutation_let(spark, sf_dir):
 
 
 @query(
+    "let_by_group",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                  OVER (PARTITION BY l_orderkey) AS DOUBLE) AS grp_qty,
+           COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items,
+           CAST(MAX(l_extendedprice)
+                  OVER (PARTITION BY l_orderkey) AS DOUBLE) AS max_price
+    FROM lineitem
+    """,
+)
+def q_let_by_group(spark, sf_dir):
+    """Grouped := (``DT[, c := sum(v), by=g]``, reference
+    src/dogroups.c:61 assign branch): per-group aggregates attached to
+    EVERY row, all rows kept. One unordered-window pass — a single hash
+    exchange on the group key, no join-back, no collect."""
+    t = load_tables(spark, sf_dir)
+    out = t["lineitem"].let_by(
+        "l_orderkey",
+        grp_qty=F.sum(F.col("l_quantity").cast("decimal(18,4)")),
+        n_items=F.count(F.lit(1)),
+        max_price=F.max("l_extendedprice"),
+    ).let(
+        grp_qty=F.col("grp_qty").cast("double"),
+        max_price=F.col("max_price").cast("double"),
+    )
+    return out.query(
+        j=["l_orderkey", "l_linenumber", "l_quantity",
+           "grp_qty", "n_items", "max_price"]
+    ).df
+
+
+@query(
     "froll_adaptive_sum",
     """
     WITH b AS (

@@ -169,6 +169,21 @@ def test_let_delete_and_rename(small):
     assert vals[0] == 2.0 and vals[1] is None
 
 
+def test_let_by_grouped_assign(small):
+    """DT[, c := agg(v), by=g]: every row keeps its group's aggregate,
+    row count unchanged, null handling matches Spark agg (nulls
+    skipped by mean/sum)."""
+    out = small.let_by("g", gsum=F.sum("v"), gn=F.count(F.lit(1)))
+    assert out.df.count() == 5
+    assert _col(out, "gsum") == [4.0, 4.0, 4.0, 30.0, 30.0]
+    assert _col(out, "gn") == [3, 3, 3, 2, 2]
+    # multi-key by, and composition with a follow-up let
+    out2 = small.let_by(["g", "i"], m=F.max("v")).let(
+        d=F.col("m") - F.col("v")
+    )
+    assert _col(out2, "d") == [0.0, None, 0.0, 0.0, 0.0]
+
+
 def test_which_rows(small):
     dt = DT(small.df.filter(F.col("g") == "a"), order_by=["i"])
     got = sorted(r["which"] for r in dt.which(F.col("v").isNotNull()).collect())
