@@ -45,7 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_correctness.py + pytest every session.
 _PRIORITY = [
     # (a) new or changed this round
-    "let_by_group", "transpose_medium", "frollapply_adaptive", "froll_narm",
+    "let_by_group", "epoch_upsample", "transpose_medium",
+    "frollapply_adaptive", "froll_narm",
     "froll_mean_sum", "shuffle_shards", "retention_cohorts",
     "mixture_sample", "pq_ann_topk",
     # (b) the complete r1-stale list (32)
@@ -61,7 +62,7 @@ _PRIORITY = [
     # (c) oldest r3-latest refresh
     "gforce_var_sd", "funion_all", "dedup_exact", "minhash_lsh_pairs",
     "text_quality", "date_parts", "fread_fwrite_roundtrip",
-    "ann_cosine_topk", "dogroups_udtf",
+    "ann_cosine_topk",
 ]
 
 

@@ -237,6 +237,65 @@ def mixture_sample(
     )
 
 
+def epoch_upsample(
+    df: DataFrame,
+    factors: dict[str, float],
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-source EPOCH UPSAMPLING — the complement of
+    mixture_sample's rate-capped downsampling (its docstring defers
+    over-asked sources to "epoch reweighting upstream"; this is that
+    operator). ``factors`` maps group value -> replication factor f:
+    every row is emitted floor(f) times, plus one more iff the
+    top-24-bit integer of md5(id) is below frac(f)*2^24 — so a factor
+    of 2.5 replays every row twice and a deterministic, content-stable
+    half of the rows a third time. ``epoch_col`` numbers the copies
+    0..copies-1 (which training pass sees the copy). f < 1 degenerates
+    to the hash sampler; groups absent from ``factors`` are dropped
+    (same explicit-enumeration contract as mixture_sample).
+
+    Exactness: f is quantized to 2^-24 fixed point (q = round(f*2^24))
+    and all arithmetic from q on is integer (shiftright / mod), so both
+    engines compute identical copy counts from identical integers.
+
+    Scale shape (100 TB): factors are LITERALS, so the plan is a
+    narrow when-chain + array_repeat/posexplode generate — no
+    aggregate, no join, no shuffle of any kind; output partitioning
+    inherits the input's. Row growth is bounded by max(f).
+    """
+    scale = 1 << 24
+    q = None
+    for g, f in factors.items():
+        if f < 0:
+            raise ValueError(f"epoch_upsample factor for {g!r} is negative")
+        qi = int(round(f * scale))
+        cond = F.col(group_col) == F.lit(g)
+        q = F.when(cond, F.lit(qi)) if q is None else q.when(cond, F.lit(qi))
+    q = q.otherwise(F.lit(None))
+    h24 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    copies = (
+        F.shiftright(q, 24)
+        + (h24 < (q % F.lit(scale))).cast("int")
+    ).cast("int")
+    return (
+        df.select(id_col, group_col)
+        .withColumn("_copies", copies)
+        .filter(F.col("_copies").isNotNull())
+        .select(
+            id_col,
+            group_col,
+            F.posexplode(F.array_repeat(F.lit(1), F.col("_copies"))).alias(
+                epoch_col, "_one"
+            ),
+        )
+        .drop("_one")
+    )
+
+
 def split_by_cluster(
     docs: DataFrame,
     threshold: float = 0.8,

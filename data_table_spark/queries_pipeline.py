@@ -1542,6 +1542,51 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+_UPSAMPLE_FACTORS = {
+    "src0": 2.5,    # 2 full passes + a deterministic half
+    "src1": 3.0,    # exact integer replay
+    "src2": 1.0,    # identity
+    "src3": 0.25,   # degenerates to the hash sampler
+    "src4": 1.75,
+}
+# 2^-24 fixed-point quantization — the SAME integers the Spark side
+# computes, so both engines share every bit of the copy arithmetic
+_UPSAMPLE_Q = {g: int(round(f * (1 << 24))) for g, f in _UPSAMPLE_FACTORS.items()}
+
+_SQL_UPSAMPLE = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CASE {' '.join(f"WHEN source = '{g}' THEN CAST({q} AS BIGINT)"
+                            for g, q in _UPSAMPLE_Q.items())}
+                  ELSE NULL END AS q,
+             {_sql_md5_int("CAST(doc_id AS VARCHAR)", 6)} AS h
+      FROM documents),
+    ev AS (
+      SELECT doc_id, source,
+             (q // 16777216)
+               + CASE WHEN h < (q % 16777216) THEN 1 ELSE 0 END AS copies
+      FROM base WHERE q IS NOT NULL)
+    SELECT ev.doc_id, ev.source, CAST(gs.epoch AS INT) AS epoch
+    FROM ev JOIN generate_series(0, {max((q >> 24) + (1 if q % (1 << 24) else 0)
+                                         for q in _UPSAMPLE_Q.values()) - 1})
+              AS gs(epoch)
+      ON gs.epoch < ev.copies
+"""
+
+
+@query("epoch_upsample", _SQL_UPSAMPLE)
+def q_epoch_upsample(spark, sf_dir):
+    """Deterministic per-source epoch upsampling (the complement of
+    mixture_sample's rate-capped downsampling): factor 2.5 replays
+    every src0 row twice plus a content-stable half a third time,
+    epoch numbering the copies. Factors are literals — the plan is a
+    narrow when-chain + posexplode generate, zero shuffles."""
+    from .pipeline.curation import epoch_upsample
+
+    t = load_tables(spark, sf_dir)
+    return epoch_upsample(t["documents"].df, _UPSAMPLE_FACTORS)
+
+
 _SQL_SPLIT_LEAKFREE = f"""
     WITH c AS ({_SQL_DEDUP_CLUSTERS})
     SELECT doc_id, cluster_id,

@@ -169,6 +169,31 @@ def test_let_delete_and_rename(small):
     assert vals[0] == 2.0 and vals[1] is None
 
 
+def test_epoch_upsample_copy_arithmetic(spark):
+    """Integer factors replicate exactly; fractional factors add the
+    md5-gated extra copy; absent groups drop; epochs number 0..n-1;
+    output is deterministic across invocations."""
+    from data_table_spark.pipeline.curation import epoch_upsample
+
+    rows = [(i, "a") for i in range(40)] + [(i, "b") for i in range(40, 60)] \
+        + [(i, "zzz") for i in range(60, 70)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = epoch_upsample(df, {"a": 2.0, "b": 2.5}).collect()
+    got = {}
+    for r in out:
+        got.setdefault((r.doc_id, r.source), []).append(r.epoch)
+    # absent group dropped entirely
+    assert not any(s == "zzz" for (_, s) in got)
+    # integer factor: exactly 2 copies, epochs [0, 1]
+    assert all(sorted(v) == [0, 1] for (d, s), v in got.items() if s == "a")
+    # fractional: every row 2 or 3 copies, and SOME of each at n=20
+    b_counts = sorted(len(v) for (d, s), v in got.items() if s == "b")
+    assert set(b_counts) <= {2, 3} and len(set(b_counts)) == 2
+    # deterministic under re-evaluation
+    again = epoch_upsample(df, {"a": 2.0, "b": 2.5}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_let_by_grouped_assign(small):
     """DT[, c := agg(v), by=g]: every row keeps its group's aggregate,
     row count unchanged, null handling matches Spark agg (nulls

@@ -34,7 +34,7 @@ EXPECT_NESTED_LOOP = {
     # crossJoin (1x1 rows by construction) — the candidate generation
     # itself is bucketed equi-join, audited via the underlying ops
     "embedding_lsh_pairs", "lsh_ann_topk", "ivf_ann_topk",
-    "sq8_ann_topk", "pq_ann_topk",
+    "sq8_ann_topk", "pq_ann_topk", "ivfpq_ann_topk",
     # BM25 / tf-idf: corpus stats (N, Σdl, df_t) are ONE aggregated row
     # crossJoin-broadcast back to the per-doc / per-term frame
     "bm25_topk", "tfidf_keywords",
