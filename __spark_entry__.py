@@ -31,12 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Round-6 window (VERDICT r5 item 1: finish the r1-green
 # refresh — after this window every registered query has a driver row
 # dated r5-or-later):
-# (a) queries ADDED or semantically CHANGED this round: transpose_medium
-#     (new distributed transpose), froll_narm (new, nullable-input froll
-#     semantics), froll_mean_sum (oracle gained the NULL-poisoning mask
-#     per ADVICE r5), shuffle_shards (48-bit shard hash), retention_cohorts
-#     (floor-division cohorts), mixture_sample (explicit source
-#     enumeration), pq_ann_topk (LUT now built distributively);
+# (a) queries ADDED or semantically CHANGED this round: let_by_group
+#     (grouped :=), epoch_upsample (fractional replication),
+#     stream_asof_enrich (streaming LOCF roll join), transpose_medium
+#     (new distributed transpose), frollapply_adaptive, froll_narm (new,
+#     nullable-input froll semantics), froll_mean_sum (oracle gained the
+#     NULL-poisoning mask per ADVICE r5), shuffle_shards (48-bit shard
+#     hash), retention_cohorts (floor-division cohorts), mixture_sample
+#     (explicit source enumeration), pq_ann_topk (LUT now distributed);
 # (b) ALL 32 queries whose latest driver row is round 1 — the complete
 #     staleness list computed from CORRECTNESS_r01..r05 (VERDICT r5
 #     "What's wrong" item 3);
@@ -45,8 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_correctness.py + pytest every session.
 _PRIORITY = [
     # (a) new or changed this round
-    "let_by_group", "epoch_upsample", "transpose_medium",
-    "frollapply_adaptive", "froll_narm",
+    "let_by_group", "epoch_upsample", "stream_asof_enrich",
+    "transpose_medium", "frollapply_adaptive", "froll_narm",
     "froll_mean_sum", "shuffle_shards", "retention_cohorts",
     "mixture_sample", "pq_ann_topk",
     # (b) the complete r1-stale list (32)
@@ -62,7 +64,6 @@ _PRIORITY = [
     # (c) oldest r3-latest refresh
     "gforce_var_sd", "funion_all", "dedup_exact", "minhash_lsh_pairs",
     "text_quality", "date_parts", "fread_fwrite_roundtrip",
-    "ann_cosine_topk",
 ]
 
 

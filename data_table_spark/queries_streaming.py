@@ -183,6 +183,54 @@ def q_stream_static_join(spark, sf_dir):
     return run_available_now(out, output_mode="append")
 
 
+@query(
+    "stream_asof_enrich",
+    """
+    WITH upd AS (
+      SELECT user_id, epoch_us(ts) AS valid_from, event_id AS upd_id,
+             value AS status
+      FROM events WHERE event_id % 97 = 0),
+    iv AS (
+      SELECT user_id, valid_from, status,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, upd_id)
+               AS valid_to
+      FROM upd)
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, iv.status
+    FROM events e LEFT JOIN iv
+      ON e.user_id = iv.user_id
+     AND epoch_us(e.ts) >= iv.valid_from
+     AND (iv.valid_to IS NULL OR epoch_us(e.ts) < iv.valid_to)
+    """,
+)
+def q_stream_asof_enrich(spark, sf_dir):
+    """Streaming as-of (roll=TRUE / LOCF) enrichment: every event
+    carries the latest 'profile update' (events with event_id % 97 ==
+    0, value as the status payload) at-or-before its event time, NULL
+    before a user's first update. The updates dim is intervalized
+    batch-side (SCD-2) and the stream joins it STATELESSLY — no state
+    store, append mode. The oracle is the identical intervalization in
+    SQL, so exactly-one-interval-per-event is what the value-hash
+    proves."""
+    from .streaming import stream_asof_enrich
+
+    s = read_events_stream(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    upd = (
+        t["events"].df.filter(F.col("event_id") % 97 == 0)
+        .select(
+            F.col("user_id"),
+            F.col("ts_us").alias("valid_from"),
+            F.col("event_id").alias("upd_id"),
+            F.col("value").alias("status"),
+        )
+    )
+    out = stream_asof_enrich(s, upd).select(
+        "event_id", "user_id", "ts_us", "status"
+    )
+    return run_available_now(out, output_mode="append")
+
+
 def _sql_stream_decontaminate() -> str:
     from .queries_pipeline import _SQL_DECONTAMINATE
 

@@ -355,6 +355,51 @@ def enrich_with_static(events: DataFrame, dim: DataFrame, on) -> DataFrame:
     return events.join(F.broadcast(dim), on, "left")
 
 
+def stream_asof_enrich(
+    events: DataFrame,
+    updates: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts_us",
+    valid_from: str = "valid_from",
+    tiebreak: str = "upd_id",
+) -> DataFrame:
+    """Streaming AS-OF (roll=TRUE / LOCF) enrichment — the rolling join
+    of SURVEY §2.3 (reference R/data.table.R roll=, src/bmerge.c
+    backward roll) recast for a stream against a slowly-changing
+    dimension. The batch `updates` table (key, valid_from, tiebreak,
+    payload...) is INTERVALIZED once with a lead() window —
+    [valid_from, next valid_from) per key, SCD-2 form — then each
+    stream row joins the one interval covering its event time:
+    an equi-join on key with the half-open range as residual
+    condition, static side broadcast per micro-batch. STATELESS (no
+    watermark, append mode) and exactly-one-match by construction
+    (consecutive half-open intervals partition the timeline; duplicate
+    valid_from per key yields an empty first interval, ties broken by
+    ``tiebreak`` identically in any engine). Events before a key's
+    first update keep NULL payload — data.table's rollends[1]=FALSE
+    default.
+
+    Scale: the window pass runs once on the dim (small by definition
+    of a dimension); the stream side is a narrow broadcast-hash join
+    per micro-batch — no state store, no shuffle of the stream."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(valid_from, tiebreak)
+    iv = (
+        updates.withColumn("_valid_to", F.lead(valid_from).over(w))
+        .withColumnRenamed(key, "_iv_key")
+        .drop(tiebreak)
+    )
+    cond = (
+        (events[ts] >= iv[valid_from])
+        & (iv["_valid_to"].isNull() | (events[ts] < iv["_valid_to"]))
+        & (events[key] == iv["_iv_key"])
+    )
+    return events.join(F.broadcast(iv), cond, "left").drop(
+        "_iv_key", valid_from, "_valid_to"
+    )
+
+
 def stateful_user_stats(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running stats (event count, value sum, distinct event types) kept in
