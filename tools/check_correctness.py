@@ -72,6 +72,23 @@ def _norm_col(col):
     if not isinstance(col.dtype, np.dtype):
         # pandas extension dtype (nullable Int64 etc.) — python fallback
         return [norm_cell(v) for v in col]
+    if col.dtype.kind in "fiu":
+        import pandas as pd
+
+        # numeric columns are frequently LOW-CARDINALITY in analytics
+        # outputs (quantities, counts, grouped aggregates): factorize
+        # and format each unique once when that wins — a 60M-row
+        # let_by_group frame has ~50 distinct l_quantity values. High-
+        # cardinality columns keep the full vectorized format below.
+        codes, uniq = pd.factorize(col, use_na_sentinel=True)
+        if len(uniq) <= len(col) // 4:
+            null_repr = "NaN" if col.dtype.kind == "f" else "NULL"
+            if len(uniq) == 0:  # all-null column
+                return [null_repr] * len(col)
+            vals = np.array([norm_cell(v) for v in uniq], dtype=object)
+            out = np.where(codes >= 0, vals[np.clip(codes, 0, None)],
+                           null_repr)
+            return out.tolist()
     if col.dtype.kind == "f":
         a = col.to_numpy()
         out = np.char.mod("%.9g", a).astype(object)
