@@ -51,7 +51,14 @@ def decimal_margin(pdf, cap=1e13):
         if col.dtype.kind != "f":
             continue
         m = col.abs().max()
-        if m is not None and m == m and m >= cap:
+        if m is not None and m == m and cap <= m < 10 * cap:
+            # only the QUIET danger band [1e13, 1e14): passes today,
+            # may overflow the per-addend cap at a bigger SF. Values
+            # already >= 1e14 can never have ridden the DECIMAL(18,4)
+            # cast (both engines raise loudly at the cap — pinned in
+            # tests/test_property.py), so they are provably cast-free
+            # columns: epoch-µs timestamps float-promoted by join
+            # nulls (asof quote_ts at sf0.01) were the observed case.
             if worst is None or m > worst[1]:
                 worst = (c, float(m))
     if worst:
