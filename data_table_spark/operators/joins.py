@@ -439,6 +439,28 @@ def CJ(spark, sorted_: bool = True, unique: bool = False, **cols) -> DT:
     return DT(out, key=names, order_by=names)
 
 
+def J(spark, **cols) -> DT:
+    """J — the i-lookup constructor (reference NAMESPACE export; J(a,b)
+    builds data.table(a,b) for ``X[J(...)]`` — vectors ZIP row-wise
+    with scalar/divisible-length recycling, unlike CJ which crosses).
+    Pass the result as the ``i`` of ``DT.query`` / ``lookup``."""
+    names = list(cols.keys())
+    vecs = []
+    n = 1
+    for v in cols.values():
+        v = list(v) if isinstance(v, (list, tuple)) else [v]
+        vecs.append(v)
+        n = max(n, len(v))
+    rows = []
+    for v in vecs:
+        if n % len(v):
+            raise ValueError(
+                f"J: vector of length {len(v)} does not recycle to {n}"
+            )
+        rows.append(v * (n // len(v)))
+    return DT(spark.createDataFrame(list(zip(*rows)), names))
+
+
 def SJ(spark, **cols) -> DT:
     """SJ — sorted join table (reference R/setkey.R:303)."""
     names = list(cols.keys())

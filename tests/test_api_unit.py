@@ -169,6 +169,22 @@ def test_let_delete_and_rename(small):
     assert vals[0] == 2.0 and vals[1] is None
 
 
+def test_J_lookup_constructor(spark):
+    """J zips vectors row-wise with scalar recycling (unlike CJ's
+    cross), and feeds X[J(...)] through lookup."""
+    from data_table_spark.operators.joins import J, lookup
+
+    j = J(spark, g=["a", "b"], i=1)
+    assert sorted(map(tuple, j.df.collect())) == [("a", 1), ("b", 1)]
+    x = DT(spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 30.0)], ["g", "i", "v"]
+    ))
+    out = lookup(x, j, on=["g", "i"])
+    assert sorted(r.v for r in out.df.collect()) == [10.0, 30.0]
+    with pytest.raises(ValueError):
+        J(spark, a=[1, 2, 3], b=[1, 2])
+
+
 def test_epoch_upsample_copy_arithmetic(spark):
     """Integer factors replicate exactly; fractional factors add the
     md5-gated extra copy; absent groups drop; epochs number 0..n-1;
