@@ -47,7 +47,15 @@ HEADLINE = [
     "minhash_lsh_pairs",  # MinHash+LSH near-dup candidate pairs
     "ann_cosine_topk",    # brute-force cosine top-k
     "text_quality",       # text quality scoring
+    # r8 additions (VERDICT r6 item 8) — newest operator families:
+    "let_by_group",       # grouped := (fused window, single exchange)
+    "transpose_medium",   # distributed transpose
+    "stream_tumbling_agg",  # streaming micro-batch (tumbling window agg)
 ]
+
+# The headline set was 14 queries through BENCH_r07; the legacy subtotal
+# is reported alongside so cross-round continuity stays one subtraction.
+LEGACY14 = HEADLINE[:14]
 
 
 def main() -> None:
@@ -57,6 +65,25 @@ def main() -> None:
 
     # session warm-up (JVM + codegen paths), excluded from timings
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    # Ambient probes (VERDICT r6 item 2): the same fixed query timed once
+    # at session start and once at session end, plus the session conf that
+    # could move timings. BENCH_r06 read 1.54x r5 on byte-identical code;
+    # with these in the artifact, a driver-side ambient shift is
+    # measurable from the JSON itself (probe_end/probe_start far from 1
+    # == the box moved under us mid-run).
+    def probe() -> float:
+        t0 = time.perf_counter()
+        QUERIES["gforce_q1"](spark, sf_dir).count()
+        return round(time.perf_counter() - t0, 4)
+
+    conf_keys = [
+        "spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
+        "spark.driver.memory", "spark.driver.maxResultSize",
+        "spark.sql.files.maxPartitionBytes", "spark.master",
+    ]
+    conf = {k: spark.conf.get(k, None) for k in conf_keys}
+    probe_start = probe()
 
     names = [n for n in HEADLINE if n in QUERIES]
     # max(1, ·): reps<=0 would silently skip every query and emit a fake
@@ -88,7 +115,9 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    probe_end = probe()
     total = round(sum(timings.values()), 4)
+    legacy14 = round(sum(timings.get(n, 0.0) for n in LEGACY14), 4)
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -99,6 +128,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # continuity + ambient diagnostics (extra keys; driver ignores)
+        "total_legacy14_sec": legacy14,
+        "ambient_probe": {"start": probe_start, "end": probe_end},
+        "conf": conf,
     }))
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..core import DT, _namelist
 
-__all__ = ["foverlaps", "inrange"]
+__all__ = ["foverlaps", "foverlaps_bucketed", "inrange"]
 
 
 def _overlap_pred(
@@ -98,29 +98,140 @@ def foverlaps(
     cond = reduce(lambda l, r: l & r, conds)
     how = "left" if nomatch == "NA" else "inner"
     joined = xdf.join(ydf, cond, how)
+    out = _project_overlap(x, y, joined, xdf, ydf, keys_y, prefix)
+    out = _apply_mult(out, x, y, keys_y, prefix, by_x, mult)
+    return DT(out, order_by=x.order_by)
 
+
+def _project_overlap(x, y, joined, xdf, ydf, keys_y, prefix):
+    """Shared foverlaps output shape: x columns + y payload (prefix on
+    clash), y equi keys dropped (they equal x's)."""
     out_cols = [xdf[c].alias(c) for c in x.columns]
     for c in y.columns:
         if c in keys_y:
             continue
         name = c if c not in x.columns else f"{prefix}{c}"
         out_cols.append(ydf[c].alias(name))
-    out = joined.select(*out_cols)
+    return joined.select(*out_cols)
 
-    if mult in ("first", "last"):
-        from pyspark.sql import Window
 
-        order = [c for c in x.order_by if c in x.columns] or list(by_x)
-        ycols = [c if c not in x.columns else f"{prefix}{c}" for c in y.columns if c not in keys_y]
-        direction = F.asc if mult == "first" else F.desc
-        w = Window.partitionBy(*[F.col(c) for c in order]).orderBy(
-            *[direction(c) for c in ycols]
+def _apply_mult(out, x, y, keys_y, prefix, by_x, mult):
+    if mult not in ("first", "last"):
+        return out
+    from pyspark.sql import Window
+
+    order = [c for c in x.order_by if c in x.columns] or list(by_x)
+    ycols = [c if c not in x.columns else f"{prefix}{c}" for c in y.columns if c not in keys_y]
+    direction = F.asc if mult == "first" else F.desc
+    w = Window.partitionBy(*[F.col(c) for c in order]).orderBy(
+        *[direction(c) for c in ycols]
+    )
+    return (
+        out.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def foverlaps_bucketed(
+    x: DT,
+    y: DT,
+    by_x: Sequence[str],
+    by_y: Sequence[str] | None = None,
+    type_: str = "any",
+    bucket_width: float | int = None,
+    mult: str = "all",
+    nomatch: str | None = None,
+    prefix: str = "i_",
+    maxgap: int = 0,
+    minoverlap: int = 1,
+) -> DT:
+    """foverlaps for the case where BOTH sides are too large to broadcast.
+
+    Same semantics and output shape as :func:`foverlaps` (reference
+    R/foverlaps.R:1-249), different physical strategy. ``foverlaps``
+    leans on Catalyst's range-join handling, which at 100 TB × 100 TB
+    with a low-selectivity equi prefix degrades to a huge sort-merge
+    with a fat per-key cross product. This variant turns the interval
+    predicate itself into an equi key:
+
+    1. bin the number line into fixed-width buckets (``bucket_width``);
+    2. replicate every interval into each bucket it spans —
+       ``explode(sequence(floor(s/w), floor((e+maxgap)/w)))``, pure
+       codegen'd JVM expressions, expansion factor ≈ interval_length/w;
+    3. shuffle-equi-join on (equi keys…, bucket) — an ordinary hash /
+       sort-merge join, AQE-skew-splittable, no BroadcastNestedLoop;
+    4. keep a matched pair ONLY in the bucket containing
+       ``greatest(x.start, y.start)`` so each qualifying pair survives
+       exactly once — no post-join ``distinct`` (the classic
+       report-in-one-cell trick from grid spatial joins).
+
+    Why step 4 is sound for every supported ``type_``: each predicate
+    (any/within/start/end/equal, and the maxgap/minoverlap forms)
+    implies ``m := greatest(xs, ys) <= least(xe, ye) + pad`` where pad
+    is 0 for overlap-implying forms and ``maxgap + 1`` for the gap form
+    (closed integer intervals: ov = least(e) - greatest(s) + 1 >= -g
+    allows m = least(e) + g + 1), so m lies in BOTH replicated bucket
+    ranges ``[floor(s/w), floor((e+pad)/w)]``; conversely only the
+    single bucket ``floor(m/w)`` passes the filter.
+
+    ``bucket_width`` must be supplied and should be on the order of the
+    typical interval length: too small → replication blow-up, too big →
+    per-bucket cross products. At scale derive it once from a sample
+    quantile of ``e - s`` upstream.
+    """
+    if bucket_width is None or bucket_width <= 0:
+        raise ValueError("foverlaps_bucketed requires bucket_width > 0")
+    if (maxgap or minoverlap > 1) and type_ != "any":
+        raise ValueError("maxgap/minoverlap apply to type='any' only")
+    by_x = _namelist(by_x)
+    by_y = _namelist(by_y) or by_x
+    *keys_x, sx, ex = by_x
+    *keys_y, sy, ey = by_y
+    w = F.lit(bucket_width)
+
+    def bkt(col: Column) -> Column:
+        return F.floor(col / w).cast("long")
+
+    # Replication pad: with closed integer intervals the gap predicate is
+    # ov = least(xe,ye) - greatest(xs,ys) + 1 >= -maxgap, so the meeting
+    # point m = greatest(xs,ys) can sit at least(xe,ye) + maxgap + 1 —
+    # hence the +1 (plain overlap needs no pad: m <= least(xe,ye)).
+    pad = F.lit(maxgap + 1 if maxgap else 0)
+    # Tag x rows pre-explode so nomatch="NA" can restore unmatched rows.
+    xdf = x.df.withColumn("__xid__", F.monotonically_increasing_id())
+    xrep = xdf.withColumn(
+        "__bkt__", F.explode(F.sequence(bkt(F.col(sx)), bkt(F.col(ex) + pad)))
+    )
+    yrep = y.df.withColumn(
+        "__bkt__", F.explode(F.sequence(bkt(F.col(sy)), bkt(F.col(ey) + pad)))
+    )
+
+    conds = [xrep["__bkt__"] == yrep["__bkt__"]]
+    conds += [xrep[a] == yrep[b] for a, b in zip(keys_x, keys_y)]
+    conds.append(
+        _overlap_pred(
+            xrep[sx], xrep[ex], yrep[sy], yrep[ey], type_,
+            maxgap=maxgap, minoverlap=minoverlap,
         )
-        out = (
-            out.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") == 1)
-            .drop("__rn__")
+    )
+    conds.append(xrep["__bkt__"] == bkt(F.greatest(xrep[sx], yrep[sy])))
+    cond = reduce(lambda l, r: l & r, conds)
+    joined = xrep.join(yrep, cond, "inner")
+    matched = _project_overlap(x, y, joined, xrep, yrep, keys_y, prefix)
+
+    if nomatch == "NA":
+        ypay = [c for c in y.columns if c not in keys_y]
+        ynames = [c if c not in x.columns else f"{prefix}{c}" for c in ypay]
+        hit_ids = joined.select(xrep["__xid__"].alias("__xid__"))
+        misses = xdf.join(hit_ids, "__xid__", "left_anti").select(
+            *[F.col(c) for c in x.columns],
+            *[F.lit(None).cast(y.df.schema[c].dataType).alias(n)
+              for c, n in zip(ypay, ynames)],
         )
+        matched = matched.unionByName(misses)
+
+    out = _apply_mult(matched, x, y, keys_y, prefix, by_x, mult)
     return DT(out, order_by=x.order_by)
 
 

@@ -1239,6 +1239,55 @@ def q_foverlaps(spark, sf_dir):
 
 
 @query(
+    "foverlaps_bucketed",
+    """
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+           s.s_suppkey, s.s_acctbal
+    FROM customer c JOIN supplier s
+      ON c.c_nationkey = s.s_nationkey
+     AND c.c_acctbal <= s.s_acctbal + 500
+     AND s.s_acctbal <= c.c_acctbal + 500
+    """,
+)
+def q_foverlaps_bucketed(spark, sf_dir):
+    """foverlaps, big-big posture (reference R/foverlaps.R:1-249
+    semantics): interval-bucketed equi join — explode each interval into
+    fixed-width buckets, hash-join on (equi key, bucket), keep each pair
+    only in the bucket of greatest(start_x, start_y). No broadcast of
+    either side, no BroadcastNestedLoop; same oracle as foverlaps_any."""
+    from .operators.overlaps import foverlaps_bucketed
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].query(
+        j={
+            "c_custkey": F.col("c_custkey"),
+            "c_nationkey": F.col("c_nationkey"),
+            "c_acctbal": F.col("c_acctbal"),
+            "cs": F.col("c_acctbal"),
+            "ce": F.col("c_acctbal") + 500,
+        }
+    )
+    cust.order_by = ["c_custkey"]
+    supp = t["supplier"].query(
+        j={
+            "s_suppkey": F.col("s_suppkey"),
+            "s_nationkey": F.col("s_nationkey"),
+            "s_acctbal": F.col("s_acctbal"),
+            "ss": F.col("s_acctbal"),
+            "se": F.col("s_acctbal") + 500,
+        }
+    )
+    out = foverlaps_bucketed(
+        cust, supp,
+        by_x=["c_nationkey", "cs", "ce"], by_y=["s_nationkey", "ss", "se"],
+        type_="any", bucket_width=500,
+    )
+    return out.query(
+        j=["c_custkey", "c_nationkey", "c_acctbal", "s_suppkey", "s_acctbal"]
+    ).df
+
+
+@query(
     "foverlaps_within",
     """
     SELECT c.c_custkey, s.s_suppkey

@@ -1510,3 +1510,57 @@ def test_print_data_table_fidelity(spark):
 
     # nrows <= 0 turns printing off
     assert format_dt(dt, nrows=0) == ""
+
+
+def test_foverlaps_bucketed_matches_broadcast(spark):
+    """foverlaps_bucketed == foverlaps on every type, on maxgap /
+    minoverlap, on nomatch='NA', and on mult, across bucket widths that
+    force single- and multi-bucket replication. Also asserts the
+    physical plan never contains a BroadcastNestedLoopJoin (the whole
+    point of the big-big variant)."""
+    import random
+
+    from data_table_spark.operators.overlaps import foverlaps, foverlaps_bucketed
+
+    rng = random.Random(42)
+    xrows = [
+        (i, rng.randrange(3), s := rng.randrange(0, 60), s + rng.randrange(0, 15))
+        for i in range(40)
+    ]
+    yrows = [
+        (i, rng.randrange(3), s := rng.randrange(0, 60), s + rng.randrange(0, 15))
+        for i in range(40)
+    ]
+    x = DT(spark.createDataFrame(xrows, ["xid", "k", "xs", "xe"]))
+    y = DT(spark.createDataFrame(yrows, ["yid", "k", "ys", "ye"]))
+    by_x, by_y = ["k", "xs", "xe"], ["k", "ys", "ye"]
+
+    def pairs(out):
+        return sorted(
+            (r["xid"], r["yid"]) for r in out.df.select("xid", "yid").collect()
+        )
+
+    cases = [
+        dict(type_="any"), dict(type_="within"), dict(type_="start"),
+        dict(type_="end"), dict(type_="equal"),
+        dict(type_="any", maxgap=3), dict(type_="any", minoverlap=4),
+        dict(type_="any", nomatch="NA"),
+    ]
+    for kw in cases:
+        ref = pairs(foverlaps(x, y, by_x, by_y, **kw))
+        for w in (1, 7, 100):
+            got_dt = foverlaps_bucketed(x, y, by_x, by_y, bucket_width=w, **kw)
+            assert pairs(got_dt) == ref, (kw, w)
+            plan = got_dt.df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastNestedLoop" not in plan, (kw, w)
+
+    # mult='first'/'last' pick the same single y per x row
+    x1 = DT(x.df)
+    x1.order_by = ["xid"]
+    for mult in ("first", "last"):
+        ref = pairs(foverlaps(x1, y, by_x, by_y, mult=mult))
+        got = pairs(foverlaps_bucketed(x1, y, by_x, by_y, bucket_width=7, mult=mult))
+        assert got == ref, mult
+
+    with pytest.raises(ValueError):
+        foverlaps_bucketed(x, y, by_x, by_y)  # bucket_width required
