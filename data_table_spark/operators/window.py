@@ -339,12 +339,20 @@ def nafill_locf(dt: DT, cols, by=None, order=None, suffix: str = "") -> DT:
 
 
 def nafill_nocb(dt: DT, cols, by=None, order=None, suffix: str = "") -> DT:
-    """nafill(type="nocb") — next observation carried backward: first
-    non-null over the following frame."""
-    w = win(dt, by=by, order=order).rowsBetween(0, Window.unboundedFollowing)
+    """nafill(type="nocb") — next observation carried backward, computed
+    as locf over the REVERSED order. A rowsBetween(0, unboundedFollowing)
+    frame gives the same answer but Spark re-aggregates the remaining
+    frame per row — O(rows²) per key (measured 363x at one 100k-row key);
+    the mirrored unbounded-preceding frame runs incrementally."""
+    from ..core import _oflip
+
+    order = _namelist(order) or dt.order_by
+    w = win(dt, by=by, order=[_oflip(c) for c in order]).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     out = {}
     for c in _namelist(cols):
-        out[c + suffix] = F.first(F.col(c), ignorenulls=True).over(w)
+        out[c + suffix] = F.last(F.col(c), ignorenulls=True).over(w)
     return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
 
 
