@@ -28,42 +28,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 registration-order
-# entries. Round-6 window (VERDICT r5 item 1: finish the r1-green
-# refresh — after this window every registered query has a driver row
-# dated r5-or-later):
-# (a) queries ADDED or semantically CHANGED this round: let_by_group
-#     (grouped :=), epoch_upsample (fractional replication),
-#     stream_asof_enrich (streaming LOCF roll join), transpose_medium
-#     (new distributed transpose), frollapply_adaptive, froll_narm (new,
-#     nullable-input froll semantics), froll_mean_sum (oracle gained the
-#     NULL-poisoning mask per ADVICE r5), shuffle_shards (48-bit shard
-#     hash), retention_cohorts (floor-division cohorts), mixture_sample
-#     (explicit source enumeration), pq_ann_topk (LUT now distributed);
-# (b) ALL 32 queries whose latest driver row is round 1 — the complete
-#     staleness list computed from CORRECTNESS_r01..r05 (VERDICT r5
-#     "What's wrong" item 3);
-# (c) remaining slots: oldest r3-latest rows, most load-bearing first.
-# Everything else is driver-green r4/r5 and locally re-verified by
-# tools/check_correctness.py + pytest every session.
+# entries. The window is now DERIVED, not hand-picked — run
+#   python tools/rotate_window.py --new <added-or-changed-queries>
+# and paste its output (the round-6 hand rotation produced a false
+# freshness claim; see VERDICT r6 "What's wrong" item 1).
+#
+# Honest freshness state entering round 8 (latest driver row per query,
+# computed from CORRECTNESS_r01..r07): 50 queries r7, 46 r5, 46 r4,
+# 20 r3, and ivfpq_ann_topk never driver-checked. No query's latest
+# driver row is red. This round-8 window: (a) the 7 queries added or
+# physically changed this round — foverlaps_bucketed (new interval-
+# bucketed big-big overlap join) and the asof family + nafill_locf_nocb
+# (backward fills re-expressed as reversed running frames, fixing an
+# O(rows^2)-per-key unbounded-following frame); (b) ivfpq_ann_topk
+# (never checked); (c) all 20 r3-latest queries; (d) 22 of the 46
+# r4-latest, alphabetical. After this window the oldest remaining
+# evidence is r4 (24 queries); round 9 takes those + the r5 tail.
 _PRIORITY = [
     # (a) new or changed this round
-    "let_by_group", "epoch_upsample", "stream_asof_enrich",
-    "transpose_medium", "frollapply_adaptive", "froll_narm",
-    "froll_mean_sum", "shuffle_shards", "retention_cohorts",
-    "mixture_sample", "pq_ann_topk",
-    # (b) the complete r1-stale list (32)
-    "anti_join", "cj_cross", "cube_agg", "dcast_drop_false",
-    "dcast_multi_agg", "dcast_pivot", "duplicated_flag",
-    "fifelse_fcase", "filter_between", "filter_chin", "filter_like",
-    "filter_notin", "filter_scan", "foverlaps_any", "foverlaps_start",
-    "foverlaps_within", "frank_ties", "gforce_minmax_firstlast",
-    "groupingsets_agg", "inrange_semi", "melt_multi_measure",
-    "melt_unpivot", "mult_last", "nonequi_join", "rollup_agg",
-    "rowid_counter", "select_compute", "semi_join", "uniqueN_by",
-    "unique_first", "update_on_join", "weighted_mean",
-    # (c) oldest r3-latest refresh
-    "gforce_var_sd", "funion_all", "dedup_exact", "minhash_lsh_pairs",
-    "text_quality", "date_parts", "fread_fwrite_roundtrip",
+    "foverlaps_bucketed", "asof_roll_backward", "asof_roll_forward",
+    "asof_roll_limit", "asof_roll_nearest", "asof_roll_rollends",
+    "nafill_locf_nocb",
+    # (b) never driver-checked
+    "ivfpq_ann_topk",
+    # (c) the complete r3-latest list (20)
+    "ann_cosine_topk", "cogroup_udtf", "composite_pipeline",
+    "dcast_margins", "dedup_clusters", "doc_fingerprint",
+    "dogroups_udtf", "embedding_cosine_pairs", "embedding_dup_clusters",
+    "frollapply_corr", "hash_sample", "jaccard_prefix_pairs", "lang_id",
+    "multimodal_features", "ngram_jaccard_pairs", "salted_skew_agg",
+    "simhash_pairs", "stream_stateful_stats", "stream_static_join",
+    "token_counts",
+    # (d) oldest r4-latest refresh (alphabetical)
+    "cbindlist_zip", "cumsum_running", "curation_pipeline",
+    "date_round", "decontaminate_ngrams", "dedup_keep_best",
+    "doc_chunking", "embedding_lsh_pairs", "fcoalesce_nafill",
+    "fintersect_all", "frame_sample_counts", "froll_adaptive_minmax",
+    "froll_adaptive_sum", "fsetdiff_all", "gtail_per_group",
+    "json_extract_props", "lsh_ann_topk", "mutation_let",
+    "quantiles_by", "rbindlist_fill", "repetition_metrics",
+    "rleid_runs",
 ]
 
 
