@@ -46,9 +46,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # evidence is r4 (24 queries); round 9 takes those + the r5 tail.
 _PRIORITY = [
     # (a) new or changed this round
-    "foverlaps_bucketed", "asof_roll_backward", "asof_roll_forward",
-    "asof_roll_limit", "asof_roll_nearest", "asof_roll_rollends",
-    "nafill_locf_nocb",
+    "foverlaps_bucketed", "inrange_bucketed", "asof_roll_backward",
+    "asof_roll_forward", "asof_roll_limit", "asof_roll_nearest",
+    "asof_roll_rollends", "nafill_locf_nocb",
     # (b) never driver-checked
     "ivfpq_ann_topk",
     # (c) the complete r3-latest list (20)
@@ -67,7 +67,6 @@ _PRIORITY = [
     "froll_adaptive_sum", "fsetdiff_all", "gtail_per_group",
     "json_extract_props", "lsh_ann_topk", "mutation_let",
     "quantiles_by", "rbindlist_fill", "repetition_metrics",
-    "rleid_runs",
 ]
 
 

@@ -243,17 +243,46 @@ def inrange(
     upper: str,
     keys: Sequence[str] | None = None,
     incbounds: bool = True,
+    bucket_width: float | int | None = None,
 ) -> DT:
     """x %inrange% table-of-ranges (reference R/between.R:76-100,
     src/inrange.c:4): keep rows whose ``col`` falls in ANY range.
 
     left_semi join — Spark never materializes the multiplicity, and a
     small ranges table broadcasts.
+
+    ``bucket_width``: big-big posture for when the RANGES table is also
+    too large to broadcast. Each point belongs to exactly ONE
+    fixed-width bucket and each range explodes into the buckets it
+    spans, so the semi join becomes an ordinary shuffle equi-join on
+    (keys, bucket) + the range predicate — no broadcast, no
+    BroadcastNestedLoopJoin, and semi-join semantics make the
+    replicated matches free (no dedup needed). Pick a width on the
+    order of the typical range length, as for foverlaps_bucketed.
     """
     keys = _namelist(keys)
     xdf, rdf = dt.df, ranges.df
+    if bucket_width is not None:
+        if bucket_width <= 0:
+            raise ValueError("bucket_width must be > 0")
+        w = F.lit(bucket_width)
+        xdf = xdf.withColumn("__bkt__", F.floor(xdf[col] / w).cast("long"))
+        rdf = rdf.withColumn(
+            "__bkt__",
+            F.explode(
+                F.sequence(
+                    F.floor(rdf[lower] / w).cast("long"),
+                    F.floor(rdf[upper] / w).cast("long"),
+                )
+            ),
+        )
     lo, hi = rdf[lower], rdf[upper]
     pred = (xdf[col] >= lo) & (xdf[col] <= hi) if incbounds else (xdf[col] > lo) & (xdf[col] < hi)
     conds = [xdf[k] == rdf[k] for k in keys] + [pred]
+    if bucket_width is not None:
+        conds.append(xdf["__bkt__"] == rdf["__bkt__"])
     cond = reduce(lambda l, r: l & r, conds)
-    return DT(xdf.join(rdf, cond, "left_semi"), key=dt.key, order_by=dt.order_by)
+    out = xdf.join(rdf, cond, "left_semi")
+    if bucket_width is not None:
+        out = out.drop("__bkt__")
+    return DT(out, key=dt.key, order_by=dt.order_by)

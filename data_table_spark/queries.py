@@ -1435,6 +1435,32 @@ def q_inrange(spark, sf_dir):
     return out.query(j=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]).df
 
 
+@query(
+    "inrange_bucketed",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem x
+    WHERE EXISTS (
+      SELECT 1 FROM part p
+      WHERE p.p_size < 10
+        AND x.l_quantity >= p.p_size AND x.l_quantity <= p.p_size + 2)
+    """,
+)
+def q_inrange_bucketed(spark, sf_dir):
+    """%inrange%, big-big posture (reference src/inrange.c:4 semantics):
+    point -> ONE fixed-width bucket, ranges explode into spanned
+    buckets, left_semi equi-join on bucket + range predicate — the
+    ranges table never broadcasts. Same oracle as inrange_semi."""
+    from .operators.overlaps import inrange
+
+    t = load_tables(spark, sf_dir)
+    ranges = t["part"].query(
+        i=F.col("p_size") < 10,
+        j={"lo": F.col("p_size").cast("double"), "hi": F.col("p_size").cast("double") + 2},
+    )
+    out = inrange(t["lineitem"], "l_quantity", ranges, "lo", "hi", bucket_width=2)
+    return out.query(j=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]).df
+
+
 # --------------------------------------------------------------------------
 # §2.8 reshape
 # --------------------------------------------------------------------------

@@ -1564,3 +1564,36 @@ def test_foverlaps_bucketed_matches_broadcast(spark):
 
     with pytest.raises(ValueError):
         foverlaps_bucketed(x, y, by_x, by_y)  # bucket_width required
+
+
+def test_inrange_bucketed_matches_broadcast(spark):
+    """inrange(bucket_width=) == the broadcast semi join for inclusive
+    and exclusive bounds, with and without equi keys, across bucket
+    widths; plan is nested-loop free."""
+    import random
+
+    from data_table_spark.operators.overlaps import inrange
+
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(2), float(rng.randrange(0, 100))) for i in range(60)]
+    rgs = [(rng.randrange(2), s := float(rng.randrange(0, 95)), s + rng.randrange(0, 12))
+           for _ in range(25)]
+    x = DT(spark.createDataFrame(pts, ["xid", "k", "v"]))
+    r = DT(spark.createDataFrame(rgs, ["k", "lo", "hi"]))
+
+    def ids(**kw):
+        out = inrange(x, "v", r, "lo", "hi", **kw)
+        return sorted(row["xid"] for row in out.df.collect())
+
+    for kw in (dict(), dict(incbounds=False), dict(keys=["k"]),
+               dict(keys=["k"], incbounds=False)):
+        ref = ids(**kw)
+        for w in (1, 5, 50):
+            got_dt = inrange(x, "v", r, "lo", "hi", bucket_width=w, **kw)
+            got = sorted(row["xid"] for row in got_dt.df.collect())
+            assert got == ref, (kw, w)
+            plan = got_dt.df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastNestedLoop" not in plan, (kw, w)
+
+    with pytest.raises(ValueError):
+        inrange(x, "v", r, "lo", "hi", bucket_width=0)
