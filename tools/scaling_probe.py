@@ -10,6 +10,13 @@ Env:   SPARK_GRAFT_SFS  comma-separated SF dirs (default the three
        tools/make_scale_data.py for a dynamic point above sf0.1)
        SPARK_GRAFT_PROBE_REPS  reps per (query, sf); median reported
        (default 1 for backward compatibility).
+
+Timing action (fixed round 8, same find as bench.py): a bare count()
+lets Catalyst PRUNE Window operators — row count is window-invariant —
+so window-shaped queries probed as flat scan time at every SF. The
+action is now count + sum(xxhash64(all columns) % p), forcing every
+output column. Curves recorded before round 8 under-measure the
+window-shaped rows; join/agg rows are unaffected.
 """
 
 from __future__ import annotations
@@ -53,7 +60,13 @@ def main():
             for _ in range(reps):
                 t0 = time.perf_counter()
                 df = fn(spark, sf)
-                (df.df if hasattr(df, "df") else df).count()
+                sdf = df.df if hasattr(df, "df") else df
+                from pyspark.sql import functions as F
+
+                sdf.select(
+                    F.count(F.lit(1)),
+                    F.sum(F.pmod(F.xxhash64(*sdf.columns), F.lit(1000003))),
+                ).collect()
                 samples.append(time.perf_counter() - t0)
             ts.append(sorted(samples)[len(samples) // 2])
         ratio = (
