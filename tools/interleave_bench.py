@@ -92,7 +92,15 @@ def main():
                 try:
                     t0 = time.perf_counter()
                     df = fn(spark, sf_dir)
-                    (df.df if hasattr(df, "df") else df).count()
+                    # forcing action (round 8): bare count() lets
+                    # Catalyst prune Window operators — see bench.py
+                    sdf = df.df if hasattr(df, "df") else df
+                    from pyspark.sql import functions as F
+
+                    sdf.select(
+                        F.count(F.lit(1)),
+                        F.sum(F.pmod(F.xxhash64(*sdf.columns), F.lit(1000003))),
+                    ).collect()
                     acc.append(time.perf_counter() - t0)
                 except Exception as e:
                     # one broken query (e.g. an older tree missing a
