@@ -21,7 +21,24 @@ from pyspark.sql import functions as F
 
 from ..core import DT, _namelist
 
-__all__ = ["foverlaps", "foverlaps_bucketed", "inrange"]
+__all__ = ["foverlaps", "foverlaps_bucketed", "inrange", "suggest_bucket_width"]
+
+
+def suggest_bucket_width(
+    dt: DT, lower: str, upper: str, quantile: float = 0.75,
+    rel_error: float = 0.05,
+) -> float:
+    """Pick a bucket_width for foverlaps_bucketed / inrange from the
+    interval-length distribution: the chosen quantile of (upper -
+    lower), floored at 1. One approxQuantile job returning a single
+    scalar to the driver (the same convenience trade as froll's n_max
+    fallback — at 100 TB either run it once on a sample or pass
+    bucket_width explicitly; the helper exists so callers don't guess).
+    The default 0.75 quantile keeps ≥75% of intervals within ~1-2
+    buckets while bounding the per-bucket cross product."""
+    diff = dt.df.select((F.col(upper) - F.col(lower)).cast("double").alias("__len__"))
+    q = diff.approxQuantile("__len__", [quantile], rel_error)[0]
+    return max(float(q or 0.0), 1.0)
 
 
 def _overlap_pred(

@@ -1597,3 +1597,35 @@ def test_inrange_bucketed_matches_broadcast(spark):
 
     with pytest.raises(ValueError):
         inrange(x, "v", r, "lo", "hi", bucket_width=0)
+
+
+def test_suggest_bucket_width(spark):
+    """suggest_bucket_width returns the interval-length quantile,
+    floored at 1, and plugs into foverlaps_bucketed."""
+    from data_table_spark.operators.overlaps import (
+        foverlaps, foverlaps_bucketed, suggest_bucket_width,
+    )
+
+    rows = [(i, float(i), float(i + 10)) for i in range(50)]
+    x = DT(spark.createDataFrame(rows, ["xid", "s", "e"]))
+    w = suggest_bucket_width(x, "s", "e")
+    assert 9.0 <= w <= 11.0  # all lengths are exactly 10
+
+    tiny = DT(spark.createDataFrame([(1, 0.0, 0.1)], ["xid", "s", "e"]))
+    assert suggest_bucket_width(tiny, "s", "e") == 1.0  # floor
+
+    y = DT(spark.createDataFrame(
+        [(j, float(3 * j), float(3 * j + 4)) for j in range(30)],
+        ["yid", "ys", "ye"],
+    ))
+    ref = sorted(
+        (r["xid"], r["yid"])
+        for r in foverlaps(x, y, ["s", "e"], ["ys", "ye"]).df.collect()
+    )
+    got = sorted(
+        (r["xid"], r["yid"])
+        for r in foverlaps_bucketed(
+            x, y, ["s", "e"], ["ys", "ye"], bucket_width=w
+        ).df.collect()
+    )
+    assert got == ref
