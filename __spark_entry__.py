@@ -40,12 +40,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # physically changed this round — foverlaps_bucketed (new interval-
 # bucketed big-big overlap join) and the asof family + nafill_locf_nocb
 # (backward fills re-expressed as reversed running frames, fixing an
-# O(rows^2)-per-key unbounded-following frame); (b) ivfpq_ann_topk
-# (never checked); (c) all 20 r3-latest queries; (d) 22 of the 46
+# O(rows^2)-per-key unbounded-following frame), plus dup_ngram_spans
+# (new duplicated-span profiling op; its shingle-path siblings from
+# the positional_ngrams refactor — ngram_jaccard/jaccard_prefix/
+# dedup_clusters/simhash/decontaminate — are already in (c)/(d));
+# (b) ivfpq_ann_topk
+# (never checked); (c) all 20 r3-latest queries; (d) 21 of the 46
 # r4-latest, alphabetical. After this window the oldest remaining
-# evidence is r4 (24 queries); round 9 takes those + the r5 tail.
+# evidence is r4 (25 queries); round 9 takes those + the r5 tail.
 _PRIORITY = [
     # (a) new or changed this round
+    "dup_ngram_spans",
     "foverlaps_bucketed", "inrange_bucketed", "asof_roll_backward",
     "asof_roll_forward", "asof_roll_limit", "asof_roll_nearest",
     "asof_roll_rollends", "nafill_locf_nocb",
@@ -66,7 +71,7 @@ _PRIORITY = [
     "fintersect_all", "frame_sample_counts", "froll_adaptive_minmax",
     "froll_adaptive_sum", "fsetdiff_all", "gtail_per_group",
     "json_extract_props", "lsh_ann_topk", "mutation_let",
-    "quantiles_by", "rbindlist_fill", "repetition_metrics",
+    "quantiles_by", "rbindlist_fill",
 ]
 
 

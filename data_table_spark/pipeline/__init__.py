@@ -34,6 +34,7 @@ from .text import (
 from .dedup import (
     dedup_exact,
     dedup_exact_ids,
+    dup_span_profile,
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
@@ -59,7 +60,7 @@ from .curation import (
 __all__ = [
     "tokens_col", "word_shingles", "char_shingles",
     "lang_id", "text_quality", "token_counts", "doc_fingerprint",
-    "dedup_exact", "dedup_exact_ids", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "dedup_exact", "dedup_exact_ids", "dup_span_profile", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "simhash_pairs", "jaccard_prefix_pairs", "dedup_clusters",
     "cosine_topk", "cosine_pairs", "lsh_ann_topk", "ivf_ann_topk",
     "pq_ann_topk", "pq_encode", "ivfpq_ann_topk",

@@ -111,9 +111,11 @@ def _shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
     ).withColumn("sz", F.size("shingles"))
 
 
-def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct (doc_id, shingle) ROWS, built relationally: posexplode
-    tokens -> window lead() to assemble n-grams -> distinct.
+def positional_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
+    """POSITIONAL word-n-gram rows (doc_id, pos, g): one row per
+    starting token position (0-based), NOT distinct — positions matter
+    to span-level consumers (`dup_span_profile`). Built relationally:
+    posexplode tokens -> window lead() to assemble n-grams.
 
     This is the hot-path encoding on purpose: the array-column form
     (`word_shingles`) uses higher-order functions which Spark evaluates
@@ -133,12 +135,23 @@ def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
     ]
     tri = tok.select(
         "doc_id",
-        F.concat_ws(" ", *parts).alias("s"),
+        "pos",
+        F.concat_ws(" ", *parts).alias("g"),
         F.lead("tok", n - 1).over(w).alias("_full"),
     )
     return tri.filter(F.col("_full").isNotNull()).select(
-        "doc_id", "s"
-    ).distinct()
+        "doc_id", "pos", "g"
+    )
+
+
+def shingle_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) ROWS — the set-semantics view of
+    `positional_ngrams` (see there for the codegen rationale)."""
+    return (
+        positional_ngrams(docs, n)
+        .select("doc_id", F.col("g").alias("s"))
+        .distinct()
+    )
 
 
 def shingle_sizes(sr: DataFrame) -> DataFrame:
@@ -181,6 +194,93 @@ def ngram_jaccard_pairs(
         inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dup_span_profile(
+    docs: DataFrame, n: int = 5, min_df: int = 2
+) -> DataFrame:
+    """Per-document duplicated-SPAN profile — the bounded-width n-gram
+    form of exact substring deduplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", which
+    uses suffix arrays; fixed-width grams trade unbounded match length
+    for a plan that is two hash shuffles and one window sweep).
+
+    A token position is "duplicated" when it is covered by ANY word
+    n-gram that also occurs in >= min_df distinct documents. Output:
+    (doc_id, n_tokens, dup_tokens, dup_frac) for every document —
+    dup_frac is the fraction of the document lying inside cross-corpus
+    duplicated spans, the signal used to drop or trim boilerplate-heavy
+    documents before training.
+
+    Plan (scale notes): positional grams are codegen'd lead() windows
+    on the doc_id partitioning; the duplicated-gram set is a hash
+    aggregate SHUFFLED ON THE GRAM (map-side combining, never a pair
+    join) — for min_df=2 it is a single min/max-doc_id aggregate
+    (df>=2 ⟺ min!=max, no distinct pre-shuffle), the general min_df
+    pays one extra distinct; matched start positions come back via one
+    equi-join on the gram; coverage is an interval-union sweep — a RUNNING
+    max(pos+n) frame (unbounded PRECEDING, incremental — never the
+    O(rows^2) unbounded-following form) so overlapping matches are not
+    double-counted. No collects, no cross joins, no arrays on a
+    shuffle. Reference has no such operator (nearest: R/duplicated.R
+    whole-row semantics); this is the north-star pipeline extension."""
+    toks = spread(docs).select(
+        "doc_id", F.size(tokens_col("text")).alias("n_tokens")
+    )
+    pg = positional_ngrams(docs, n)
+    if min_df == 2:
+        # df >= 2 over DISTINCT docs ⟺ min(doc_id) != max(doc_id):
+        # one map-side-combining aggregate (shuffle carries one row
+        # per gram per task), no distinct pre-shuffle of every gram
+        # occurrence. The general path below pays that extra shuffle.
+        dup = (
+            pg.groupBy("g")
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .select("g")
+        )
+    else:
+        dup = (
+            pg.select("g", "doc_id")
+            .distinct()
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= min_df)
+            .select("g")
+        )
+    hits = pg.join(dup, "g").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_e = F.max(F.col("pos") + n).over(w)
+    contrib = F.greatest(
+        F.lit(0),
+        (F.col("pos") + F.lit(n))
+        - F.greatest(F.col("pos"), F.coalesce(prev_e, F.col("pos"))),
+    )
+    cov = (
+        hits.select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("dup_tokens"))
+    )
+    return (
+        toks.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("dup_tokens").cast("double") / F.col("n_tokens"),
+        )
     )
 
 

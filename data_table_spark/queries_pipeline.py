@@ -82,6 +82,58 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(t["documents"].df, threshold=0.8)
 
 
+_SQL_DUP_SPANS = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    pg AS (
+      SELECT doc_id,
+             unnest(range(0, len(toks) - 4)) AS pos,
+             unnest([array_to_string(toks[i:i+4], ' ')
+                     for i in range(1, len(toks) - 3)]) AS g
+      FROM toks WHERE len(toks) >= 5
+    ),
+    dup AS (
+      SELECT g FROM (
+        SELECT g, COUNT(DISTINCT doc_id) AS df FROM pg GROUP BY g
+      ) WHERE df >= 2
+    ),
+    m AS (SELECT doc_id, pos FROM pg JOIN dup USING (g)),
+    sw AS (
+      SELECT doc_id, pos,
+             MAX(pos + 5) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_e
+      FROM m
+    ),
+    cov AS (
+      SELECT doc_id,
+             SUM(GREATEST(0, (pos + 5)
+                 - GREATEST(pos, COALESCE(prev_e, pos)))) AS dup_tokens
+      FROM sw GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / len(toks)
+             AS dup_frac
+    FROM toks t LEFT JOIN cov ON t.doc_id = cov.doc_id
+"""
+
+
+@query("dup_ngram_spans", _SQL_DUP_SPANS)
+def q_dup_ngram_spans(spark, sf_dir):
+    """Duplicated-span profile per document: fraction of token positions
+    covered by a word-5-gram occurring in >= 2 distinct documents — the
+    bounded-width form of exact substring dedup (Lee et al. 2021).
+    Shuffles on the gram, running-frame interval-union sweep."""
+    from .pipeline import dup_span_profile
+
+    t = load_tables(spark, sf_dir)
+    return dup_span_profile(t["documents"].df, n=5, min_df=2)
+
+
+
+
 _SQL_DEDUP_CLUSTERS = f"""
     WITH RECURSIVE toks AS ({_SQL_TOKS}),
     sh AS ({_SQL_SHINGLES}),

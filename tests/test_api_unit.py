@@ -1629,3 +1629,41 @@ def test_suggest_bucket_width(spark):
         ).df.collect()
     )
     assert got == ref
+
+
+def test_dup_span_profile(spark):
+    """dup_span_profile: interval-union coverage of cross-doc duplicated
+    n-grams — overlapping matches must not double-count, and a gram
+    repeated only WITHIN one doc must not mark it duplicated."""
+    from data_table_spark.pipeline import dup_span_profile
+
+    shared = "a b c d e f"  # 6 tokens -> two 5-gram starts, both shared
+    docs = [
+        (1, f"{shared} x y z w"),        # dup spans cover tokens 0..5
+        (2, f"p q r {shared}"),          # same two grams, offset 3
+        (3, "u v w x y"),                # 5 unique tokens, no dup
+        (4, "short text"),               # < n tokens: zero grams
+        (5, "m n o m n o m n o m n o"),  # intra-doc repeats only
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in dup_span_profile(df, n=5, min_df=2).collect()
+    }
+    # docs 1 and 2: starts {0,1} / {3,4} -> union [0,6) / [3,9) = 6 tokens
+    assert got[1] == (10, 6, 0.6)
+    assert got[2] == (9, 6, 6 / 9)
+    assert got[3] == (5, 0, 0.0)
+    assert got[4] == (2, 0, 0.0)
+    # doc 5's grams repeat positionally inside the doc but exist in ONE
+    # distinct doc -> df=1 < min_df
+    assert got[5] == (12, 0, 0.0)
+
+    # general min_df branch (distinct + df count): no gram reaches 3
+    # distinct docs in this fixture
+    got3 = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in dup_span_profile(df, n=5, min_df=3).collect()
+    }
+    assert got3 == {1: 0, 2: 0, 3: 0, 4: 0, 5: 0}
+
