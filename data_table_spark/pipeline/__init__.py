@@ -35,6 +35,7 @@ from .dedup import (
     dedup_exact,
     dedup_exact_ids,
     dup_span_profile,
+    dedup_spans_remove,
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
@@ -60,7 +61,7 @@ from .curation import (
 __all__ = [
     "tokens_col", "word_shingles", "char_shingles",
     "lang_id", "text_quality", "token_counts", "doc_fingerprint",
-    "dedup_exact", "dedup_exact_ids", "dup_span_profile", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "dedup_exact", "dedup_exact_ids", "dup_span_profile", "dedup_spans_remove", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "simhash_pairs", "jaccard_prefix_pairs", "dedup_clusters",
     "cosine_topk", "cosine_pairs", "lsh_ann_topk", "ivf_ann_topk",
     "pq_ann_topk", "pq_encode", "ivfpq_ann_topk",

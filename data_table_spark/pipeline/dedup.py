@@ -229,27 +229,7 @@ def dup_span_profile(
         "doc_id", F.size(tokens_col("text")).alias("n_tokens")
     )
     pg = positional_ngrams(docs, n)
-    if min_df == 2:
-        # df >= 2 over DISTINCT docs ⟺ min(doc_id) != max(doc_id):
-        # one map-side-combining aggregate (shuffle carries one row
-        # per gram per task), no distinct pre-shuffle of every gram
-        # occurrence. The general path below pays that extra shuffle.
-        dup = (
-            pg.groupBy("g")
-            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-            .filter(F.col("lo") != F.col("hi"))
-            .select("g")
-        )
-    else:
-        dup = (
-            pg.select("g", "doc_id")
-            .distinct()
-            .groupBy("g")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") >= min_df)
-            .select("g")
-        )
-    hits = pg.join(dup, "g").select("doc_id", "pos")
+    hits = pg.join(_dup_gram_set(pg, min_df), "g").select("doc_id", "pos")
     from pyspark.sql import Window
 
     w = (
@@ -281,6 +261,83 @@ def dup_span_profile(
             "dup_frac",
             F.col("dup_tokens").cast("double") / F.col("n_tokens"),
         )
+    )
+
+
+def _dup_gram_set(pg: DataFrame, min_df: int) -> DataFrame:
+    """Grams occurring in >= min_df DISTINCT documents. min_df=2 (the
+    default everywhere) is a single min/max-doc_id aggregate (df >= 2
+    ⟺ min != max — one map-side-combining shuffle on the gram); the
+    general case pays an extra distinct pre-shuffle."""
+    if min_df == 2:
+        return (
+            pg.groupBy("g")
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .select("g")
+        )
+    return (
+        pg.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("g")
+    )
+
+
+def dedup_spans_remove(
+    docs: DataFrame, n: int = 5, min_df: int = 2
+) -> DataFrame:
+    """Remove cross-corpus duplicated SPANS from each document — the
+    action to `dup_span_profile`'s measurement (same bounded-width
+    reading of Lee et al. 2021 substring dedup). Every token position
+    covered by a word n-gram occurring in >= min_df distinct documents
+    is dropped (ALL occurrences — the deterministic variant; keep-one
+    canonicalization needs a global tie-break and is better served by
+    document-level keep-lists). Output: (doc_id, n_tokens, kept_tokens,
+    text_clean) for every document; text_clean is '' when the whole
+    document is duplicated spans.
+
+    Plan: matched starts explode into n covered positions, and tokens
+    ANTI-join them on (doc_id, pos) — an anti join absorbs duplicate
+    covered positions with no distinct pass. Reassembly is one
+    per-doc sort_array(collect_list(struct(pos,tok))) on the doc_id
+    partitioning the token explode already established. Document size
+    bounds the collect_list, not corpus size."""
+    tok = spread(docs).select(
+        "doc_id",
+        F.posexplode(tokens_col("text")).alias("pos", "tok"),
+    )
+    pg = positional_ngrams(docs, n)
+    hits = pg.join(_dup_gram_set(pg, min_df), "g").select("doc_id", "pos")
+    cover = hits.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+        ).alias("pos"),
+    )
+    kept = tok.join(cover, ["doc_id", "pos"], "left_anti")
+    asm = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    sizes = spread(docs).select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    return sizes.join(asm, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("kept_tokens"), F.lit(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
     )
 
 

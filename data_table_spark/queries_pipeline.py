@@ -132,6 +132,62 @@ def q_dup_ngram_spans(spark, sf_dir):
     return dup_span_profile(t["documents"].df, n=5, min_df=2)
 
 
+_SQL_DUP_SPAN_REMOVE = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    tok AS (
+      SELECT doc_id,
+             unnest(range(0, len(toks))) AS pos,
+             unnest(toks) AS tok
+      FROM toks
+    ),
+    pg AS (
+      SELECT doc_id,
+             unnest(range(0, len(toks) - 4)) AS pos,
+             unnest([array_to_string(toks[i:i+4], ' ')
+                     for i in range(1, len(toks) - 3)]) AS g
+      FROM toks WHERE len(toks) >= 5
+    ),
+    dup AS (
+      SELECT g FROM pg GROUP BY g
+      HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    m AS (SELECT doc_id, pos FROM pg JOIN dup USING (g)),
+    cover AS (
+      SELECT DISTINCT doc_id, pos + u AS p
+      FROM m, (SELECT unnest(range(0, 5)) AS u)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tok t LEFT JOIN cover c
+        ON t.doc_id = c.doc_id AND t.pos = c.p
+      WHERE c.doc_id IS NULL
+    ),
+    asm AS (
+      SELECT doc_id,
+             COUNT(*) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY pos) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(asm.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           COALESCE(asm.text_clean, '') AS text_clean
+    FROM toks t LEFT JOIN asm ON t.doc_id = asm.doc_id
+"""
+
+
+@query("dup_span_removal", _SQL_DUP_SPAN_REMOVE)
+def q_dup_span_removal(spark, sf_dir):
+    """The action to dup_ngram_spans' measurement: drop every token
+    position covered by a cross-doc duplicated 5-gram and reassemble
+    the cleaned text. Anti-join absorbs duplicate covered positions
+    (no distinct); per-doc sort_array(collect_list) reassembly."""
+    from .pipeline import dedup_spans_remove
+
+    t = load_tables(spark, sf_dir)
+    return dedup_spans_remove(t["documents"].df, n=5, min_df=2)
+
+
 
 
 _SQL_DEDUP_CLUSTERS = f"""

@@ -1667,3 +1667,36 @@ def test_dup_span_profile(spark):
     }
     assert got3 == {1: 0, 2: 0, 3: 0, 4: 0, 5: 0}
 
+
+
+def test_dedup_spans_remove(spark):
+    """dedup_spans_remove drops every token inside a cross-doc
+    duplicated n-gram span and reassembles the remainder in order."""
+    from data_table_spark.pipeline import dedup_spans_remove
+
+    shared = "a b c d e f"
+    docs = [
+        (1, f"{shared} x y z w"),   # tokens 0-5 covered -> keep x y z w
+        (2, f"p q r {shared}"),     # tokens 3-8 covered -> keep p q r
+        (3, "u v w x y"),           # untouched
+        (4, "short text"),          # < n tokens: untouched
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["kept_tokens"], r["text_clean"])
+        for r in dedup_spans_remove(df, n=5, min_df=2).collect()
+    }
+    assert got[1] == (10, 4, "x y z w")
+    assert got[2] == (9, 3, "p q r")
+    assert got[3] == (5, 5, "u v w x y")
+    assert got[4] == (2, 2, "short text")
+
+    # a doc that is ENTIRELY duplicated spans comes back empty
+    df2 = spark.createDataFrame(
+        [(1, shared), (2, shared)], ["doc_id", "text"]
+    )
+    got2 = {
+        r["doc_id"]: (r["kept_tokens"], r["text_clean"])
+        for r in dedup_spans_remove(df2, n=5, min_df=2).collect()
+    }
+    assert got2 == {1: (0, ""), 2: (0, "")}
