@@ -41,16 +41,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # bucketed big-big overlap join) and the asof family + nafill_locf_nocb
 # (backward fills re-expressed as reversed running frames, fixing an
 # O(rows^2)-per-key unbounded-following frame), plus dup_ngram_spans
-# + dup_span_removal (new duplicated-span profile/remove ops; their
-# shingle-path siblings from the positional_ngrams refactor —
+# + dup_span_removal + pack_sequences (new pipeline ops; the
+# shingle-path siblings of the positional_ngrams refactor —
 # ngram_jaccard/jaccard_prefix/dedup_clusters/simhash/decontaminate —
 # are already in (c)/(d)); (b) ivfpq_ann_topk
-# (never checked); (c) all 20 r3-latest queries; (d) 20 of the 46
+# (never checked); (c) all 20 r3-latest queries; (d) 18 of the 46
 # r4-latest, alphabetical. After this window the oldest remaining
-# evidence is r4 (26 queries); round 9 takes those + the r5 tail.
+# evidence is r4 (28 queries); round 9 takes those + the r5 tail.
 _PRIORITY = [
     # (a) new or changed this round
-    "dup_ngram_spans", "dup_span_removal",
+    "dup_ngram_spans", "dup_span_removal", "pack_sequences",
     "foverlaps_bucketed", "inrange_bucketed", "asof_roll_backward",
     "asof_roll_forward", "asof_roll_limit", "asof_roll_nearest",
     "asof_roll_rollends", "nafill_locf_nocb",
@@ -71,7 +71,6 @@ _PRIORITY = [
     "fintersect_all", "frame_sample_counts", "froll_adaptive_minmax",
     "froll_adaptive_sum", "fsetdiff_all", "gtail_per_group",
     "json_extract_props", "lsh_ann_topk", "mutation_let",
-    "quantiles_by",
 ]
 
 

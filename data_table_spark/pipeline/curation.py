@@ -37,6 +37,7 @@ __all__ = [
     "mixture_sample",
     "split_by_cluster",
     "shuffle_shards",
+    "pack_sequences",
     "chunk_documents_udtf",
 ]
 
@@ -373,6 +374,64 @@ def shuffle_shards(
         id_col,
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Concatenate-and-split sequence packing: assign every document a
+    (shard, seq_id, seq_offset) such that concatenating each shard's
+    docs in order and cutting every ``budget`` tokens yields the
+    training sequences — seq_id is the sequence where the doc STARTS
+    and seq_offset its position inside it (GPT-style packing cuts
+    mid-doc; the offsets let the loader recover cut points without
+    re-tokenizing). The layout is the deterministic [[shuffle_shards]]
+    one: seed-prefixed md5 assigns shards and orders docs within them,
+    so the same seed reproduces the same pack on any engine, cluster
+    size, or partitioning.
+
+    Scale shape (100 TB): one narrow hash projection + ONE shuffle on
+    the shard key; the running token total is a per-shard RUNNING
+    window frame (incremental — never unbounded-following). Each
+    shard's scan is a single task, so pick n_shards ~ corpus_tokens /
+    (a few hundred M) exactly as for shuffle_shards; there is no
+    global window and nothing touches the driver."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    h = F.md5(
+        F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string"))
+    )
+    d = spread(docs).select(
+        F.col(id_col),
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+        h.alias("_h"),
+    )
+    shard = (
+        F.conv(F.substring("_h", 1, 12), 16, 10).cast("long")
+        % int(n_shards)
+    ).alias("shard")
+    d = d.select(id_col, "n_tokens", "_h", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_h"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    # exact bigint DIV/% (float division would drift on the huge
+    # running totals a 100 TB shard accumulates)
+    return d.select(
+        id_col, "shard", "n_tokens", prev.alias("_prev")
+    ).select(
+        id_col,
+        "shard",
+        F.expr(f"_prev DIV {int(budget)}").cast("long").alias("seq_id"),
+        (F.col("_prev") % budget).cast("long").alias("seq_offset"),
+        "n_tokens",
     )
 
 

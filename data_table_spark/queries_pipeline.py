@@ -1732,6 +1732,40 @@ _SQL_SHUFFLE_SHARDS = f"""
 """
 
 
+_SQL_PACK_SEQUENCES = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    h AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS hh,
+             CAST(({_sql_md5_int("'42:' || CAST(doc_id AS VARCHAR)", 12)}) % 8
+                  AS BIGINT) AS shard
+      FROM toks),
+    p AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY hh, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM h)
+    SELECT doc_id, shard,
+           CAST(prev // 512 AS BIGINT) AS seq_id,
+           CAST(prev % 512 AS BIGINT) AS seq_offset,
+           n_tokens
+    FROM p
+"""
+
+
+@query("pack_sequences", _SQL_PACK_SEQUENCES)
+def q_pack_sequences(spark, sf_dir):
+    """Concatenate-and-split sequence packing: deterministic seeded-md5
+    shard layout (same as shuffle_shards), per-shard RUNNING token
+    total, and exact bigint DIV/% assign each doc the training sequence
+    where it starts plus its offset. One shuffle on the shard key."""
+    from .pipeline.curation import pack_sequences
+
+    t = load_tables(spark, sf_dir)
+    return pack_sequences(t["documents"].df, budget=512, n_shards=8)
+
+
 @query("shuffle_shards", _SQL_SHUFFLE_SHARDS)
 def q_shuffle_shards(spark, sf_dir):
     """Deterministic global training-order shuffle: seeded md5 assigns

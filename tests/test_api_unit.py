@@ -1700,3 +1700,30 @@ def test_dedup_spans_remove(spark):
         for r in dedup_spans_remove(df2, n=5, min_df=2).collect()
     }
     assert got2 == {1: (0, ""), 2: (0, "")}
+
+
+def test_pack_sequences(spark):
+    """pack_sequences: per-shard concat-and-split layout — offsets are
+    the running token total mod budget, seq_ids are non-decreasing in
+    layout order, and the whole corpus is assigned."""
+    from data_table_spark.pipeline.curation import pack_sequences
+
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(7))) for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = pack_sequences(df, budget=10, n_shards=3).collect()
+    assert len(rows) == 40
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        # reconstruct layout order from (seq_id, seq_offset)
+        rs.sort(key=lambda r: (r["seq_id"], r["seq_offset"]))
+        total = 0
+        for r in rs:
+            assert r["seq_id"] == total // 10
+            assert r["seq_offset"] == total % 10
+            assert r["n_tokens"] == 7
+            total += r["n_tokens"]
+
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
