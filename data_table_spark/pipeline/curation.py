@@ -384,16 +384,22 @@ def pack_sequences(
     id_col: str = "doc_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Concatenate-and-split sequence packing: assign every document a
-    (shard, seq_id, seq_offset) such that concatenating each shard's
-    docs in order and cutting every ``budget`` tokens yields the
-    training sequences — seq_id is the sequence where the doc STARTS
-    and seq_offset its position inside it (GPT-style packing cuts
-    mid-doc; the offsets let the loader recover cut points without
-    re-tokenizing). The layout is the deterministic [[shuffle_shards]]
-    one: seed-prefixed md5 assigns shards and orders docs within them,
-    so the same seed reproduces the same pack on any engine, cluster
-    size, or partitioning.
+    """Concatenate-and-split sequence packing over the SHUFFLED layout:
+    assign every document a (shard, seq_id, seq_offset) such that
+    concatenating each shard's docs in order and cutting every
+    ``budget`` tokens yields the training sequences — seq_id is the
+    sequence where the doc STARTS and seq_offset its position inside
+    it (GPT-style packing cuts mid-doc; the offsets let the loader
+    recover cut points without re-tokenizing). The layout is the
+    deterministic `shuffle_shards` one: seed-prefixed md5 assigns
+    shards and orders docs within them, so the same seed reproduces
+    the same pack on any engine, cluster size, or partitioning.
+
+    Companion, not duplicate, of the `sequence_packing` driver query:
+    that one bins 32/8 CHUNKS in corpus (doc_id, chunk_id) order per
+    source — the pre-shuffle, chunk-granular view; this one packs
+    whole documents in the seeded SHUFFLE order the trainer actually
+    reads, and carries the offsets the loader needs to cut.
 
     Scale shape (100 TB): one narrow hash projection + ONE shuffle on
     the shard key; the running token total is a per-shard RUNNING

@@ -1756,10 +1756,12 @@ _SQL_PACK_SEQUENCES = f"""
 
 @query("pack_sequences", _SQL_PACK_SEQUENCES)
 def q_pack_sequences(spark, sf_dir):
-    """Concatenate-and-split sequence packing: deterministic seeded-md5
-    shard layout (same as shuffle_shards), per-shard RUNNING token
-    total, and exact bigint DIV/% assign each doc the training sequence
-    where it starts plus its offset. One shuffle on the shard key."""
+    """Concatenate-and-split sequence packing over the seeded SHUFFLE
+    layout (shuffle_shards order): per-shard RUNNING token total +
+    exact bigint DIV/% assign each doc the training sequence where it
+    starts plus its cut offset. One shuffle on the shard key.
+    Companion of `sequence_packing`, which bins chunks in corpus order
+    per source (the pre-shuffle, chunk-granular view)."""
     from .pipeline.curation import pack_sequences
 
     t = load_tables(spark, sf_dir)
