@@ -1727,3 +1727,36 @@ def test_pack_sequences(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(df, budget=0)
+
+
+def test_dup_span_profile_removal_consistency(spark):
+    """Cross-operator invariant: for the same (n, min_df) the profile's
+    dup_tokens and the removal's kept_tokens partition every document's
+    token count."""
+    import random
+
+    from data_table_spark.pipeline import dedup_spans_remove, dup_span_profile
+
+    rng = random.Random(7)
+    vocab = [f"t{k}" for k in range(12)]  # tiny vocab -> dense collisions
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    prof = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in dup_span_profile(df, n=4, min_df=2).collect()
+    }
+    rem = {
+        r["doc_id"]: (r["n_tokens"], r["kept_tokens"])
+        for r in dedup_spans_remove(df, n=4, min_df=2).collect()
+    }
+    assert set(prof) == set(rem) == set(range(60))
+    for i in range(60):
+        nt, dup = prof[i]
+        nt2, kept = rem[i]
+        assert nt == nt2
+        assert dup + kept == nt
+    # the dense vocab must actually exercise nonzero coverage
+    assert any(dup > 0 for _, dup in prof.values())
