@@ -260,6 +260,69 @@ def q_stream_decontaminate(spark, sf_dir):
     return run_available_now(stream_decontaminate(s, bench_grams, n=4))
 
 
+_SQL_STREAM_SPAN = """
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +')
+                         AS toks FROM documents),
+    ref AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest([array_to_string(toks[i:i+3], ' ')
+                       for i in range(1, len(toks) - 2)]) AS g
+        FROM toks WHERE doc_id % 53 = 0 AND len(toks) >= 4)
+    ),
+    pg AS (
+      SELECT doc_id, len(toks) AS nt,
+             unnest(range(0, len(toks) - 3)) AS pos,
+             unnest([array_to_string(toks[i:i+3], ' ')
+                     for i in range(1, len(toks) - 2)]) AS g
+      FROM toks WHERE doc_id % 53 <> 0 AND len(toks) >= 4
+    ),
+    m AS (SELECT doc_id, nt, pos FROM pg JOIN ref USING (g)),
+    sw AS (
+      SELECT doc_id, nt, pos,
+             MAX(pos + 4) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_e
+      FROM m),
+    agg AS (
+      SELECT doc_id, nt,
+             SUM(GREATEST(0, (pos + 4)
+                 - GREATEST(pos, COALESCE(prev_e, pos)))) AS dup_tokens
+      FROM sw GROUP BY doc_id, nt)
+    SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+           CAST(dup_tokens AS BIGINT) AS dup_tokens,
+           CAST(dup_tokens AS DOUBLE) / nt AS dup_frac
+    FROM agg
+"""
+
+
+@query("stream_span_screen", _SQL_STREAM_SPAN)
+def q_stream_span_screen(spark, sf_dir):
+    """Streaming span-level contamination screen: arriving docs
+    (doc_id % 53 != 0) against the static reference 4-gram index
+    (doc_id % 53 == 0). Positional grams are row-local array HOFs
+    (windows are illegal on streams), the gram probe is a stateless
+    broadcast stream-static join, and the interval union is a
+    row-local fold over each doc's sorted matched starts — one
+    streaming aggregation (the collect_list). Over finite input the
+    answer equals the batch window-sweep form — the oracle computes
+    that directly."""
+    from .pipeline.dedup import shingle_rows
+    from .streaming import (
+        read_documents_stream,
+        run_available_now,
+        stream_span_screen,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ref_docs = t["documents"].df.filter(F.col("doc_id") % 53 == 0)
+    ref = shingle_rows(ref_docs, 4).select(F.col("s").alias("g")).distinct()
+    s = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 53 != 0
+    )
+    return run_available_now(stream_span_screen(s, ref, n=4))
+
+
 @query(
     "stream_stateful_stats",
     """

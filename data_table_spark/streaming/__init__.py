@@ -121,6 +121,81 @@ def stream_decontaminate(
     )
 
 
+def stream_span_screen(
+    docs_stream: DataFrame, ref_grams: DataFrame, n: int = 4
+) -> DataFrame:
+    """Streaming SPAN-level contamination screen: for each arriving
+    document, how much of it (which fraction of token positions) is
+    covered by a word n-gram present in a STATIC reference gram index —
+    the span-coverage upgrade of `stream_decontaminate`'s shared-gram
+    COUNT, and the streaming twin of the batch `dup_span_profile`
+    sweep. Emits (doc_id, n_tokens, dup_tokens, dup_frac) for documents
+    with at least one matched gram.
+
+    Encoding under streaming constraints: window functions are not
+    allowed on streams, so positional n-grams are built ROW-LOCALLY
+    with array HOFs (interpreted — acceptable per-document work; the
+    corpus-scale batch path keeps the codegen'd window form), matched
+    starts come back from a stateless broadcast stream-static join on
+    the gram, and the per-doc interval-union is NOT a sorted window
+    sweep but a row-local `aggregate` fold over the sorted start list
+    — the ONE allowed streaming aggregation is the collect_list that
+    gathers each doc's matched starts.
+
+    ``ref_grams``: static one-column (g) DataFrame of distinct
+    reference n-grams (benchmark set, or an existing corpus's
+    duplicated-gram index from `_dup_gram_set`)."""
+    from ..pipeline.text import tokens_col
+
+    toks = tokens_col("text")
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + k) for k in range(n)]
+    )
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                (i - 1).cast("long").alias("pos"), gram(i).alias("g")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,g:string>>"))
+    ex = docs_stream.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.explode(grams).alias("m"),
+    ).select("doc_id", "n_tokens", F.col("m.pos").alias("pos"), F.col("m.g").alias("g"))
+    hits = ex.join(F.broadcast(ref_grams), "g")
+    agg = hits.groupBy("doc_id", "n_tokens").agg(
+        F.sort_array(F.collect_list("pos")).alias("starts")
+    )
+    covered = F.aggregate(
+        F.col("starts"),
+        F.struct(
+            F.lit(0).cast("long").alias("cov"),
+            F.lit(-1).cast("long").alias("prev_e"),
+        ),
+        lambda acc, p: F.struct(
+            (
+                acc["cov"]
+                + F.greatest(
+                    F.lit(0).cast("long"),
+                    p + n - F.greatest(p, acc["prev_e"]),
+                )
+            ).alias("cov"),
+            F.greatest(acc["prev_e"], p + n).alias("prev_e"),
+        ),
+        lambda acc: acc["cov"],
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        covered.alias("dup_tokens"),
+        (covered.cast("double") / F.col("n_tokens")).alias("dup_frac"),
+    )
+
+
 def stream_neardup_screen(
     docs_stream: DataFrame,
     static_docs: DataFrame,

@@ -1760,3 +1760,38 @@ def test_dup_span_profile_removal_consistency(spark):
         assert dup + kept == nt
     # the dense vocab must actually exercise nonzero coverage
     assert any(dup > 0 for _, dup in prof.values())
+
+
+def test_stream_span_screen_coverage(spark):
+    """stream_span_screen: row-local interval-union fold matches
+    hand-computed coverage — overlapping matched spans don't double
+    count, unmatched docs are absent, short docs produce no grams."""
+    import tempfile
+
+    from data_table_spark.streaming import (
+        DOCUMENTS_SCHEMA,
+        run_available_now,
+        stream_span_screen,
+    )
+
+    ref_text = "a b c d e f"  # 4-grams: 'a b c d','b c d e','c d e f'
+    rows = [
+        # starts {0,1,2} -> union [0,6) = 6 of 10 tokens
+        (1, f"{ref_text} x y z w", "en", "s", 10),
+        # starts {2} only ('a b c d' at offset 2) -> 4 of 8
+        (2, "q r a b c d p q2", "en", "s", 8),
+        (3, "u v w x y", "en", "s", 5),       # no match -> absent
+        (4, "a b c", "en", "s", 3),           # < n tokens -> absent
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    ref = spark.createDataFrame(
+        [("a b c d",), ("b c d e",), ("c d e f",)], ["g"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/docs")
+        stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(f"{d}/docs")
+        out = run_available_now(stream_span_screen(stream, ref, n=4)).collect()
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_frac) for r in out
+    }
+    assert got == {1: (10, 6, 0.6), 2: (8, 4, 0.5)}
