@@ -287,15 +287,20 @@ def _dup_gram_set(pg: DataFrame, min_df: int) -> DataFrame:
 
 
 def dedup_spans_remove(
-    docs: DataFrame, n: int = 5, min_df: int = 2
+    docs: DataFrame, n: int = 5, min_df: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Remove cross-corpus duplicated SPANS from each document — the
     action to `dup_span_profile`'s measurement (same bounded-width
     reading of Lee et al. 2021 substring dedup). Every token position
     covered by a word n-gram occurring in >= min_df distinct documents
-    is dropped (ALL occurrences — the deterministic variant; keep-one
-    canonicalization needs a global tie-break and is better served by
-    document-level keep-lists). Output: (doc_id, n_tokens, kept_tokens,
+    is dropped. ``keep_first=True`` is the Lee-et-al-faithful keep-one
+    form: the gram's canonical holder (its MIN doc_id — a global,
+    deterministic tie-break the min/max aggregate already computes)
+    KEEPS the span and only the other documents lose it; the default
+    drops all occurrences (the symmetric variant). keep_first requires
+    min_df=2 (the canonical holder comes from the min/max encoding).
+    Output: (doc_id, n_tokens, kept_tokens,
     text_clean) for every document; text_clean is '' when the whole
     document is duplicated spans.
 
@@ -310,7 +315,24 @@ def dedup_spans_remove(
         F.posexplode(tokens_col("text")).alias("pos", "tok"),
     )
     pg = positional_ngrams(docs, n)
-    hits = pg.join(_dup_gram_set(pg, min_df), "g").select("doc_id", "pos")
+    if keep_first:
+        if min_df != 2:
+            raise ValueError("keep_first requires min_df=2")
+        holders = (
+            pg.groupBy("g")
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .select("g", "lo")
+        )
+        hits = (
+            pg.join(holders, "g")
+            .filter(F.col("doc_id") != F.col("lo"))
+            .select("doc_id", "pos")
+        )
+    else:
+        hits = pg.join(_dup_gram_set(pg, min_df), "g").select(
+            "doc_id", "pos"
+        )
     cover = hits.select(
         "doc_id",
         F.explode(

@@ -1795,3 +1795,28 @@ def test_stream_span_screen_coverage(spark):
         r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_frac) for r in out
     }
     assert got == {1: (10, 6, 0.6), 2: (8, 4, 0.5)}
+
+
+def test_dedup_spans_remove_keep_first(spark):
+    """keep_first=True: the gram's canonical holder (min doc_id) keeps
+    the span; only the other documents lose it."""
+    from data_table_spark.pipeline import dedup_spans_remove
+
+    shared = "a b c d e f"
+    df = spark.createDataFrame(
+        [(5, f"x {shared}"), (9, f"{shared} y"), (2, "u v w x y z")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["kept_tokens"], r["text_clean"])
+        for r in dedup_spans_remove(
+            df, n=5, min_df=2, keep_first=True
+        ).collect()
+    }
+    # doc 5 is the min doc_id holding the shared grams -> untouched
+    assert got[5] == (7, f"x {shared}")
+    assert got[9] == (1, "y")
+    assert got[2] == (6, "u v w x y z")
+
+    with pytest.raises(ValueError):
+        dedup_spans_remove(df, n=5, min_df=3, keep_first=True)
