@@ -176,6 +176,36 @@ _SQL_DUP_SPAN_REMOVE = f"""
 """
 
 
+_SQL_DUP_SPAN_KEEPFIRST = _SQL_DUP_SPAN_REMOVE.replace(
+    """    dup AS (
+      SELECT g FROM pg GROUP BY g
+      HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    m AS (SELECT doc_id, pos FROM pg JOIN dup USING (g)),""",
+    """    dup AS (
+      SELECT g, MIN(doc_id) AS lo FROM pg GROUP BY g
+      HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    m AS (SELECT doc_id, pos FROM pg JOIN dup USING (g)
+          WHERE doc_id <> lo),""",
+)
+assert _SQL_DUP_SPAN_KEEPFIRST != _SQL_DUP_SPAN_REMOVE
+
+
+@query("dup_span_removal_keepfirst", _SQL_DUP_SPAN_KEEPFIRST)
+def q_dup_span_removal_keepfirst(spark, sf_dir):
+    """Keep-one span removal (Lee et al. 2021 faithful form): the
+    gram's canonical holder — its min doc_id, already computed by the
+    min/max duplicate aggregate — keeps the span; every other document
+    loses it."""
+    from .pipeline import dedup_spans_remove
+
+    t = load_tables(spark, sf_dir)
+    return dedup_spans_remove(
+        t["documents"].df, n=5, min_df=2, keep_first=True
+    )
+
+
 @query("dup_span_removal", _SQL_DUP_SPAN_REMOVE)
 def q_dup_span_removal(spark, sf_dir):
     """The action to dup_ngram_spans' measurement: drop every token
