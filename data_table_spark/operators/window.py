@@ -35,6 +35,8 @@ __all__ = [
     "frank",
     "rleid",
     "rowid",
+    "nafill",
+    "setnafill",
     "nafill_locf",
     "nafill_nocb",
     "cumfn",
@@ -354,6 +356,29 @@ def nafill_nocb(dt: DT, cols, by=None, order=None, suffix: str = "") -> DT:
     for c in _namelist(cols):
         out[c + suffix] = F.last(F.col(c), ignorenulls=True).over(w)
     return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
+
+
+def nafill(
+    dt: DT, cols, type: str = "const", fill=None,
+    by=None, order=None, suffix: str = "",
+) -> DT:
+    """nafill / setnafill under the reference's own entry-point name
+    (R/shift.R:29-36; the set* spelling is the SAME rebind here —
+    immutability, SURVEY §1): dispatches to the const/locf/nocb forms
+    below."""
+    if type == "locf":
+        return nafill_locf(dt, cols, by=by, order=order, suffix=suffix)
+    if type == "nocb":
+        return nafill_nocb(dt, cols, by=by, order=order, suffix=suffix)
+    if type != "const":
+        raise ValueError(f"nafill type must be const/locf/nocb, got {type!r}")
+    out = {}
+    for c in _namelist(cols):
+        out[c + suffix] = F.coalesce(F.col(c), F.lit(fill))
+    return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
+
+
+setnafill = nafill
 
 
 def cumfn(dt: DT, fun: str, cols, by=None, order=None, give_names: bool = True) -> DT:
@@ -850,3 +875,8 @@ def retention_cohorts(
         .groupBy("cohort", "wk_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+# reference NAMESPACE export name (export(frolladapt)); the full
+# implementation lives under the descriptive name above
+frolladapt = frolladaptive

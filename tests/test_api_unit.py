@@ -1820,3 +1820,34 @@ def test_dedup_spans_remove_keep_first(spark):
 
     with pytest.raises(ValueError):
         dedup_spans_remove(df, n=5, min_df=3, keep_first=True)
+
+
+def test_nafill_dispatcher_and_aliases(spark):
+    """nafill(type=) dispatches to const/locf/nocb; setnafill and
+    frolladapt are the reference NAMESPACE spellings."""
+    from data_table_spark.operators.window import (
+        frolladapt,
+        frolladaptive,
+        nafill,
+        nafill_locf,
+        setnafill,
+    )
+
+    assert setnafill is nafill
+    assert frolladapt is frolladaptive
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, None), (4, 7.0)], ["i", "v"]
+    )
+    dt = DT(df, order_by=["i"])
+    const = {r["i"]: r["v"] for r in nafill(dt, "v", "const", fill=0.0).df.collect()}
+    assert const == {1: 0.0, 2: 5.0, 3: 0.0, 4: 7.0}
+    locf = {r["i"]: r["v"] for r in nafill(dt, "v", "locf").df.collect()}
+    assert locf == {1: None, 2: 5.0, 3: 5.0, 4: 7.0}
+    nocb = {r["i"]: r["v"] for r in nafill(dt, "v", "nocb").df.collect()}
+    assert nocb == {1: 5.0, 2: 5.0, 3: 7.0, 4: 7.0}
+    assert locf == {
+        r["i"]: r["v"] for r in nafill_locf(dt, "v").df.collect()
+    }
+    with pytest.raises(ValueError):
+        nafill(dt, "v", "bogus")
