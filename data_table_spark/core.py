@@ -616,6 +616,59 @@ def _fmt_cell(v, trunc_char: int, is_char: bool, na_print=None) -> str:
     return s
 
 
+# format_col / format_list_item — the reference's print-customization
+# hooks (NAMESPACE exports; R/print.data.table.R:198-247 dispatches
+# per column class so users can override a column's rendering). The S3
+# analog here is a per-Spark-dtype registry consulted by format_dt.
+_FORMAT_COL_METHODS: dict = {}
+
+
+def register_format_col(dtype: str, fn) -> None:
+    """Register (or, with fn=None, remove) a cell renderer for a Spark
+    dtype string (e.g. "timestamp", "double") — the analog of defining
+    an S3 `format_col.<class>` method in the reference."""
+    if fn is None:
+        _FORMAT_COL_METHODS.pop(dtype, None)
+    else:
+        _FORMAT_COL_METHODS[dtype] = fn
+
+
+def format_list_item(v, trunc_char: int = 0) -> str:
+    """format_list_item.default (reference print.data.table.R:238):
+    NULL item -> "[NULL]"; atomic vector -> first 6 items comma-joined
+    + "...[n]" when longer; structured objects -> "<class>"."""
+    if v is None:
+        return "[NULL]"
+    from pyspark.sql import Row
+
+    if isinstance(v, Row):
+        return f"<struct[{len(v)}]>"
+    if isinstance(v, dict):
+        return f"<map[{len(v)}]>"
+    if isinstance(v, (list, tuple)):
+        items = [format_list_item(x, trunc_char) for x in v[:6]]
+        tail = f",...[{len(v)}]" if len(v) > 6 else ""
+        return ",".join(items) + tail
+    return _fmt_cell(v, trunc_char, isinstance(v, str))
+
+
+def format_col(
+    v, dtype: str, trunc_char: int = 0, na_print=None
+) -> str:
+    """format_col dispatch (reference print.data.table.R:198,211): a
+    registered per-dtype method wins; list-typed columns (array/map/
+    struct) render per item via format_list_item; scalars take the
+    default format path."""
+    fn = _FORMAT_COL_METHODS.get(dtype)
+    if fn is not None:
+        return str(fn(v))
+    if dtype.startswith(("array", "map", "struct")):
+        if v is None:
+            return "[NULL]"
+        return format_list_item(v, trunc_char)
+    return _fmt_cell(v, trunc_char, dtype == "string", na_print)
+
+
 def format_dt(
     dt: "DT",
     topn: int | None = None,
@@ -694,9 +747,8 @@ def format_dt(
         )
         rows = [(i + 1, r) for i, r in enumerate(src.limit(n).collect())]
     types = dict(dt.df.dtypes)
-    is_char = {c: types[c] == "string" for c in cols}
     cells = [
-        [_fmt_cell(r[c], trunc_char, is_char[c], na_print) for c in cols]
+        [format_col(r[c], types[c], trunc_char, na_print) for c in cols]
         for _, r in rows
     ]
     show_names = col_names != "none"

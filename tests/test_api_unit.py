@@ -1851,3 +1851,34 @@ def test_nafill_dispatcher_and_aliases(spark):
     }
     with pytest.raises(ValueError):
         nafill(dt, "v", "bogus")
+
+
+def test_format_col_hooks(spark):
+    """format_col / format_list_item print hooks (reference NAMESPACE
+    exports): list columns render per item with the 6-item cap and
+    [NULL] markers; a registered per-dtype method overrides rendering
+    and can be removed."""
+    from data_table_spark.core import (
+        format_dt,
+        format_list_item,
+        register_format_col,
+    )
+
+    assert format_list_item(None) == "[NULL]"
+    assert format_list_item([1, 2, 3]) == "1,2,3"
+    assert format_list_item(list(range(8))) == "0,1,2,3,4,5,...[8]"
+    assert format_list_item([None, "x"]) == "[NULL],x"
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3], 2.5), (2, None, 4.0)], ["id", "arr", "v"]
+    )
+    out = format_dt(DT(df, order_by=["id"]))
+    assert "1,2,3" in out and "[NULL]" in out
+
+    register_format_col("double", lambda v: "NA!" if v is None else f"{v:.1f}x")
+    try:
+        out2 = format_dt(DT(df, order_by=["id"]))
+        assert "2.5x" in out2 and "4.0x" in out2
+    finally:
+        register_format_col("double", None)
+    assert "2.5x" not in format_dt(DT(df, order_by=["id"]))
