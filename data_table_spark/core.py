@@ -25,11 +25,51 @@ from __future__ import annotations
 from collections.abc import Callable, Mapping, Sequence
 from typing import Any
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = ["DT", "N", "GRP", "fread_parquet", "fsort",
-           "format_dt", "print_dt", "set_print_options"]
+           "format_dt", "print_dt", "set_print_options",
+           "as_data_table", "setDT"]
+
+
+def as_data_table(obj, spark=None, columns=None, key=None, order_by=None):
+    """as.data.table constructor family (reference R/as.data.table.R;
+    the NAMESPACE S3 methods for data.frame/matrix/list/vector):
+
+    - Spark DataFrame -> identity wrap (as.data.table.data.table)
+    - pandas DataFrame -> Arrow-batched createDataFrame
+      (as.data.table.data.frame)
+    - mapping of name -> column values (as.data.table.list)
+    - sequence of row tuples/dicts with ``columns``
+      (as.data.table.matrix shape)
+
+    Non-Spark inputs need ``spark`` (there is no hidden global
+    session). setDT is the same call — Spark frames are immutable, so
+    the reference's by-reference conversion collapses to the wrap
+    (SURVEY §1)."""
+    if isinstance(obj, DT):
+        return DT(obj.df, key=key or obj.key, order_by=order_by or obj.order_by)
+    if isinstance(obj, DataFrame):
+        return DT(obj, key=key, order_by=order_by)
+    if spark is None:
+        raise ValueError("as_data_table needs spark= for non-Spark input")
+    if isinstance(obj, pd.DataFrame):
+        return DT(spark.createDataFrame(obj), key=key, order_by=order_by)
+    if isinstance(obj, Mapping):
+        return DT(
+            spark.createDataFrame(pd.DataFrame(dict(obj))),
+            key=key, order_by=order_by,
+        )
+    return DT(
+        spark.createDataFrame(obj, schema=list(columns) if columns else None),
+        key=key, order_by=order_by,
+    )
+
+
+setDT = as_data_table
 
 def N() -> Column:
     """data.table special symbol .N (group size) — man/special-symbols.Rd:14.

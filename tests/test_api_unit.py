@@ -1882,3 +1882,31 @@ def test_format_col_hooks(spark):
     finally:
         register_format_col("double", None)
     assert "2.5x" not in format_dt(DT(df, order_by=["id"]))
+
+
+def test_as_data_table_constructors(spark):
+    """as_data_table / setDT: Spark frame wrap, pandas frame, dict of
+    columns, and row tuples with names."""
+    import pandas as pd
+
+    from data_table_spark.core import as_data_table, setDT
+
+    assert setDT is as_data_table
+
+    df = spark.createDataFrame([(1, "a")], ["i", "s"])
+    dt = as_data_table(df, key=["i"])
+    assert dt.df is df and dt.key == ["i"]
+    # DT input re-wraps, keeping metadata unless overridden
+    assert as_data_table(dt).key == ["i"]
+
+    pdt = as_data_table(pd.DataFrame({"i": [1, 2], "s": ["x", "y"]}), spark=spark)
+    assert sorted((r["i"], r["s"]) for r in pdt.df.collect()) == [(1, "x"), (2, "y")]
+
+    mdt = as_data_table({"i": [3, 4], "v": [0.5, 1.5]}, spark=spark)
+    assert sorted((r["i"], r["v"]) for r in mdt.df.collect()) == [(3, 0.5), (4, 1.5)]
+
+    rdt = as_data_table([(5, "q")], spark=spark, columns=["i", "s"])
+    assert [(r["i"], r["s"]) for r in rdt.df.collect()] == [(5, "q")]
+
+    with pytest.raises(ValueError):
+        as_data_table(pd.DataFrame({"i": [1]}))
