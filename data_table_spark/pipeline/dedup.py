@@ -198,7 +198,8 @@ def ngram_jaccard_pairs(
 
 
 def dup_span_profile(
-    docs: DataFrame, n: int = 5, min_df: int = 2
+    docs: DataFrame, n: int = 5, min_df: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Per-document duplicated-SPAN profile — the bounded-width n-gram
     form of exact substring deduplication (Lee et al. 2021,
@@ -229,7 +230,9 @@ def dup_span_profile(
         "doc_id", F.size(tokens_col("text")).alias("n_tokens")
     )
     pg = positional_ngrams(docs, n)
-    hits = pg.join(_dup_gram_set(pg, min_df), "g").select("doc_id", "pos")
+    hits = pg.join(_dup_gram_set(pg, min_df, max_df), "g").select(
+        "doc_id", "pos"
+    )
     from pyspark.sql import Window
 
     w = (
@@ -264,31 +267,40 @@ def dup_span_profile(
     )
 
 
-def _dup_gram_set(pg: DataFrame, min_df: int) -> DataFrame:
-    """Grams occurring in >= min_df DISTINCT documents. min_df=2 (the
+def _dup_gram_set(
+    pg: DataFrame, min_df: int, max_df: int | None = None
+) -> DataFrame:
+    """Grams occurring in >= min_df DISTINCT documents (and <= max_df
+    when given — the over-common cap: a gram in half the corpus is
+    stopword boilerplate, not a dedupable span, and capping it also
+    removes the one skewable key from the downstream hits join; same
+    rationale as winnowing's max_df). min_df=2 with no cap (the
     default everywhere) is a single min/max-doc_id aggregate (df >= 2
-    ⟺ min != max — one map-side-combining shuffle on the gram); the
-    general case pays an extra distinct pre-shuffle."""
-    if min_df == 2:
+    ⟺ min != max — one map-side-combining shuffle on the gram); a cap
+    or a higher min_df needs the df COUNT, paying an extra distinct
+    pre-shuffle — that is the cap's honest price."""
+    if min_df == 2 and max_df is None:
         return (
             pg.groupBy("g")
             .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
             .filter(F.col("lo") != F.col("hi"))
             .select("g")
         )
-    return (
+    out = (
         pg.select("g", "doc_id")
         .distinct()
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
-        .select("g")
     )
+    if max_df is not None:
+        out = out.filter(F.col("df") <= max_df)
+    return out.select("g")
 
 
 def dedup_spans_remove(
     docs: DataFrame, n: int = 5, min_df: int = 2,
-    keep_first: bool = False,
+    keep_first: bool = False, max_df: int | None = None,
 ) -> DataFrame:
     """Remove cross-corpus duplicated SPANS from each document — the
     action to `dup_span_profile`'s measurement (same bounded-width
@@ -330,7 +342,7 @@ def dedup_spans_remove(
             .select("doc_id", "pos")
         )
     else:
-        hits = pg.join(_dup_gram_set(pg, min_df), "g").select(
+        hits = pg.join(_dup_gram_set(pg, min_df, max_df), "g").select(
             "doc_id", "pos"
         )
     cover = hits.select(

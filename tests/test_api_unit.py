@@ -1910,3 +1910,25 @@ def test_as_data_table_constructors(spark):
 
     with pytest.raises(ValueError):
         as_data_table(pd.DataFrame({"i": [1]}))
+
+
+def test_dup_span_profile_max_df(spark):
+    """max_df over-common cap: a gram in more than max_df distinct docs
+    stops counting as a dedupable span (boilerplate exclusion)."""
+    from data_table_spark.pipeline import dup_span_profile
+
+    shared = "a b c d e"  # one 5-gram, present in 3 docs
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, shared), (4, "u v w x y")],
+        ["doc_id", "text"],
+    )
+    uncapped = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in dup_span_profile(df, n=5, min_df=2).collect()
+    }
+    assert uncapped == {1: 5, 2: 5, 3: 5, 4: 0}
+    capped = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in dup_span_profile(df, n=5, min_df=2, max_df=2).collect()
+    }
+    assert capped == {1: 0, 2: 0, 3: 0, 4: 0}
