@@ -61,6 +61,7 @@ HEADLINE = [
     "let_by_group",       # grouped := (fused window, single exchange)
     "transpose_medium",   # distributed transpose
     "stream_tumbling_agg",  # streaming micro-batch (tumbling window agg)
+    "dup_ngram_spans",    # duplicated-span profile (substring-dedup family)
 ]
 
 # The headline set was 14 queries through BENCH_r07; the legacy subtotal
