@@ -46,13 +46,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # ngram_jaccard/jaccard_prefix/dedup_clusters/simhash/decontaminate —
 # are already in (c)/(d)) + stream_span_screen (streaming twin of the
 # span profile); (b) ivfpq_ann_topk
-# (never checked); (c) all 20 r3-latest queries; (d) 16 of the 46
+# (never checked); (c) all 20 r3-latest queries; (d) 15 of the 46
 # r4-latest, alphabetical. After this window the oldest remaining
-# evidence is r4 (30 queries); round 9 takes those + the r5 tail.
+# evidence is r4 (31 queries); round 9 takes those + the r5 tail.
 _PRIORITY = [
     # (a) new or changed this round
     "dup_ngram_spans", "dup_span_removal", "dup_span_removal_keepfirst",
-    "pack_sequences", "stream_span_screen",
+    "pack_sequences", "stream_span_screen", "token_mixture_sample",
     "foverlaps_bucketed", "inrange_bucketed", "asof_roll_backward",
     "asof_roll_forward", "asof_roll_limit", "asof_roll_nearest",
     "asof_roll_rollends", "nafill_locf_nocb",
@@ -72,7 +72,6 @@ _PRIORITY = [
     "doc_chunking", "embedding_lsh_pairs", "fcoalesce_nafill",
     "fintersect_all", "frame_sample_counts", "froll_adaptive_minmax",
     "froll_adaptive_sum", "fsetdiff_all", "gtail_per_group",
-    "json_extract_props",
 ]
 
 

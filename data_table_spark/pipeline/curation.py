@@ -35,6 +35,7 @@ __all__ = [
     "chunk_documents",
     "repetition_metrics",
     "mixture_sample",
+    "token_mixture_sample",
     "split_by_cluster",
     "shuffle_shards",
     "pack_sequences",
@@ -374,6 +375,81 @@ def shuffle_shards(
         id_col,
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+def token_mixture_sample(
+    df: DataFrame,
+    targets: dict[str, int],
+    budget_pct: int = 50,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Target-mixture sampling with the budget measured in TOKENS —
+    how real training mixes are specified ("web 50%, books 25%, code
+    25% of the TOKEN budget"): `mixture_sample` hits document-count
+    targets, which skews the token mix when sources' document lengths
+    differ (books are long, chat is short).
+
+    Same machinery, token-weighted: per-group TOKEN totals replace row
+    counts, so for group g
+
+        T      = total_tokens * budget_pct div 100
+        want_g = T * share_g div share_total
+        thr_g  = min(2^24, want_g * 2^24 div tokens_g)   (rate cap 1)
+
+    and the row gate is the identical md5(id) top-24-bit threshold —
+    deterministic, engine-portable, exact bigint arithmetic. The
+    sampled token count per group is want_g in EXPECTATION (documents
+    are kept whole; a per-row running cutoff would hit the budget
+    exactly but needs a per-group ordered scan — the expectation form
+    keeps the zero-corpus-shuffle posture: one small token-total
+    aggregate broadcast back, corpus streams through a narrow filter).
+    Output: (id, group, n_tokens) of kept docs."""
+    share_total = sum(targets.values())
+    if share_total <= 0:
+        raise ValueError(
+            "token_mixture_sample targets must have positive total weight"
+        )
+    share = None
+    for g, s in targets.items():
+        cond = F.col(group_col) == F.lit(g)
+        share = (
+            F.when(cond, F.lit(int(s)))
+            if share is None
+            else share.when(cond, F.lit(int(s)))
+        )
+    share = share.otherwise(F.lit(0))
+
+    sized = df.withColumn(
+        "__nt__", F.size(tokens_col(text_col)).cast("long")
+    )
+    cnt = sized.groupBy(group_col).agg(F.sum("__nt__").alias("_toks"))
+    tot = sized.agg(F.sum("__nt__").alias("_tot"))
+    plan = (
+        cnt.crossJoin(F.broadcast(tot))
+        .withColumn("_share", share)
+        .filter(F.col("_share") > 0)
+        .withColumn("_T", F.expr(f"_tot * {int(budget_pct)} DIV 100"))
+        .withColumn(
+            "_want", F.expr(f"_T * _share DIV {int(share_total)}")
+        )
+        .withColumn(
+            "_thr",
+            F.least(
+                F.lit(1 << 24), F.expr(f"_want * {1 << 24} DIV _toks")
+            ),
+        )
+        .select(group_col, "_thr")
+    )
+    h24 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    return (
+        sized.join(F.broadcast(plan), group_col)
+        .filter(h24 < F.col("_thr"))
+        .select(id_col, group_col, F.col("__nt__").alias("n_tokens"))
     )
 
 

@@ -1665,6 +1665,48 @@ _SQL_MIXTURE = f"""
 """
 
 
+_SQL_TOKEN_MIXTURE = f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+               AS nt
+      FROM documents),
+    cnt AS (SELECT source, SUM(nt) AS toks FROM t GROUP BY 1),
+    tot AS (SELECT SUM(nt) AS tt FROM t),
+    sh AS (
+      SELECT source, toks, tt,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 8
+                  WHEN source IN ('src5','src6','src7','src8','src9') THEN 4
+                  WHEN source IN ('src10','src11','src12','src13','src14',
+                                  'src15','src16','src17','src18','src19') THEN 2
+                  ELSE NULL END AS share
+      FROM cnt CROSS JOIN tot),
+    plan AS (
+      SELECT source,
+             LEAST(CAST(16777216 AS BIGINT),
+                   ((tt * 50 // 100) * share // 80) * 16777216 // toks) AS thr
+      FROM sh)
+    SELECT d.doc_id, d.source, d.nt AS n_tokens
+    FROM t d JOIN plan USING (source)
+    WHERE {_sql_md5_int("CAST(d.doc_id AS VARCHAR)", 6)} < plan.thr
+"""
+
+
+@query("token_mixture_sample", _SQL_TOKEN_MIXTURE)
+def q_token_mixture_sample(spark, sf_dir):
+    """Mixture sampling with the budget in TOKENS (how training mixes
+    are specified): per-source keep thresholds from observed TOKEN
+    totals vs target shares, exact bigint arithmetic, same md5 gate —
+    mixture_sample's machinery with token weighting, so length-skewed
+    sources stop distorting the token mix. Zero corpus shuffles."""
+    from .pipeline.curation import token_mixture_sample
+
+    t = load_tables(spark, sf_dir)
+    return token_mixture_sample(
+        t["documents"].df, _MIXTURE_TARGETS, budget_pct=50
+    )
+
+
 @query("mixture_sample", _SQL_MIXTURE)
 def q_mixture_sample(spark, sf_dir):
     """Target-mixture sampling (the data-mixing step of a training run):

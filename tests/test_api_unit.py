@@ -1932,3 +1932,42 @@ def test_dup_span_profile_max_df(spark):
         for r in dup_span_profile(df, n=5, min_df=2, max_df=2).collect()
     }
     assert capped == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_token_mixture_sample(spark):
+    """token_mixture_sample: full budget keeps every targeted doc with
+    its token count; untargeted sources are dropped; rates derive from
+    TOKEN totals (a source over its token share gets thr < 2^24)."""
+    from data_table_spark.pipeline.curation import token_mixture_sample
+
+    rows = (
+        [(i, "w " * 20, "long") for i in range(50)]
+        + [(100 + i, "w", "short") for i in range(50)]
+        + [(900, "x y z", "other")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    # 100% budget, one target -> rate caps at 1: all 50 docs kept whole
+    out = token_mixture_sample(
+        df, {"long": 1}, budget_pct=100, group_col="source"
+    ).collect()
+    kept = {r["doc_id"]: r["n_tokens"] for r in out}
+    assert set(kept) == set(range(50)) and all(v == 20 for v in kept.values())
+
+    # equal shares over token-skewed sources: the long source holds
+    # ~95% of tokens but is entitled to 50% of a 50% budget -> its keep
+    # rate must be well under 1, while the short source (5% of tokens)
+    # caps at 1 and keeps everything
+    out2 = token_mixture_sample(
+        df, {"long": 1, "short": 1}, budget_pct=50, group_col="source"
+    ).collect()
+    by_src = {}
+    for r in out2:
+        by_src.setdefault(r["source"], 0)
+        by_src[r["source"]] += 1
+    assert by_src.get("short", 0) == 50       # rate capped at 1
+    assert 0 < by_src.get("long", 0) < 50     # thresholded
+    assert not any(r["source"] == "other" for r in out2)
+
+    with pytest.raises(ValueError):
+        token_mixture_sample(df, {}, group_col="source")
