@@ -1,5 +1,5 @@
 """Table set operations (SURVEY §2.7) — funion / fintersect / fsetdiff /
-fsetequal (reference /root/reference/R/setops.R:60-108).
+fsetequal / all_equal (reference /root/reference/R/setops.R:60-108,109-260).
 
 Direct Spark primitives; `all=` maps to the multiset variants. These
 shuffle on the full row — at scale prefer restricting columns first
@@ -8,9 +8,11 @@ shuffle on the full row — at scale prefer restricting columns first
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..core import DT
 
-__all__ = ["funion", "fintersect", "fsetdiff", "fsetequal"]
+__all__ = ["funion", "fintersect", "fsetdiff", "fsetequal", "all_equal"]
 
 
 def funion(x: DT, y: DT, all: bool = False) -> DT:
@@ -42,4 +44,171 @@ def fsetequal(x: DT, y: DT, all: bool = True) -> bool:
     return (
         x.df.subtract(y.df).limit(1).count() == 0
         and y.df.subtract(x.df).limit(1).count() == 0
+    )
+
+
+_NUMERIC_DTYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+)
+
+
+def _mode(dtype: str) -> str:
+    """R mode() analog: the comparison family all.equal checks first —
+    every numeric width is one mode (integer==numeric in base R)."""
+    if dtype.startswith(_NUMERIC_DTYPES):
+        return "numeric"
+    if dtype == "string":
+        return "character"
+    if dtype == "boolean":
+        return "logical"
+    return dtype
+
+
+def all_equal(
+    target: DT,
+    current: DT,
+    check_attributes: bool = True,
+    ignore_col_order: bool = False,
+    ignore_row_order: bool = False,
+    tolerance: float = 1.4901161193847656e-08,
+):
+    """all.equal.data.table (reference R/setops.R:109-260): returns True
+    or a STRING describing the first difference (the base-R all.equal
+    contract — callers test `is True`).
+
+    Checks in the reference's order: row/column counts, column names,
+    column order (unless ignore_col_order), column modes
+    (integer==numeric, like base R), then — with check_attributes —
+    keys and declared order (the index analog here). Data comparison:
+
+    - ignore_row_order=False needs a deterministic row pairing, which
+      an unordered Spark frame only has through a declared order —
+      both sides' order_by is required, rows pair by row_number over
+      it (the reference compares in memory order, which Spark does not
+      have).
+    - ignore_row_order=True with tolerance=0, no double columns, or
+      duplicate rows on both sides (the reference FORCES tolerance to
+      0 in that case) compares multisets via exceptAll both ways.
+    - otherwise (duplicate-free sides, double columns, tolerance>0):
+      rows pair by an equi-join on the non-double columns plus
+      |x-y| <= tolerance on every double column, and equality holds
+      when both sides match completely — the reference implements
+      this pairing as a rolling join; same contract, join-order-free.
+    """
+    x, y = target.df, current.df
+    nx, ny = x.count(), y.count()
+    msg = []
+    if nx != ny:
+        msg.append("Different number of rows")
+    if len(x.columns) != len(y.columns):
+        msg.append("Different number of columns")
+    diff_names = sorted(x.columns) != sorted(y.columns)
+    if check_attributes and diff_names:
+        msg.append("Different column names")
+    if not diff_names and not ignore_col_order and x.columns != y.columns:
+        msg.append("Different column order")
+    if msg:
+        return "; ".join(msg)
+    if ignore_col_order and x.columns != y.columns:
+        y = y.select(*x.columns)
+
+    tmodes = {c: _mode(t) for c, t in x.dtypes}
+    cmodes = {c: _mode(t) for c, t in y.dtypes}
+    bad = [c for c in x.columns if tmodes[c] != cmodes[c]][:3]
+    if bad:
+        detail = " ".join(
+            f"{c}({tmodes[c]}!={cmodes[c]})" for c in bad
+        )
+        return f"Datasets have different column modes. First 3: {detail}"
+
+    if check_attributes:
+        if target.key != current.key:
+            return (
+                f"Datasets have different keys. 'target': {target.key or 'has no key'}."
+                f" 'current': {current.key or 'has no key'}."
+            )
+        if target.order_by != current.order_by:
+            return (
+                "Datasets have different declared orders. "
+                f"'target': {target.order_by or 'none'}. "
+                f"'current': {current.order_by or 'none'}."
+            )
+
+    dbl = [c for c, t in x.dtypes if t in ("double", "float")]
+
+    if not ignore_row_order:
+        if not target.order_by or not current.order_by:
+            return (
+                "ignore_row_order=False needs BOTH sides to declare an "
+                "order (Spark frames have no memory order to compare in)"
+            )
+        from ..core import _ocol
+        from pyspark.sql import Window
+
+        wx = Window.orderBy(*[_ocol(c) for c in target.order_by])
+        wy = Window.orderBy(*[_ocol(c) for c in current.order_by])
+        xr = x.withColumn("__rn__", F.row_number().over(wx))
+        yr = y.withColumn("__rn__", F.row_number().over(wy))
+        conds = [
+            (
+                F.abs(xr[c] - yr[c]) <= tolerance
+                if c in dbl and tolerance > 0
+                else xr[c].eqNullSafe(yr[c])
+            )
+            for c in x.columns
+        ]
+        pred = conds[0]
+        for c in conds[1:]:
+            pred = pred & c
+        matched = xr.join(yr, on="__rn__").filter(pred).count()
+        return True if matched == nx else (
+            f"Rows differ in order-paired comparison: {nx - matched} of {nx}"
+        )
+
+    def _dup(df) -> bool:
+        return (
+            df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1).limit(1).count() > 0
+        )
+
+    if tolerance > 0 and dbl:
+        tdup, cdup = _dup(x), _dup(y)
+        if tdup != cdup:
+            which = "target" if tdup else "current"
+            other = "current" if tdup else "target"
+            return (
+                f"Dataset '{which}' has duplicate rows while '{other}' doesn't"
+            )
+        if tdup:  # both: the reference forces tolerance to 0
+            tolerance = 0.0
+
+    if tolerance == 0 or not dbl:
+        if (
+            x.exceptAll(y).limit(1).count() == 0
+            and y.exceptAll(x).limit(1).count() == 0
+        ):
+            return True
+        return "Dataset 'current' has rows not present in 'target' (or vice versa)"
+
+    other = [c for c in x.columns if c not in dbl]
+    # explicit aliases: both sides may share lineage (comparing a frame
+    # with a recomputation of itself is the common call)
+    xa = x.alias("__t__")
+    ya = y.select(*x.columns).alias("__c__")
+    on = [
+        F.col(f"__t__.{c}").eqNullSafe(F.col(f"__c__.{c}")) for c in other
+    ] + [
+        F.abs(F.col(f"__t__.{c}") - F.col(f"__c__.{c}")) <= tolerance
+        for c in dbl
+    ]
+    pred = on[0]
+    for c in on[1:]:
+        pred = pred & c
+    x_matched = xa.join(ya, pred, "left_semi").count()
+    y_matched = ya.join(xa, pred, "left_semi").count()
+    if x_matched == nx and y_matched == ny:
+        return True
+    return (
+        f"Rows without a tolerance match: target {nx - x_matched}, "
+        f"current {ny - y_matched}"
     )

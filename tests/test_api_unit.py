@@ -1971,3 +1971,61 @@ def test_token_mixture_sample(spark):
 
     with pytest.raises(ValueError):
         token_mixture_sample(df, {}, group_col="source")
+
+
+def test_all_equal(spark):
+    """all.equal.data.table contract: True or a difference STRING;
+    structure checks first, key/order under check_attributes, multiset
+    compare unordered, tolerance pairing on duplicate-free doubles."""
+    from data_table_spark.operators.setops import all_equal
+
+    a = DT(spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0)], ["i", "s", "v"]
+    ))
+    b = DT(spark.createDataFrame(
+        [(2, "y", 2.0), (1, "x", 1.0)], ["i", "s", "v"]
+    ))
+    assert all_equal(a, b, ignore_row_order=True) is True
+    # same frame vs itself (shared lineage) through the tolerance path
+    assert all_equal(a, a, ignore_row_order=True) is True
+
+    # within / beyond tolerance
+    c = DT(spark.createDataFrame(
+        [(1, "x", 1.0 + 1e-12), (2, "y", 2.0)], ["i", "s", "v"]
+    ))
+    assert all_equal(a, c, ignore_row_order=True) is True
+    d = DT(spark.createDataFrame(
+        [(1, "x", 1.5), (2, "y", 2.0)], ["i", "s", "v"]
+    ))
+    r = all_equal(a, d, ignore_row_order=True)
+    assert isinstance(r, str) and "tolerance" in r
+
+    # structure differences come back as messages
+    e = DT(spark.createDataFrame([(1, "x")], ["i", "s"]))
+    r2 = all_equal(a, e)
+    assert "Different number of rows" in r2 and "columns" in r2
+    col_swap = DT(a.df.select("s", "i", "v"))
+    assert "column order" in all_equal(a, col_swap)
+    assert all_equal(a, col_swap, ignore_col_order=True,
+                     ignore_row_order=True) is True
+
+    # key mismatch under check_attributes; ignored without
+    k = DT(a.df, key=["i"])
+    assert "different keys" in all_equal(a, k, ignore_row_order=True)
+
+    # ordered comparison needs declared order on both sides
+    assert "declare" in all_equal(a, b)
+    ao = DT(a.df, order_by=["i"])
+    bo = DT(b.df, order_by=["i"])
+    assert all_equal(ao, bo) is True
+
+    # both sides duplicated + doubles: tolerance forced to 0 (exact)
+    dup = DT(spark.createDataFrame(
+        [(1, "x", 1.0), (1, "x", 1.0)], ["i", "s", "v"]
+    ))
+    dup2 = DT(spark.createDataFrame(
+        [(1, "x", 1.0), (1, "x", 1.0)], ["i", "s", "v"]
+    ))
+    assert all_equal(dup, dup2, ignore_row_order=True) is True
+    one_dup = all_equal(dup, a, ignore_row_order=True)
+    assert isinstance(one_dup, str)
