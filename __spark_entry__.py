@@ -35,30 +35,32 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Honest freshness state entering round 8 (latest driver row per query,
 # computed from CORRECTNESS_r01..r07): 50 queries r7, 46 r5, 46 r4,
-# 20 r3, and ivfpq_ann_topk never driver-checked. No query's latest
-# driver row is red. This round-8 window: (a) the 7 queries added or
-# physically changed this round — foverlaps_bucketed (new interval-
-# bucketed big-big overlap join) and the asof family + nafill_locf_nocb
-# (backward fills re-expressed as reversed running frames, fixing an
-# O(rows^2)-per-key unbounded-following frame), plus dup_ngram_spans
-# + dup_span_removal + pack_sequences (new pipeline ops; the
-# shingle-path siblings of the positional_ngrams refactor —
-# ngram_jaccard/jaccard_prefix/dedup_clusters/simhash/decontaminate —
-# are already in (c)/(d)) + stream_span_screen (streaming twin of the
-# span profile); (b) ivfpq_ann_topk
-# (never checked); (c) all 20 r3-latest queries; (d) 15 of the 46
-# r4-latest, alphabetical. After this window the oldest remaining
-# evidence is r4 (31 queries); round 9 takes those + the r5 tail.
+# 20 r3, and the round-8 additions never driver-checked. No query's
+# latest driver row is red. This window is rotate_window.py's output
+# for --new = the 17 queries added or physically changed this round:
+# the span-dedup family (dup_ngram_spans + removal/keepfirst +
+# stream_span_screen), pack_sequences, token_mixture_sample, the
+# bucketed big-big interval joins (foverlaps_bucketed,
+# inrange_bucketed), the asof family + nafill_locf_nocb (backward
+# fills re-expressed as reversed running frames, fixing an
+# O(rows^2)-per-key unbounded-following frame), and the late-round
+# trio kmeans_clusters / semdedup_prune / length_batches
+# (deterministic Lloyd's k-means, SemDeDup semantic dedup, and
+# length-bucketed loader batches). Then ivfpq_ann_topk (never
+# checked), all 20 r3-latest, and the oldest r4-latest alphabetical.
+# After this window the oldest remaining evidence is r4 (34 queries);
+# round 9 takes those plus the r5 tail.
 _PRIORITY = [
-    # (a) new or changed this round
+    # new or changed this round (rotate_window.py --new)
+    "kmeans_clusters", "semdedup_prune", "length_batches",
     "dup_ngram_spans", "dup_span_removal", "dup_span_removal_keepfirst",
     "pack_sequences", "stream_span_screen", "token_mixture_sample",
     "foverlaps_bucketed", "inrange_bucketed", "asof_roll_backward",
     "asof_roll_forward", "asof_roll_limit", "asof_roll_nearest",
     "asof_roll_rollends", "nafill_locf_nocb",
-    # (b) never driver-checked
+    # never driver-checked
     "ivfpq_ann_topk",
-    # (c) the complete r3-latest list (20)
+    # the complete r3-latest list (20)
     "ann_cosine_topk", "cogroup_udtf", "composite_pipeline",
     "dcast_margins", "dedup_clusters", "doc_fingerprint",
     "dogroups_udtf", "embedding_cosine_pairs", "embedding_dup_clusters",
@@ -66,12 +68,11 @@ _PRIORITY = [
     "multimodal_features", "ngram_jaccard_pairs", "salted_skew_agg",
     "simhash_pairs", "stream_stateful_stats", "stream_static_join",
     "token_counts",
-    # (d) oldest r4-latest refresh (alphabetical)
+    # oldest r4-latest refresh (alphabetical)
     "cbindlist_zip", "cumsum_running", "curation_pipeline",
     "date_round", "decontaminate_ngrams", "dedup_keep_best",
     "doc_chunking", "embedding_lsh_pairs", "fcoalesce_nafill",
     "fintersect_all", "frame_sample_counts", "froll_adaptive_minmax",
-    "froll_adaptive_sum", "fsetdiff_all", "gtail_per_group",
 ]
 
 

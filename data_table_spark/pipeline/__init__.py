@@ -50,6 +50,9 @@ from .similarity import (
     lsh_ann_topk,
     ivf_ann_topk,
     ivfpq_ann_topk,
+    kmeans_assign,
+    kmeans_clusters,
+    semdedup_prune,
 )
 from .curation import (
     decontaminate,
@@ -65,5 +68,6 @@ __all__ = [
     "simhash_pairs", "jaccard_prefix_pairs", "dedup_clusters",
     "cosine_topk", "cosine_pairs", "lsh_ann_topk", "ivf_ann_topk",
     "pq_ann_topk", "pq_encode", "ivfpq_ann_topk",
+    "kmeans_assign", "kmeans_clusters", "semdedup_prune",
     "decontaminate", "keep_best", "chunk_documents", "repetition_metrics",
 ]

@@ -39,6 +39,7 @@ __all__ = [
     "split_by_cluster",
     "shuffle_shards",
     "pack_sequences",
+    "batch_by_length",
     "chunk_documents_udtf",
 ]
 
@@ -514,6 +515,71 @@ def pack_sequences(
         F.expr(f"_prev DIV {int(budget)}").cast("long").alias("seq_id"),
         (F.col("_prev") % budget).cast("long").alias("seq_offset"),
         "n_tokens",
+    )
+
+
+def batch_by_length(
+    docs: DataFrame,
+    batch_size: int = 16,
+    n_shards: int = 4,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batch assignment — the loader step between
+    shuffling and collation: group documents of similar token length
+    into fixed-size batches so per-batch padding waste stays bounded
+    (batching a 10-token doc with a 4096-token doc pads 99.8% of the
+    short row). Output: (doc_id, n_tokens, bucket, shard, batch_id,
+    slot).
+
+    bucket = floor(log2(n_tokens)) computed EXACTLY as
+    length(bin(n_tokens)) - 1 — integer bit-length, not float log2,
+    which can flip at exact powers of two (both engines share the
+    bin() spelling). Within (bucket, shard) docs take the seeded-md5
+    order of `shuffle_shards` (same 48-bit prefix idiom), so the same
+    seed reproduces the same batches on any engine, cluster size, or
+    partitioning; batch_id/slot are exact bigint DIV/% of the in-
+    partition position.
+
+    Scale shape (100 TB): one narrow projection (tokens, bucket,
+    hash), then ONE shuffle on (bucket, shard) for the row_number
+    window. Buckets alone would hot-spot (few buckets, huge rows-per-
+    bucket), so the shard key splits each bucket into n_shards
+    independent single-task sorts — pick n_shards ~ corpus / 1 GB
+    exactly as for shuffle_shards. Tail batches (fewer than
+    batch_size rows) stay assigned; the loader drops or pads them."""
+    if batch_size < 1 or n_shards < 1:
+        raise ValueError("batch_size and n_shards must be >= 1")
+    h = F.md5(
+        F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string"))
+    )
+    d = spread(docs).select(
+        F.col(id_col),
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+        h.alias("_h"),
+    )
+    shard = (
+        F.conv(F.substring("_h", 1, 12), 16, 10).cast("long")
+        % int(n_shards)
+    ).alias("shard")
+    bucket = (F.length(F.bin(F.col("n_tokens"))) - 1).cast("int")
+    d = d.select(
+        id_col, "n_tokens", "_h", bucket.alias("bucket"), shard
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.col("_h"), F.col(id_col)
+    )
+    pos0 = F.row_number().over(w) - 1
+    return d.select(
+        id_col, "n_tokens", "bucket", "shard", pos0.alias("_p")
+    ).select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        "shard",
+        F.expr(f"_p DIV {int(batch_size)}").cast("long").alias("batch_id"),
+        (F.col("_p") % batch_size).cast("long").alias("slot"),
     )
 
 

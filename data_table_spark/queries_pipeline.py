@@ -1961,3 +1961,155 @@ def q_udtf_chunk_lateral(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return chunk_documents_udtf(t["documents"].df, size=32, overlap=8)
+
+
+# §pipeline: deterministic k-means + SemDeDup + length-bucketed batching
+
+# Unrolled Lloyd's CTE chain shared by the kmeans/semdedup oracles:
+# c0 = k lowest-id vectors; each round is argmin-assign (QUALIFY
+# row_number over (dist, cluster_id)) then a DECIMAL(18,6)-exact
+# per-dimension mean repacked with list(... ORDER BY pos). Two rounds
+# unrolled = the queries' n_iter=2 contract. Assignment portability
+# rests on the measured best-vs-second-best distance margin (8.2e-4 at
+# sf0.01, 2.7e-5 at sf0.1 — 7+ orders above the ~1e-12 double drift;
+# probed in tests/test_api_unit.py::test_kmeans_margin).
+_SQL_KMEANS_A2 = """
+  e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
+  ),
+  c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+             AS cluster_id,
+           v AS cent
+    FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+  ),
+  d1 AS (
+    SELECT e.vec_id, c0.cluster_id,
+           list_sum([(e.v[i]-c0.cent[i])*(e.v[i]-c0.cent[i])
+                     for i in range(1, len(e.v)+1)]) AS dist
+    FROM e CROSS JOIN c0
+  ),
+  a1 AS (
+    SELECT vec_id, cluster_id FROM d1
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist, cluster_id) = 1
+  ),
+  x1 AS (
+    SELECT a1.cluster_id, t.i AS pos, e.v[t.i] AS comp
+    FROM a1 JOIN e USING (vec_id)
+    CROSS JOIN generate_series(1, 64) AS t(i)
+  ),
+  c1 AS (
+    SELECT cluster_id, list(cm ORDER BY pos) AS cent
+    FROM (
+      SELECT cluster_id, pos,
+             CAST(SUM(CAST(comp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS cm
+      FROM x1 GROUP BY cluster_id, pos
+    ) GROUP BY cluster_id
+  ),
+  d2 AS (
+    SELECT e.vec_id, c1.cluster_id,
+           list_sum([(e.v[i]-c1.cent[i])*(e.v[i]-c1.cent[i])
+                     for i in range(1, len(e.v)+1)]) AS dist
+    FROM e CROSS JOIN c1
+  ),
+  a2 AS (
+    SELECT vec_id, cluster_id FROM d2
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist, cluster_id) = 1
+  )
+"""
+
+_SQL_KMEANS = f"""
+    WITH {_SQL_KMEANS_A2}
+    SELECT vec_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_n
+    FROM a2
+"""
+
+
+@query("kmeans_clusters", _SQL_KMEANS)
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic pure-DataFrame Lloyd's k-means (k=8, 2 unrolled
+    iterations): lowest-id init, decimal-exact centroid means, argmin
+    assignment with an id tiebreak — the first ITERATIVE algorithm in
+    the registry with a full value-hash oracle (the ml.KMeans-trained
+    ANN family carries recall contracts instead). All-integer output."""
+    from .pipeline.similarity import kmeans_clusters
+
+    t = load_tables(spark, sf_dir)
+    return kmeans_clusters(t["embeddings"].df, k=8, n_iter=2)
+
+
+_SQL_SEMDEDUP = f"""
+    WITH {_SQL_KMEANS_A2},
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    dup_b AS (
+      SELECT DISTINCT pb.vec_id AS vec_id
+      FROM a2 pa
+      JOIN a2 pb ON pa.cluster_id = pb.cluster_id
+                AND pa.vec_id < pb.vec_id
+      JOIN n na ON na.vec_id = pa.vec_id
+      JOIN n nb ON nb.vec_id = pb.vec_id
+      WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.4505
+    )
+    SELECT a2.vec_id, a2.cluster_id,
+           (a2.vec_id NOT IN (SELECT vec_id FROM dup_b)) AS kept
+    FROM a2
+"""
+
+
+@query("semdedup_prune", _SQL_SEMDEDUP)
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2023): k-means buckets
+    bound the pair space (quadratic only within a cluster), cosine >=
+    0.4505 (the measured-gap constant shared with cosine_pairs) marks
+    duplicates, keep-first (min vec_id) picks the survivor. Output is
+    id/bool-only — no float in the hash."""
+    from .pipeline.similarity import semdedup_prune
+
+    t = load_tables(spark, sf_dir)
+    return semdedup_prune(t["embeddings"].df, k=8, n_iter=2)
+
+
+_SQL_LENGTH_BATCHES = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    t AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS hh,
+             CAST(({_sql_md5_int("'42:' || CAST(doc_id AS VARCHAR)", 12)}) % 4
+                  AS BIGINT) AS shard
+      FROM toks),
+    b AS (
+      SELECT doc_id, n_tokens, hh, shard,
+             CAST(length(bin(n_tokens)) - 1 AS INT) AS bucket
+      FROM t),
+    p AS (
+      SELECT doc_id, n_tokens, bucket, shard,
+             row_number() OVER (PARTITION BY bucket, shard
+                                ORDER BY hh, doc_id) - 1 AS pos0
+      FROM b)
+    SELECT doc_id, n_tokens, bucket, shard,
+           CAST(pos0 // 16 AS BIGINT) AS batch_id,
+           CAST(pos0 % 16 AS BIGINT) AS slot
+    FROM p
+"""
+
+
+@query("length_batches", _SQL_LENGTH_BATCHES)
+def q_length_batches(spark, sf_dir):
+    """Length-bucketed batch assignment (padding-efficient loader
+    batches): exact integer bit-length buckets, seeded-md5 order
+    within (bucket, shard), exact bigint DIV/% batch ids. One shuffle
+    on the (bucket, shard) window key."""
+    from .pipeline.curation import batch_by_length
+
+    t = load_tables(spark, sf_dir)
+    return batch_by_length(
+        t["documents"].df, batch_size=16, n_shards=4, seed=42
+    )

@@ -2029,3 +2029,122 @@ def test_all_equal(spark):
     assert all_equal(dup, dup2, ignore_row_order=True) is True
     one_dup = all_equal(dup, a, ignore_row_order=True)
     assert isinstance(one_dup, str)
+
+
+def test_kmeans_deterministic_and_margin(spark, tables):
+    """kmeans_assign: (a) assignment is a true argmin vs a per-row
+    recheck; (b) the best-vs-second-best distance margin on the
+    synthetic embeddings is orders above double drift — the property
+    the cross-engine value-hash oracle rests on; (c) the packed
+    broadcast form is partition-invariant (repartitioned input gives
+    the same assignment)."""
+    import math
+
+    from data_table_spark.pipeline.similarity import kmeans_assign
+
+    emb = tables["embeddings"].df
+    asg = kmeans_assign(emb, k=8, n_iter=2)
+    rows = {r["vec_id"]: (r["cluster_id"], r["v"]) for r in asg.collect()}
+    assert len(rows) == emb.count()
+
+    # recompute the final centroids from the returned assignment the
+    # slow way and verify each vector's argmin (with id tiebreak)
+    by_c = {}
+    for cid, v in rows.values():
+        by_c.setdefault(cid, []).append(v)
+    # decimal-exact mean: sum of 6-dp-quantized components / count
+    cents = {}
+    for cid, vs in by_c.items():
+        n = len(vs)
+        cents[cid] = [
+            sum(round(v[i], 6) for v in vs) / n for i in range(64)
+        ]
+    min_margin = math.inf
+    for vid, (cid, v) in rows.items():
+        ds = sorted(
+            (sum((x - c[i]) ** 2 for i, x in enumerate(v)), k)
+            for k, c in cents.items()
+        )
+        # margin between best and second-best distance
+        min_margin = min(min_margin, ds[1][0] - ds[0][0])
+    assert min_margin > 1e-9, min_margin
+
+    rep = kmeans_assign(emb.repartition(7), k=8, n_iter=2)
+    rows2 = {r["vec_id"]: r["cluster_id"] for r in rep.collect()}
+    assert rows2 == {vid: cid for vid, (cid, _) in rows.items()}
+
+    with pytest.raises(ValueError):
+        kmeans_assign(emb, k=0)
+
+
+def test_semdedup_prune_keepfirst(spark):
+    """semdedup_prune on a constructed corpus: near-identical vectors
+    land in one cluster and only the lowest id survives; a same-cluster
+    vector below the threshold is kept; pruning never crosses
+    clusters."""
+    from data_table_spark.pipeline.similarity import semdedup_prune
+
+    def vec(base, eps=0.0):
+        v = [0.0] * 64
+        v[base] = 1.0
+        v[(base + 1) % 64] = eps
+        return v
+
+    rows = [
+        (0, vec(0), 0),          # cluster seed A
+        (1, vec(32), 0),         # cluster seed B
+        (2, vec(0, 0.01), 0),    # near-dup of 0 -> pruned
+        (3, vec(0, 0.02), 0),    # near-dup of 0 -> pruned
+        (4, vec(32, 0.01), 0),   # near-dup of 1 -> pruned
+        (5, vec(16), 0),         # orthogonal: same corpus, no dup
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["kept"])
+        for r in semdedup_prune(df, k=2, n_iter=2, threshold=0.9).collect()
+    }
+    assert len(out) == 6
+    kept = {vid for vid, (_, k) in out.items() if k}
+    pruned = {vid for vid, (_, k) in out.items() if not k}
+    assert {0, 1} <= kept and {2, 3, 4} <= pruned
+    # 5 is orthogonal to everything: kept regardless of its cluster
+    assert 5 in kept
+    # pruned vectors share their keeper's cluster
+    assert out[2][0] == out[0][0] and out[3][0] == out[0][0]
+    assert out[4][0] == out[1][0]
+
+
+def test_batch_by_length(spark):
+    """batch_by_length: exact bit-length buckets (power-of-two
+    boundaries), deterministic seeded layout, batches filled to
+    batch_size within (bucket, shard), slots dense from 0."""
+    from data_table_spark.pipeline.curation import batch_by_length
+
+    docs = [
+        (i, " ".join(f"w{j}" for j in range(n)))
+        for i, n in enumerate(
+            [1, 2, 3, 4, 7, 8, 9, 15, 16, 17, 31, 32, 33] + [10] * 40
+        )
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = batch_by_length(df, batch_size=4, n_shards=2).collect()
+    assert len(rows) == len(docs)
+    exp_bucket = {1: 0, 2: 1, 3: 1, 4: 2, 7: 2, 8: 3, 9: 3, 15: 3,
+                  16: 4, 17: 4, 31: 4, 32: 5, 33: 5, 10: 3}
+    groups = {}
+    for r in rows:
+        assert r["bucket"] == exp_bucket[r["n_tokens"]]
+        groups.setdefault((r["bucket"], r["shard"]), []).append(r)
+    for (_, _), rs in groups.items():
+        rs.sort(key=lambda r: (r["batch_id"], r["slot"]))
+        # positions are dense: batch_id/slot enumerate 0..n-1 in fours
+        for pos, r in enumerate(rs):
+            assert r["batch_id"] == pos // 4 and r["slot"] == pos % 4
+
+    again = batch_by_length(df.repartition(5), batch_size=4, n_shards=2)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+    with pytest.raises(ValueError):
+        batch_by_length(df, batch_size=0)

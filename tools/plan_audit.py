@@ -42,6 +42,10 @@ EXPECT_NESTED_LOOP = {
     # total (mixture plan table) are single-row aggregates
     # crossJoin-broadcast back; all other joins are equi-joins
     "bigram_lm_score", "mixture_sample",
+    # Lloyd's k-means: the centroid set is packed into ONE row and
+    # crossJoin-broadcast so assignment is a per-row projection (zero
+    # corpus shuffle); semdedup's pair join itself is equi on cluster_id
+    "kmeans_clusters", "semdedup_prune",
 }
 
 SKIP = {  # fread writes files
