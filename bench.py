@@ -62,6 +62,7 @@ HEADLINE = [
     "transpose_medium",   # distributed transpose
     "stream_tumbling_agg",  # streaming micro-batch (tumbling window agg)
     "dup_ngram_spans",    # duplicated-span profile (substring-dedup family)
+    "kmeans_clusters",    # deterministic Lloyd's k-means (iterative clustering)
 ]
 
 # The headline set was 14 queries through BENCH_r07; the legacy subtotal

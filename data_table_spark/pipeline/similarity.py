@@ -969,8 +969,47 @@ def _assign_packed(c: DataFrame, packed: DataFrame) -> DataFrame:
     )
 
 
+def _assign_batch(c: DataFrame, cents: DataFrame) -> DataFrame:
+    """Arrow-batched argmin assignment — the big-k scale path. The
+    fold form does k·dim INTERPRETED ops per row (fine at k=8; at
+    k=800 that is ~50k ops/row and the assignment stage crawls); this
+    path collects the centroids (k·dim scalars — the same per-
+    iteration driver sync MLlib's treeAggregate does) and computes
+    every batch's distances as ONE BLAS matmul. Ties broken by lowest
+    cluster_id (np.argmin returns the first minimum; rows are ordered
+    by cluster_id). Distance drift vs the fold is summation-order
+    ulps (~1e-13 relative) — far inside the measured assignment
+    margins (SCALE.md), so both paths return the same assignment;
+    pinned by tests/test_api_unit.py::test_kmeans_batched_equivalence."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(
+        (r["cluster_id"], r["cent"]) for r in cents.collect()
+    )
+    ids = np.array([cid for cid, _ in rows], dtype=np.int32)
+    m = np.array([cent for _, cent in rows], dtype=np.float64)  # k×d
+    m_sq = np.einsum("ij,ij->i", m, m)  # |c|² per centroid
+
+    @pandas_udf("int")
+    def _argmin(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.stack(vs.to_numpy()).astype(np.float64)  # b×d
+        # |x-c|² = |x|² - 2x·c + |c|²; |x|² is row-constant → argmin
+        # over (-2x·c + |c|²) suffices and skips the per-row self-dot
+        d = -2.0 * (x @ m.T) + m_sq
+        return pd.Series(ids[np.argmin(d, axis=1)])
+
+    return c.select("vec_id", "v", _argmin(F.col("v")).alias("cluster_id"))
+
+
 def kmeans_assign(
-    emb: DataFrame, k: int = 8, n_iter: int = 2, dim: int = 64
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    batched: bool = False,
 ) -> DataFrame:
     """Pure-DataFrame Lloyd's k-means — deterministic and exactly
     SQL-replayable, unlike the seeded `pyspark.ml` KMeans the IVF/PQ
@@ -997,9 +1036,11 @@ def kmeans_assign(
     the corpus (the broadcast 1-row centroid pack makes assignment a
     projection — no corpus shuffle, no driver collect) plus one
     partial-aggregated groupBy(cluster, dim) whose output is k·dim
-    rows. The per-row assignment cost is k·dim interpreted HOF ops;
-    at extreme k·dim an Arrow-batched argmin UDF is the constant-
-    factor upgrade (same contract), mirroring `_norm_batch`.
+    rows. The per-row assignment cost is k·dim interpreted HOF ops —
+    fine at gate-sized k; for big-k (SemDeDup's k ∝ n regime) pass
+    ``batched=True`` for the Arrow/BLAS argmin (`_assign_batch`):
+    same assignment (drift ≪ the measured margins), one k·dim-scalar
+    driver sync per iteration, mirroring `_norm_batch`.
     Empty clusters stay empty (they drop out of the pack), matching
     the unrolled oracle. No reference analog — data.table has no
     clustering surface; this is pipeline infrastructure (IVF training,
@@ -1026,7 +1067,10 @@ def kmeans_assign(
     )
     asg = None
     for _ in range(n_iter):
-        asg = _assign_packed(c, _pack_centroids(cents))
+        if batched:
+            asg = _assign_batch(c, cents)
+        else:
+            asg = _assign_packed(c, _pack_centroids(cents))
         cents = (
             asg.select("cluster_id", F.posexplode("v").alias("pos", "comp"))
             .groupBy("cluster_id", "pos")
@@ -1070,6 +1114,7 @@ def semdedup_prune(
     n_iter: int = 2,
     threshold: float = 0.4505,
     dim: int = 64,
+    batched: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:
     2303.09540): k-means-cluster the embeddings, then mark a document
@@ -1094,9 +1139,13 @@ def semdedup_prune(
     pair sides (bounded: the assignment is two narrow corpus passes);
     a 100 TB run would persist/checkpoint `kmeans_assign`'s output
     once before the pair join — identical semantics, same plan below
-    the scan."""
-    asg = kmeans_assign(emb, k=k, n_iter=n_iter, dim=dim)
-    n = asg.withColumn("nrm", norm(F.col("v")))
+    the scan. ``batched=True`` selects the Arrow/BLAS k-means
+    assignment — the right path for the big-k (k ∝ n) regime this
+    operator runs in at scale."""
+    asg = kmeans_assign(emb, k=k, n_iter=n_iter, dim=dim, batched=batched)
+    n = asg.withColumn(
+        "nrm", (_norm_batch() if batched else norm)(F.col("v"))
+    )
     a = n.select(
         F.col("vec_id").alias("vec_a"),
         F.col("cluster_id").alias("ca"),
@@ -1109,7 +1158,12 @@ def semdedup_prune(
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    if batched:
+        cos = _pair_cosine_batch()(
+            F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+        )
+    else:
+        cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     dup_b = (
         a.join(
             b,
