@@ -59,6 +59,7 @@ from .curation import (
     keep_best,
     chunk_documents,
     repetition_metrics,
+    dsir_select,
 )
 
 __all__ = [
@@ -70,4 +71,5 @@ __all__ = [
     "pq_ann_topk", "pq_encode", "ivfpq_ann_topk",
     "kmeans_assign", "kmeans_clusters", "semdedup_prune",
     "decontaminate", "keep_best", "chunk_documents", "repetition_metrics",
+    "dsir_select",
 ]

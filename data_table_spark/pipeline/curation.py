@@ -40,6 +40,7 @@ __all__ = [
     "shuffle_shards",
     "pack_sequences",
     "batch_by_length",
+    "dsir_select",
     "chunk_documents_udtf",
 ]
 
@@ -580,6 +581,118 @@ def batch_by_length(
         "shard",
         F.expr(f"_p DIV {int(batch_size)}").cast("long").alias("batch_id"),
         (F.col("_p") % batch_size).cast("long").alias("slot"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 10000,
+    keep_top: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    rank raw documents by hashed-n-gram importance weights toward a
+    TARGET distribution — the data-selection step between quality
+    filtering (absolute) and mixture sampling (per-source): "make the
+    kept corpus look like the target" rather than "keep good docs" or
+    "hit source shares". Output: (doc_id, n_feats, dsir_micro, kept).
+
+    Model: word unigrams + bigrams hashed into `n_buckets` buckets
+    (the md5-prefix integer idiom — engine-portable, unlike xxhash);
+    per-bucket add-one log-likelihood ratio
+        λ_b = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B))
+    with each ln SEPARATELY quantized to integer micro-nats
+    (round(ln·1e6) — the bigram_lm_scores convention, so the only
+    cross-engine float op is one ln-rounding per count and every
+    downstream product/sum/difference is exact bigint); a document's
+    weight is the exact Σ k_g·λ_b over its gram occurrences. `kept`
+    marks the top `keep_top` weights (ties broken by id) — the output
+    carries NO floats at all.
+
+    Scale shape (100 TB): gram assembly is the codegen posexplode +
+    lead-window encoding (one doc_id shuffle); bucket counts are two
+    map-side-combined aggregates whose shuffles carry at most
+    n_buckets rows each; λ is an n_buckets-row table BROADCAST to the
+    per-doc scoring join; T/R are 1-row aggregates crossJoin-broadcast
+    back (the repo's tiny-stats idiom). The top-N flag here is one
+    global rank window (fine for gate-sized outputs); at corpus scale
+    the selection threshold comes from a quantile of the weight
+    distribution broadcast as a scalar — same contract, no global
+    sort."""
+    if n_buckets < 1 or keep_top < 0:
+        raise ValueError("n_buckets must be >= 1 and keep_top >= 0")
+
+    def grams(df: DataFrame) -> DataFrame:
+        tok = spread(df).select(
+            F.col(id_col),
+            F.posexplode(tokens_col(text_col)).alias("pos", "w"),
+        )
+        w = Window.partitionBy(id_col).orderBy("pos")
+        uni = tok.select(id_col, F.col("w").alias("g"))
+        bi = (
+            tok.select(
+                id_col,
+                F.concat_ws(
+                    " ", F.col("w"), F.lead("w").over(w)
+                ).alias("g"),
+                F.lead("w").over(w).alias("_w2"),
+            )
+            .filter(F.col("_w2").isNotNull())
+            .select(id_col, "g")
+        )
+        b = (
+            F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long")
+            % int(n_buckets)
+        )
+        return uni.unionAll(bi).select(id_col, b.alias("b"))
+
+    raw_g = grams(docs)
+    tgt_g = grams(target)
+    raw_c = raw_g.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    tgt_c = tgt_g.groupBy("b").agg(F.count(F.lit(1)).alias("t"))
+    tot = raw_g.agg(F.count(F.lit(1)).alias("rr")).crossJoin(
+        tgt_g.agg(F.count(F.lit(1)).alias("tt"))
+    )
+
+    def micro_ln(num, den):
+        return (
+            F.round(F.log(num.cast("double") / den.cast("double")) * 1e6, 0)
+            .cast("long")
+        )
+
+    lam = (
+        raw_c.join(tgt_c, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                micro_ln(
+                    F.coalesce(F.col("t"), F.lit(0)) + 1,
+                    F.col("tt") + F.lit(int(n_buckets)),
+                )
+                - micro_ln(
+                    F.col("r") + 1, F.col("rr") + F.lit(int(n_buckets))
+                )
+            ).alias("lam"),
+        )
+    )
+    db = raw_g.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("k"))
+    sc = (
+        db.join(F.broadcast(lam), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").cast("long").alias("n_feats"),
+            F.sum(F.col("k") * F.col("lam")).cast("long").alias("dsir_micro"),
+        )
+    )
+    wr = Window.orderBy(F.desc("dsir_micro"), F.col(id_col))
+    return sc.select(
+        id_col,
+        "n_feats",
+        "dsir_micro",
+        (F.row_number().over(wr) <= int(keep_top)).alias("kept"),
     )
 
 

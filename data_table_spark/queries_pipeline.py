@@ -2113,3 +2113,59 @@ def q_length_batches(spark, sf_dir):
     return batch_by_length(
         t["documents"].df, batch_size=16, n_shards=4, seed=42
     )
+
+
+_SQL_DSIR = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), ' +') AS toks
+      FROM documents),
+    uni AS (SELECT doc_id, lang, unnest(toks) AS g FROM toks),
+    bi AS (
+      SELECT doc_id, lang,
+             unnest([toks[i] || ' ' || toks[i+1]
+                     for i in range(1, len(toks))]) AS g
+      FROM toks WHERE len(toks) >= 2),
+    gr AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    bk AS (
+      SELECT doc_id, lang,
+             CAST(({_sql_md5_int("g", 12)}) % 10000 AS BIGINT) AS b
+      FROM gr),
+    raw AS (SELECT b, COUNT(*) AS r FROM bk GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS t FROM bk WHERE lang = 'en' GROUP BY b),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM bk) AS rr,
+             (SELECT COUNT(*) FROM bk WHERE lang = 'en') AS tt),
+    lam AS (
+      SELECT raw.b,
+             CAST(round(ln((COALESCE(t, 0) + 1)::DOUBLE
+                           / (tt + 10000)::DOUBLE) * 1e6, 0) AS BIGINT)
+           - CAST(round(ln((r + 1)::DOUBLE
+                           / (rr + 10000)::DOUBLE) * 1e6, 0) AS BIGINT)
+               AS lam
+      FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+    db AS (SELECT doc_id, b, COUNT(*) AS k FROM bk GROUP BY 1, 2),
+    sc AS (
+      SELECT doc_id, SUM(k) AS n_feats, SUM(k * lam) AS s
+      FROM db JOIN lam USING (b) GROUP BY doc_id)
+    SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+           CAST(s AS BIGINT) AS dsir_micro,
+           (row_number() OVER (ORDER BY s DESC, doc_id) <= 100) AS kept
+    FROM sc
+"""
+
+
+@query("dsir_select", _SQL_DSIR)
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    importance weights toward the English-document target — per-bucket
+    add-one log-likelihood ratios in separately-quantized integer
+    micro-nats (the bigram_lm convention), exact bigint doc weights,
+    top-100 kept flag. No float in the output."""
+    from .pipeline.curation import dsir_select
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].df
+    return dsir_select(
+        docs, docs.filter(F.col("lang") == "en"),
+        n_buckets=10000, keep_top=100,
+    )

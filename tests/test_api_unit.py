@@ -2181,3 +2181,28 @@ def test_kmeans_batched_equivalence(spark, tables):
         )
     )
     assert sd_fold == sd_blas
+
+
+def test_dsir_select(spark):
+    """dsir_select on a constructed corpus with disjoint vocabularies:
+    documents sharing the target's vocabulary must outscore documents
+    that don't; weights are exact integers; keep_top flags exactly
+    that many docs with the (weight desc, id) tiebreak."""
+    from data_table_spark.pipeline.curation import dsir_select
+
+    tgt_like = [(i, "alpha beta gamma delta " * 3) for i in range(4)]
+    raw_only = [(i, "omega psi chi phi " * 3) for i in range(4, 10)]
+    docs = spark.createDataFrame(tgt_like + raw_only, ["doc_id", "text"])
+    target = docs.filter(F.col("doc_id") < 4)
+    out = dsir_select(docs, target, n_buckets=1000, keep_top=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 10
+    tgt_scores = [rows[i]["dsir_micro"] for i in range(4)]
+    raw_scores = [rows[i]["dsir_micro"] for i in range(4, 10)]
+    assert min(tgt_scores) > max(raw_scores)
+    kept = {i for i, r in rows.items() if r["kept"]}
+    assert kept == {0, 1, 2, 3}
+    assert all(isinstance(r["dsir_micro"], int) for r in rows.values())
+
+    with pytest.raises(ValueError):
+        dsir_select(docs, target, n_buckets=0)

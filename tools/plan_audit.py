@@ -46,6 +46,9 @@ EXPECT_NESTED_LOOP = {
     # crossJoin-broadcast so assignment is a per-row projection (zero
     # corpus shuffle); semdedup's pair join itself is equi on cluster_id
     "kmeans_clusters", "semdedup_prune",
+    # DSIR: the R/T gram totals are a 1x1-row crossJoin broadcast (the
+    # tiny-stats idiom); scoring joins are equi on the hash bucket
+    "dsir_select",
 }
 
 SKIP = {  # fread writes files
