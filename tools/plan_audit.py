@@ -41,7 +41,7 @@ EXPECT_NESTED_LOOP = {
     # same 1-row-stats shape: vocabulary size V (bigram LM) / corpus
     # total (mixture plan table) are single-row aggregates
     # crossJoin-broadcast back; all other joins are equi-joins
-    "bigram_lm_score", "mixture_sample",
+    "bigram_lm_score", "mixture_sample", "token_mixture_sample",
     # Lloyd's k-means: the centroid set is packed into ONE row and
     # crossJoin-broadcast so assignment is a per-row projection (zero
     # corpus shuffle); semdedup's pair join itself is equi on cluster_id
