@@ -60,6 +60,7 @@ from .curation import (
     chunk_documents,
     repetition_metrics,
     dsir_select,
+    decontaminate_bloom,
 )
 
 __all__ = [
@@ -71,5 +72,5 @@ __all__ = [
     "pq_ann_topk", "pq_encode", "ivfpq_ann_topk",
     "kmeans_assign", "kmeans_clusters", "semdedup_prune",
     "decontaminate", "keep_best", "chunk_documents", "repetition_metrics",
-    "dsir_select",
+    "dsir_select", "decontaminate_bloom",
 ]

@@ -41,6 +41,7 @@ __all__ = [
     "pack_sequences",
     "batch_by_length",
     "dsir_select",
+    "decontaminate_bloom",
     "chunk_documents_udtf",
 ]
 
@@ -65,6 +66,106 @@ def decontaminate(
     bg = shingle_rows(benchmark, n).select("s").distinct()
     return (
         cg.join(F.broadcast(bg), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """`decontaminate` with a Bloom-filter PRESCREEN — the posture for
+    when the benchmark gram set is too large to broadcast as exact
+    strings (a 100 TB pipeline decontaminating against many eval
+    suites at n=13 can hold hundreds of millions of grams; the exact
+    set is GBs of strings, the Bloom bitmap is m_bits/8 bytes — 128 KB
+    at the default 2^20). Final semantics are IDENTICAL to
+    `decontaminate` (same (doc_id, n_shared_grams) rows): the Bloom
+    pass can only admit false positives and the exact verify removes
+    them, so this query shares decontaminate's oracle bit-for-bit.
+
+    Construction is fully relational — Spark exposes no public
+    bloom_filter_agg, and none is needed:
+    - benchmark grams hash to `n_hashes` bit positions each (the
+      md5-prefix integer idiom, j-prefixed per hash — deterministic,
+      engine-free of RNG);
+    - bits pack into 64-bit words with ONE bit_or aggregation; a
+      range-join against spark.range(m_bits/64) zero-fills absent
+      words and a single collect_list packs the dense bitmap as ONE
+      array<long> row (the tiny-stats crossJoin-broadcast idiom);
+    - the corpus probe is pure codegen: each gram re-derives its
+      n_hashes positions and AND-tests `(bm[pos DIV 64] >> (pos % 64))
+      & 1` — array indexing into the broadcast bitmap, no join, no
+      corpus shuffle;
+    - survivors (exact matches + Bloom false positives, expected rate
+      ~(1-e^{-hn/m})^h) carry forward to the exact equi-join on the
+      gram — now a SHUFFLE join whose corpus side is only the
+      candidates, instead of a broadcast of the full gram set.
+
+    The two-stage shape trades one broadcast of strings for one
+    broadcast of a fixed-size bitmap plus a candidate-only shuffle —
+    at a 0.1% candidate rate the exact join touches 1/1000th of the
+    corpus grams."""
+    if m_bits % 64 != 0 or m_bits < 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    n_words = m_bits // 64
+
+    # SQL-string forms: the bit shifts need column-valued shift
+    # amounts, which the Python shiftleft/shiftright helpers don't
+    # accept — expr() does
+    def pos_sql(j: int) -> str:
+        return (
+            f"CAST(conv(substring(md5(concat('{j}:', s)), 1, 12), 16, 10)"
+            f" AS BIGINT) % {int(m_bits)}"
+        )
+
+    cg = shingle_rows(corpus, n)
+    bg = shingle_rows(benchmark, n).select("s").distinct()
+
+    bits = bg.select(
+        F.explode(
+            F.array(*[F.expr(pos_sql(j)) for j in range(n_hashes)])
+        ).alias("bit")
+    ).distinct()
+    words = bits.select(
+        F.expr("bit DIV 64").cast("long").alias("word"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))"
+        ).alias("mask"),
+    ).groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    wseq = corpus.sparkSession.range(n_words).select(
+        F.col("id").cast("long").alias("word")
+    )
+    bitmap = (
+        wseq.join(words, "word", "left")
+        .select("word", F.coalesce(F.col("bits"), F.lit(0).cast("long")).alias("bits"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word", "bits"))),
+                lambda s: s["bits"],
+            ).alias("bm")
+        )
+    )
+
+    probe = None
+    for j in range(n_hashes):
+        p = pos_sql(j)
+        hit = F.expr(
+            f"(shiftright(element_at(bm, CAST(({p}) DIV 64 AS INT) + 1),"
+            f" CAST(({p}) % 64 AS INT)) & 1) = 1"
+        )
+        probe = hit if probe is None else (probe & hit)
+    candidates = (
+        cg.crossJoin(F.broadcast(bitmap)).filter(probe).select("doc_id", "s")
+    )
+    return (
+        candidates.join(bg, "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
     )

@@ -2169,3 +2169,22 @@ def q_dsir_select(spark, sf_dir):
         docs, docs.filter(F.col("lang") == "en"),
         n_buckets=10000, keep_top=100,
     )
+
+
+@query("decontaminate_bloom", _SQL_DECONTAMINATE)
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prescreened decontamination, SAME oracle as
+    decontaminate_ngrams: the relational Bloom filter (md5 bit
+    positions -> bit_or word packing -> one broadcast bitmap row) can
+    only ADMIT false positives and the exact verify join removes them,
+    so the output is bit-identical to the broadcast-exact form. The
+    posture for benchmark gram sets too large to broadcast as strings:
+    a fixed 128 KB bitmap broadcast + a candidates-only shuffle join
+    replace the full gram-set broadcast."""
+    from .pipeline.curation import decontaminate_bloom
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].df
+    corpus = docs.filter(F.col("doc_id") % 53 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 53 == 0)
+    return decontaminate_bloom(corpus, benchmark, n=4)

@@ -2206,3 +2206,34 @@ def test_dsir_select(spark):
 
     with pytest.raises(ValueError):
         dsir_select(docs, target, n_buckets=0)
+
+
+def test_decontaminate_bloom_matches_exact(spark, tables):
+    """decontaminate_bloom == decontaminate bit-for-bit (the Bloom
+    prescreen admits only false positives; exact verify removes them),
+    across bitmap sizes including an undersized filter that forces a
+    high false-positive rate through the verify stage."""
+    from data_table_spark.pipeline.curation import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = tables["documents"].df
+    corpus = docs.filter(F.col("doc_id") % 53 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 53 == 0)
+    exact = sorted(map(tuple, decontaminate(corpus, benchmark, n=4).collect()))
+    for m_bits in (1 << 20, 256):  # 256 bits ~ saturated filter
+        bloom = sorted(
+            map(
+                tuple,
+                decontaminate_bloom(
+                    corpus, benchmark, n=4, m_bits=m_bits
+                ).collect(),
+            )
+        )
+        assert bloom == exact, m_bits
+
+    with pytest.raises(ValueError):
+        decontaminate_bloom(corpus, benchmark, m_bits=100)
+    with pytest.raises(ValueError):
+        decontaminate_bloom(corpus, benchmark, n_hashes=0)

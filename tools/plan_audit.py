@@ -49,6 +49,9 @@ EXPECT_NESTED_LOOP = {
     # DSIR: the R/T gram totals are a 1x1-row crossJoin broadcast (the
     # tiny-stats idiom); scoring joins are equi on the hash bucket
     "dsir_select",
+    # Bloom decontamination: the packed bitmap is ONE broadcast row
+    # crossJoined to the corpus probe; the verify join is equi on gram
+    "decontaminate_bloom",
 }
 
 SKIP = {  # fread writes files
