@@ -30,6 +30,7 @@ from .text import (
     text_quality,
     token_counts,
     doc_fingerprint,
+    heavy_hitters_cm,
 )
 from .dedup import (
     dedup_exact,
@@ -72,5 +73,5 @@ __all__ = [
     "pq_ann_topk", "pq_encode", "ivfpq_ann_topk",
     "kmeans_assign", "kmeans_clusters", "semdedup_prune",
     "decontaminate", "keep_best", "chunk_documents", "repetition_metrics",
-    "dsir_select", "decontaminate_bloom",
+    "dsir_select", "decontaminate_bloom", "heavy_hitters_cm",
 ]

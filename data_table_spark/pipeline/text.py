@@ -419,3 +419,98 @@ def bigram_lm_scores(
             ).alias("avg_lp"),
         )
     )
+
+
+def heavy_hitters_cm(
+    df: DataFrame,
+    phi_permille: int = 5,
+    d: int = 3,
+    w: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Heavy hitters (tokens with frequency >= phi·N) via a Count-Min
+    prescreen + exact verify — the mergeable-sketch route to frequent
+    items when the token TYPE space is too large to shuffle whole
+    (vocab_topk's exact groupBy shuffles every distinct token; web-
+    scale token/n-gram spaces run to billions of types). Output:
+    (token, n) — EXACT, so the oracle is the plain HAVING query.
+
+    Two passes, both with bounded shuffles:
+    1. sketch: each occurrence maps to d md5-derived buckets; ONE
+       map-side-combined aggregation builds the d×w counter table
+       (≤ d·w rows shuffle regardless of corpus size), packed into a
+       single broadcast array row exactly like decontaminate_bloom's
+       bitmap. N rides the same 1-row-stats idiom.
+    2. probe + verify: occurrences re-scan, the CM estimate
+       (min over d counters — array indexing, pure codegen) filters
+       MAP-SIDE; only candidate occurrences reach the exact groupBy,
+       and a final HAVING drops CM false positives. CM never
+       underestimates, so no true heavy hitter is lost — the same
+       admits-only-false-positives contract as the Bloom prescreen.
+
+    The threshold is exact integer arithmetic: thr = ceil(phi·N) =
+    (N·phi_permille + 999) DIV 1000 — no float reaches a comparison.
+    At the default d=3, w=1024 the sketch state is 24 KB; errors obey
+    est ≤ true + e·N/w per row with probability 1−e^−d (Cormode &
+    Muthukrishnan 2005)."""
+    if not (1 <= phi_permille <= 1000):
+        raise ValueError("phi_permille must be in [1, 1000]")
+    if d < 1 or w < 1:
+        raise ValueError("d and w must be >= 1")
+    from .dedup import spread
+
+    tok = spread(df).select(
+        F.explode(tokens_col(text_col)).alias("w_")
+    )
+
+    def slot_sql(j: int) -> str:
+        # flat index into the packed d×w counter array
+        return (
+            f"{j} * {int(w)} + CAST(conv(substring(md5(concat('{j}:', w_)),"
+            f" 1, 12), 16, 10) AS BIGINT) % {int(w)}"
+        )
+
+    slots = tok.select(
+        F.explode(
+            F.array(*[F.expr(slot_sql(j)) for j in range(d)])
+        ).alias("slot")
+    )
+    counters = slots.groupBy("slot").agg(F.count(F.lit(1)).alias("c"))
+    sseq = df.sparkSession.range(d * w).select(
+        F.col("id").cast("long").alias("slot")
+    )
+    packed = (
+        sseq.join(counters, "slot", "left")
+        .select("slot", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("slot", "c"))),
+                lambda s: s["c"],
+            ).alias("cm")
+        )
+    )
+    n_tot = tok.agg(F.count(F.lit(1)).alias("n_tot"))
+    thr = F.expr(f"(n_tot * {int(phi_permille)} + 999) DIV 1000")
+
+    est = F.least(
+        *[
+            F.expr(f"element_at(cm, CAST(({slot_sql(j)}) AS INT) + 1)")
+            for j in range(d)
+        ]
+    )
+    candidates = (
+        tok.crossJoin(F.broadcast(packed))
+        .crossJoin(F.broadcast(n_tot))
+        .filter(est >= thr)
+        .select(F.col("w_").alias("token"))
+    )
+    return (
+        candidates.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(n_tot))
+        .filter(
+            F.col("n")
+            >= F.expr(f"(n_tot * {int(phi_permille)} + 999) DIV 1000")
+        )
+        .select("token", "n")
+    )

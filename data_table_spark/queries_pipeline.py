@@ -2188,3 +2188,29 @@ def q_decontaminate_bloom(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 53 != 0)
     benchmark = docs.filter(F.col("doc_id") % 53 == 0)
     return decontaminate_bloom(corpus, benchmark, n=4)
+
+
+_SQL_HEAVY_HITTERS = """
+    WITH ex AS (
+      SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS token
+      FROM documents),
+    tot AS (SELECT COUNT(*) AS n_tot FROM ex)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex CROSS JOIN tot
+    GROUP BY token, n_tot
+    HAVING COUNT(*) >= (n_tot * 5 + 999) // 1000
+"""
+
+
+@query("heavy_hitters_cm", _SQL_HEAVY_HITTERS)
+def q_heavy_hitters_cm(spark, sf_dir):
+    """Count-Min-prescreened heavy hitters (phi = 5 per mille): the
+    d x w counter sketch bounds the counting shuffle to d*w rows, the
+    min-estimate filters occurrences map-side, and the exact verify
+    drops CM false positives -- output exactly the plain HAVING query
+    (CM never underestimates, so no true heavy hitter is lost).
+    Exact-integer threshold arithmetic throughout."""
+    from .pipeline.text import heavy_hitters_cm
+
+    t = load_tables(spark, sf_dir)
+    return heavy_hitters_cm(t["documents"].df, phi_permille=5)

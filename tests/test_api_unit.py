@@ -2237,3 +2237,37 @@ def test_decontaminate_bloom_matches_exact(spark, tables):
         decontaminate_bloom(corpus, benchmark, m_bits=100)
     with pytest.raises(ValueError):
         decontaminate_bloom(corpus, benchmark, n_hashes=0)
+
+
+def test_heavy_hitters_cm(spark, tables):
+    """heavy_hitters_cm == the exact HAVING query, including under a
+    saturated w=4 sketch (false positives flood the prescreen; the
+    verify removes every one)."""
+    from data_table_spark.pipeline.text import heavy_hitters_cm
+
+    docs = tables["documents"].df
+    ex = (
+        docs.select(F.explode(F.split(F.trim("text"), " +")).alias("t"))
+        .groupBy("t")
+        .count()
+    )
+    n_tot = ex.agg(F.sum("count")).collect()[0][0]
+    thr = (n_tot * 5 + 999) // 1000
+    exact = sorted(
+        (r["t"], r["count"])
+        for r in ex.collect()
+        if r["count"] >= thr
+    )
+    for w in (1024, 4):
+        got = sorted(
+            map(
+                tuple,
+                heavy_hitters_cm(docs, phi_permille=5, w=w).collect(),
+            )
+        )
+        assert got == exact, w
+
+    with pytest.raises(ValueError):
+        heavy_hitters_cm(docs, phi_permille=0)
+    with pytest.raises(ValueError):
+        heavy_hitters_cm(docs, w=0)

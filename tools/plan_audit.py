@@ -52,6 +52,9 @@ EXPECT_NESTED_LOOP = {
     # Bloom decontamination: the packed bitmap is ONE broadcast row
     # crossJoined to the corpus probe; the verify join is equi on gram
     "decontaminate_bloom",
+    # Count-Min heavy hitters: the packed d*w counter array and the
+    # N total are 1-row broadcast crossJoins; no pair-space join exists
+    "heavy_hitters_cm",
 }
 
 SKIP = {  # fread writes files
