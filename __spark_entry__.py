@@ -37,23 +37,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # computed from CORRECTNESS_r01..r07): 50 queries r7, 46 r5, 46 r4,
 # 20 r3, and the round-8 additions never driver-checked. No query's
 # latest driver row is red. This window is rotate_window.py's output
-# for --new = the 20 queries added or physically changed this round:
+# for --new = the 22 queries added or physically changed this round:
 # the span-dedup family (dup_ngram_spans + removal/keepfirst +
 # stream_span_screen), pack_sequences, token_mixture_sample, the
 # bucketed big-big interval joins (foverlaps_bucketed,
 # inrange_bucketed), the asof family + nafill_locf_nocb (backward
 # fills re-expressed as reversed running frames, fixing an
 # O(rows^2)-per-key unbounded-following frame), and the late-round
-# additions heavy_hitters_cm / decontaminate_bloom / dsir_select /
-# kmeans_clusters / semdedup_prune / length_batches (Count-Min
+# additions quality_quantile_filter / sample_n_per_source /
+# heavy_hitters_cm / decontaminate_bloom / dsir_select /
+# kmeans_clusters / semdedup_prune / length_batches (per-source
+# quality-quantile filter, fixed-count per-group sample, Count-Min
 # heavy hitters, Bloom-prescreened decontamination, DSIR importance
 # selection, deterministic Lloyd's k-means, SemDeDup semantic dedup,
 # and length-bucketed loader batches). Then ivfpq_ann_topk (never
 # checked), all 20 r3-latest, and the oldest r4-latest alphabetical.
-# After this window the oldest remaining evidence is r4 (37 queries);
+# After this window the oldest remaining evidence is r4 (39 queries);
 # round 9 takes those plus the r5 tail.
 _PRIORITY = [
     # new or changed this round (rotate_window.py --new)
+    "quality_quantile_filter", "sample_n_per_source",
     "heavy_hitters_cm", "decontaminate_bloom", "dsir_select",
     "kmeans_clusters", "semdedup_prune", "length_batches",
     "dup_ngram_spans", "dup_span_removal", "dup_span_removal_keepfirst",
@@ -74,7 +77,7 @@ _PRIORITY = [
     # oldest r4-latest refresh (alphabetical)
     "cbindlist_zip", "cumsum_running", "curation_pipeline",
     "date_round", "decontaminate_ngrams", "dedup_keep_best",
-    "doc_chunking", "embedding_lsh_pairs", "fcoalesce_nafill",
+    "doc_chunking",
 ]
 
 

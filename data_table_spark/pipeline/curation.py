@@ -42,6 +42,8 @@ __all__ = [
     "batch_by_length",
     "dsir_select",
     "decontaminate_bloom",
+    "quality_quantile_filter",
+    "sample_n_per_group",
     "chunk_documents_udtf",
 ]
 
@@ -794,6 +796,82 @@ def dsir_select(
         "n_feats",
         "dsir_micro",
         (F.row_number().over(wr) <= int(keep_top)).alias("kept"),
+    )
+
+
+def quality_quantile_filter(
+    docs: DataFrame,
+    keep_pct: int = 50,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source quality-QUANTILE filtering — "keep the top X% of
+    each source by quality", the relative form real pipelines use
+    instead of one absolute threshold (sources have different quality
+    distributions; an absolute cut keeps all of one domain and none
+    of another). Ranks by type_token_ratio (an exact division of
+    exact integers — bit-identical doubles in both engines, so the
+    ordering is engine-portable; doc id breaks ties), keeps rank <=
+    ceil(cnt·pct/100) per group with exact integer arithmetic.
+    Output: (id, group, kept) — no floats.
+
+    Scale shape: text_quality is a narrow projection; the rank and
+    the per-group count ride ONE window partitioning on the group
+    key (two window functions, same exchange). Group cardinality per
+    task is the only pressure — the same n_shards-style split as
+    batch_by_length applies if a single source outgrows a task."""
+    if not (1 <= keep_pct <= 100):
+        raise ValueError("keep_pct must be in [1, 100]")
+    from .text import text_quality
+
+    q = text_quality(docs).select(
+        id_col, "type_token_ratio"
+    ).join(spread(docs).select(id_col, group_col), id_col)
+    wr = Window.partitionBy(group_col).orderBy(
+        F.desc("type_token_ratio"), F.col(id_col)
+    )
+    wc = Window.partitionBy(group_col)
+    return q.select(
+        id_col,
+        group_col,
+        F.row_number().over(wr).alias("_rk"),
+        F.count(F.lit(1)).over(wc).alias("_n"),
+    ).select(
+        id_col,
+        group_col,
+        (
+            F.col("_rk")
+            <= F.expr(f"(_n * {int(keep_pct)} + 99) DIV 100")
+        ).alias("kept"),
+    )
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    n: int = 5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic fixed-COUNT sample per group (the eval-set /
+    inspection primitive: "give me n docs from every source") — the
+    count-form twin of the rate-based `stratified_sample`. Order
+    within group is the seeded-md5 permutation (same idiom as
+    shuffle_shards: reproducible on any engine, cluster size, or
+    partitioning), so the sample is stable across runs and engines.
+    Output: (id, group, pos 1..n). One shuffle (the group window)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    h = F.md5(
+        F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("_h"), F.col(id_col))
+    return (
+        spread(df)
+        .select(id_col, group_col, h.alias("_h"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= int(n))
+        .select(id_col, group_col, "pos")
     )
 
 

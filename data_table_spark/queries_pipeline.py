@@ -2214,3 +2214,64 @@ def q_heavy_hitters_cm(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return heavy_hitters_cm(t["documents"].df, phi_permille=5)
+
+
+_SQL_QUALITY_QUANTILE = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    q AS (
+      SELECT doc_id, source,
+             len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)
+               AS ttr
+      FROM (SELECT t.doc_id, d.source, t.toks
+            FROM toks t JOIN documents d USING (doc_id))
+    ),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY ttr DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM q)
+    SELECT doc_id, source, (rk <= (n * 50 + 99) // 100) AS kept
+    FROM r
+"""
+
+
+@query("quality_quantile_filter", _SQL_QUALITY_QUANTILE)
+def q_quality_quantile_filter(spark, sf_dir):
+    """Per-source quality-quantile filter (keep the top 50% of each
+    source by type-token ratio): the relative cut real pipelines use
+    across heterogeneous domains. The ratio is an exact division of
+    exact integers (bit-identical ordering in both engines); the keep
+    rule is exact integer ceil arithmetic; output carries no floats.
+    One window partitioning on the source key."""
+    from .pipeline.curation import quality_quantile_filter
+
+    t = load_tables(spark, sf_dir)
+    return quality_quantile_filter(t["documents"].df, keep_pct=50)
+
+
+_SQL_SAMPLE_N_PER_SOURCE = """
+    WITH h AS (
+      SELECT doc_id, source,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS hh
+      FROM documents),
+    r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY hh, doc_id) AS BIGINT)
+               AS pos
+      FROM h)
+    SELECT doc_id, source, pos FROM r WHERE pos <= 5
+"""
+
+
+@query("sample_n_per_source", _SQL_SAMPLE_N_PER_SOURCE)
+def q_sample_n_per_source(spark, sf_dir):
+    """Deterministic fixed-count per-group sample (5 docs per source,
+    seeded-md5 order — reproducible on any engine/partitioning): the
+    count-form twin of the rate-based stratified_sample. One window
+    shuffle."""
+    from .pipeline.curation import sample_n_per_group
+
+    t = load_tables(spark, sf_dir)
+    return sample_n_per_group(t["documents"].df, n=5)

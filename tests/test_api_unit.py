@@ -2271,3 +2271,39 @@ def test_heavy_hitters_cm(spark, tables):
         heavy_hitters_cm(docs, phi_permille=0)
     with pytest.raises(ValueError):
         heavy_hitters_cm(docs, w=0)
+
+
+def test_quality_quantile_and_sample_n(spark, tables):
+    """quality_quantile_filter keeps exactly ceil(n*pct/100) per
+    group; sample_n_per_group returns min(n, group size) rows with
+    dense positions, stable under repartitioning."""
+    from data_table_spark.pipeline.curation import (
+        quality_quantile_filter,
+        sample_n_per_group,
+    )
+
+    docs = tables["documents"].df
+    out = quality_quantile_filter(docs, keep_pct=50).collect()
+    sizes, kept = {}, {}
+    for r in out:
+        sizes[r["source"]] = sizes.get(r["source"], 0) + 1
+        kept[r["source"]] = kept.get(r["source"], 0) + int(r["kept"])
+    assert sizes and all(
+        kept[s] == (sz * 50 + 99) // 100 for s, sz in sizes.items()
+    )
+
+    smp = sample_n_per_group(docs, n=5).collect()
+    by_g = {}
+    for r in smp:
+        by_g.setdefault(r["source"], []).append(r["pos"])
+    for g, ps in by_g.items():
+        assert sorted(ps) == list(range(1, min(5, sizes[g]) + 1))
+    again = sorted(
+        map(tuple, sample_n_per_group(docs.repartition(7), n=5).collect())
+    )
+    assert again == sorted(map(tuple, smp))
+
+    with pytest.raises(ValueError):
+        quality_quantile_filter(docs, keep_pct=0)
+    with pytest.raises(ValueError):
+        sample_n_per_group(docs, n=0)
