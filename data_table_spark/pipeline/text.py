@@ -492,12 +492,12 @@ def heavy_hitters_cm(
     n_tot = tok.agg(F.count(F.lit(1)).alias("n_tot"))
     thr = F.expr(f"(n_tot * {int(phi_permille)} + 999) DIV 1000")
 
-    est = F.least(
-        *[
-            F.expr(f"element_at(cm, CAST(({slot_sql(j)}) AS INT) + 1)")
-            for j in range(d)
-        ]
-    )
+    ests = [
+        F.expr(f"element_at(cm, CAST(({slot_sql(j)}) AS INT) + 1)")
+        for j in range(d)
+    ]
+    # least() needs two args; d=1 is a single-counter estimate
+    est = F.least(*ests) if d > 1 else ests[0]
     candidates = (
         tok.crossJoin(F.broadcast(packed))
         .crossJoin(F.broadcast(n_tot))

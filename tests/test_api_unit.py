@@ -2258,14 +2258,14 @@ def test_heavy_hitters_cm(spark, tables):
         for r in ex.collect()
         if r["count"] >= thr
     )
-    for w in (1024, 4):
+    for d, w in ((3, 1024), (3, 4), (1, 1024)):
         got = sorted(
             map(
                 tuple,
-                heavy_hitters_cm(docs, phi_permille=5, w=w).collect(),
+                heavy_hitters_cm(docs, phi_permille=5, d=d, w=w).collect(),
             )
         )
-        assert got == exact, w
+        assert got == exact, (d, w)
 
     with pytest.raises(ValueError):
         heavy_hitters_cm(docs, phi_permille=0)
