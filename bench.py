@@ -70,6 +70,17 @@ HEADLINE = [
 LEGACY14 = HEADLINE[:14]
 
 
+def _hashable_cols(sdf):
+    """xxhash64 rejects MapType; feed maps through to_json so a query
+    emitting a map column is forced (and timed), not dropped as FAILED."""
+    from pyspark.sql import functions as F
+
+    return [
+        F.to_json(F.col(c)) if t.startswith("map<") else F.col(c)
+        for c, t in sdf.dtypes
+    ]
+
+
 def force_count(sdf) -> int:
     """Row count via a reduction that forces EVERY output column (see
     module docstring: a bare count() lets Catalyst prune Window
@@ -79,7 +90,7 @@ def force_count(sdf) -> int:
 
     row = sdf.select(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.pmod(F.xxhash64(*sdf.columns), F.lit(1000003))).alias("h"),
+        F.sum(F.pmod(F.xxhash64(*_hashable_cols(sdf)), F.lit(1000003))).alias("h"),
     ).collect()[0]
     return row["n"]
 

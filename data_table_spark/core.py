@@ -25,8 +25,6 @@ from __future__ import annotations
 from collections.abc import Callable, Mapping, Sequence
 from typing import Any
 
-import pandas as pd
-
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -56,6 +54,10 @@ def as_data_table(obj, spark=None, columns=None, key=None, order_by=None):
         return DT(obj, key=key, order_by=order_by)
     if spark is None:
         raise ValueError("as_data_table needs spark= for non-Spark input")
+    # pandas is only needed by this convenience constructor; keep it a
+    # call-time import so the core DT surface works without pandas
+    import pandas as pd
+
     if isinstance(obj, pd.DataFrame):
         return DT(spark.createDataFrame(obj), key=key, order_by=order_by)
     if isinstance(obj, Mapping):

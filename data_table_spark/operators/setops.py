@@ -90,10 +90,13 @@ def all_equal(
       duplicate rows on both sides (the reference FORCES tolerance to
       0 in that case) compares multisets via exceptAll both ways.
     - otherwise (duplicate-free sides, double columns, tolerance>0):
-      rows pair by an equi-join on the non-double columns plus
-      |x-y| <= tolerance on every double column, and equality holds
-      when both sides match completely — the reference implements
-      this pairing as a rolling join; same contract, join-order-free.
+      rows pair ONE-TO-ONE — rank-by-rank within each non-double key
+      group, doubles sorted lexicographically — and equality holds
+      when every pair is within tolerance on every double column (the
+      relational form of the reference's rolling-join pairing; plain
+      two-way semi-joins would accept bipartite coverage without a
+      valid matching). NULL doubles pair with NULL and compare equal
+      (base R NA==NA under all.equal).
     """
     x, y = target.df, current.df
     nx, ny = x.count(), y.count()
@@ -109,7 +112,12 @@ def all_equal(
         msg.append("Different column order")
     if msg:
         return "; ".join(msg)
-    if ignore_col_order and x.columns != y.columns:
+    if diff_names:
+        # check_attributes=False with equal counts but different names:
+        # the reference compares positionally — rename so every
+        # downstream by-name lookup pairs column i with column i.
+        y = y.toDF(*x.columns)
+    elif ignore_col_order and x.columns != y.columns:
         y = y.select(*x.columns)
 
     tmodes = {c: _mode(t) for c, t in x.dtypes}
@@ -151,7 +159,9 @@ def all_equal(
         yr = y.withColumn("__rn__", F.row_number().over(wy))
         conds = [
             (
-                F.abs(xr[c] - yr[c]) <= tolerance
+                # eqNullSafe first: NULL==NULL is equal (base R NA==NA),
+                # and abs(NULL-NULL)<=tol alone would evaluate to NULL
+                xr[c].eqNullSafe(yr[c]) | (F.abs(xr[c] - yr[c]) <= tolerance)
                 if c in dbl and tolerance > 0
                 else xr[c].eqNullSafe(yr[c])
             )
@@ -191,24 +201,50 @@ def all_equal(
         return "Dataset 'current' has rows not present in 'target' (or vice versa)"
 
     other = [c for c in x.columns if c not in dbl]
+    # A one-to-one PAIRING, not bipartite coverage: two one-way
+    # semi-joins would accept e.g. target {0.0, 0.1, 1.0} vs current
+    # {0.05, 1.0, 1.05} at tolerance 0.07 (every row has SOME match
+    # both ways but no valid matching exists). Instead sort both sides
+    # within each non-double key group and pair rank-by-rank — the
+    # relational form of the reference's rolling-join pairing. Both
+    # sides are duplicate-free here, and for 1-D sorted sequences
+    # rank-pairing is the optimal matching; multi-double rows sort
+    # lexicographically, which keeps the pairing deterministic.
+    from pyspark.sql import Window
+
+    wkey = Window.partitionBy(*[F.col(c) for c in other]).orderBy(
+        *[F.col(c).asc_nulls_first() for c in dbl]
+    ) if other else Window.partitionBy(F.lit(1)).orderBy(
+        *[F.col(c).asc_nulls_first() for c in dbl]
+    )
     # explicit aliases: both sides may share lineage (comparing a frame
     # with a recomputation of itself is the common call)
-    xa = x.alias("__t__")
-    ya = y.select(*x.columns).alias("__c__")
+    xr = x.withColumn("__rk__", F.row_number().over(wkey)).alias("__t__")
+    yr = (
+        y.select(*x.columns)
+        .withColumn("__rk__", F.row_number().over(wkey))
+        .alias("__c__")
+    )
     on = [
         F.col(f"__t__.{c}").eqNullSafe(F.col(f"__c__.{c}")) for c in other
-    ] + [
-        F.abs(F.col(f"__t__.{c}") - F.col(f"__c__.{c}")) <= tolerance
-        for c in dbl
-    ]
+    ] + [F.col("__t__.__rk__") == F.col("__c__.__rk__")]
     pred = on[0]
     for c in on[1:]:
         pred = pred & c
-    x_matched = xa.join(ya, pred, "left_semi").count()
-    y_matched = ya.join(xa, pred, "left_semi").count()
-    if x_matched == nx and y_matched == ny:
+    close = [
+        # eqNullSafe first: NULL pairs with NULL (asc_nulls_first puts
+        # them at the same ranks); bare abs-diff would yield NULL
+        F.col(f"__t__.{c}").eqNullSafe(F.col(f"__c__.{c}"))
+        | (F.abs(F.col(f"__t__.{c}") - F.col(f"__c__.{c}")) <= tolerance)
+        for c in dbl
+    ]
+    ok = close[0]
+    for c in close[1:]:
+        ok = ok & c
+    matched = xr.join(yr, pred, "inner").filter(ok).count()
+    if matched == nx:
         return True
     return (
-        f"Rows without a tolerance match: target {nx - x_matched}, "
-        f"current {ny - y_matched}"
+        f"Rows without a tolerance match in rank pairing: "
+        f"{nx - matched} of {nx}"
     )

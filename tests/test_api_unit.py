@@ -2031,6 +2031,57 @@ def test_all_equal(spark):
     assert isinstance(one_dup, str)
 
 
+def test_all_equal_null_doubles_and_pairing(spark):
+    """Round-9 advice fixes: (a) NULL doubles compare equal under
+    tolerance (abs(NULL-NULL)<=tol is NULL, not True — needs the
+    eqNullSafe guard) in both the order-paired and tolerance-pairing
+    paths; (b) the tolerance path verifies a one-to-one PAIRING, not
+    bipartite coverage — {0.0, 0.1, 1.0} vs {0.05, 1.0, 1.05} at
+    tol=0.07 has two-way coverage but no valid matching; (c)
+    check_attributes=False with different column names compares
+    positionally instead of crashing."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from data_table_spark.operators.setops import all_equal
+
+    schema = StructType([
+        StructField("i", LongType()), StructField("s", StringType()),
+        StructField("v", DoubleType()),
+    ])
+    # (a) identical frames containing NULL doubles
+    rows = [(1, "x", 1.0), (2, "y", None), (3, "z", 3.0)]
+    a = DT(spark.createDataFrame(rows, schema))
+    b = DT(spark.createDataFrame(list(reversed(rows)), schema))
+    assert all_equal(a, b, ignore_row_order=True) is True
+    ao = DT(a.df, order_by=["i"])
+    bo = DT(b.df, order_by=["i"])
+    assert all_equal(ao, bo) is True
+    # NULL vs non-NULL double must still differ
+    c = DT(spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)], schema
+    ))
+    assert isinstance(all_equal(a, c, ignore_row_order=True), str)
+
+    # (b) bipartite coverage without a valid matching must NOT be True
+    vschema = StructType([StructField("v", DoubleType())])
+    t = DT(spark.createDataFrame([(0.0,), (0.1,), (1.0,)], vschema))
+    u = DT(spark.createDataFrame([(0.05,), (1.0,), (1.05,)], vschema))
+    r = all_equal(t, u, ignore_row_order=True, tolerance=0.07)
+    assert isinstance(r, str) and "pairing" in r
+    # genuinely pairable sets still pass
+    u2 = DT(spark.createDataFrame([(0.05,), (0.1,), (1.05,)], vschema))
+    assert all_equal(t, u2, ignore_row_order=True, tolerance=0.07) is True
+
+    # (c) positional compare when names differ and attributes ignored
+    renamed = DT(a.df.toDF("j", "t", "w"))
+    assert all_equal(
+        a, renamed, check_attributes=False, ignore_row_order=True
+    ) is True
+    assert "column names" in all_equal(a, renamed, ignore_row_order=True)
+
+
 def test_kmeans_deterministic_and_margin(spark, tables):
     """kmeans_assign: (a) assignment is a true argmin vs a per-row
     recheck; (b) the best-vs-second-best distance margin on the

@@ -97,9 +97,13 @@ def main():
                     sdf = df.df if hasattr(df, "df") else df
                     from pyspark.sql import functions as F
 
+                    cols = [  # xxhash64 rejects MapType; to_json maps
+                        F.to_json(F.col(c)) if t.startswith("map<") else F.col(c)
+                        for c, t in sdf.dtypes
+                    ]
                     sdf.select(
                         F.count(F.lit(1)),
-                        F.sum(F.pmod(F.xxhash64(*sdf.columns), F.lit(1000003))),
+                        F.sum(F.pmod(F.xxhash64(*cols), F.lit(1000003))),
                     ).collect()
                     acc.append(time.perf_counter() - t0)
                 except Exception as e:

@@ -89,6 +89,18 @@ def main() -> None:
     after = {q: latest.get(q, 0) for q in registry_names() if q not in window}
     floor = min(after.values()) if after else None
     print(f"# window covers {len(window)} slots; oldest row left outside: r{floor}")
+    # POST-window histogram: what the freshness state will be AFTER the
+    # driver runs this window (window rows become r<next>). Paste THIS
+    # into notes — never hand-compute the tail (r6 and r8 both got the
+    # hand-computed number wrong).
+    next_rnd = max(latest.values(), default=0) + 1
+    post: dict[int, int] = {}
+    for q in registry_names():
+        rnd = next_rnd if q in window else latest.get(q, 0)
+        post[rnd] = post.get(rnd, 0) + 1
+    print(f"# POST-window histogram (window rows counted as r{next_rnd}):")
+    for rnd in sorted(post):
+        print(f"#   r{rnd}: {post[rnd]}")
     print("_PRIORITY = [")
     for q in window:
         tag = "new" if q in new else ("never" if latest.get(q) is None else f"r{latest[q]}")

@@ -56,9 +56,13 @@ def median_time(spark, name: str, sf_dir: str, reps: int) -> tuple[float, int]:
         # count is window-invariant), which is exactly the work the
         # skew question is about. A full-width hash reduction forces
         # every output column to be computed.
+        cols = [  # xxhash64 rejects MapType; to_json maps
+            F.to_json(F.col(c)) if t.startswith("map<") else F.col(c)
+            for c, t in sdf.dtypes
+        ]
         row = sdf.select(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.pmod(F.xxhash64(*sdf.columns), F.lit(1000003))).alias("h"),
+            F.sum(F.pmod(F.xxhash64(*cols), F.lit(1000003))).alias("h"),
         ).collect()[0]
         n = row["n"]
         samples.append(time.perf_counter() - t0)
