@@ -43,6 +43,7 @@ def asof_join(
     nomatch: str | None = "NA",
     x_cols: Sequence[str] | None = None,
     suffix: str = "_x",
+    n_chunks: int | None = None,
 ) -> DT:
     """``X[I, on=.(keys, time), roll=roll]`` — one output row per I row.
 
@@ -56,6 +57,19 @@ def asof_join(
     (True, False) for backward. A finite roll=n limit also applies at the
     ends (Rd: "that limit is also applied when rolling the ends"), except
     roll="nearest" which the reference cannot limit.
+
+    ``n_chunks=`` (opt-in, SCALE.md "Skewed keys"): hot-key chunk-stitch.
+    The running fill is LINEAR per key but single-TASK per key — at the
+    1000x extrapolation one 1B-row key is the wall. With n_chunks the
+    key's timeline range-splits into n_chunks value chunks; the running
+    fill runs per (key, chunk) — n_chunks-way parallel — and a per-chunk
+    carry-in (the prevailing X row at each chunk boundary, one row per
+    (key, chunk) from a map-side-combined aggregate + one tiny window
+    over the chunk spine) stitches the chunks EXACTLY: same-t tiebreaks
+    stay intra-chunk because equal times land in the same chunk.
+    Requires a numeric time column (the chunk arithmetic); equivalence
+    with the unsplit path is pinned by test_asof_chunk_stitch for every
+    roll type.
     """
     keys = _namelist(on)
     x_payload = [c for c in (x_cols or x.columns) if c not in keys and c != time_x]
@@ -97,12 +111,40 @@ def asof_join(
     )
     u = xt.unionByName(it, allowMissingColumns=True)
 
+    chunked = n_chunks is not None and n_chunks > 1
+    part = list(keys)
+    if chunked:
+        # value-chunk the timeline per key: equal times share a chunk,
+        # so the same-t tag tiebreak never crosses a chunk boundary
+        bounds = u.groupBy(*keys).agg(
+            F.min(F.col("__t__").cast("double")).alias("__tlo__"),
+            F.max(F.col("__t__").cast("double")).alias("__thi__"),
+        )
+        u = u.join(F.broadcast(bounds), keys, "left")
+        width = (F.col("__thi__") - F.col("__tlo__")) / F.lit(float(n_chunks))
+        u = u.withColumn(
+            "__chunk__",
+            F.when(
+                F.col("__tlo__").isNull() | (width <= 0), F.lit(0)
+            ).otherwise(
+                F.least(
+                    F.lit(n_chunks - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("__t__").cast("double") - F.col("__tlo__"))
+                            / width
+                        ),
+                    ),
+                )
+            ).cast("int"),
+        ).drop("__tlo__", "__thi__")
+        part = [*keys, "__chunk__"]
+
     def fill(direction: str) -> list[Column]:
         if direction == "fwd":
             # X(tag 0) sorts before Y(tag 1) at equal t → exact match wins
-            w = Window.partitionBy(*keys).orderBy(F.col("__t__").asc(), F.col(_TAG).asc())
-            frame = w.rowsBetween(Window.unboundedPreceding, 0)
-            get = lambda c: F.last(c, ignorenulls=True).over(frame)
+            w = Window.partitionBy(*part).orderBy(F.col("__t__").asc(), F.col(_TAG).asc())
         else:
             # Backward fill as the MIRROR of the forward one: reverse the
             # sort (t desc, tag asc — so a same-t X row lands inside Y's
@@ -113,9 +155,9 @@ def asof_join(
             # frame per row — O(rows²) per key (measured 149s for ONE
             # 100k-row key vs 0.4s for this mirrored running frame, and a
             # 23x cliff on a 10%-hot-key as-of join at sf1).
-            w = Window.partitionBy(*keys).orderBy(F.col("__t__").desc(), F.col(_TAG).asc())
-            frame = w.rowsBetween(Window.unboundedPreceding, 0)
-            get = lambda c: F.last(c, ignorenulls=True).over(frame)
+            w = Window.partitionBy(*part).orderBy(F.col("__t__").desc(), F.col(_TAG).asc())
+        frame = w.rowsBetween(Window.unboundedPreceding, 0)
+        get = lambda c: F.last(c, ignorenulls=True).over(frame)
         cols = [get(F.col(f"__x_{c}__")).alias(f"__{direction}_{c}__") for c in x_payload]
         cols.append(get(F.when(F.col(_TAG) == 0, F.col("__t__"))).alias(f"__{direction}_t__"))
         return cols
@@ -126,6 +168,72 @@ def asof_join(
     if need_bwd:
         proj += fill("bwd")
     filled = u.select(*proj).filter(F.col(_TAG) == 1)
+
+    if chunked:
+        # carry-in stitch: the prevailing values at each chunk END (for
+        # the forward fill) / START (backward) — one row per (key,
+        # chunk) out of a map-side-combined max_by/min_by — carried
+        # across the tiny chunk spine by one window, then broadcast
+        # back. Per COLUMN, not per row: the running fill skips NULL
+        # payload values independently per column (a later X row with a
+        # NULL in one payload column does not mask an older non-NULL),
+        # so each column's carry is its own last-non-null aggregate
+        # (max_by with a NULL-masked ordering key skips those rows). A
+        # chunk with no X rows passes the carry through
+        # (last(ignorenulls) over the spine).
+        order_key = F.struct(F.col("__t__"), F.col(_TAG))
+        aggs = []
+        for c in x_payload:
+            nn = F.when(F.col(f"__x_{c}__").isNotNull(), order_key)
+            aggs.append(
+                F.max_by(F.col(f"__x_{c}__"), nn).alias(f"__lastv_{c}__")
+            )
+            aggs.append(
+                F.min_by(F.col(f"__x_{c}__"), nn).alias(f"__firstv_{c}__")
+            )
+        aggs.append(F.max(F.col("__t__")).alias("__lastv_t__"))
+        aggs.append(F.min(F.col("__t__")).alias("__firstv_t__"))
+        ends = u.filter(F.col(_TAG) == 0).groupBy(*keys, "__chunk__").agg(*aggs)
+        spine = u.select(*keys, "__chunk__").distinct().join(
+            ends, [*keys, "__chunk__"], "left"
+        )
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__chunk__").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__chunk__").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_cols = []
+        for c in [*x_payload, "t"]:
+            carry_cols.append(
+                F.last(f"__lastv_{c}__", ignorenulls=True).over(wf)
+                .alias(f"__cf_{c}__")
+            )
+            carry_cols.append(
+                F.last(f"__firstv_{c}__", ignorenulls=True).over(wb)
+                .alias(f"__cb_{c}__")
+            )
+        carries = spine.select(*keys, "__chunk__", *carry_cols)
+        filled = filled.join(F.broadcast(carries), [*keys, "__chunk__"], "left")
+        patch = []
+        for d, pre in (("fwd", "__cf_"), ("bwd", "__cb_")):
+            if (d == "fwd" and need_fwd) or (d == "bwd" and need_bwd):
+                for c in [*x_payload, "t"]:
+                    patch.append(
+                        F.coalesce(
+                            F.col(f"__{d}_{c}__"), F.col(f"{pre}{c}__")
+                        ).alias(f"__{d}_{c}__")
+                    )
+        keep = [
+            c for c in filled.columns
+            if not (c.startswith("__fwd_") or c.startswith("__bwd_"))
+            and not c.startswith(("__cf_", "__cb_"))
+        ]
+        filled = filled.select(*keep, *patch)
 
     has_prev = F.col("__fwd_t__").isNotNull() if need_fwd else F.lit(False)
     has_next = F.col("__bwd_t__").isNotNull() if need_bwd else F.lit(False)

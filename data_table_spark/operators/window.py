@@ -154,6 +154,7 @@ def froll(
     partial: bool = False,
     give_names: bool = True,
     na_rm: bool = False,
+    n_chunks: int | None = None,
 ) -> DT:
     """frollmean/sum/... — fixed-width rolling aggregate (reference
     R/froll.R:158-224, src/froll.c:24).
@@ -170,38 +171,238 @@ def froll(
     (src/froll.c hasNA branch) — is restored by masking windows where
     count(col) over the frame falls short of count(*). na_rm=True is
     the native skip behavior.
+
+    ``n_chunks=`` (opt-in, SCALE.md "Skewed keys"): hot-key
+    chunk-stitch. A window partition runs in ONE task — linear, but at
+    the 1000x extrapolation a 1B-row key (or the by=None global order)
+    is the wall. With n_chunks, each key's rows value-chunk on the
+    first order column; the rolling frames run per (key, chunk) —
+    n_chunks-way parallel — made EXACT by halo replication: each chunk
+    also receives the max(n)-1 rows preceding (and, for center/left
+    aligns, following) its value range, located via a cumulative-count
+    chunk spine so sparse chunks chain through transitively. Output
+    rows are identical to the unsplit path for every fun/align/
+    partial/na_rm (pinned by test_froll_chunk_stitch); requires a
+    numeric first order column.
     """
     ns = list(n) if isinstance(n, (list, tuple)) else [n]
-    base = win(dt, by=by, order=order)
-    out = {}
-    for k in ns:
+
+    def frame_bounds(k: int) -> tuple[int, int]:
         if align == "right":
-            lo, hi = -(k - 1), 0
-        elif align == "left":
-            lo, hi = 0, k - 1
-        elif align == "center":
-            lo, hi = -((k - 1) // 2), k - 1 - (k - 1) // 2
-        else:
-            raise ValueError(f"bad align: {align}")
-        w = base.rowsBetween(lo, hi)
-        for c in _namelist(cols):
-            name = f"{c}_roll{fun}_{k}" if give_names or len(ns) > 1 else c
-            if fun == "median":
-                val = F.median(F.col(c)).over(w)
-            elif fun == "prod":
-                val = F.product(F.col(c)).over(w)
-            else:
-                val = _ROLL_FNS[fun](F.col(c)).over(w)
-            if not na_rm:
-                # reference default: any NA in the window -> NA result
-                val = F.when(
-                    F.count(F.col(c)).over(w) == F.count(F.lit(1)).over(w),
-                    val,
+            return -(k - 1), 0
+        if align == "left":
+            return 0, k - 1
+        if align == "center":
+            return -((k - 1) // 2), k - 1 - (k - 1) // 2
+        raise ValueError(f"bad align: {align}")
+
+    def exprs(base: WindowSpec) -> dict:
+        out = {}
+        for k in ns:
+            lo, hi = frame_bounds(k)
+            w = base.rowsBetween(lo, hi)
+            for c in _namelist(cols):
+                name = f"{c}_roll{fun}_{k}" if give_names or len(ns) > 1 else c
+                if fun == "median":
+                    # F.median rejects window FRAMES (Spark 4.x
+                    # INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC);
+                    # percentile(0.5) is frame-legal and identical
+                    val = F.percentile(F.col(c), F.lit(0.5)).over(w)
+                elif fun == "prod":
+                    val = F.product(F.col(c)).over(w)
+                else:
+                    val = _ROLL_FNS[fun](F.col(c)).over(w)
+                if not na_rm:
+                    # reference default: any NA in the window -> NA result
+                    val = F.when(
+                        F.count(F.col(c)).over(w) == F.count(F.lit(1)).over(w),
+                        val,
+                    )
+                if not partial:
+                    val = F.when(F.count(F.lit(1)).over(w) >= k, val)
+                out[name] = val
+        return out
+
+    if n_chunks is not None and n_chunks > 1:
+        hw_lo = max(max(-frame_bounds(k)[0], 0) for k in ns)
+        hw_hi = max(max(frame_bounds(k)[1], 0) for k in ns)
+        return _ordered_chunk_stitch(
+            dt, exprs, by=by, order=order, n_chunks=n_chunks,
+            hw_lo=hw_lo, hw_hi=hw_hi,
+        )
+    base = win(dt, by=by, order=order)
+    return DT(dt.df.withColumns(exprs(base)), key=dt.key, order_by=dt.order_by)
+
+
+def _ordered_chunk_stitch(
+    dt: DT, exprs, by, order, n_chunks: int, hw_lo: int, hw_hi: int
+) -> DT:
+    """Exact chunk-split evaluation of fixed-width rolling frames (the
+    SCALE.md hot-key mitigation, round-9 verdict item 3).
+
+    1. rows value-chunk on the first order column (per-key min/max
+       bounds broadcast; equal values share a chunk, so ties never
+       straddle a boundary);
+    2. each chunk is augmented with HALO copies of the hw_lo rows
+       preceding / hw_hi rows following its value range. Halo sources
+       are found through a cumulative-count chunk SPINE (tiny:
+       keys x n_chunks rows), so a sparse chunk transitively pulls
+       rows from several chunks back — exactness does not depend on
+       chunk balance;
+    3. the caller's window expressions evaluate over (keys, chunk)
+       partitions — n_chunks-way parallel per key — and halo rows are
+       dropped. Every real row's frame holds the identical row
+       multiset as the unsplit window, so results are bit-identical.
+    """
+    keys = _namelist(by)
+    ordn = _namelist(order) or dt.order_by
+    if not ordn:
+        raise ValueError("n_chunks needs an ordering (order= or order_by)")
+    first = ordn[0]
+    desc = first.startswith("-")
+    vcol = F.col(first[1:] if desc else first).cast("double")
+
+    sdf = dt.df
+    bcols = [F.min(vcol).alias("__tlo__"), F.max(vcol).alias("__thi__")]
+    if keys:
+        bounds = sdf.groupBy(*keys).agg(*bcols)
+        sdf = sdf.join(F.broadcast(bounds), keys, "left")
+    else:
+        sdf = sdf.crossJoin(F.broadcast(sdf.agg(*bcols)))
+    width = (F.col("__thi__") - F.col("__tlo__")) / F.lit(float(n_chunks))
+    pos = (F.col("__thi__") - vcol) if desc else (vcol - F.col("__tlo__"))
+    sdf = sdf.withColumn(
+        "__chunk__",
+        F.coalesce(
+            F.when(
+                F.col("__tlo__").isNull() | (width <= 0), F.lit(0)
+            ).otherwise(
+                F.least(
+                    F.lit(n_chunks - 1),
+                    F.greatest(F.lit(0), F.floor(pos / width)),
                 )
-            if not partial:
-                val = F.when(F.count(F.lit(1)).over(w) >= k, val)
-            out[name] = val
-    return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
+            ),
+            F.lit(0),  # NULL order values sort first; chunk 0
+        ).cast("int"),
+    ).drop("__tlo__", "__thi__")
+
+    ocols = [_c for _c in ordn]
+    from ..core import _ocol
+
+    w_in = Window.partitionBy(*keys, "__chunk__").orderBy(
+        *[_ocol(c) for c in ocols]
+    )
+    w_cnt = Window.partitionBy(*keys, "__chunk__")
+    ranked = sdf.withColumn("__rna__", F.row_number().over(w_in)).withColumn(
+        "__cnt__", F.count(F.lit(1)).over(w_cnt)
+    )
+
+    spine = sdf.groupBy(*keys, "__chunk__").agg(
+        F.count(F.lit(1)).alias("__scnt__")
+    )
+    wsp = (
+        Window.partitionBy(*keys)
+        .orderBy("__chunk__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spine = spine.withColumn("__cum__", F.sum("__scnt__").over(wsp))
+
+    def keyeq(a, b):
+        conds = [F.col(f"{a}.{k}").eqNullSafe(F.col(f"{b}.{k}")) for k in keys]
+        pred = F.lit(True)
+        for c in conds:
+            pred = pred & c
+        return pred
+
+    base_cols = [*dt.df.columns, "__chunk__"]
+    real = ranked.select(*base_cols).withColumn("__halo__", F.lit(False))
+    parts = [real]
+
+    if hw_lo > 0:
+        # source chunk c -> target chunk c' > c with fewer than hw_lo
+        # rows in the chunks strictly between (gap = cum(c'-1) - cum(c))
+        s_src = spine.alias("__s__")
+        s_tgt = spine.alias("__g__")
+        pairs = s_src.join(
+            s_tgt,
+            keyeq("__s__", "__g__")
+            & (F.col("__g__.__chunk__") > F.col("__s__.__chunk__"))
+            & (
+                F.col("__g__.__cum__") - F.col("__g__.__scnt__")
+                - F.col("__s__.__cum__")
+                < hw_lo
+            ),
+        ).select(
+            *[F.col(f"__s__.{k}") for k in keys],
+            F.col("__s__.__chunk__").alias("__c_src__"),
+            F.col("__g__.__chunk__").alias("__c_tgt__"),
+            (
+                F.col("__g__.__cum__") - F.col("__g__.__scnt__")
+                - F.col("__s__.__cum__")
+            ).alias("__gap__"),
+        )
+        cand = ranked.filter(F.col("__cnt__") - F.col("__rna__") < hw_lo)
+        on = cand["__chunk__"] == pairs["__c_src__"]
+        for k in keys:
+            on = on & cand[k].eqNullSafe(pairs[k])
+        halos = cand.join(F.broadcast(pairs), on).filter(
+            F.col("__cnt__") - F.col("__rna__") + F.col("__gap__") < hw_lo
+        )
+        parts.append(
+            halos.select(
+                *[cand[c] for c in dt.df.columns],
+                F.col("__c_tgt__").alias("__chunk__"),
+            ).withColumn("__halo__", F.lit(True))
+        )
+
+    if hw_hi > 0:
+        # mirror: target chunk c' < c, rows between = rna-1 + gap
+        s_src = spine.alias("__s__")
+        s_tgt = spine.alias("__g__")
+        pairs = s_src.join(
+            s_tgt,
+            keyeq("__s__", "__g__")
+            & (F.col("__g__.__chunk__") < F.col("__s__.__chunk__"))
+            & (
+                F.col("__s__.__cum__") - F.col("__s__.__scnt__")
+                - F.col("__g__.__cum__")
+                < hw_hi
+            ),
+        ).select(
+            *[F.col(f"__s__.{k}") for k in keys],
+            F.col("__s__.__chunk__").alias("__c_src__"),
+            F.col("__g__.__chunk__").alias("__c_tgt__"),
+            (
+                F.col("__s__.__cum__") - F.col("__s__.__scnt__")
+                - F.col("__g__.__cum__")
+            ).alias("__gap__"),
+        )
+        cand = ranked.filter(F.col("__rna__") - 1 < hw_hi)
+        on = cand["__chunk__"] == pairs["__c_src__"]
+        for k in keys:
+            on = on & cand[k].eqNullSafe(pairs[k])
+        halos = cand.join(F.broadcast(pairs), on).filter(
+            F.col("__rna__") - 1 + F.col("__gap__") < hw_hi
+        )
+        parts.append(
+            halos.select(
+                *[cand[c] for c in dt.df.columns],
+                F.col("__c_tgt__").alias("__chunk__"),
+            ).withColumn("__halo__", F.lit(True))
+        )
+
+    aug = parts[0]
+    for p in parts[1:]:
+        aug = aug.unionByName(p)
+    base = Window.partitionBy(*keys, "__chunk__").orderBy(
+        *[_ocol(c) for c in ocols]
+    )
+    out = (
+        aug.withColumns(exprs(base))
+        .filter(~F.col("__halo__"))
+        .drop("__chunk__", "__halo__")
+    )
+    return DT(out, key=dt.key, order_by=dt.order_by)
 
 
 def frollmean(dt, cols, n, **kw):

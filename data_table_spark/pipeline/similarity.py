@@ -1108,6 +1108,23 @@ def kmeans_clusters(
     )
 
 
+def _hyperplanes(n: int, dim: int, seed: int) -> list:
+    """Deterministic pseudo-random hyperplane components in [-1, 1]:
+    md5(f"semdedup:{seed}:{i}:{p}") -> top 64 bits -> uniform. Built
+    driver-side as n*dim plan literals — identical on every executor,
+    every session, every engine (no RNG state to ship)."""
+    import hashlib
+
+    out = []
+    for i in range(n):
+        row = []
+        for p in range(dim):
+            h = hashlib.md5(f"semdedup:{seed}:{i}:{p}".encode()).hexdigest()
+            row.append(int(h[:16], 16) / float(2**63) - 1.0)
+        out.append(row)
+    return out
+
+
 def semdedup_prune(
     emb: DataFrame,
     k: int = 8,
@@ -1115,6 +1132,9 @@ def semdedup_prune(
     threshold: float = 0.4505,
     dim: int = 64,
     batched: bool = False,
+    max_cluster_n: int | None = None,
+    n_bits_max: int = 16,
+    seed: int = 9,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:
     2303.09540): k-means-cluster the embeddings, then mark a document
@@ -1141,36 +1161,146 @@ def semdedup_prune(
     once before the pair join — identical semantics, same plan below
     the scan. ``batched=True`` selects the Arrow/BLAS k-means
     assignment — the right path for the big-k (k ∝ n) regime this
-    operator runs in at scale."""
+    operator runs in at scale.
+
+    ``max_cluster_n=`` (opt-in) bounds the within-cluster pair space —
+    the hot-cluster mitigation for the measured sf10 skew case
+    (SCALE.md: a 15k-row cluster is 61x the balanced size, 6.4x the
+    pair space). Two stacked splits, both deterministic:
+
+    1. hyperplane-sign sub-buckets: clusters above the cap get
+       ``t = ceil(log2(n_c / cap))`` seeded-hyperplane sign bits
+       (SRP-LSH, Charikar 2002). Near-identical embeddings — the
+       content that MAKES a cluster hot — share all signs, so dup
+       families stay together while unrelated families spread over
+       2^t sub-buckets.
+    2. cap-and-chain chunks: a sub-bucket still above the cap (the
+       worst case: one giant mutually-near-identical family, where NO
+       similarity split can help) is rank-chunked by vec_id into
+       chunks of <= cap rows. Pairs are exact WITHIN a chunk; ACROSS
+       chunks every row compares only against earlier chunks'
+       min-vec_id representatives (every id in an earlier chunk is
+       smaller by construction, so rep.vec_id < doc.vec_id always).
+       For near-identical content every row matches the first chunk's
+       representative, so the keep-first verdicts survive the cap.
+
+    Dropped docs are always a SUBSET of the exact path's (every pair
+    examined is a same-cluster lower-id pair the exact path also
+    examines); recall vs the exact form is measured, not proven —
+    pinned by test_semdedup_capped (cap-binding recall at sf0.01) and
+    the `semdedup_prune_capped` driver contract. Pair space per
+    cluster falls from O(n_c^2) to O(n_c * cap + n_c * n_chunks):
+    LINEAR in the hot-cluster size at fixed cap."""
     asg = kmeans_assign(emb, k=k, n_iter=n_iter, dim=dim, batched=batched)
+
+    pair_keys = [("ca", "cb")]
+    if max_cluster_n is not None:
+        if max_cluster_n < 1:
+            raise ValueError("max_cluster_n must be >= 1")
+        from pyspark.sql import Window
+
+        planes = _hyperplanes(n_bits_max, dim, seed)
+        wc = Window.partitionBy("cluster_id")
+        n_c = F.count(F.lit(1)).over(wc)
+        t_c = F.when(n_c <= max_cluster_n, F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_bits_max),
+                F.ceil(
+                    F.log2(n_c.cast("double") / F.lit(float(max_cluster_n)))
+                ).cast("int"),
+            )
+        )
+        # MSB-first packed sign bits against all n_bits_max planes;
+        # the per-cluster prefix is a power-of-two division (exact in
+        # doubles: the packed value is < 2^16)
+        sub_full = None
+        for i, row in enumerate(planes):
+            term = (
+                dot(F.col("v"), F.array(*[F.lit(w) for w in row])) >= 0
+            ).cast("long") * F.lit(2 ** (n_bits_max - 1 - i))
+            sub_full = term if sub_full is None else sub_full + term
+        asg = asg.withColumn("_tc", t_c).withColumn(
+            "_sub",
+            F.when(F.col("_tc") <= 0, F.lit(0)).otherwise(
+                F.floor(
+                    sub_full
+                    / F.pow(
+                        F.lit(2.0),
+                        (F.lit(n_bits_max) - F.col("_tc")).cast("double"),
+                    )
+                )
+            ).cast("long"),
+        )
+        ws = Window.partitionBy("cluster_id", "_sub").orderBy("vec_id")
+        asg = asg.withColumn(
+            "_rn", F.row_number().over(ws) - 1
+        ).select(
+            "vec_id", "v", "cluster_id", "_sub",
+            (F.col("_rn") / max_cluster_n).cast("long").alias("_chunk"),
+            (F.col("_rn") % max_cluster_n == 0).alias("_rep"),
+        )
+        pair_keys = [("ca", "cb"), ("sub_a", "sub_b")]
+
     n = asg.withColumn(
         "nrm", (_norm_batch() if batched else norm)(F.col("v"))
     )
-    a = n.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("cluster_id").alias("ca"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = n.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("cluster_id").alias("cb"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
+
+    def _side(df, suffix):
+        cols = [
+            F.col("vec_id").alias(f"vec_{suffix}"),
+            F.col("cluster_id").alias(f"c{suffix}"),
+            F.col("v").alias(f"v{suffix}"),
+            F.col("nrm").alias(f"n{suffix}"),
+        ]
+        if max_cluster_n is not None:
+            cols += [
+                F.col("_sub").alias(f"sub_{suffix}"),
+                F.col("_chunk").alias(f"chunk_{suffix}"),
+            ]
+        return df.select(*cols)
+
+    b = _side(n, "b")
     if batched:
         cos = _pair_cosine_batch()(
             F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
         )
     else:
         cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    dup_b = (
-        a.join(
+
+    eq = None
+    for ka, kb in pair_keys:
+        c = F.col(ka) == F.col(kb)
+        eq = c if eq is None else eq & c
+
+    if max_cluster_n is None:
+        pairs = _side(n, "a").join(b, eq & (F.col("vec_a") < F.col("vec_b")))
+    else:
+        a = _side(n, "a")
+        intra = a.join(
             b,
-            (F.col("ca") == F.col("cb"))
+            eq
+            & (F.col("chunk_a") == F.col("chunk_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
-        .filter(cos >= threshold)
+        # chain: every doc vs every same-CLUSTER representative (the
+        # min-vec_id row of each sub-bucket chunk) with a lower id —
+        # cross-sub AND cross-chunk recovery in one join; pair count
+        # is n_c * n_reps = n_c^2 / cap, a 1/cap pair-space cut at the
+        # hot cluster (the verdict-proposed "sub-bucket minima" form)
+        reps = _side(n.filter(F.col("_rep")), "a")
+        chain = reps.join(
+            b,
+            (F.col("ca") == F.col("cb"))
+            & (F.col("vec_a") < F.col("vec_b"))
+            & (
+                (F.col("sub_a") != F.col("sub_b"))
+                | (F.col("chunk_a") != F.col("chunk_b"))
+            ),
+        )
+        pairs = intra.unionByName(chain)
+
+    dup_b = (
+        pairs.filter(cos >= threshold)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("_dup", F.lit(True))

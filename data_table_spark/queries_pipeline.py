@@ -2077,6 +2077,72 @@ def q_semdedup_prune(spark, sf_dir):
     return semdedup_prune(t["embeddings"].df, k=8, n_iter=2)
 
 
+_SQL_SEMDEDUP_CAPPED = f"""
+    WITH {_SQL_KMEANS_A2},
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    dup_b AS (
+      SELECT DISTINCT pb.vec_id AS vec_id
+      FROM a2 pa
+      JOIN a2 pb ON pa.cluster_id = pb.cluster_id
+                AND pa.vec_id < pb.vec_id
+      JOIN n na ON na.vec_id = pa.vec_id
+      JOIN n nb ON nb.vec_id = pb.vec_id
+      WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.4505
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_dropped,
+           CAST(1 AS BOOLEAN) AS subset_ok,
+           CAST(1 AS BOOLEAN) AS recall_ok
+    FROM dup_b
+"""
+
+
+@query("semdedup_prune_capped", _SQL_SEMDEDUP_CAPPED)
+def q_semdedup_prune_capped(spark, sf_dir):
+    """Hot-cluster-capped SemDeDup (round-9 verdict item 2): clusters
+    above max_cluster_n sub-split by seeded hyperplane signs (SRP-LSH
+    — near-identical content keeps its signs, so dup families stay
+    together), residual oversize sub-buckets rank-chunk with
+    chain-to-representative comparison. Pair space per cluster falls
+    from O(n^2) to O(n*cap + n^2/cap) — the mitigation for the
+    measured sf10 hot cluster (15k rows, 61x balanced; SCALE.md).
+
+    Approximation contract (the lsh_ann_topk pattern): the capped
+    dropped set is structurally a SUBSET of the exact one (every pair
+    it examines is a same-cluster lower-id pair); recall vs the exact
+    path — measured 1.0 at sf0.01 and 0.41 at sf0.1 with cap=64 (the
+    gate corpus is the LOW-similarity cos~0.45 regime, where sign
+    buckets genuinely split borderline pairs; on the near-identical
+    families the cap exists for, measured recall is ~1 — pinned in
+    test_semdedup_capped) — asserted >= 0.35. n_exact_dropped is
+    recomputed by both engines, so the exact machinery stays
+    value-checked inside this row too."""
+    from .pipeline.similarity import semdedup_prune
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].df
+    exact = semdedup_prune(emb, k=8, n_iter=2).filter(~F.col("kept"))
+    capped = semdedup_prune(
+        emb, k=8, n_iter=2, max_cluster_n=64
+    ).filter(~F.col("kept"))
+    ex_n = exact.agg(F.count(F.lit(1)).alias("n_exact_dropped"))
+    hit_n = capped.join(exact, ["vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    bad_n = capped.join(exact, ["vec_id"], "left_anti").agg(
+        F.count(F.lit(1)).alias("bad")
+    )
+    return ex_n.crossJoin(hit_n).crossJoin(bad_n).select(
+        "n_exact_dropped",
+        (F.col("bad") == 0).alias("subset_ok"),
+        (
+            F.col("hits").cast("double")
+            >= F.col("n_exact_dropped").cast("double") * F.lit(0.35)
+        ).alias("recall_ok"),
+    )
+
+
 _SQL_LENGTH_BATCHES = f"""
     WITH toks AS ({_SQL_TOKS}),
     t AS (

@@ -441,6 +441,126 @@ def _asof_map(x, i, **kw):
     return {r["iid"]: r["xv"] for r in out.df.collect()}
 
 
+def test_froll_chunk_stitch(spark):
+    """froll n_chunks= halo chunk-stitch: identical output to the
+    unsplit window for every fun x align x partial x na_rm sampled,
+    including NULL values (na_rm masks), sparse chunks (the spine
+    chains halos through empty/short chunks), a hot key, a global
+    (by=None) order, and multi-n."""
+    import random
+
+    from data_table_spark.core import DT
+    from data_table_spark.operators.window import froll
+
+    rng = random.Random(23)
+    rows = []
+    for g in ["a", "hot"]:
+        n_r = 200 if g == "hot" else 12
+        ts = rng.sample(range(0, 3000), n_r)
+        # cluster "a" times low so its value chunks are mostly empty
+        if g == "a":
+            ts = [t % 40 for t in ts][:12]
+            ts = sorted(set(ts))
+        for t in ts:
+            rows.append((g, t, None if t % 7 == 0 else float(t % 101)))
+    dt = DT(spark.createDataFrame(rows, ["g", "t", "v"]), order_by=["t"])
+
+    cases = [
+        ("mean", "right", False, False, [5]),
+        ("sum", "right", True, True, [3, 16]),
+        ("max", "center", False, True, [7]),
+        ("median", "left", True, False, [4]),
+        ("var", "right", False, False, [6]),
+    ]
+    for fun, align, partial, na_rm, ns in cases:
+        kw = dict(
+            cols="v", n=ns, by="g", align=align, partial=partial,
+            na_rm=na_rm,
+        )
+        want = sorted(map(tuple, froll(dt, fun, **kw).df.collect()))
+        for nc in (4, 11):
+            got = sorted(
+                map(tuple, froll(dt, fun, n_chunks=nc, **kw).df.collect())
+            )
+            assert got == want, (fun, align, partial, na_rm, nc)
+
+    # global order (by=None): the single-task wall case
+    want = sorted(
+        map(
+            tuple,
+            froll(dt, "sum", cols="v", n=9, by=None).df.collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            froll(dt, "sum", cols="v", n=9, by=None, n_chunks=6).df
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_asof_chunk_stitch(spark):
+    """n_chunks= hot-key chunk-stitch (round-9 verdict item 3): the
+    range-split + per-chunk running fill + carry-in stitch returns the
+    EXACT unsplit output for every roll type, including same-t
+    tiebreaks (equal times share a chunk), NULL payload values (the
+    carry is per-column last-non-null), keys with no X rows, chunks
+    with no X rows, and a finite staleness limit."""
+    import random
+
+    from data_table_spark.core import DT
+    from data_table_spark.operators.asof import asof_join
+
+    rng = random.Random(17)
+    xrows, irows = [], []
+    for g in ["a", "b", "hot"]:
+        n_x = 120 if g == "hot" else 8
+        ts = rng.sample(range(0, 1000), n_x)
+        for t in ts:
+            # every third payload NULL: exercises per-column carries
+            xrows.append((g, t, None if t % 3 == 0 else float(t)))
+        for t in rng.sample(range(-50, 1100), 40):
+            irows.append((g, t, len(irows)))
+    # exact-time collisions for the tag tiebreak
+    xrows.append(("a", 500, 500.0))
+    irows.append(("a", 500, 9001))
+    # key with I rows but no X rows
+    for t in (1, 2, 3):
+        irows.append(("ionly", t, 9100 + t))
+    x = DT(
+        spark.createDataFrame(xrows, ["g", "t", "xv"]), key=["g", "t"]
+    )
+    i = DT(
+        spark.createDataFrame(irows, ["g", "t", "iid"]), key=["g", "t"]
+    )
+
+    for roll in (True, "nocb", "nearest", 30, -30):
+        base = asof_join(x, i, on=["g"], time_x="t", time_i="t", roll=roll)
+        want = sorted(map(tuple, base.df.collect()))
+        for nc in (3, 8):
+            got = asof_join(
+                x, i, on=["g"], time_x="t", time_i="t", roll=roll,
+                n_chunks=nc,
+            )
+            assert sorted(map(tuple, got.df.collect())) == want, (
+                f"roll={roll} n_chunks={nc}"
+            )
+        # non-default rollends through the stitched path too
+        base2 = asof_join(
+            x, i, on=["g"], time_x="t", time_i="t", roll=roll,
+            rollends=(True, True),
+        )
+        got2 = asof_join(
+            x, i, on=["g"], time_x="t", time_i="t", roll=roll,
+            rollends=(True, True), n_chunks=5,
+        )
+        assert sorted(map(tuple, got2.df.collect())) == sorted(
+            map(tuple, base2.df.collect())
+        ), f"roll={roll} rollends=(True,True)"
+
+
 def test_rollends_forward_default(asof_pair):
     x, i = asof_pair
     # (False, True): no before-first roll, past-last rolls
@@ -2232,6 +2352,81 @@ def test_kmeans_batched_equivalence(spark, tables):
         )
     )
     assert sd_fold == sd_blas
+
+
+def test_semdedup_capped(spark, tables):
+    """max_cluster_n= hot-cluster mitigation (round-9 verdict item 2):
+    (a) a NON-binding cap returns the exact unsplit output; (b) on a
+    constructed corpus of near-identical duplicate families — the
+    content that actually makes a cluster hot — a binding cap keeps
+    recall ~1 (families share hyperplane signs; chunk chaining catches
+    the rest); (c) the worst case, one giant mutually-identical family
+    that no similarity split can separate, still drops everything but
+    the min id via the chunk-representative chain; (d) the dropped set
+    is always a SUBSET of the exact path's; (e) partition-invariant."""
+    import numpy as np
+
+    from data_table_spark.pipeline.similarity import semdedup_prune
+
+    emb = tables["embeddings"].df
+    exact = sorted(map(tuple, semdedup_prune(emb, k=8, n_iter=2).collect()))
+    nonbind = sorted(
+        map(
+            tuple,
+            semdedup_prune(emb, k=8, n_iter=2, max_cluster_n=10**9).collect(),
+        )
+    )
+    assert exact == nonbind
+
+    # (b) 40 near-identical families x 25 copies, tiny perturbation
+    rng = np.random.RandomState(7)
+    dirs = rng.normal(size=(40, 64))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for f in range(40):
+        for _ in range(25):
+            v = dirs[f] + rng.normal(scale=1e-3, size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    fam = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    base = semdedup_prune(fam, k=4, n_iter=2, threshold=0.9)
+    capped = semdedup_prune(
+        fam, k=4, n_iter=2, threshold=0.9, max_cluster_n=50
+    )
+    bd = {r["vec_id"] for r in base.collect() if not r["kept"]}
+    sd = {r["vec_id"] for r in capped.collect() if not r["kept"]}
+    # nearly every non-min family member drops in the exact path (a
+    # member can straddle a k-means boundary and lose its in-cluster
+    # partner — that is exact-path behavior, not the cap's)
+    assert len(bd) >= 0.95 * (40 * 24)
+    assert sd <= bd
+    assert len(sd & bd) >= 0.95 * len(bd)
+
+    # (e) partition invariance of the capped path
+    sd2 = {
+        r["vec_id"]
+        for r in semdedup_prune(
+            fam.repartition(7), k=4, n_iter=2, threshold=0.9,
+            max_cluster_n=50,
+        ).collect()
+        if not r["kept"]
+    }
+    assert sd2 == sd
+
+    # (c) one giant identical family: signs cannot split it; chunking
+    # + chain must still drop all but the global min
+    giant = spark.createDataFrame(
+        [(i, [1.0] * 64) for i in range(300)], ["vec_id", "embedding"]
+    )
+    out = semdedup_prune(
+        giant, k=1, n_iter=1, threshold=0.9, max_cluster_n=32
+    ).collect()
+    dropped = {r["vec_id"] for r in out if not r["kept"]}
+    assert dropped == set(range(1, 300))
+
+    with pytest.raises(ValueError):
+        semdedup_prune(emb, max_cluster_n=0)
 
 
 def test_dsir_select(spark):
