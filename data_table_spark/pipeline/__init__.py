@@ -42,6 +42,7 @@ from .dedup import (
     simhash_pairs,
     jaccard_prefix_pairs,
     dedup_clusters,
+    cc_star_labels,
 )
 from .similarity import (
     cosine_topk,
@@ -69,6 +70,7 @@ __all__ = [
     "lang_id", "text_quality", "token_counts", "doc_fingerprint",
     "dedup_exact", "dedup_exact_ids", "dup_span_profile", "dedup_spans_remove", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "simhash_pairs", "jaccard_prefix_pairs", "dedup_clusters",
+    "cc_star_labels",
     "cosine_topk", "cosine_pairs", "lsh_ann_topk", "ivf_ann_topk",
     "pq_ann_topk", "pq_encode", "ivfpq_ann_topk",
     "kmeans_assign", "kmeans_clusters", "semdedup_prune",

@@ -783,12 +783,90 @@ def jaccard_prefix_pairs(
     )
 
 
+def cc_star_labels(
+    edges: DataFrame, max_iter: int = 50
+) -> tuple[DataFrame, int]:
+    """Connected components by large-star/small-star alternation
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — O(log^2 n) rounds regardless of component DIAMETER,
+    vs min-label propagation's O(diameter). The strategy for
+    skew-diameter graphs (chains of pairwise near-dups), where
+    propagation would need one round per hop.
+
+    large-star: every node's strictly-larger neighbors reattach to the
+    minimum of its closed neighborhood; small-star: direct each edge
+    high->low, then every node and its smaller neighbors reattach to
+    the neighborhood minimum. The alternation contracts every
+    component into a star centered at its minimum node; labels are
+    then one groupBy away. Each round is two join+agg passes over the
+    edge list — the same building blocks as propagation, checkpointed
+    the same way (truncated lineage per round). Convergence = the
+    canonical (high,low) edge set's (count, order-free hash-sum) pair
+    is stable; rounds are returned for the skew-diameter evidence
+    (test_cc_star_chain).
+
+    Input: (doc_a, doc_b) pairs, any orientation, no self-loops
+    required. Output: (doc_id, cluster_id) for every node THAT HAS AN
+    EDGE (callers add singletons), plus the round count."""
+    e = (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star over the symmetrized list
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the high->low directed form
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            d.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1000003))).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev:
+            break
+        prev = sig
+    labels = e.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
+        F.col("u").alias("doc_id"), "cluster_id"
+    )
+    return labels, rounds
+
+
 def dedup_clusters(
     docs: DataFrame,
     threshold: float = 0.8,
     n: int = 3,
     max_iter: int = 25,
     pairs: DataFrame | None = None,
+    strategy: str = "label",
 ) -> DataFrame:
     """Duplicate CLUSTERS: connected components of the near-dup pair
     graph, labeled by the minimum reachable doc_id. This is the step a
@@ -816,9 +894,27 @@ def dedup_clusters(
 
     ``pairs``: pre-computed (doc_a, doc_b) pair table; defaults to the
     exact `ngram_jaccard_pairs` at `threshold` (deterministic, so the
-    DuckDB recursive-CTE oracle can replay it)."""
+    DuckDB recursive-CTE oracle can replay it).
+
+    ``strategy``: "label" (default min-label propagation — O(diameter)
+    rounds, the right call on low-diameter near-dup graphs) or "star"
+    (Kiveris large-star/small-star alternation via `cc_star_labels` —
+    O(log^2 n) rounds independent of diameter, for skew-diameter
+    chain graphs where propagation would need one round per hop;
+    measured on a 400-node chain in test_cc_star_chain). Identical
+    output either way (same components, same min-id labels)."""
+    if strategy not in ("label", "star"):
+        raise ValueError(f"bad strategy: {strategy!r}")
     if pairs is None:
         pairs = ngram_jaccard_pairs(docs, threshold, n)
+    if strategy == "star":
+        lbl, _ = cc_star_labels(
+            pairs.select("doc_a", "doc_b"), max_iter=max_iter
+        )
+        return docs.select("doc_id").join(lbl, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
     p = pairs.select("doc_a", "doc_b")
     edges = p.union(
         p.select(F.col("doc_b"), F.col("doc_a")).toDF("doc_a", "doc_b")

@@ -295,6 +295,22 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(t["documents"].df, threshold=0.8)
 
 
+@query("dedup_clusters_star", _SQL_DEDUP_CLUSTERS)
+def q_dedup_clusters_star(spark, sf_dir):
+    """The same duplicate-cluster labels via Kiveris large-star/
+    small-star alternation (round-9 verdict item 4; Kiveris et al.
+    2014) — O(log^2 n) rounds independent of component diameter, the
+    strategy for skew-diameter chain graphs where min-label
+    propagation needs one round per hop (measured: a 400-node chain
+    converges in <= ~12 alternations vs ~399 propagation rounds;
+    test_cc_star_chain). Same oracle as dedup_clusters: identical
+    components, identical min-id labels."""
+    from .pipeline import dedup_clusters
+
+    t = load_tables(spark, sf_dir)
+    return dedup_clusters(t["documents"].df, threshold=0.8, strategy="star")
+
+
 @query("minhash_lsh_pairs", _SQL_JACCARD_EXACT)
 def q_minhash_lsh(spark, sf_dir):
     """MinHash(126)+LSH(21x6) candidates, exact-Jaccard-verified. Per

@@ -2354,6 +2354,43 @@ def test_kmeans_batched_equivalence(spark, tables):
     assert sd_fold == sd_blas
 
 
+def test_cc_star_chain(spark, tables):
+    """Kiveris large-star/small-star CC (round-9 verdict item 4):
+    (a) on a 400-node CHAIN (diameter 399 — the skew-diameter case)
+    it converges in O(log^2 n) rounds, far under the diameter that
+    min-label propagation needs one round per hop of; (b) labels
+    equal the label-propagation fixpoint on the same graph; (c) the
+    dedup_clusters strategy="star" output is identical to the default
+    on the real documents pair graph, singletons included."""
+    from data_table_spark.pipeline import cc_star_labels, dedup_clusters
+
+    n = 400
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    labels, rounds = cc_star_labels(chain)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(1, n)}  # min node 0 labels all
+    # diameter is 399; propagation needs ~399 rounds. log2(400)~8.6;
+    # the alternation should land well under 20.
+    assert rounds <= 20, rounds
+
+    docs = tables["documents"].df
+    base = sorted(
+        map(tuple, dedup_clusters(docs, threshold=0.8).collect())
+    )
+    star = sorted(
+        map(
+            tuple,
+            dedup_clusters(docs, threshold=0.8, strategy="star").collect(),
+        )
+    )
+    assert star == base
+
+    with pytest.raises(ValueError):
+        dedup_clusters(docs, strategy="bogus")
+
+
 def test_semdedup_capped(spark, tables):
     """max_cluster_n= hot-cluster mitigation (round-9 verdict item 2):
     (a) a NON-binding cap returns the exact unsplit output; (b) on a
