@@ -59,14 +59,84 @@ def _detect_sep(sample: list[str]) -> str:
     """Pick the candidate sep with a consistent, maximal field count
     across sampled lines (simplified form of fread's sampler,
     src/fread.c:1807)."""
-    best, best_fields = ",", 1
-    for sep in _SEPS:
-        counts = [len(line.split(sep)) for line in sample if line]
+    import csv as _csv
+    import io as _io
+
+    text = "\n".join(line for line in sample if line)
+
+    def _counts(sep: str) -> list[int]:
+        try:
+            # parse the WHOLE sample quote-statefully: a quoted field
+            # spanning lines (multiline records) must count as part of
+            # one record, and quoted separators must not inflate counts
+            recs = list(_csv.reader(_io.StringIO(text), delimiter=sep))
+            return [len(r) for r in recs if r]
+        except Exception:
+            return [line.count(sep) + 1 for line in sample if line]
+
+    def _score(sep: str):
+        counts = _counts(sep)
         if not counts:
-            continue
-        if len(set(counts)) == 1 and counts[0] > best_fields:
-            best, best_fields = sep, counts[0]
+            return None
+        # most-common field count + its coverage: a ragged tail (e.g.
+        # a short footer line) must not veto the real separator
+        mode = max(set(counts), key=counts.count)
+        if mode < 2:
+            return None
+        return counts.count(mode) / len(counts), mode
+
+    best, best_score = ",", (0.0, 1)
+    for sep in _SEPS:
+        if sep == " ":
+            continue  # space only as a last resort (free text has spaces)
+        s = _score(sep)
+        if s and s > best_score:
+            best, best_score = sep, s
+    if best_score == (0.0, 1):
+        s = _score(" ")
+        if s:
+            best = " "
     return best
+
+
+def _retype_strings(df):
+    """Re-derive column types after an all-string widened parse (the
+    fill=TRUE widest-row path reads every column as string because the
+    widened schema is built before Spark's inference can see it): one
+    aggregate pass counts, per column, non-null values that fail
+    try_cast to bigint / to double; columns with zero failures cast to
+    the narrowest clean type. Exact (whole column, not sampled — the
+    repo rule for type promises)."""
+    from pyspark.sql import functions as _F
+
+    cols = [f.name for f in df.schema.fields
+            if isinstance(f.dataType, T.StringType)]
+    if not cols:
+        return df
+    aggs = []
+    for c in cols:
+        nn = _F.col(c).isNotNull()
+        aggs.append(_F.sum(nn.cast("int")).alias(f"nn_{c}"))
+        aggs.append(
+            _F.sum(
+                (nn & _F.col(c).try_cast("bigint").isNull()).cast("int")
+            ).alias(f"bl_{c}")
+        )
+        aggs.append(
+            _F.sum(
+                (nn & _F.col(c).try_cast("double").isNull()).cast("int")
+            ).alias(f"bd_{c}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    casts = {}
+    for c in cols:
+        if not row[f"nn_{c}"]:
+            continue
+        if row[f"bl_{c}"] == 0:
+            casts[c] = _F.col(c).cast("bigint")
+        elif row[f"bd_{c}"] == 0:
+            casts[c] = _F.col(c).cast("double")
+    return df.withColumns(casts) if casts else df
 
 
 def _looks_numeric(tok: str) -> bool:
@@ -186,9 +256,15 @@ def fread(
     yaml: bool = False,
     strip_white: bool = True,
     logical01: bool = False,
+    blank_lines_skip: bool = True,
 ) -> DT:
     """Read a CSV/TSV into a DT. See module docstring for the mapping.
 
+    ``blank_lines_skip=True`` (default) drops blank LINES before the
+    parse (utf-8 line path; see the inline note for why the reference's
+    stop-at-blank FALSE default is not expressible distributed);
+    ``fill=True`` widens to the WIDEST row with V-named extra columns
+    and re-derives types exactly (one counting pass + one aggregate).
     ``text=`` (reference R/fread.R `text` arg) parses a literal string;
     ``cmd=`` (R/fread.R `cmd` arg) runs a shell command and parses its
     stdout — a DRIVER-side convenience for preprocessed local input,
@@ -298,7 +374,14 @@ def fread(
         # granularity parallelism — at 100 TB store many shards.
         .option("multiLine", "true" if (multiline or multiline_charset) else "false")
         .option("escape", '"')
-        .option("mode", "PERMISSIVE" if fill else "FAILFAST")
+        # nrows= is a post-parse limit (a distributed scan cannot stop
+        # mid-file the way the reference's streaming parser does), so
+        # a malformed line PAST the requested rows must not abort the
+        # read -> PERMISSIVE when nrows is given
+        .option(
+            "mode",
+            "PERMISSIVE" if (fill or nrows is not None) else "FAILFAST",
+        )
         # strip.white (reference R/fread.R:40, default TRUE): Spark's
         # csv reader keeps surrounding field whitespace by default
         .option("ignoreLeadingWhiteSpace", "true" if strip_white else "false")
@@ -312,7 +395,9 @@ def fread(
         )
     )
     lines = None
-    if skip:
+    utf8 = encoding.upper().replace("-", "").replace("_", "") == "UTF8"
+    line_path = not (multiline or multiline_charset)
+    if skip and line_path:
         # OSS Spark's csv reader has no skip-lines option (CSVOptions
         # has none; unknown options are silently ignored), so feed the
         # reader an RDD of lines with the first `skip` dropped.
@@ -324,7 +409,89 @@ def fread(
             .filter(lambda t: t[1] >= skip)
             .map(lambda t: t[0])
         )
-    if col_classes:
+    if blank_lines_skip and line_path and utf8:
+        # blank.lines.skip: the reference's FALSE default stops the
+        # read at the first interior blank line (with a warning) and
+        # silently drops trailing ones — neither is expressible in a
+        # distributed scan, and Spark's own behavior (a null row per
+        # blank line) matches nothing a reference user expects, so the
+        # default here is True: drop blank LINES before parsing. Costs
+        # the native file scan (line-RDD input); pass
+        # blank_lines_skip=False on guaranteed-clean input to keep it.
+        lines = (lines or spark.sparkContext.textFile(path)).filter(
+            lambda ln: ln.strip() != ""
+        )
+    if nrows is not None and lines is not None:
+        # restrict BEFORE parse/inference: the reference's streaming
+        # parser never reads past nrows, so a ragged/malformed tail
+        # must neither error the read nor contaminate inferred types
+        keep = nrows + (1 if header else 0)
+        lines = (
+            lines.zipWithIndex()
+            .filter(lambda t: t[1] < keep)
+            .map(lambda t: t[0])
+        )
+
+    widened = None
+    if fill and lines is not None and not col_classes and not col_names:
+        # fill=TRUE widens to the WIDEST row (reference R/fread.R fill;
+        # src/fread.c samples max ncol): rows wider than the first line
+        # would otherwise be silently truncated by the first-row-width
+        # schema. Extra columns get default names V{k} (reference
+        # "Added N extra default column names at the end"). One extra
+        # counting pass over the lines; types re-derived below.
+        import csv as _csv
+
+        def _nf(ln: str, _sep=sep, _q=quote) -> int:
+            if not _q:
+                return len(ln.split(_sep))
+            try:
+                return len(next(_csv.reader([ln], delimiter=_sep, quotechar=_q)))
+            except Exception:
+                return ln.count(_sep) + 1
+
+        n_max = lines.map(_nf).max()
+        first_line = lines.first()
+        head_fields = (
+            first_line.split(sep)
+            if not quote
+            else next(_csv.reader([first_line], delimiter=sep, quotechar=quote))
+        )
+        if n_max > len(head_fields):
+            if header:
+                base = [str(x) for x in head_fields]
+                # drop the header line from the data RDD (the explicit
+                # schema below disables Spark's own header handling)
+                lines = (
+                    lines.zipWithIndex()
+                    .filter(lambda t: t[1] >= 1)
+                    .map(lambda t: t[0])
+                )
+            else:
+                base = []
+            names = base + [
+                f"V{i + 1}" for i in range(len(base), n_max)
+            ]
+            # sanitize: empty header tokens (e.g. a multi-space header
+            # under a literal single-char sep) and duplicates would be
+            # unreferenceable columns
+            seen: dict[str, int] = {}
+            clean = []
+            for i, nm in enumerate(names):
+                nm = nm.strip() or f"V{i + 1}"
+                if nm in seen:
+                    seen[nm] += 1
+                    nm = f"{nm}.{seen[nm]}"
+                else:
+                    seen[nm] = 0
+                clean.append(nm)
+            widened = T.StructType(
+                [T.StructField(nm, T.StringType(), True) for nm in clean]
+            )
+    if widened is not None:
+        deferred_casts = {}
+        reader = reader.schema(widened).option("header", "false")
+    elif col_classes:
         # colClasses is a PARTIAL override (reference R/fread.R:42:
         # "used rarely to override the detected types, of particular
         # columns"): infer the full schema first (inference is its own
@@ -364,6 +531,13 @@ def fread(
         # UTF-8 BOM survives into the first header name (the csv parser
         # does not strip it); normalize like the reference does
         df = df.withColumnRenamed(df.columns[0], df.columns[0].lstrip("﻿"))
+    if widened is not None:
+        df = _retype_strings(df)
+    if not header and not col_names and all(
+        c == f"_c{i}" for i, c in enumerate(df.columns)
+    ):
+        # the reference's default names for headerless input: V1..Vn
+        df = df.toDF(*[f"V{i + 1}" for i in range(len(df.columns))])
     if col_names and not col_classes:  # schema path already named them
         df = df.toDF(*col_names)
     if len(na_strings) > 1:
