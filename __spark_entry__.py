@@ -28,56 +28,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 registration-order
-# entries. The window is now DERIVED, not hand-picked — run
+# entries. The window is DERIVED, not hand-picked — run
 #   python tools/rotate_window.py --new <added-or-changed-queries>
-# and paste its output (the round-6 hand rotation produced a false
-# freshness claim; see VERDICT r6 "What's wrong" item 1).
+# and paste its output VERBATIM (including both histograms; the r6 and
+# r8 rounds each got a hand-computed freshness number wrong, so the
+# tool now prints the post-window histogram too and prose quotes only
+# tool output).
 #
-# Honest freshness state entering round 8 (latest driver row per query,
-# computed from CORRECTNESS_r01..r07): 50 queries r7, 46 r5, 46 r4,
-# 20 r3, and the round-8 additions never driver-checked. No query's
-# latest driver row is red. This window is rotate_window.py's output
-# for --new = the 22 queries added or physically changed this round:
-# the span-dedup family (dup_ngram_spans + removal/keepfirst +
-# stream_span_screen), pack_sequences, token_mixture_sample, the
-# bucketed big-big interval joins (foverlaps_bucketed,
-# inrange_bucketed), the asof family + nafill_locf_nocb (backward
-# fills re-expressed as reversed running frames, fixing an
-# O(rows^2)-per-key unbounded-following frame), and the late-round
-# additions quality_quantile_filter / sample_n_per_source /
-# heavy_hitters_cm / decontaminate_bloom / dsir_select /
-# kmeans_clusters / semdedup_prune / length_batches (per-source
-# quality-quantile filter, fixed-count per-group sample, Count-Min
-# heavy hitters, Bloom-prescreened decontamination, DSIR importance
-# selection, deterministic Lloyd's k-means, SemDeDup semantic dedup,
-# and length-bucketed loader batches). Then ivfpq_ann_topk (never
-# checked), all 20 r3-latest, and the oldest r4-latest alphabetical.
-# After this window the oldest remaining evidence is r4 (39 queries);
-# round 9 takes those plus the r5 tail.
+# Round-9 window = rotate_window.py output for --new = the 12 queries
+# added or physically changed this round (semdedup_prune_capped and
+# dedup_clusters_star are new; semdedup_prune/dedup_clusters gained
+# opt-in scale strategies and their shared code was restructured;
+# fread_fwrite_roundtrip covers the fread sep-sampler/fill/nrows/
+# blank-lines changes; the asof family and froll_mean_sum/froll_narm
+# cover the n_chunks chunk-stitch restructuring), then the full
+# 33-query r4-latest tail, then the 5 oldest r5-latest. Tool output:
+#
+# # latest-evidence histogram (0 = never driver-checked):
+# #   r0: 2
+# #   r4: 33
+# #   r5: 46
+# #   r7: 50
+# #   r8: 50
+# # window covers 50 slots; oldest row left outside: r5
+# # POST-window histogram (window rows counted as r9):
+# #   r5: 41
+# #   r7: 47
+# #   r8: 43
+# #   r9: 50
 _PRIORITY = [
-    # new or changed this round (rotate_window.py --new)
-    "quality_quantile_filter", "sample_n_per_source",
-    "heavy_hitters_cm", "decontaminate_bloom", "dsir_select",
-    "kmeans_clusters", "semdedup_prune", "length_batches",
-    "dup_ngram_spans", "dup_span_removal", "dup_span_removal_keepfirst",
-    "pack_sequences", "stream_span_screen", "token_mixture_sample",
-    "foverlaps_bucketed", "inrange_bucketed", "asof_roll_backward",
-    "asof_roll_forward", "asof_roll_limit", "asof_roll_nearest",
-    "asof_roll_rollends", "nafill_locf_nocb",
-    # never driver-checked
-    "ivfpq_ann_topk",
-    # the complete r3-latest list (20)
-    "ann_cosine_topk", "cogroup_udtf", "composite_pipeline",
-    "dcast_margins", "dedup_clusters", "doc_fingerprint",
-    "dogroups_udtf", "embedding_cosine_pairs", "embedding_dup_clusters",
-    "frollapply_corr", "hash_sample", "jaccard_prefix_pairs", "lang_id",
-    "multimodal_features", "ngram_jaccard_pairs", "salted_skew_agg",
-    "simhash_pairs", "stream_stateful_stats", "stream_static_join",
-    "token_counts",
-    # oldest r4-latest refresh (alphabetical)
-    "cbindlist_zip", "cumsum_running", "curation_pipeline",
-    "date_round", "decontaminate_ngrams", "dedup_keep_best",
-    "doc_chunking",
+    "semdedup_prune_capped",  # new
+    "dedup_clusters_star",  # new
+    "semdedup_prune",  # new
+    "dedup_clusters",  # new
+    "fread_fwrite_roundtrip",  # new
+    "asof_roll_backward",  # new
+    "asof_roll_forward",  # new
+    "asof_roll_limit",  # new
+    "asof_roll_nearest",  # new
+    "asof_roll_rollends",  # new
+    "froll_mean_sum",  # new
+    "froll_narm",  # new
+    "embedding_lsh_pairs",  # r4
+    "fcoalesce_nafill",  # r4
+    "fintersect_all",  # r4
+    "frame_sample_counts",  # r4
+    "froll_adaptive_minmax",  # r4
+    "froll_adaptive_sum",  # r4
+    "fsetdiff_all",  # r4
+    "gtail_per_group",  # r4
+    "json_extract_props",  # r4
+    "lsh_ann_topk",  # r4
+    "mutation_let",  # r4
+    "quantiles_by",  # r4
+    "rbindlist_fill",  # r4
+    "repetition_metrics",  # r4
+    "rleid_runs",  # r4
+    "rollup_label",  # r4
+    "rowwise_literal",  # r4
+    "sdcols_agg",  # r4
+    "sequence_packing",  # r4
+    "sessionize_batch",  # r4
+    "setorder_topk",  # r4
+    "sketch_distinct_tokens",  # r4
+    "stratified_sample",  # r4
+    "stream_decontaminate",  # r4
+    "stream_dedup",  # r4
+    "stream_sliding_agg",  # r4
+    "stream_stream_join",  # r4
+    "stream_tumbling_agg",  # r4
+    "time_parts",  # r4
+    "transpose_small",  # r4
+    "tstrsplit_cols",  # r4
+    "vecseq_expand",  # r4
+    "vocab_topk",  # r4
+    "bigram_lm_score",  # r5
+    "bm25_topk",  # r5
+    "chgroup_first_appearance",  # r5
+    "chmatch_rank",  # r5
+    "chunk_dedup_pairs",  # r5
 ]
 
 

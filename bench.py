@@ -167,6 +167,12 @@ def main() -> None:
         "sf": sf,
         # continuity + ambient diagnostics (extra keys; driver ignores)
         "total_legacy14_sec": legacy14,
+        # continuity key per headline-set size (VERDICT r8 item 8): when
+        # the set grows, the old series stays one subtraction away —
+        # headline19 is the r8/r9 set
+        "total_headline19_sec": round(
+            sum(timings.get(n, 0.0) for n in HEADLINE[:19]), 4
+        ),
         "ambient_probe": {"start": probe_start, "end": probe_end},
         "conf": conf,
     }))

@@ -67,6 +67,7 @@ def shift(
     by=None,
     order=None,
     give_names: bool = True,
+    n_chunks: int | None = None,
 ) -> DT:
     """shift — lag/lead with fill (reference R/shift.R:1, src/shift.c:4;
     grouped form is GForce gshift, src/gsumm.c:1195).
@@ -74,33 +75,56 @@ def shift(
     type_: "lag" | "lead" | "cyclic" (cyclic wraps within the group,
     reference src/shift.c:4 "type cyclic"). ``n`` may be a sequence
     (reference: "n vector", R/shift.R) — one output column per n.
+
+    ``n_chunks=`` (opt-in): the hot-key chunk-stitch (see froll) for
+    lag/lead — halo width max|n|; the out-of-range fill positions come
+    from the stitch's global rank/count columns, so fill semantics are
+    identical. Not supported for cyclic (wrapping needs the whole
+    group).
     """
     if type_ == "cyclic":
+        if n_chunks is not None and n_chunks > 1:
+            raise ValueError("n_chunks does not support type_='cyclic'")
         return _shift_cyclic(dt, cols, n, by=by, order=order, give_names=give_names)
     ns = list(n) if isinstance(n, (list, tuple)) else [n]
-    w = win(dt, by=by, order=order)
     fn = F.lag if type_ == "lag" else F.lead
-    # fill applies ONLY beyond the group boundary (reference
-    # src/shift.c: fill is the out-of-range value) — interior NULLs in
-    # the data must shift through unchanged, so no coalesce.
+
+    def build(w, rn, cnt) -> dict:
+        # fill applies ONLY beyond the group boundary (reference
+        # src/shift.c: fill is the out-of-range value) — interior NULLs
+        # in the data must shift through unchanged, so no coalesce.
+        out = {}
+        for c in _namelist(cols):
+            for k in ns:
+                name = f"{c}_{type_}_{k}" if give_names or len(ns) > 1 else c
+                shifted = fn(F.col(c), k).over(w)
+                if fill is not None:
+                    # negative n flips the direction (lag(-1) ==
+                    # lead(1), reference shift accepts negative n), so
+                    # the out-of-bounds side flips with it
+                    lag_like = (type_ == "lag") == (k > 0)
+                    kk = abs(k)
+                    oob = rn <= kk if lag_like else rn > cnt - kk
+                    shifted = F.when(oob, F.lit(fill)).otherwise(shifted)
+                out[name] = shifted
+        return out
+
+    if n_chunks is not None and n_chunks > 1:
+        hw = max(abs(k) for k in ns)
+        lag_side = any((type_ == "lag") == (k > 0) for k in ns)
+        lead_side = any((type_ == "lag") != (k > 0) for k in ns)
+        return _ordered_chunk_stitch(
+            dt,
+            lambda base: build(base, F.col("__grank__"), F.col("__gcnt__")),
+            by=by, order=order, n_chunks=n_chunks,
+            hw_lo=hw if lag_side else 0, hw_hi=hw if lead_side else 0,
+            with_rank=fill is not None,
+        )
+    w = win(dt, by=by, order=order)
     rn = F.row_number().over(w)
     gw = Window.partitionBy(*_namelist(by)) if by else Window.partitionBy()
     cnt = F.count(F.lit(1)).over(gw)
-    out = {}
-    for c in _namelist(cols):
-        for k in ns:
-            name = f"{c}_{type_}_{k}" if give_names or len(ns) > 1 else c
-            shifted = fn(F.col(c), k).over(w)
-            if fill is not None:
-                # negative n flips the direction (lag(-1) == lead(1),
-                # reference shift accepts negative n), so the
-                # out-of-bounds side flips with it
-                lag_like = (type_ == "lag") == (k > 0)
-                kk = abs(k)
-                oob = rn <= kk if lag_like else rn > cnt - kk
-                shifted = F.when(oob, F.lit(fill)).otherwise(shifted)
-            out[name] = shifted
-    return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
+    return DT(dt.df.withColumns(build(w, rn, cnt)), key=dt.key, order_by=dt.order_by)
 
 
 def _shift_cyclic(dt: DT, cols, n: int, by=None, order=None, give_names=True) -> DT:
@@ -235,7 +259,8 @@ def froll(
 
 
 def _ordered_chunk_stitch(
-    dt: DT, exprs, by, order, n_chunks: int, hw_lo: int, hw_hi: int
+    dt: DT, exprs, by, order, n_chunks: int, hw_lo: int, hw_hi: int,
+    with_rank: bool = False,
 ) -> DT:
     """Exact chunk-split evaluation of fixed-width rolling frames (the
     SCALE.md hot-key mitigation, round-9 verdict item 3).
@@ -253,6 +278,12 @@ def _ordered_chunk_stitch(
        partitions — n_chunks-way parallel per key — and halo rows are
        dropped. Every real row's frame holds the identical row
        multiset as the unsplit window, so results are bit-identical.
+
+    ``with_rank=True`` additionally provides every REAL row its GLOBAL
+    per-key rank as ``__grank__`` and the key's total row count as
+    ``__gcnt__`` (chunk-local rank + the spine's cumulative offset — no
+    whole-key window), for callers whose expressions need boundary
+    positions (shift's out-of-range fill). Halo rows carry NULLs there.
     """
     keys = _namelist(by)
     ordn = _namelist(order) or dt.order_by
@@ -315,7 +346,24 @@ def _ordered_chunk_stitch(
         return pred
 
     base_cols = [*dt.df.columns, "__chunk__"]
-    real = ranked.select(*base_cols).withColumn("__halo__", F.lit(False))
+    real = ranked.select(*base_cols, "__rna__").withColumn(
+        "__halo__", F.lit(False)
+    )
+    if with_rank:
+        offs = spine.select(
+            *keys, "__chunk__",
+            (F.col("__cum__") - F.col("__scnt__")).alias("__off__"),
+        )
+        real = real.join(F.broadcast(offs), [*keys, "__chunk__"], "left")
+        totals = spine.groupBy(*keys).agg(F.max("__cum__").alias("__gcnt__"))
+        if keys:
+            real = real.join(F.broadcast(totals), keys, "left")
+        else:
+            real = real.crossJoin(F.broadcast(totals))
+        real = real.withColumn(
+            "__grank__", (F.col("__rna__") + F.col("__off__")).cast("long")
+        ).drop("__off__")
+    real = real.drop("__rna__")
     parts = [real]
 
     if hw_lo > 0:
@@ -393,14 +441,15 @@ def _ordered_chunk_stitch(
 
     aug = parts[0]
     for p in parts[1:]:
-        aug = aug.unionByName(p)
+        # halo parts lack __grank__/__gcnt__ (with_rank): null-filled
+        aug = aug.unionByName(p, allowMissingColumns=True)
     base = Window.partitionBy(*keys, "__chunk__").orderBy(
         *[_ocol(c) for c in ocols]
     )
     out = (
         aug.withColumns(exprs(base))
         .filter(~F.col("__halo__"))
-        .drop("__chunk__", "__halo__")
+        .drop("__chunk__", "__halo__", "__grank__", "__gcnt__")
     )
     return DT(out, key=dt.key, order_by=dt.order_by)
 

@@ -1108,7 +1108,7 @@ def kmeans_clusters(
     )
 
 
-def _hyperplanes(n: int, dim: int, seed: int) -> list:
+def _sign_planes(n: int, dim: int, seed: int) -> list:
     """Deterministic pseudo-random hyperplane components in [-1, 1]:
     md5(f"semdedup:{seed}:{i}:{p}") -> top 64 bits -> uniform. Built
     driver-side as n*dim plan literals — identical on every executor,
@@ -1199,7 +1199,7 @@ def semdedup_prune(
             raise ValueError("max_cluster_n must be >= 1")
         from pyspark.sql import Window
 
-        planes = _hyperplanes(n_bits_max, dim, seed)
+        planes = _sign_planes(n_bits_max, dim, seed)
         wc = Window.partitionBy("cluster_id")
         n_c = F.count(F.lit(1)).over(wc)
         t_c = F.when(n_c <= max_cluster_n, F.lit(0)).otherwise(

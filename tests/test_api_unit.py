@@ -500,6 +500,28 @@ def test_froll_chunk_stitch(spark):
     )
     assert got == want
 
+    # shift through the same stitch: lag/lead, multi-n with a negative
+    # (direction flip), boundary fill via the stitch's global ranks
+    from data_table_spark.operators.window import shift
+
+    for kw in (
+        dict(n=1, type_="lag"),
+        dict(n=[2, -1], type_="lag", fill=-99.0),
+        dict(n=3, type_="lead", fill=0.0),
+    ):
+        want = sorted(
+            map(tuple, shift(dt, "v", by="g", **kw).df.collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                shift(dt, "v", by="g", n_chunks=5, **kw).df.collect(),
+            )
+        )
+        assert got == want, kw
+    with pytest.raises(ValueError):
+        shift(dt, "v", by="g", type_="cyclic", n_chunks=4)
+
 
 def test_asof_chunk_stitch(spark):
     """n_chunks= hot-key chunk-stitch (round-9 verdict item 3): the
