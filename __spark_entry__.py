@@ -35,30 +35,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # tool now prints the post-window histogram too and prose quotes only
 # tool output).
 #
-# Round-9 window = rotate_window.py output for --new = the 12 queries
-# added or physically changed this round (semdedup_prune_capped and
-# dedup_clusters_star are new; semdedup_prune/dedup_clusters gained
-# opt-in scale strategies and their shared code was restructured;
-# fread_fwrite_roundtrip covers the fread sep-sampler/fill/nrows/
-# blank-lines changes; the asof family and froll_mean_sum/froll_narm
-# cover the n_chunks chunk-stitch restructuring), then the full
-# 33-query r4-latest tail, then the 5 oldest r5-latest. Tool output:
+# Round-9 window = rotate_window.py output for --new = the 17 queries
+# added or physically changed this round: semdedup_prune_capped /
+# dedup_clusters_star / froll_chunked / asof_chunked are new (hot-key
+# scale mitigations with driver contracts); semdedup_prune and
+# dedup_clusters gained opt-in strategies with restructured shared
+# code; fread_fwrite_roundtrip covers the fread sep-sampler/fill/
+# nrows/blank-lines changes; the asof family, froll_mean_sum,
+# froll_narm, nafill_locf_nocb, cumsum_running, and shift_lag_lead
+# cover the n_chunks chunk-stitch restructurings. Then the r4-latest
+# tail (oldest evidence first, alphabetical). Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
-# #   r0: 2
+# #   r0: 4
 # #   r4: 33
 # #   r5: 46
 # #   r7: 50
 # #   r8: 50
 # # window covers 50 slots; oldest row left outside: r5
 # # POST-window histogram (window rows counted as r9):
-# #   r5: 41
+# #   r5: 45
 # #   r7: 47
-# #   r8: 43
+# #   r8: 41
 # #   r9: 50
 _PRIORITY = [
     "semdedup_prune_capped",  # new
     "dedup_clusters_star",  # new
+    "froll_chunked",  # new
+    "asof_chunked",  # new
     "semdedup_prune",  # new
     "dedup_clusters",  # new
     "fread_fwrite_roundtrip",  # new
@@ -69,6 +73,9 @@ _PRIORITY = [
     "asof_roll_rollends",  # new
     "froll_mean_sum",  # new
     "froll_narm",  # new
+    "nafill_locf_nocb",  # new
+    "cumsum_running",  # new
+    "shift_lag_lead",  # new
     "embedding_lsh_pairs",  # r4
     "fcoalesce_nafill",  # r4
     "fintersect_all",  # r4
@@ -102,11 +109,6 @@ _PRIORITY = [
     "tstrsplit_cols",  # r4
     "vecseq_expand",  # r4
     "vocab_topk",  # r4
-    "bigram_lm_score",  # r5
-    "bm25_topk",  # r5
-    "chgroup_first_appearance",  # r5
-    "chmatch_rank",  # r5
-    "chunk_dedup_pairs",  # r5
 ]
 
 

@@ -1807,6 +1807,45 @@ def q_fsetdiff(spark, sf_dir):
     return fsetdiff(x, y, all=True).df
 
 
+# Chunk-stitch twins (round-9 verdict item 3): the SAME queries through
+# the opt-in hot-key chunk-stitch (n_chunks=4). The stitch is EXACT, so
+# each twin reuses its unsplit query's oracle verbatim — a driver-green
+# value-hash on the stitched plan, not just the pytest equivalence.
+@query("froll_chunked", None)
+def q_froll_chunked(spark, sf_dir):
+    """froll_mean_sum through the halo chunk-stitch (n_chunks=4):
+    per-(key, chunk) rolling frames + spine-chained halo replication
+    (operators/window.py _ordered_chunk_stitch) — the hot-key posture;
+    output identical to the unsplit plan, same oracle."""
+    from .operators.window import froll
+
+    t = load_tables(spark, sf_dir)
+    out = froll(t["events"], "mean", ["value"], 5, by=["user_id"], n_chunks=4)
+    out = froll(out, "sum", ["value"], 5, by=["user_id"], n_chunks=4)
+    return out.query(
+        j=["event_id", "user_id", "value_rollmean_5", "value_rollsum_5"]
+    ).df
+
+
+@query("asof_chunked", None)
+def q_asof_chunked(spark, sf_dir):
+    """asof_roll_nearest through the carry-in chunk-stitch
+    (n_chunks=4): per-(key, chunk) running fills + per-column chunk
+    carries (operators/asof.py) — identical output, same oracle."""
+    from .operators.asof import asof_join
+
+    quotes, trades = _quotes_trades(spark, sf_dir)
+    out = asof_join(
+        quotes, trades, on=["user_id"], time_x="ts_us", time_i="ts_us",
+        roll="nearest", n_chunks=4,
+    )
+    return out.df.withColumnRenamed("ts_us_x", "quote_ts")
+
+
+ORACLE["froll_chunked"] = ORACLE["froll_mean_sum"]
+ORACLE["asof_chunked"] = ORACLE["asof_roll_nearest"]
+
+
 # Pipeline extension registrations (dedup / similarity / text analysis).
 # Bottom import so the registry decorator above is defined first.
 from . import queries_pipeline  # noqa: E402,F401
