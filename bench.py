@@ -100,8 +100,15 @@ def main() -> None:
     spark = get_spark("data-table-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # session warm-up (JVM + codegen paths), excluded from timings
+    # session warm-up (JVM + codegen paths), excluded from timings. The
+    # nation count alone was NOT enough: the first real aggregate query
+    # still paid ~3s of codegen/scan warm-up, which made probe_start
+    # read ~3-4x probe_end on an IDLE box (r8/r9 both) — i.e. the start
+    # probe measured cold-start, not ambient load, defeating the
+    # probe-pair's purpose. Run the probe query once untimed so both
+    # probes measure the warm steady state.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    force_count(QUERIES["gforce_q1"](spark, sf_dir))
 
     # Ambient probes (VERDICT r6 item 2): the same fixed query timed once
     # at session start and once at session end, plus the session conf that
