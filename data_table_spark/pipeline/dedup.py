@@ -866,7 +866,7 @@ def dedup_clusters(
     n: int = 3,
     max_iter: int = 25,
     pairs: DataFrame | None = None,
-    strategy: str = "label",
+    strategy: str = "star",
 ) -> DataFrame:
     """Duplicate CLUSTERS: connected components of the near-dup pair
     graph, labeled by the minimum reachable doc_id. This is the step a
@@ -896,13 +896,15 @@ def dedup_clusters(
     exact `ngram_jaccard_pairs` at `threshold` (deterministic, so the
     DuckDB recursive-CTE oracle can replay it).
 
-    ``strategy``: "label" (default min-label propagation — O(diameter)
-    rounds, the right call on low-diameter near-dup graphs) or "star"
-    (Kiveris large-star/small-star alternation via `cc_star_labels` —
-    O(log^2 n) rounds independent of diameter, for skew-diameter
-    chain graphs where propagation would need one round per hop;
-    measured on a 400-node chain in test_cc_star_chain). Identical
-    output either way (same components, same min-id labels)."""
+    ``strategy``: "star" (default — Kiveris large-star/small-star
+    alternation via `cc_star_labels`, O(log^2 n) rounds independent of
+    component diameter; measured FASTER at every probed scale: 4.7s vs
+    13.4s at sf0.01, 113s vs 445s at sf1, 10 vs ~399 rounds on a
+    400-node chain — and robust to skew-diameter graphs where
+    propagation silently stops at max_iter) or "label" (min-label
+    propagation — one join+agg per round; kept for comparison and as
+    the recursive-CTE oracle's direct analog). Identical output either
+    way (same components, same min-id labels)."""
     if strategy not in ("label", "star"):
         raise ValueError(f"bad strategy: {strategy!r}")
     if pairs is None:

@@ -2432,7 +2432,10 @@ def test_cc_star_chain(spark, tables):
 
     docs = tables["documents"].df
     base = sorted(
-        map(tuple, dedup_clusters(docs, threshold=0.8).collect())
+        map(
+            tuple,
+            dedup_clusters(docs, threshold=0.8, strategy="label").collect(),
+        )
     )
     star = sorted(
         map(
