@@ -244,7 +244,7 @@ def fread(
     col_classes: Mapping[str, str] | None = None,
     col_names: Sequence[str] | None = None,
     na_strings: Sequence[str] = ("",),
-    skip: int = 0,
+    skip: int | str = "auto",
     quote: str = '"',
     fill: bool = False,
     encoding: str = "UTF-8",
@@ -257,6 +257,7 @@ def fread(
     strip_white: bool = True,
     logical01: bool = False,
     blank_lines_skip: bool = True,
+    line_sep: str | None = None,
 ) -> DT:
     """Read a CSV/TSV into a DT. See module docstring for the mapping.
 
@@ -293,6 +294,33 @@ def fread(
         raise ValueError("fread needs a path, or text=")
     if path.endswith(".zip"):
         path = _unzip_to_tmp(path)
+    auto_skip = False
+    if skip == "auto":
+        # reference default: find the data block start during the
+        # sample pass below (non-tabular prologue lines are skipped).
+        # Detection only runs when a sample is taken (sep/header auto);
+        # with both passed explicitly the read starts at line 1.
+        auto_skip = True
+        skip = 0
+    if isinstance(skip, str):
+        # skip="string" (reference R/fread.R skip arg: "the full line
+        # containing that string becomes the first line read"): resolve
+        # to a line index with one distributed substring scan — only
+        # the matching MIN index returns to the driver, so the probe is
+        # a column-less aggregate, not a collect, at any scale.
+        needle = skip
+        matches = (
+            spark.sparkContext.textFile(path)
+            .zipWithIndex()
+            .filter(lambda t, _n=needle: _n in t[0])
+            .map(lambda t: t[1])
+        )
+        try:
+            skip = matches.min()
+        except ValueError:
+            raise ValueError(
+                f"fread: skip={needle!r} not found in any line of {path}"
+            ) from None
     if yaml:
         # CSVY: YAML front matter carries names/types/sep; the block is
         # skipped before the distributed parse (reference R/fread.R yaml
@@ -340,6 +368,64 @@ def fread(
                     _F.regexp_replace(name, ",", ".").cast(t),
                 )
         return DT(df, key=key)
+    if encoding == "UTF-8" and not path.endswith((".gz", ".bz2", ".zst")):
+        # BOM-based charset sniff (reference src/fread.c:~1370 detects
+        # UTF-16 BOMs — and errors — and the GB-18030 signature with a
+        # warning; here both simply switch the decoder). Only for a
+        # single local uncompressed file under the default encoding.
+        import os as _os
+
+        if _os.path.isfile(path):
+            with open(path, "rb") as _fh:
+                head4 = _fh.read(4)
+            if head4[:2] == b"\xff\xfe" and head4[2:4] != b"\x00\x00":
+                encoding = "UTF-16LE"
+            elif head4[:2] == b"\xfe\xff":
+                encoding = "UTF-16BE"
+            elif head4 == b"\x84\x31\x95\x33":
+                encoding = "GB18030"
+    _SPARK_CHARSETS = {
+        "utf8", "utf16", "utf16le", "utf16be", "utf32", "iso88591",
+        "usascii",
+    }
+    if (
+        encoding.lower().replace("-", "").replace("_", "")
+        not in _SPARK_CHARSETS
+    ):
+        # Spark's csv reader whitelists a handful of charsets; anything
+        # else (GB18030, Shift_JIS, ...) is transcoded to a UTF-8 temp
+        # file driver-side — a single-local-file compatibility path,
+        # like the reference's connection-based re-encoding. Land UTF-8
+        # shards for distributed reads at scale.
+        import hashlib as _hl
+        import os as _os
+
+        if not _os.path.isfile(path):
+            raise ValueError(
+                f"fread: encoding={encoding!r} is outside Spark's csv"
+                " charset set and transcoding needs a single local file"
+            )
+        with open(path, encoding=encoding) as _fh:
+            _txt = _fh.read()
+        _os.makedirs("/root/repo/.tmp/fread_enc", exist_ok=True)
+        path = (
+            "/root/repo/.tmp/fread_enc/"
+            + _hl.md5((path + encoding).encode()).hexdigest()
+            + ".csv"
+        )
+        with open(path, "w", encoding="utf-8") as _fh:
+            _fh.write(_txt)
+        encoding = "UTF-8"
+    scalar_class = None
+    if isinstance(col_classes, str):
+        # reference colClasses="character" form: ONE class for every
+        # column (R/fread.R colClasses unnamed-scalar recycling). For
+        # "character" this just disables inference (csv's native type);
+        # other classes cast post-read.
+        scalar_class = col_classes
+        col_classes = None
+    fill_short_rows = False
+    nul_strip = False
     if sep == "auto" or header == "auto":
         # tiny driver-side sample (the reference samples on the driver
         # thread too before the parallel pass). The text datasource is
@@ -349,6 +435,18 @@ def fread(
         if encoding.upper().replace("-", "").replace("_", "") == "UTF8":
             sample_rows = spark.read.text(path).limit(50 + skip).collect()
             sample = [r[0] for r in sample_rows][skip:]
+            if (
+                line_sep is None
+                and len(sample_rows) == 1
+                and "\r" in sample_rows[0][0]
+            ):
+                # \r-ONLY line endings (classic-Mac artifact; reference
+                # src/fread.c eol detection handles \r alone): Hadoop's
+                # line reader only splits \n / \r\n, so the whole file
+                # arrived as one "line". Re-split the sample and read
+                # data through an explicit lineSep below.
+                line_sep = "\r"
+                sample = sample_rows[0][0].split("\r")[skip:][:50]
         else:
             try:
                 with open(path, encoding=encoding) as fh:
@@ -356,14 +454,149 @@ def fread(
             except OSError:
                 sample = []
         sample = [ln.lstrip("﻿") for ln in sample]
+        nul_strip = any("\x00" in ln for ln in sample)
         if sep == "auto":
             sep = _detect_sep(sample)
+            if sep == " ":
+                # AUTO-detected space sep always parses as whitespace
+                # RUNS (read.table semantics): aligned-column layouts
+                # pad fields with blank runs, and a single trailing
+                # blank would otherwise fabricate an empty field
+                # (reference fread reaches the same result via its
+                # strip.white space-sep path; tests.Rraw 1555.01/900.1
+                # pin it against read.table). Pass sep=" " explicitly
+                # for a literal single-space separator.
+                import re as _re
+
+                counts = {
+                    len(_re.split(r"\s+", ln.strip()))
+                    for ln in sample
+                    if ln.strip()
+                }
+                if counts and (min(counts) >= 2 or counts == {1}):
+                    # {1}: no internal separator at all — the blanks
+                    # are trailing pad, a single-column file (reference
+                    # falls back to sep="\n" here, src/fread.c:1610)
+                    sep = r"\s+"
+        if auto_skip and sample and not fill and not multiline:
+            # skip="auto" (reference default; src/fread.c jumps to the
+            # block of consistent-field-count lines): start the read
+            # where the MODE-count block begins, so a non-tabular
+            # prologue (report titles, notes) is dropped. Gated off
+            # under fill= (ragged rows ARE the data) and multiline=
+            # (sampled physical lines split records mid-quote).
+            import csv as _csv
+            import re as _re
+
+            def _count(ln: str) -> int:
+                if not ln.strip():
+                    return 0
+                if sep == r"\s+":
+                    return len(_re.split(r"\s+", ln.strip()))
+                try:
+                    return len(
+                        next(
+                            _csv.reader(
+                                [ln], delimiter=sep, quotechar=quote or '"'
+                            )
+                        )
+                    )
+                except Exception:
+                    return ln.count(sep) + 1
+
+            counts = [_count(ln) for ln in sample]
+            nz = [c for c in counts if c > 0]
+            mode = max(set(nz), key=nz.count) if nz else 0
+            block = 0
+            if mode >= 2:
+                for i in range(len(counts)):
+                    if counts[i] != mode:
+                        continue
+                    nxt = next((c for c in counts[i + 1:] if c > 0), mode)
+                    if nxt == mode:
+                        block = i
+                        break
+            if block:
+                if header is not False:
+                    # one look-back: a narrower non-blank line directly
+                    # above the block is the column-name row (the
+                    # header/data width reconciliation below pads it
+                    # out; tests.Rraw 1867.05/.07). Skipped when the
+                    # caller declared header=False — there is no name
+                    # row to rescue.
+                    j = block - 1
+                    while j >= 0 and counts[j] == 0:
+                        j -= 1
+                    if j >= 0 and 2 <= counts[j] < mode:
+                        block = j
+                skip = skip + block
+                sample = sample[block:]
         if header == "auto":
-            header = _detect_header(sample, sep)
+            if sep == r"\s+":
+                import re as _re
+
+                header = _detect_header(
+                    [
+                        _re.sub(r"\s+", "\x1f", ln.strip())
+                        for ln in sample
+                        if ln.strip()
+                    ],
+                    "\x1f",
+                )
+            else:
+                header = _detect_header(sample, sep)
+        if header is True and not col_names and not fill:
+            # header/data width reconciliation (reference src/fread.c
+            # header logic, tests.Rraw 1867.02-.08 + 903): a header one
+            # field NARROWER than the data is guessed to be row names
+            # (V1 pads the FRONT); narrower by more pads default names
+            # at the END; a header WIDER than the data null-fills the
+            # short rows automatically (PERMISSIVE).
+            import csv as _csv
+
+            def _fields(ln: str) -> list[str]:
+                if sep == r"\s+":
+                    import re as _re
+
+                    return _re.split(r"\s+", ln.strip())
+                try:
+                    return next(
+                        _csv.reader([ln], delimiter=sep, quotechar=quote or '"')
+                    )
+                except Exception:
+                    return ln.split(sep)
+
+            nonblank = [ln for ln in sample if ln.strip()]
+            if len(nonblank) >= 2:
+                hdr_fields = [f.strip() for f in _fields(nonblank[0])]
+                data_counts = [len(_fields(ln)) for ln in nonblank[1:]]
+                n_h, n_d = len(hdr_fields), max(
+                    set(data_counts), key=data_counts.count
+                )
+                if n_d > n_h:
+                    if n_d - n_h == 1:
+                        col_names = ["V1"] + hdr_fields
+                    else:
+                        col_names = hdr_fields + [
+                            f"V{i + 1}" for i in range(n_h, n_d)
+                        ]
+                    # parse headerless over the data lines only; the
+                    # explicit names land via the col_names path below
+                    header = False
+                    skip = skip + 1
+                elif n_h > n_d:
+                    fill_short_rows = True
 
     multiline_charset = encoding.upper().startswith(("UTF-16", "UTF-32", "UTF16", "UTF32"))
+    # whitespace-run separator (sep=r"\s+", auto-detected above or
+    # passed explicitly): lines are collapsed to a \x1f-separated form
+    # below and parsed with that sentinel as the csv sep. The collapse
+    # is not quote-stateful — aligned-column files are unquoted by
+    # construction (they come from fixed-width writers).
+    ws_mode = sep in (r"\s+", "whitespace")
+    csv_sep = "\x1f" if ws_mode else sep
     reader = (
-        spark.read.option("sep", sep)
+        spark.read.option("sep", csv_sep)
         .option("header", str(bool(header)).lower())
         .option("quote", quote)
         .option("encoding", encoding)
@@ -380,7 +613,9 @@ def fread(
         # read -> PERMISSIVE when nrows is given
         .option(
             "mode",
-            "PERMISSIVE" if (fill or nrows is not None) else "FAILFAST",
+            "PERMISSIVE"
+            if (fill or fill_short_rows or nrows is not None)
+            else "FAILFAST",
         )
         # strip.white (reference R/fread.R:40, default TRUE): Spark's
         # csv reader keeps surrounding field whitespace by default
@@ -397,6 +632,20 @@ def fread(
     lines = None
     utf8 = encoding.upper().replace("-", "").replace("_", "") == "UTF8"
     line_path = not (multiline or multiline_charset)
+
+    def _line_rdd():
+        if line_sep:
+            return (
+                spark.read.option("lineSep", line_sep)
+                .text(path)
+                .rdd.map(lambda r: r[0])
+            )
+        return spark.sparkContext.textFile(path)
+
+    if line_sep and line_path:
+        # a non-default line terminator never reaches the native csv
+        # scan correctly; always go through the line RDD
+        lines = _line_rdd()
     if skip and line_path:
         # OSS Spark's csv reader has no skip-lines option (CSVOptions
         # has none; unknown options are silently ignored), so feed the
@@ -404,7 +653,7 @@ def fread(
         # zipWithIndex follows file order for a single file; for a
         # directory the skip applies to the concatenated file order.
         lines = (
-            spark.sparkContext.textFile(path)
+            (lines if lines is not None else _line_rdd())
             .zipWithIndex()
             .filter(lambda t: t[1] >= skip)
             .map(lambda t: t[0])
@@ -418,9 +667,21 @@ def fread(
         # default here is True: drop blank LINES before parsing. Costs
         # the native file scan (line-RDD input); pass
         # blank_lines_skip=False on guaranteed-clean input to keep it.
-        lines = (lines or spark.sparkContext.textFile(path)).filter(
-            lambda ln: ln.strip() != ""
+        lines = (
+            lines if lines is not None else _line_rdd()
+        ).filter(lambda ln: ln.strip() != "")
+    if nul_strip and line_path:
+        # embedded NUL bytes (reference src/fread.c skips them in place,
+        # tests.Rraw 2025.x): strip before parse; sample-gated so the
+        # common path adds no per-line work
+        lines = (lines if lines is not None else _line_rdd()).map(
+            lambda ln: ln.replace("\x00", "")
         )
+    if ws_mode and line_path:
+        import re as _re
+
+        base = lines if lines is not None else _line_rdd()
+        lines = base.map(lambda ln: _re.sub(r"\s+", "\x1f", ln.strip()))
     if nrows is not None and lines is not None:
         # restrict BEFORE parse/inference: the reference's streaming
         # parser never reads past nrows, so a ragged/malformed tail
@@ -442,7 +703,7 @@ def fread(
         # counting pass over the lines; types re-derived below.
         import csv as _csv
 
-        def _nf(ln: str, _sep=sep, _q=quote) -> int:
+        def _nf(ln: str, _sep=csv_sep, _q=quote) -> int:
             if not _q:
                 return len(ln.split(_sep))
             try:
@@ -453,9 +714,9 @@ def fread(
         n_max = lines.map(_nf).max()
         first_line = lines.first()
         head_fields = (
-            first_line.split(sep)
+            first_line.split(csv_sep)
             if not quote
-            else next(_csv.reader([first_line], delimiter=sep, quotechar=quote))
+            else next(_csv.reader([first_line], delimiter=csv_sep, quotechar=quote))
         )
         if n_max > len(head_fields):
             if header:
@@ -523,10 +784,20 @@ def fread(
             else:
                 fields.append(T.StructField(nm, fld.dataType, True))
         reader = reader.schema(T.StructType(fields))
+    elif scalar_class is not None:
+        deferred_casts = {}
+        # no inference: every column parses as string; non-character
+        # scalar classes cast below once names are settled
+        reader = reader.option("inferSchema", "false")
     else:
         deferred_casts = {}
         reader = reader.option("inferSchema", "true")
     df = reader.csv(lines) if lines is not None else reader.csv(path)
+    if scalar_class is not None and scalar_class != "character":
+        from pyspark.sql import functions as _F
+
+        t = _TYPE_MAP.get(scalar_class, T.StringType())
+        df = df.withColumns({c: _F.col(c).cast(t) for c in df.columns})
     if df.columns and df.columns[0].startswith("﻿"):
         # UTF-8 BOM survives into the first header name (the csv parser
         # does not strip it); normalize like the reference does

@@ -24,6 +24,14 @@ Documented divergences from the reference (asserted as OUR behavior):
   not collapsed runs.
 - utf16le/be.txt: the reference ERRORS ("File is encoded in UTF-16");
   fread reads them via encoding= (tests 1627.4/.5 exceeded).
+- an AUTO-detected space separator parses whitespace RUNS as one sep
+  (read.table semantics; matches the reference's strip.white space
+  path on every fixture here). sep=" " explicitly stays literal.
+- na_strings ""-default maps empty fields to NULL; the reference keeps
+  "" for character columns (SA2/test0 expectations adjusted).
+- the reference STOPS with a warning at a ragged/garbage tail
+  (SA2 1883, fread_line_error 1453); a distributed scan cannot stop
+  early, so those ports pass nrows= for the clean block instead.
 """
 
 from __future__ import annotations
@@ -248,6 +256,274 @@ def test_backslash_in_quotes(rd):
     rows = df.collect()
     assert (len(rows), len(df.columns)) == (1, 2)
     assert rows[0][0].startswith('{"f1":"value1"')
+
+
+def test_space_sep_read_table_twin(rd):
+    """ch11b.dat.bz2 (900.1/.2): single-space separated, headerless ->
+    V1..V5 typed like read.table; logical01=TRUE bumps the 0/1 column
+    V5 to boolean. A trailing blank on one line must not fabricate a
+    sixth field (the auto-space -> whitespace-runs rule)."""
+    df = rd("ch11b.dat.bz2")
+    assert df.columns == ["V1", "V2", "V3", "V4", "V5"]
+    assert df.count() == 100
+    assert tuple(df.limit(1).collect()[0]) == (1, 307, 930, 36.58, 0)
+    assert dict(df.dtypes)["V4"] == "double"
+    assert dict(rd("ch11b.dat.bz2", logical01=True).dtypes)["V5"] == "boolean"
+
+
+def test_crlf_tab_futures(rd):
+    """1206FUT.txt.bz2 (901.x): DOS CRLF + tab sep; 21 columns, 308
+    rows; strip.white trims the space-padded fields."""
+    df = rd("1206FUT.txt.bz2")
+    assert (len(df.columns), df.count()) == (21, 308)
+    assert df.columns[:2] == ["DATE", "COM"]
+    r = df.limit(1).collect()[0]
+    assert (r["DATE"], r["COM"], r["OPEN_1"]) == (20121206, "AP", 879.17)
+
+
+def test_airline_na_strings(rd):
+    """2008head.csv.bz2 (902): 'NA' tokens null out and the delay
+    columns stay integer (read.csv twin)."""
+    df = rd("2008head.csv.bz2", na_strings=("NA", ""))
+    assert (len(df.columns), df.count()) == (29, 499)
+    assert dict(df.dtypes)["CarrierDelay"] == "int"
+    r = df.limit(1).collect()[0]
+    assert (r["Year"], r["UniqueCarrier"], r["CarrierDelay"]) == (2008, "WN", None)
+
+
+def test_skip_lines_530(rd):
+    """530_fread.txt (1578.06-.09): skip= drops the 47-line prologue;
+    the blank line after the 'a,b' header is skipped (our True
+    default), so skip=47 reads the named block and skip=49 the
+    headerless one."""
+    df = rd("530_fread.txt", skip=47)
+    assert df.columns == ["a", "b"]
+    assert sorted(map(tuple, df.collect())) == [(1, 3), (2, 4)]
+    df2 = rd("530_fread.txt", skip=49)
+    assert df2.columns == ["V1", "V2"]
+    assert sorted(map(tuple, df2.collect())) == [(1, 3), (2, 4)]
+
+
+def test_fill_variants_536(rd):
+    """536_fread_fill_{2,4}.txt (1585.3-.8): short rows null-pad under
+    fill=TRUE; interior blank lines skipped."""
+    rows2 = sorted(
+        map(tuple, rd("536_fread_fill_2.txt", fill=True).collect()), key=str
+    )
+    assert rows2.count((1, 2, "qq")) == 16
+    assert (4, 5, None) in rows2 and (1, None, None) in rows2
+    rows4 = sorted(
+        map(tuple, rd("536_fread_fill_4.txt", fill=True).collect()), key=str
+    )
+    assert (1, 2, "er") in rows4 and (1, None, None) in rows4
+    assert len(rows4) == 22
+
+
+def test_fill_multiline_extreme(rd):
+    """536_fread_fill_3_extreme.txt (1585.5/.6): a quoted field
+    spanning 13 physical lines plus short rows, under fill+multiline."""
+    df = rd("536_fread_fill_3_extreme.txt", fill=True, multiline=True)
+    rows = df.collect()
+    assert df.columns == ["a", "b", "c"]
+    got = [(r["a"], (r["b"] or "").count("\n"), r["c"]) for r in rows]
+    assert sorted(got) == [(1, 12, 2), (2, 0, None), (3, 0, None)]
+
+
+def test_strip_white_comma_45col(rd):
+    """issue_1095_fread.txt.bz2 (1551.61): space-padded comma file;
+    47 fields, strip.white trims pads."""
+    df = rd("issue_1095_fread.txt.bz2")
+    assert (len(df.columns), df.count()) == (47, 100)
+    r = df.limit(1).collect()[0]
+    assert r["V2"] == "MONMOUTH"
+    assert r["V16"] == "N"
+
+
+def test_aligned_theta_matrix(rd):
+    """issue_1113_fread.txt.bz2 (1555.01): 140 aligned-space columns
+    (read.table twin) with scientific-notation doubles."""
+    df = rd("issue_1113_fread.txt.bz2")
+    assert len(df.columns) == 140
+    assert df.columns[0] == "ITERATION" and df.columns[-1] == "MCMCOBJ"
+    r = df.limit(1).collect()[0]
+    assert (r["ITERATION"], r["THETA1"]) == (-25000, -2.5)
+    assert abs(r["MCMCOBJ"] - 120924.21730058071) < 1e-6
+
+
+def test_few_lines_quoted(rd):
+    """issue_1116_fread_few_lines{,_2}.txt.gz (1621.1/.2): quoted
+    multi-line fields in tiny files (sampling edge)."""
+    a = rd("issue_1116_fread_few_lines.txt.gz", multiline=True)
+    assert a.columns == ["x", "y"] and a.count() == 44
+    b = rd("issue_1116_fread_few_lines_2.txt.gz", multiline=True)
+    assert (len(b.columns), b.count()) == (2, 44)
+
+
+def test_improper_quoting_wide(rd):
+    """issue_1462_fread_quotes.txt.gz (1608): improper quoting resolved
+    to dims 4 x 224 (quote disabled, like the reference's quote-rule
+    fallback)."""
+    df = rd("issue_1462_fread_quotes.txt.gz", header=False, quote="")
+    assert (df.count(), len(df.columns)) == (4, 224)
+
+
+def test_sampling_edges_2157(rd):
+    """issue_2157 fixtures (1768/1769): sampling overlap and early-EOF
+    files parse to the reference's printed frame."""
+    rows = rd("issue_2157_sampling_overlap.txt.gz").collect()
+    assert len(rows) == 1314
+    assert (rows[0]["X1"], rows[0]["X2"], float(rows[0]["X7"])) == (
+        "ABCD021917", None, 678.0)
+    assert rows[-1]["X1"] == "ABCD032617"
+    assert abs(float(rows[-1]["X8"]) - 732.981767087638) < 1e-9
+
+    rows2 = rd("issue_2157_sampling_reached_eof_early.txt.bz2").collect()
+    assert len(rows2) == 1228
+    assert str(rows2[1]["X1"]) == "2005-08-15"
+    assert (float(rows2[-1]["X10"]), float(rows2[-1]["X11"])) == (-112186.0, 500.0)
+
+
+def test_embedded_nul(rd):
+    """issue_3400_fread.txt (2025.01): an embedded NUL byte is stripped
+    before the parse; skip=1 + header=TRUE reads the aligned block."""
+    df = rd("issue_3400_fread.txt", skip=1, header=True)
+    assert df.columns == ["A", "B", "C"]
+    assert sorted(map(tuple, df.collect())) == [(1, 2, 3), (3, 2, 1), (4, 5, 6)]
+
+
+def test_wide_space_matrix_6729(rd):
+    """issue_6729.txt.bz2 (2305, check_value=FALSE): reads clean."""
+    df = rd("issue_6729.txt.bz2")
+    assert len(df.columns) >= 25 and df.count() > 0
+
+
+def test_tab_strip_white_785(rd):
+    """issue_785_fread.txt.gz (1555.12): tab sep with space padding;
+    read.table(strip.white=TRUE) twin — 51 columns, 4 rows, typed
+    doubles survive the padding."""
+    df = rd("issue_785_fread.txt.gz")
+    assert (len(df.columns), df.count()) == (51, 4)
+    assert df.columns[:2] == ["IFLxID", "IFLxName"]
+    assert df.limit(1).collect()[0]["Cp"] == 3227.2
+
+
+def test_gb18030_bom(rd):
+    """gb18030.txt (1627.31): the GB-18030 byte-order signature is
+    sniffed and the first column name comes out 'x' (the reference
+    only warns; here the file is transcoded and read)."""
+    df = rd("gb18030.txt")
+    assert df.columns == ["x", "y", "z"]
+    assert [tuple(r) for r in df.collect()] == [(None, None, None)]
+
+
+def test_genotypes_skip_string(rd):
+    """genotypes_genome.txt.bz2 (1909.1-.6): skip='string' starts the
+    read at the first matching line; the narrow header gains a V1
+    (row-names guess); colClasses='character' scalar applies to all."""
+    df = rd(
+        "genotypes_genome.txt.bz2", skip="Samples:", sep=" ",
+        col_classes="character",
+    )
+    assert df.columns == ["V1", "Samples:"]
+    rows = df.collect()
+    assert [r["V1"] for r in rows] == ["POP1:"] * 3
+    assert [len(r["Samples:"]) for r in rows] == [3287] * 3
+    df2 = rd(
+        "genotypes_genome.txt.bz2", skip="POP1:", sep=" ",
+        col_classes="character", header=False,
+    )
+    assert df2.columns == ["V1", "V2"]
+    assert [len(r["V2"]) for r in df2.collect()] == [3287] * 3
+
+
+def test_auto_skip_prologue_sa2(rd):
+    """SA2-by-DJZ.csv.gz (1883): skip='auto' (default) jumps the
+    11-line report prologue to the 4-field data block; the reference
+    stops at the garbage tail, we take the clean block via nrows."""
+    df = rd("SA2-by-DJZ.csv.gz", header=False, nrows=1382)
+    assert len(df.columns) == 4
+    rows = df.collect()
+    assert (rows[0]["V1"], rows[0]["V2"], rows[0]["V3"]) == (
+        "Goulburn", "110018063", 3499)
+    assert rows[1]["V2"] == "110018064" and rows[1]["V3"] == 812
+    assert tuple(rows[-1]) == (None, "0@@@@@@@@", 7305367, None)
+
+
+def test_mac_cr_line_endings(rd):
+    """test0.txt.bz2 (1856.7): \\r-ONLY line endings detected and
+    split; single column x0 (blank lines skipped — the reference
+    keeps them as one NA row, divergence documented above)."""
+    df = rd("test0.txt.bz2")
+    assert df.columns == ["x0"]
+    vals = [r["x0"] for r in df.collect()]
+    assert vals[0] == 656609
+    assert vals[-2:] == [-2368, 955199]
+
+
+def test_hash_heavy_bad(rd):
+    """bad.txt.bz2 (1817): '#'-heavy tokens parse as plain strings;
+    the all-zero third column is double (reference notes the same)."""
+    df = rd("bad.txt.bz2")
+    rows = df.collect()
+    assert len(df.columns) == 3 and len(rows) == 408
+    assert rows[0][0] == "#############" and rows[-1][0] == "#########"
+    assert dict(df.dtypes)[df.columns[2]] == "double"
+    assert rows[0][2] == 0.0
+
+
+def test_wide_251_cols(rd):
+    """session_aborted_fatal_error.txt.bz2 (1818): 251 columns."""
+    df = rd("session_aborted_fatal_error.txt.bz2")
+    rows = df.collect()
+    assert len(df.columns) == 251
+    assert rows[0][0] == rows[-1][0] == "ACSSF"
+    assert rows[0][1] == "2010m1"
+    assert rows[0][249] == -1 and rows[-1][250] == -1
+
+
+def test_fillheader_rowname_guess(rd):
+    """fillheader.csv.bz2 (1867.03): every data row has a trailing
+    comma but the header does not -> the extra name pads the FRONT
+    (row-names guess): V1 + the 29 header names, NORTHING all-NA."""
+    df = rd("fillheader.csv.bz2")
+    assert len(df.columns) == 30
+    assert df.columns[0] == "V1"
+    assert df.columns[28] == "EASTING" and df.columns[29] == "NORTHING"
+    rows = df.collect()
+    assert rows[0]["V1"] == "Ashburton District"
+    assert rows[0]["EASTING"] == 5154177 and rows[-1]["EASTING"] == 5144032
+    assert all(r["NORTHING"] is None for r in rows)
+
+
+def test_ragged_tail_nrows_line_error(rd):
+    """fread_line_error.csv.bz2 (1453): the reference stops at line 12
+    (47 fields vs 24); nrows=11 takes the clean block with the same
+    first/last V1/V24."""
+    df = rd("fread_line_error.csv.bz2", nrows=11)
+    rows = df.collect()
+    assert (len(df.columns), len(rows)) == (24, 11)
+    assert rows[0]["V1"] == 3 and rows[-1]["V1"] == 32
+    assert rows[-1]["V24"] == ".U5_5_8H_7_6_0_U-5-J-7_2GNY-J-3-5.X"
+
+
+def test_allunique_char_500(rd):
+    """alluniquechar.csv.gz (1759): 8 all-character columns."""
+    df = rd("alluniquechar.csv.gz")
+    rows = df.collect()
+    assert df.columns == list("ABCDEFGH") and len(rows) == 500
+    assert rows[0]["A"] == "jptokakysooopwtmlkeimzbgpeinhy"
+    assert rows[1]["A"] == "bchguwmynjhecsxpxldyzlemavmwvz"
+    assert rows[498]["A"] == "avlyclruzkazfqhyxnppaafwcveolb"
+    assert rows[499]["A"] == "dkmyfqhltlwzwwxyvshwrzrdmfyqdm"
+
+
+def test_multifile_zip_errors(rd):
+    """multi-file.zip (2229.6): archives with more than one member are
+    rejected, same rule as the reference."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one file"):
+        rd("multi-file.zip")
 
 
 def test_fill_space_sep_parses(rd):
