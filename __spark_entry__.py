@@ -35,25 +35,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # tool now prints the post-window histogram too and prose quotes only
 # tool output).
 #
-# Round-9 window = rotate_window.py output for --new = the 17 queries
+# Round-9 window = rotate_window.py output for --new = the 19 queries
 # added or physically changed this round: semdedup_prune_capped /
 # dedup_clusters_star / froll_chunked / asof_chunked are new (hot-key
 # scale mitigations with driver contracts); semdedup_prune and
 # dedup_clusters gained opt-in strategies with restructured shared
-# code; fread_fwrite_roundtrip covers the fread sep-sampler/fill/
-# nrows/blank-lines changes; the asof family, froll_mean_sum,
+# code; fread_fwrite_roundtrip covers the fread changes (sep sampler,
+# fill widening, nrows, blank lines, and the continuation session's
+# skip='auto'/skip-string, whitespace-run sep, CR line endings, BOM
+# sniff, header-width reconciliation); the asof family, froll_mean_sum,
 # froll_narm, nafill_locf_nocb, cumsum_running, and shift_lag_lead
-# cover the n_chunks chunk-stitch restructurings. Then the r4-latest
-# tail (oldest evidence first, alphabetical). Tool output:
+# cover the n_chunks chunk-stitch restructurings; gopher_quality and
+# line_dedup_boilerplate are new pipeline operators (Rae et al. 2021
+# quality rules; CCNet/RefinedWeb line-level boilerplate removal).
+# Then the r4-latest tail (oldest evidence first, alphabetical; two
+# r4 rows now spill to the r10 window). Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
-# #   r0: 4
+# #   r0: 6
 # #   r4: 33
 # #   r5: 46
 # #   r7: 50
 # #   r8: 50
-# # window covers 50 slots; oldest row left outside: r5
+# # window covers 50 slots; oldest row left outside: r4
 # # POST-window histogram (window rows counted as r9):
+# #   r4: 2
 # #   r5: 45
 # #   r7: 47
 # #   r8: 41
@@ -76,6 +82,8 @@ _PRIORITY = [
     "nafill_locf_nocb",  # new
     "cumsum_running",  # new
     "shift_lag_lead",  # new
+    "gopher_quality",  # new
+    "line_dedup_boilerplate",  # new
     "embedding_lsh_pairs",  # r4
     "fcoalesce_nafill",  # r4
     "fintersect_all",  # r4
@@ -107,8 +115,6 @@ _PRIORITY = [
     "time_parts",  # r4
     "transpose_small",  # r4
     "tstrsplit_cols",  # r4
-    "vecseq_expand",  # r4
-    "vocab_topk",  # r4
 ]
 
 

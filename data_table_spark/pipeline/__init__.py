@@ -43,6 +43,8 @@ from .dedup import (
     jaccard_prefix_pairs,
     dedup_clusters,
     cc_star_labels,
+    line_dedup,
+    lineify,
 )
 from .similarity import (
     cosine_topk,
@@ -63,6 +65,7 @@ from .curation import (
     repetition_metrics,
     dsir_select,
     decontaminate_bloom,
+    gopher_quality_filter,
 )
 
 __all__ = [
@@ -75,5 +78,6 @@ __all__ = [
     "pq_ann_topk", "pq_encode", "ivfpq_ann_topk",
     "kmeans_assign", "kmeans_clusters", "semdedup_prune",
     "decontaminate", "keep_best", "chunk_documents", "repetition_metrics",
+    "gopher_quality_filter", "line_dedup", "lineify",
     "dsir_select", "decontaminate_bloom", "heavy_hitters_cm",
 ]

@@ -45,7 +45,79 @@ __all__ = [
     "quality_quantile_filter",
     "sample_n_per_group",
     "chunk_documents_udtf",
+    "gopher_quality_filter",
 ]
+
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_ratio_x10: int = 1,
+    min_alpha_word_pct: int = 80,
+    min_stop_words: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, §A1.1) as one
+    narrow relational projection — per-rule boolean flags plus the
+    composite keep, so a pipeline can either filter or audit which rule
+    fired. Extends the reference's row-filter surface (`DT[i]`,
+    R/data.table.R i-eval) with the published rule set LLM pipelines
+    apply before dedup.
+
+    Every rule is evaluated FLOAT-FREE by cross-multiplying the
+    published thresholds: mean word length in [3,10] becomes
+    3*n <= total_len <= 10*n; symbol ratio < 0.1 becomes
+    10*symbols < n; alpha-word fraction >= 0.8 becomes
+    100*alpha_words >= 80*n. Exact bigints end-to-end, so the DuckDB
+    oracle matches bit-for-bit and no threshold can flip on float
+    drift.
+
+    Scale posture (100 TB): no shuffle at all — one projection over the
+    scan, whole-stage codegen, every rule a column expression. The
+    line-shaped Gopher rules (bullet/ellipsis line ratios) need a
+    line-structured corpus; see line_dedup for line plumbing.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks).cast("long")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    # '#' or literal '...' occurrences (both regex engines scan
+    # greedily left-to-right, so overlapping dots count identically)
+    symbols = F.size(
+        F.expr(f"regexp_extract_all({text_col}, '#|\\\\.\\\\.\\\\.', 0)")
+    ).cast("long")
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))
+    ).cast("long")
+    stop_hits = F.size(
+        F.array_distinct(
+            F.filter(toks, lambda t: t.isin(*GOPHER_STOP_WORDS))
+        )
+    ).cast("long")
+
+    f_words = (n >= min_words) & (n <= max_words)
+    f_mean = (total_len >= min_mean_word_len * n) & (
+        total_len <= max_mean_word_len * n
+    )
+    f_symbol = symbols * 10 < n * max_symbol_ratio_x10
+    f_alpha = alpha_words * 100 >= n * min_alpha_word_pct
+    f_stop = stop_hits >= min_stop_words
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        f_words.alias("flag_word_count"),
+        f_mean.alias("flag_mean_word_len"),
+        f_symbol.alias("flag_symbol_ratio"),
+        f_alpha.alias("flag_alpha_words"),
+        f_stop.alias("flag_stop_words"),
+        (f_words & f_mean & f_symbol & f_alpha & f_stop).alias("keep"),
+    )
 
 
 def decontaminate(

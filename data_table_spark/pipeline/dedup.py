@@ -1052,3 +1052,106 @@ def winnow_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def line_dedup(
+    lines: DataFrame,
+    max_df: int = 2,
+    doc_col: str = "doc_id",
+    order_col: str = "line_no",
+    line_col: str = "line",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet / RefinedWeb pass:
+    Wenzek et al. 2019 §3.1 drop lines duplicated across documents;
+    Penedo et al. 2023 line-wise filtering): drop every line whose
+    exact content appears in >= ``max_df`` DISTINCT documents —
+    navigation bars, cookie banners, and license footers repeat across
+    a crawl while body text does not — then reassemble each document
+    from its surviving lines in order.
+
+    Input is line-structured: one row per (doc_col, order_col,
+    line_col). Output: (doc_id, text_clean, kept_lines, dropped_lines)
+    for every input document, text_clean '' when everything was
+    boilerplate.
+
+    Scale posture (100 TB): lines shuffle ONCE by a 128-bit md5 line
+    digest to count distinct holding docs; the boilerplate set (lines
+    with df >= max_df) is tiny relative to the corpus by construction
+    — unique body lines vastly outnumber repeated chrome — so it comes
+    back as a broadcast build side and the corpus streams through a
+    broadcast hash join with no second corpus shuffle. Reassembly is a
+    per-doc sort_array(collect_list(...)) bounded by DOCUMENT size,
+    the same bound dedup_spans_remove rides.
+    """
+    h = F.md5(F.col(line_col)).alias("line_h")
+    keyed = lines.select(
+        F.col(doc_col).alias("doc_id"),
+        F.col(order_col).alias("line_no"),
+        F.col(line_col).alias("line"),
+        h,
+    )
+    boiler = (
+        keyed.groupBy("line_h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= max_df)
+        .select("line_h")
+    )
+    flagged = keyed.join(
+        F.broadcast(boiler.withColumn("__boiler__", F.lit(True))),
+        "line_h",
+        "left",
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("line_no", "__boiler__", "line")
+                            )
+                        ),
+                        lambda s: s["__boiler__"].isNull(),
+                    ),
+                    lambda s: s["line"],
+                ),
+                line_sep,
+            ).alias("text_clean"),
+            F.sum(
+                F.when(F.col("__boiler__").isNull(), 1).otherwise(0)
+            ).cast("long").alias("kept_lines"),
+            F.sum(
+                F.when(F.col("__boiler__").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("dropped_lines"),
+        )
+    )
+
+
+def lineify(
+    docs: DataFrame, tokens_per_line: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic line synthesis for an unstructured corpus: split
+    the token stream into fixed runs of ``tokens_per_line`` and emit
+    one (doc_id, line_no, line) row per run. Real crawl corpora carry
+    newlines; the synthetic test tables do not, so the line-shaped
+    operators (line_dedup) get their line structure from this exact,
+    order-preserving chunking — the same rule is expressible in ANSI
+    SQL for the oracle. Narrow (explode only), no shuffle."""
+    toks = tokens_col(text_col)
+    n_lines = F.ceil(F.size(toks) / F.lit(tokens_per_line)).cast("int")
+    runs = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * tokens_per_line + 1, tokens_per_line), " "
+        ),
+    )
+    return spread(docs).select(
+        "doc_id",
+        F.posexplode(
+            F.when(F.size(toks) > 0, runs).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("line_no", "line"),
+    )

@@ -2362,3 +2362,103 @@ def q_sample_n_per_source(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return sample_n_per_group(t["documents"].df, n=5)
+
+
+_SQL_GOPHER = """
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), ' +') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+             AS BIGINT) AS total_len,
+        CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+          AS symbols,
+        CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+             AS BIGINT) AS alpha_words,
+        CAST(len(list_distinct(list_filter(toks, t -> t IN
+          ('the','be','to','of','and','that','have','with'))))
+             AS BIGINT) AS stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_words,
+      (n_words >= 30 AND n_words <= 100000) AS flag_word_count,
+      (total_len >= 3 * n_words AND total_len <= 10 * n_words)
+        AS flag_mean_word_len,
+      (symbols * 10 < n_words * 1) AS flag_symbol_ratio,
+      (alpha_words * 100 >= n_words * 80) AS flag_alpha_words,
+      (stop_hits >= 1) AS flag_stop_words,
+      ((n_words >= 30 AND n_words <= 100000)
+       AND (total_len >= 3 * n_words AND total_len <= 10 * n_words)
+       AND (symbols * 10 < n_words * 1)
+       AND (alpha_words * 100 >= n_words * 80)
+       AND (stop_hits >= 1)) AS keep
+    FROM m
+"""
+
+
+@query("gopher_quality", _SQL_GOPHER)
+def q_gopher_quality(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1) as
+    float-free per-rule flags + composite keep. Narrow projection, no
+    shuffle; thresholds cross-multiplied into exact bigint comparisons
+    so no rule can flip on float drift."""
+    from .pipeline import gopher_quality_filter
+
+    t = load_tables(spark, sf_dir)
+    return gopher_quality_filter(
+        t["documents"].df, min_words=30, min_stop_words=1
+    )
+
+
+_SQL_LINE_DEDUP = """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks), 1) + 1, 2)) AS start
+      FROM t
+    ),
+    l AS (
+      SELECT doc_id,
+             CAST((start - 1) // 2 AS BIGINT) AS line_no,
+             array_to_string(toks[start:start+1], ' ') AS line
+      FROM st
+    ),
+    b AS (
+      SELECT line FROM l GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) >= 20
+    ),
+    f AS (
+      SELECT l.doc_id, l.line_no, l.line,
+             (b.line IS NOT NULL) AS boiler
+      FROM l LEFT JOIN b ON l.line = b.line
+    )
+    SELECT doc_id,
+      coalesce(string_agg(CASE WHEN NOT boiler THEN line END, chr(10)
+                          ORDER BY line_no), '') AS text_clean,
+      CAST(count(*) FILTER (WHERE NOT boiler) AS BIGINT) AS kept_lines,
+      CAST(count(*) FILTER (WHERE boiler) AS BIGINT) AS dropped_lines
+    FROM f
+    GROUP BY doc_id
+"""
+
+
+@query("line_dedup_boilerplate", _SQL_LINE_DEDUP)
+def q_line_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb line-level boilerplate removal: drop lines
+    repeated across >= 20 distinct documents, reassemble the rest in
+    order. The synthetic corpus has no newlines, so lines are
+    synthesized as exact 2-token runs (lineify) identically in both
+    engines; the operator itself is line-structure-agnostic. One
+    line-digest shuffle + broadcast boilerplate join."""
+    from .pipeline import line_dedup, lineify
+
+    t = load_tables(spark, sf_dir)
+    lines = lineify(t["documents"].df, tokens_per_line=2)
+    return line_dedup(lines, max_df=20)

@@ -2648,3 +2648,88 @@ def test_quality_quantile_and_sample_n(spark, tables):
         quality_quantile_filter(docs, keep_pct=0)
     with pytest.raises(ValueError):
         sample_n_per_group(docs, n=0)
+
+
+def test_gopher_quality_boundaries(spark):
+    """Each Gopher rule at its exact boundary (cross-multiplied int
+    comparisons: boundary values must not flip on float drift)."""
+    from data_table_spark.pipeline import gopher_quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            # 0: 4 words, all len 3, has 'the' -> word_count fails @min 5
+            (0, "the cat ran far"),
+            # 1: 5 words, mean len exactly 3 (15 chars/5) -> mean ok (>=)
+            (1, "the cat ran far yes"),
+            # 2: mean len exactly 10: 5 words x 10 chars
+            (2, "the1234567 abcdefghij abcdefghij abcdefghij abcdefghij"),
+            # 3: mean len > 10 -> fails
+            (3, "the12345678 abcdefghijk abcdefghijk abcdefghijk abcdefghijk"),
+            # 4: symbol ratio exactly 0.1: 1 '#' in 10 words -> strict < fails
+            (4, "the a b c d e f g h #"),
+            # 5: alpha words exactly 80%: 4 of 5 -> >= passes
+            (5, "the cat ran 123 far"),
+            # 6: alpha words 60% -> fails
+            (6, "the cat 12 34"),
+            # 7: no stop words -> fails
+            (7, "cat ran far yes go"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_filter(
+            docs, min_words=5, min_stop_words=1
+        ).collect()
+    }
+    assert not out[0]["flag_word_count"] and out[1]["flag_word_count"]
+    assert out[1]["flag_mean_word_len"]      # mean exactly 3.0
+    assert out[2]["flag_mean_word_len"]      # mean exactly 10.0
+    assert not out[3]["flag_mean_word_len"]  # mean > 10
+    assert not out[4]["flag_symbol_ratio"]   # exactly 0.1, strict <
+    assert out[5]["flag_alpha_words"]        # exactly 80%, >=
+    assert not out[6]["flag_alpha_words"]
+    assert not out[7]["flag_stop_words"] and out[1]["flag_stop_words"]
+    assert out[1]["keep"] and not out[0]["keep"]
+
+
+def test_line_dedup_boilerplate(spark):
+    """Boilerplate lines (df >= max_df) drop everywhere; order-correct
+    reassembly; an all-boilerplate doc comes back as ''."""
+    from data_table_spark.pipeline import line_dedup
+
+    rows = []
+    for d in range(4):
+        rows.append((d, 0, "cookie banner"))          # df=4 -> boiler
+        rows.append((d, 1, f"unique body {d}"))
+        rows.append((d, 2, "all rights reserved"))    # df=4 -> boiler
+    rows.append((9, 0, "cookie banner"))              # all-boiler doc
+    lines = spark.createDataFrame(rows, ["doc_id", "line_no", "line"])
+    out = {r["doc_id"]: r for r in line_dedup(lines, max_df=3).collect()}
+    assert len(out) == 5
+    for d in range(4):
+        assert out[d]["text_clean"] == f"unique body {d}"
+        assert (out[d]["kept_lines"], out[d]["dropped_lines"]) == (1, 2)
+    assert out[9]["text_clean"] == "" and out[9]["kept_lines"] == 0
+
+    # below-threshold lines survive, order preserved
+    out2 = {r["doc_id"]: r for r in line_dedup(lines, max_df=6).collect()}
+    assert out2[0]["text_clean"] == (
+        "cookie banner\nunique body 0\nall rights reserved"
+    )
+    assert out2[0]["dropped_lines"] == 0
+
+
+def test_lineify_exact_runs(spark):
+    """lineify chunks the token stream into exact ordered runs."""
+    from data_table_spark.pipeline import lineify
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y")], ["doc_id", "text"]
+    )
+    got = sorted(
+        map(tuple, lineify(docs, tokens_per_line=2).collect())
+    )
+    assert got == [
+        (1, 0, "a b"), (1, 1, "c d"), (1, 2, "e"), (2, 0, "x y")
+    ]
