@@ -63,6 +63,8 @@ HEADLINE = [
     "stream_tumbling_agg",  # streaming micro-batch (tumbling window agg)
     "dup_ngram_spans",    # duplicated-span profile (substring-dedup family)
     "kmeans_clusters",    # deterministic Lloyd's k-means (iterative clustering)
+    # r9 continuation addition:
+    "line_dedup_boilerplate",  # line-level boilerplate removal (CCNet family)
 ]
 
 # The headline set was 14 queries through BENCH_r07; the legacy subtotal
@@ -179,6 +181,10 @@ def main() -> None:
         # headline19 is the r8/r9 set
         "total_headline19_sec": round(
             sum(timings.get(n, 0.0) for n in HEADLINE[:19]), 4
+        ),
+        # headline20 adds line_dedup_boilerplate (r9 continuation)
+        "total_headline20_sec": round(
+            sum(timings.get(n, 0.0) for n in HEADLINE[:20]), 4
         ),
         "ambient_probe": {"start": probe_start, "end": probe_end},
         "conf": conf,

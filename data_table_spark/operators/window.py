@@ -179,9 +179,17 @@ def froll(
     give_names: bool = True,
     na_rm: bool = False,
     n_chunks: int | None = None,
+    nan_is_na: bool = True,
 ) -> DT:
     """frollmean/sum/... — fixed-width rolling aggregate (reference
     R/froll.R:158-224, src/froll.c:24).
+
+    nan_is_na=True (default, reference parity: R `is.na(NaN)` is TRUE,
+    nafill.Rraw 1.21/1.22 and froll.c's hasNA treat NaN as NA): NaN in
+    a double column participates as NA — skipped under na.rm=TRUE,
+    poisoning its windows under the default — instead of propagating
+    Spark NaN arithmetic. The input column itself is untouched; only
+    the window source expression is masked.
 
     align right/center/left (reference froll.c align handling); partial=False
     yields NULL until the window is full, matching the reference default
@@ -220,6 +228,13 @@ def froll(
             return -((k - 1) // 2), k - 1 - (k - 1) // 2
         raise ValueError(f"bad align: {align}")
 
+    dtypes = dict(dt.df.dtypes)
+
+    def _src(c: str):
+        if nan_is_na and dtypes.get(c) in ("double", "float"):
+            return F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c))
+        return F.col(c)
+
     def exprs(base: WindowSpec) -> dict:
         out = {}
         for k in ns:
@@ -231,15 +246,15 @@ def froll(
                     # F.median rejects window FRAMES (Spark 4.x
                     # INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC);
                     # percentile(0.5) is frame-legal and identical
-                    val = F.percentile(F.col(c), F.lit(0.5)).over(w)
+                    val = F.percentile(_src(c), F.lit(0.5)).over(w)
                 elif fun == "prod":
-                    val = F.product(F.col(c)).over(w)
+                    val = F.product(_src(c)).over(w)
                 else:
-                    val = _ROLL_FNS[fun](F.col(c)).over(w)
+                    val = _ROLL_FNS[fun](_src(c)).over(w)
                 if not na_rm:
                     # reference default: any NA in the window -> NA result
                     val = F.when(
-                        F.count(F.col(c)).over(w) == F.count(F.lit(1)).over(w),
+                        F.count(_src(c)).over(w) == F.count(F.lit(1)).over(w),
                         val,
                     )
                 if not partial:
@@ -629,17 +644,30 @@ def _running_fill_chunked(
     from ..core import _ocol, _oflip
 
     sdf, keys, ordn = _chunked_frame(dt, by, order, n_chunks)
+    names = _namelist(cols)
+    # NaN participates as NA (same rule as the unsplit path's _nan_na);
+    # masked into temp source columns so an original column kept in the
+    # output (suffix != "") is untouched
+    dtypes = dict(sdf.dtypes)
+    sdf = sdf.withColumns({
+        f"__src_{c}__": (
+            F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c))
+            if dtypes.get(c) in ("double", "float")
+            else F.col(c)
+        )
+        for c in names
+    })
     eff = [_oflip(c) for c in ordn] if reverse else list(ordn)
     w_in = Window.partitionBy(*keys, "__chunk__").orderBy(
         *[_ocol(c) for c in eff]
     )
     frame = w_in.rowsBetween(Window.unboundedPreceding, 0)
     rn = F.row_number().over(w_in)
-    names = _namelist(cols)
     ranked = sdf.withColumn("__rn__", rn)
     aggs = [
         F.max_by(
-            F.col(c), F.when(F.col(c).isNotNull(), F.col("__rn__"))
+            F.col(f"__src_{c}__"),
+            F.when(F.col(f"__src_{c}__").isNotNull(), F.col("__rn__")),
         ).alias(f"__end_{c}__")
         for c in names
     ]
@@ -663,13 +691,15 @@ def _running_fill_chunked(
     joined = sdf.join(F.broadcast(carries), [*keys, "__chunk__"], "left")
     out = {
         c + suffix: F.coalesce(
-            F.last(F.col(c), ignorenulls=True).over(frame),
+            F.last(F.col(f"__src_{c}__"), ignorenulls=True).over(frame),
             F.col(f"__carry_{c}__"),
         )
         for c in names
     }
     res = joined.withColumns(out).drop(
-        "__chunk__", *[f"__carry_{c}__" for c in names]
+        "__chunk__",
+        *[f"__carry_{c}__" for c in names],
+        *[f"__src_{c}__" for c in names],
     )
     return DT(res, key=dt.key, order_by=dt.order_by)
 
@@ -689,8 +719,17 @@ def nafill_locf(
     w = win(dt, by=by, order=order).rowsBetween(Window.unboundedPreceding, 0)
     out = {}
     for c in _namelist(cols):
-        out[c + suffix] = F.last(F.col(c), ignorenulls=True).over(w)
+        out[c + suffix] = F.last(_nan_na(dt, c), ignorenulls=True).over(w)
     return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
+
+
+def _nan_na(dt: DT, c: str):
+    """NaN participates as NA in fills (reference nafill.Rraw 1.21/.22:
+    locf/nocb fill OVER a NaN; R is.na(NaN) is TRUE). Inf/-Inf remain
+    ordinary carried values."""
+    if dict(dt.df.dtypes).get(c) in ("double", "float"):
+        return F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c))
+    return F.col(c)
 
 
 def nafill_nocb(
@@ -715,7 +754,7 @@ def nafill_nocb(
     )
     out = {}
     for c in _namelist(cols):
-        out[c + suffix] = F.last(F.col(c), ignorenulls=True).over(w)
+        out[c + suffix] = F.last(_nan_na(dt, c), ignorenulls=True).over(w)
     return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
 
 
@@ -740,7 +779,7 @@ def nafill(
         raise ValueError(f"nafill type must be const/locf/nocb, got {type!r}")
     out = {}
     for c in _namelist(cols):
-        out[c + suffix] = F.coalesce(F.col(c), F.lit(fill))
+        out[c + suffix] = F.coalesce(_nan_na(dt, c), F.lit(fill))
     return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
 
 

@@ -506,7 +506,11 @@ def fread(
 
             counts = [_count(ln) for ln in sample]
             nz = [c for c in counts if c > 0]
-            mode = max(set(nz), key=nz.count) if nz else 0
+            # tie-break toward the WIDER count: a prologue as long as
+            # the sampled data block must not win the mode
+            mode = (
+                max(set(nz), key=lambda c: (nz.count(c), c)) if nz else 0
+            )
             block = 0
             if mode >= 2:
                 for i in range(len(counts)):
@@ -571,7 +575,8 @@ def fread(
                 hdr_fields = [f.strip() for f in _fields(nonblank[0])]
                 data_counts = [len(_fields(ln)) for ln in nonblank[1:]]
                 n_h, n_d = len(hdr_fields), max(
-                    set(data_counts), key=data_counts.count
+                    set(data_counts),
+                    key=lambda c: (data_counts.count(c), c),
                 )
                 if n_d > n_h:
                     if n_d - n_h == 1:

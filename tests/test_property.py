@@ -950,3 +950,47 @@ def test_frame_sig_vectorization_equivalence(fvals, ivals, svals, tvals):
         for tup in pdf[cols].itertuples(index=False)
     )
     assert rows == ref
+
+
+@SET
+@given(
+    n=st.integers(min_value=2, max_value=8),
+    prologue=st.lists(
+        st.sampled_from(["Report Title", "generated by tool", "notes"]),
+        min_size=0, max_size=3,
+    ),
+    pad=st.integers(min_value=1, max_value=4),
+)
+def test_fread_prologue_and_aligned_space_roundtrip(spark, n, prologue, pad):
+    """skip='auto' drops a non-tabular prologue and an aligned-space
+    layout parses to the same frame a plain csv does (whitespace-run
+    sep path)."""
+    import os
+    import tempfile
+
+    from data_table_spark.sources.fread import fread
+
+    rows = [(i, i * 7 % 5, f"w{i}") for i in range(n)]
+    d = tempfile.mkdtemp(dir="/root/repo/.tmp")
+
+    # csv with prologue
+    p1 = os.path.join(d, "a.csv")
+    with open(p1, "w") as fh:
+        for ln in prologue:
+            fh.write(ln + "\n")
+        fh.write("x,y,s\n")
+        for r in rows:
+            fh.write(f"{r[0]},{r[1]},{r[2]}\n")
+    got = sorted(map(tuple, fread(spark, p1).df.collect()))
+    assert got == rows
+
+    # aligned-space layout of the same frame
+    p2 = os.path.join(d, "b.txt")
+    sp = " " * pad
+    with open(p2, "w") as fh:
+        fh.write(f"x{sp}y{sp}s\n")
+        for r in rows:
+            fh.write(f"{r[0]}{sp}{r[1]}{sp}{r[2]}{sp.rstrip()} \n")
+    df2 = fread(spark, p2).df
+    assert df2.columns == ["x", "y", "s"]
+    assert sorted(map(tuple, df2.collect())) == rows

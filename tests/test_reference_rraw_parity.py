@@ -1,0 +1,94 @@
+"""Semantic parity cases ported from the reference's DEDICATED test
+suites (inst/tests/nafill.Rraw, froll.Rraw) — exact input vectors and
+expected outputs, cited per case. The headline rule under test: R's
+`is.na(NaN)` is TRUE, so NaN participates as NA in fills and rolling
+windows (nan_is_na=True default), while Inf/-Inf are ordinary values
+that carry.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from data_table_spark.core import DT
+from data_table_spark.operators.window import froll, nafill
+
+
+def _mk(spark, vals, typ="double"):
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, f"i int, x {typ}")
+    return DT(df, order_by=["i"])
+
+
+def _col(dt, name="x"):
+    return [r[name] for r in dt.df.orderBy("i").collect()]
+
+
+X_INT = [None, None, 3, 4, None, None, 7, 8, None, None]
+# z of nafill.Rraw 1.21/.22: NA, Inf, 1.5, 2, NaN, NA, 3.5, 4, -Inf, NA
+Z = [None, math.inf, 1.5, 2.0, math.nan, None, 3.5, 4.0, -math.inf, None]
+
+
+def test_nafill_locf_nocb_int(spark):
+    """nafill.Rraw 1.01/1.02/1.03: integer locf/nocb/const."""
+    dt = _mk(spark, X_INT, "bigint")
+    assert _col(nafill(dt, "x", type="locf")) == [
+        None, None, 3, 4, 4, 4, 7, 8, 8, 8]
+    assert _col(nafill(dt, "x", type="nocb")) == [
+        3, 3, 3, 4, 7, 7, 7, 8, None, None]
+    assert _col(nafill(dt, "x", type="const", fill=0)) == [
+        0, 0, 3, 4, 0, 0, 7, 8, 0, 0]
+
+
+def test_nafill_nan_inf_semantics(spark):
+    """nafill.Rraw 1.21/1.22: NaN is filled OVER (is.na(NaN) TRUE);
+    Inf/-Inf are carried like any value."""
+    dt = _mk(spark, Z)
+    assert _col(nafill(dt, "x", type="locf")) == [
+        None, math.inf, 1.5, 2.0, 2.0, 2.0, 3.5, 4.0, -math.inf, -math.inf]
+    assert _col(nafill(dt, "x", type="nocb")) == [
+        math.inf, math.inf, 1.5, 2.0, 3.5, 3.5, 3.5, 4.0, -math.inf, None]
+    # 1.19-shape: const fill replaces NaN too
+    filled = _col(nafill(dt, "x", type="const", fill=9.0))
+    assert filled == [
+        9.0, math.inf, 1.5, 2.0, 9.0, 9.0, 3.5, 4.0, -math.inf, 9.0]
+
+
+def test_nafill_chunked_nan_equivalence(spark):
+    """The n_chunks carry stitch gives identical output on the
+    NaN/Inf vector (same _nan_na rule on both paths)."""
+    dt = _mk(spark, Z)
+    for typ in ("locf", "nocb"):
+        plain = _col(nafill(dt, "x", type=typ))
+        chunked = _col(nafill(dt, "x", type=typ, n_chunks=3))
+        assert plain == chunked, typ
+
+
+def test_froll_nan_is_na(spark):
+    """froll.Rraw hasNA semantics: NaN poisons its windows under the
+    na.rm=FALSE default (result NA, not NaN); na.rm=TRUE skips it."""
+    dt = _mk(spark, [1.0, math.nan, 3.0, 4.0])
+    got = _col(froll(dt, "sum", "x", 2, give_names=False))
+    assert got[0] is None          # partial window
+    assert got[1] is None and got[2] is None  # NaN poisons both
+    assert got[3] == 7.0
+    got_rm = _col(froll(dt, "sum", "x", 2, na_rm=True, give_names=False))
+    assert got_rm[1:] == [1.0, 3.0, 7.0]
+    # mean: the NaN window must be NULL, not NaN arithmetic
+    got_m = _col(froll(dt, "mean", "x", 2, give_names=False))
+    assert got_m[1] is None and not (
+        got_m[1] is not None and math.isnan(got_m[1])
+    )
+
+
+def test_froll_nan_opt_out(spark):
+    """nan_is_na=False restores Spark-native NaN propagation for users
+    who store signaling NaNs."""
+    dt = _mk(spark, [1.0, math.nan, 3.0])
+    got = _col(
+        froll(dt, "sum", "x", 2, na_rm=True, nan_is_na=False,
+              give_names=False)
+    )
+    assert math.isnan(got[1]) and math.isnan(got[2])

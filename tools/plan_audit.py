@@ -46,6 +46,11 @@ EXPECT_NESTED_LOOP = {
     # crossJoin-broadcast so assignment is a per-row projection (zero
     # corpus shuffle); semdedup's pair join itself is equi on cluster_id
     "kmeans_clusters", "semdedup_prune",
+    # capped variant: same 1-row centroid-pack crossJoin, plus the
+    # subset/recall CONTRACT combining three single-row aggregates
+    # (1x1 crossJoins, same shape as the ANN recall rows above); the
+    # pair joins themselves stay equi on (cluster_id, sub-bucket)
+    "semdedup_prune_capped",
     # DSIR: the R/T gram totals are a 1x1-row crossJoin broadcast (the
     # tiny-stats idiom); scoring joins are equi on the hash bucket
     "dsir_select",
