@@ -257,6 +257,21 @@ def froll(
                         F.count(_src(c)).over(w) == F.count(F.lit(1)).over(w),
                         val,
                     )
+                elif fun in ("mean", "sum"):
+                    # R's empty-aggregate identity for a FULL window of
+                    # only NAs under na.rm=TRUE (froll.Rraw 6000.066):
+                    # mean(numeric(0)) = NaN, sum(numeric(0)) = 0.
+                    # Spark's skip-null aggregate yields NULL there; the
+                    # partial/full mask below still nulls incomplete
+                    # windows, so only full all-NA windows are touched.
+                    if fun == "mean":
+                        empty = F.lit(float("nan"))
+                    else:
+                        t = dtypes.get(c)
+                        empty = F.lit(0).cast(
+                            "double" if t in ("double", "float") else "bigint"
+                        )
+                    val = F.coalesce(val, empty)
                 if not partial:
                     val = F.when(F.count(F.lit(1)).over(w) >= k, val)
                 out[name] = val

@@ -835,7 +835,8 @@ def q_froll(spark, sf_dir):
            CASE WHEN COUNT(*) OVER w >= 4 AND COUNT(value) OVER w = COUNT(*) OVER w
                 THEN SUM(value) OVER w END AS strict_sum,
            CASE WHEN COUNT(*) OVER w >= 4
-                THEN SUM(value) OVER w END AS skip_sum
+                THEN COALESCE(SUM(value) OVER w, CAST(0 AS DOUBLE))
+                END AS skip_sum
     FROM ev
     WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
@@ -843,9 +844,12 @@ def q_froll(spark, sf_dir):
 def q_froll_narm(spark, sf_dir):
     """froll na.rm semantics on genuinely nullable input (reference
     src/froll.c hasNA branch): na_rm=False (reference default) poisons
-    any window containing an NA; na_rm=True skips NAs like native SQL
-    window aggregates. Nulls are synthesized on event_id % 7 so both
-    branches are exercised on real data (ADVICE r5 medium item)."""
+    any window containing an NA; na_rm=True skips NAs — and a FULL
+    window of only NAs yields R's empty-sum identity 0, not NULL
+    (froll.Rraw 6000.066; the oracle COALESCEs to the same). Nulls are
+    synthesized on event_id % 7 so both branches are exercised on real
+    data (ADVICE r5 medium item); the sf0.01 corpus contains 6 full
+    all-NA windows, so the identity rule is driver-checked."""
     from .operators.window import froll
 
     t = load_tables(spark, sf_dir)

@@ -92,3 +92,22 @@ def test_froll_nan_opt_out(spark):
               give_names=False)
     )
     assert math.isnan(got[1]) and math.isnan(got[2])
+
+
+def test_froll_narm_empty_window_identity(spark):
+    """froll.Rraw 6000.066: na.rm=TRUE over a FULL window of only NAs
+    yields R's empty-aggregate identity — mean -> NaN, sum -> 0 — while
+    incomplete leading windows stay NA. Exact V2 vector from the
+    reference: (0.75, 1, 1.25, NA, NA, NA)."""
+    v2 = [0.75, 1.0, 1.25, None, None, None]
+    dt = _mk(spark, v2)
+    m2 = _col(froll(dt, "mean", "x", 2, na_rm=True, give_names=False))
+    assert m2[0] is None
+    assert m2[1:4] == [0.875, 1.125, 1.25]
+    assert math.isnan(m2[4]) and math.isnan(m2[5])
+    m3 = _col(froll(dt, "mean", "x", 3, na_rm=True, give_names=False))
+    assert m3[:2] == [None, None]
+    assert m3[2:5] == [1.0, 1.125, 1.25]
+    assert math.isnan(m3[5])
+    s2 = _col(froll(dt, "sum", "x", 2, na_rm=True, give_names=False))
+    assert s2[4] == 0.0 and s2[5] == 0.0
