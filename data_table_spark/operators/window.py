@@ -977,7 +977,7 @@ def frollapply_multi(
 
 def frolladaptive(
     dt: DT, col, n_col, by=None, order=None, out_col: str | None = None,
-    fun: str = "sum",
+    fun: str = "sum", na_rm: bool = False, nan_is_na: bool = True,
 ) -> DT:
     """Adaptive (variable-width) rolling sum/mean (reference
     src/frolladaptive.c: per-row window size vector `n`).
@@ -995,28 +995,44 @@ def frolladaptive(
     table — see frolladaptive_extrema. fun="median": no sublinear
     decomposition exists (not a semigroup under overlap-union), so it
     expands each target row into its n_i source positions — see
-    frolladaptive_median."""
+    frolladaptive_median.
+
+    na_rm (reference adaptive na.rm, froll.Rraw 6000.141-.144; default
+    FALSE like the reference): FALSE poisons any window containing an
+    NA via the cumsum-difference of the running NON-NULL count — same
+    O(rows) shape, one extra codegen'd counter through the existing
+    join; TRUE skips NAs (mean divides by the in-window non-null
+    count) and a full all-NA window yields R's empty-aggregate
+    identity (sum 0, mean NaN). nan_is_na: NaN participates as NA
+    (is.na semantics), same rule as froll/nafill."""
     if fun in ("max", "min"):
         return frolladaptive_extrema(
-            dt, col, n_col, by=by, order=order, out_col=out_col, fun=fun
+            dt, col, n_col, by=by, order=order, out_col=out_col, fun=fun,
+            na_rm=na_rm, nan_is_na=nan_is_na,
         )
     if fun == "median":
         return frolladaptive_median(
-            dt, col, n_col, by=by, order=order, out_col=out_col
+            dt, col, n_col, by=by, order=order, out_col=out_col,
+            na_rm=na_rm, nan_is_na=nan_is_na,
         )
     grp = _namelist(by)
     w = win(dt, by=by, order=order)
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
-    c = F.col(col).cast("decimal(18,4)")
+    src = F.col(col)
+    if nan_is_na and dict(dt.df.dtypes).get(col) in ("double", "float"):
+        src = F.when(F.isnan(F.col(col)), F.lit(None)).otherwise(F.col(col))
+    c = src.cast("decimal(18,4)")
     base = (
         dt.df.withColumn("__pos__", F.row_number().over(w))
         .withColumn("__cs__", F.sum(c).over(cum))
+        .withColumn("__cc__", F.count(c).over(cum))
         .withColumn("__nn__", F.col(n_col).cast("int"))
     )
     prev = base.select(
         *[F.col(g).alias(f"__pg_{g}__") for g in grp],
         F.col("__pos__").alias("__ppos__"),
         F.col("__cs__").alias("__pcs__"),
+        F.col("__cc__").alias("__pcc__"),
     )
     cond = F.col("__pos__") - F.col("__nn__") == F.col("__ppos__")
     for g in grp:
@@ -1025,18 +1041,34 @@ def frolladaptive(
         *[f"__pg_{g}__" for g in grp]
     )
     name = out_col or f"{col}_adaptive"
-    diff = F.col("__cs__") - F.coalesce(F.col("__pcs__"), F.lit(0))
-    if fun == "mean":
-        # complete adaptive windows hold exactly n_i rows, so the mean
-        # is the exact-decimal sum over n_i (one extra codegen'd div)
-        diff = diff / F.col("__nn__")
-    elif fun != "sum":
-        raise ValueError(f"frolladaptive fun must be sum/mean/max/min: {fun}")
-    val = F.when(
-        F.col("__pos__") >= F.col("__nn__"), diff.cast("double")
+    diff = F.coalesce(F.col("__cs__"), F.lit(0).cast("decimal(18,4)")) - (
+        F.coalesce(F.col("__pcs__"), F.lit(0).cast("decimal(18,4)"))
     )
+    nn_cnt = F.col("__cc__") - F.coalesce(F.col("__pcc__"), F.lit(0))
+    if fun == "mean":
+        if na_rm:
+            # R mean(na.rm=TRUE): divide by the non-NA count; empty ->
+            # NaN (mean(numeric(0)))
+            diff = F.when(
+                nn_cnt > 0, (diff / nn_cnt).cast("double")
+            ).otherwise(F.lit(float("nan")))
+        else:
+            # complete windows hold exactly n_i rows (the poison mask
+            # below nulls any window with an NA, so dividing by n_i is
+            # exact for the surviving rows)
+            diff = (diff / F.col("__nn__")).cast("double")
+    elif fun == "sum":
+        diff = diff.cast("double")
+    else:
+        raise ValueError(f"frolladaptive fun must be sum/mean/max/min: {fun}")
+    full = F.col("__pos__") >= F.col("__nn__")
+    if na_rm:
+        val = F.when(full, diff)
+    else:
+        val = F.when(full & (nn_cnt == F.col("__nn__")), diff)
     out = joined.withColumn(name, val).drop(
-        "__pos__", "__cs__", "__nn__", "__ppos__", "__pcs__"
+        "__pos__", "__cs__", "__cc__", "__nn__", "__ppos__", "__pcs__",
+        "__pcc__",
     )
     return DT(out, key=dt.key, order_by=dt.order_by)
 
@@ -1044,6 +1076,7 @@ def frolladaptive(
 def frolladaptive_extrema(
     dt: DT, col, n_col, by=None, order=None, out_col: str | None = None,
     fun: str = "max", n_max: int | None = None,
+    na_rm: bool = False, nan_is_na: bool = True,
 ) -> DT:
     """Adaptive rolling max/min (reference src/frolladaptive.c).
 
@@ -1057,7 +1090,16 @@ def frolladaptive_extrema(
     arrives by ONE co-partitioned self equi-join on (group, pos') — so
     the whole operator is O(rows·log W) window state + one join, never
     a per-row frame scan. J needs max(n): pass n_max to skip the
-    driver-side max-aggregate job (do pass it at 100 TB)."""
+    driver-side max-aggregate job (do pass it at 100 TB).
+
+    na_rm=False (reference default): an NA in the window poisons the
+    result. The poison mask rides the SAME sparse table — a per-j
+    any-null indicator max over the identical frames (same WindowExec,
+    no extra join or sort). na_rm=True skips NAs natively (max/min
+    ignore nulls); a full all-NA window stays NULL (the reference warns
+    and returns -Inf/Inf from base R there — NULL is this engine's NA
+    spelling of the same no-observations case). nan_is_na: NaN
+    participates as NA (froll-family rule)."""
     grp = _namelist(by)
     w = win(dt, by=by, order=order)
     agg = F.max if fun == "max" else F.min
@@ -1066,20 +1108,35 @@ def frolladaptive_extrema(
         n_max = dt.df.agg(F.max(F.col(n_col).cast("int"))).collect()[0][0] or 1
     J = max(0, (int(n_max) - 1).bit_length() - 1)  # floor(log2(n_max))
 
-    base = dt.df.withColumn("__pos__", F.row_number().over(w)).withColumn(
-        "__nn__", F.col(n_col).cast("int")
+    src = F.col(col)
+    if nan_is_na and dict(dt.df.dtypes).get(col) in ("double", "float"):
+        src = F.when(F.isnan(F.col(col)), F.lit(None)).otherwise(F.col(col))
+    base = (
+        dt.df.withColumn("__v__", src)
+        .withColumn("__pos__", F.row_number().over(w))
+        .withColumn("__nn__", F.col(n_col).cast("int"))
     )
     for j in range(J + 1):
         fr = w.rowsBetween(-(2 ** j - 1), 0)
-        base = base.withColumn(f"__m{j}__", agg(F.col(col)).over(fr))
+        base = base.withColumn(f"__m{j}__", agg(F.col("__v__")).over(fr))
+        if not na_rm:
+            base = base.withColumn(
+                f"__z{j}__",
+                F.max(F.col("__v__").isNull().cast("int")).over(fr),
+            )
     # dynamic j per row: index the [M_0..M_J] array by floor(log2(n_i))
     base = base.withColumn(
         "__j__", F.floor(F.log2(F.col("__nn__"))).cast("int")
     ).withColumn("__marr__", F.array(*[F.col(f"__m{j}__") for j in range(J + 1)]))
+    if not na_rm:
+        base = base.withColumn(
+            "__zarr__", F.array(*[F.col(f"__z{j}__") for j in range(J + 1)])
+        )
     prev = base.select(
         *[F.col(g).alias(f"__pg_{g}__") for g in grp],
         F.col("__pos__").alias("__ppos__"),
         F.col("__marr__").alias("__pmarr__"),
+        *([F.col("__zarr__").alias("__pzarr__")] if not na_rm else []),
     )
     # pos' = pos - n + 2^j  (== pos when n is an exact power of two)
     target = F.col("__pos__") - F.col("__nn__") + F.pow(F.lit(2.0), F.col("__j__")).cast("int")
@@ -1092,19 +1149,31 @@ def frolladaptive_extrema(
     name = out_col or f"{col}_adaptive"
     cur = F.element_at(F.col("__marr__"), F.col("__j__") + 1)
     pre = F.element_at(F.col("__pmarr__"), F.col("__j__") + 1)
-    val = F.when(
-        (F.col("__nn__") >= 1) & (F.col("__pos__") >= F.col("__nn__")),
-        comb(cur, pre),
-    )
+    full = (F.col("__nn__") >= 1) & (F.col("__pos__") >= F.col("__nn__"))
+    if not na_rm:
+        zcur = F.element_at(F.col("__zarr__"), F.col("__j__") + 1)
+        zpre = F.element_at(F.col("__pzarr__"), F.col("__j__") + 1)
+        anyna = F.greatest(
+            F.coalesce(zcur, F.lit(0)), F.coalesce(zpre, F.lit(0))
+        ) > 0
+        val = F.when(full & ~anyna, comb(cur, pre))
+    else:
+        val = F.when(full, comb(cur, pre))
     out = joined.withColumn(name, val).drop(
-        "__pos__", "__nn__", "__j__", "__marr__", "__ppos__", "__pmarr__",
+        "__v__", "__pos__", "__nn__", "__j__", "__marr__", "__ppos__",
+        "__pmarr__",
         *[f"__m{j}__" for j in range(J + 1)],
+        *([
+            "__zarr__", "__pzarr__",
+            *[f"__z{j}__" for j in range(J + 1)],
+        ] if not na_rm else []),
     )
     return DT(out, key=dt.key, order_by=dt.order_by)
 
 
 def frolladaptive_median(
     dt: DT, col, n_col, by=None, order=None, out_col: str | None = None,
+    na_rm: bool = False, nan_is_na: bool = True,
 ) -> DT:
     """Adaptive rolling median (reference src/frolladaptive.c
     fadaptiverollmedian). Median is not a semigroup (two overlapping
@@ -1114,9 +1183,17 @@ def frolladaptive_median(
     fetches the values, and an exact F.median aggregates per target.
     Work is the same O(rows·window) the reference's per-window quickselect
     pays; here it shuffle-partitions across the cluster. Keep n_i
-    bounded (it is a STALENESS window, not an unbounded history)."""
+    bounded (it is a STALENESS window, not an unbounded history).
+
+    na_rm=False (reference default) poisons windows containing an NA —
+    one count comparison inside the per-target aggregate, no extra
+    shuffle; na_rm=True skips NAs (F.median's native rule). nan_is_na:
+    NaN participates as NA."""
     grp = _namelist(by)
     w = win(dt, by=by, order=order)
+    srcv = F.col(col)
+    if nan_is_na and dict(dt.df.dtypes).get(col) in ("double", "float"):
+        srcv = F.when(F.isnan(F.col(col)), F.lit(None)).otherwise(F.col(col))
     base = dt.df.withColumn("__pos__", F.row_number().over(w)).withColumn(
         "__nn__", F.col(n_col).cast("int")
     )
@@ -1136,11 +1213,17 @@ def frolladaptive_median(
     for g in grp:
         cond = cond & (F.col(f"__tg_{g}__") == F.col(g))
     vals = need.join(
-        base.select(*grp, "__pos__", F.col(col).alias("__v__")), on=cond
+        base.select(*grp, "__pos__", srcv.alias("__v__")), on=cond
     )
+    med_expr = F.median("__v__")
+    if not na_rm:
+        # poison: any NULL among the window's n_i fetched rows
+        med_expr = F.when(
+            F.count("__v__") == F.count(F.lit(1)), F.median("__v__")
+        )
     med = vals.groupBy(
         *[F.col(f"__tg_{g}__") for g in grp], F.col("__tpos__")
-    ).agg(F.median("__v__").alias("__med__"))
+    ).agg(med_expr.alias("__med__"))
     name = out_col or f"{col}_adaptive"
     back = F.col("__tpos__") == F.col("__pos__")
     for g in grp:

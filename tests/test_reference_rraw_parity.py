@@ -111,3 +111,82 @@ def test_froll_narm_empty_window_identity(spark):
     assert math.isnan(m3[5])
     s2 = _col(froll(dt, "sum", "x", 2, na_rm=True, give_names=False))
     assert s2[4] == 0.0 and s2[5] == 0.0
+
+
+def _ama(xs, ns, na_rm=False):
+    """Reference froll.Rraw's `ama` twin: adaptive rolling mean in
+    plain Python (NaN treated as NA, like R is.na)."""
+    out = []
+    for i in range(len(xs)):
+        n = ns[i]
+        if i + 1 < n:
+            out.append(None)
+            continue
+        w = xs[i - n + 1: i + 1]
+        vals = [v for v in w if v is not None and not (
+            isinstance(v, float) and math.isnan(v))]
+        if na_rm:
+            out.append(sum(vals) / len(vals) if vals else math.nan)
+        else:
+            out.append(sum(vals) / n if len(vals) == n else None)
+    return out
+
+
+def test_frolladaptive_na_rm(spark):
+    """froll.Rraw 6000.141-.144 (adaptive na.rm): exact x/n vectors;
+    default poisons NA windows, na.rm=TRUE skips (empty -> NaN)."""
+    from data_table_spark.operators.window import frolladaptive
+
+    xs = [1.0, 2.0, 3.0, 4.0, None, 2.0, 3.0, 4.0, 5.0, None, 4.0, 5.0, 6.0, None, 5.0]
+    ns = [2, 2, 2, 5, 3, 4, 5, 1, 2, 1, 2, 4, 3, 6, 3]
+    rows = [(i, xs[i], ns[i]) for i in range(len(xs))]
+    df = spark.createDataFrame(rows, "i int, x double, nn int")
+    dt = DT(df, order_by=["i"])
+
+    for na_rm in (False, True):
+        got = [
+            r["m"]
+            for r in frolladaptive(
+                dt, "x", "nn", fun="mean", out_col="m", na_rm=na_rm
+            ).df.orderBy("i").collect()
+        ]
+        exp = _ama(xs, ns, na_rm=na_rm)
+        assert len(got) == len(exp)
+        for g, e in zip(got, exp):
+            if e is None:
+                assert g is None, (na_rm, got, exp)
+            elif isinstance(e, float) and math.isnan(e):
+                assert g is not None and math.isnan(g), (na_rm, got, exp)
+            else:
+                assert g == pytest.approx(e), (na_rm, got, exp)
+
+
+def test_frolladaptive_extrema_median_poison(spark):
+    """Adaptive max/min/median: the na.rm=FALSE default poisons any
+    window containing NA (indicator-max over the same sparse table /
+    in-aggregate count); na.rm=TRUE skips."""
+    from data_table_spark.operators.window import frolladaptive
+
+    xs = [5.0, 1.0, None, 7.0, 2.0, 8.0]
+    ns = [1, 2, 2, 3, 2, 3]
+    rows = [(i, xs[i], ns[i]) for i in range(len(xs))]
+    df = spark.createDataFrame(rows, "i int, x double, nn int")
+    dt = DT(df, order_by=["i"])
+
+    mx = [r["m"] for r in frolladaptive(
+        dt, "x", "nn", fun="max", out_col="m"
+    ).df.orderBy("i").collect()]
+    assert mx == [5.0, 5.0, None, None, 7.0, 8.0]
+    mx_rm = [r["m"] for r in frolladaptive(
+        dt, "x", "nn", fun="max", out_col="m", na_rm=True
+    ).df.orderBy("i").collect()]
+    assert mx_rm == [5.0, 5.0, 1.0, 7.0, 7.0, 8.0]
+
+    md = [r["m"] for r in frolladaptive(
+        dt, "x", "nn", fun="median", out_col="m"
+    ).df.orderBy("i").collect()]
+    assert md == [5.0, 3.0, None, None, 4.5, 7.0]
+    md_rm = [r["m"] for r in frolladaptive(
+        dt, "x", "nn", fun="median", out_col="m", na_rm=True
+    ).df.orderBy("i").collect()]
+    assert md_rm == [5.0, 3.0, 1.0, 4.0, 4.5, 7.0]
