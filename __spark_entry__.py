@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tool now prints the post-window histogram too and prose quotes only
 # tool output).
 #
-# Round-9 window = rotate_window.py output for --new = the 19 queries
+# Round-9 window = rotate_window.py output for --new = the 25 queries
 # added or physically changed this round: semdedup_prune_capped /
 # dedup_clusters_star / froll_chunked / asof_chunked are new (hot-key
 # scale mitigations with driver contracts); semdedup_prune and
@@ -45,23 +45,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # skip='auto'/skip-string, whitespace-run sep, CR line endings, BOM
 # sniff, header-width reconciliation); the asof family, froll_mean_sum,
 # froll_narm, nafill_locf_nocb, cumsum_running, and shift_lag_lead
-# cover the n_chunks chunk-stitch restructurings; gopher_quality and
-# line_dedup_boilerplate are new pipeline operators (Rae et al. 2021
-# quality rules; CCNet/RefinedWeb line-level boilerplate removal).
-# Then the r4-latest tail (oldest evidence first, alphabetical; two
-# r4 rows now spill to the r10 window). Tool output:
+# cover the n_chunks chunk-stitch restructurings plus the NaN-as-NA
+# masking and the na.rm empty-aggregate identity (froll_narm's oracle
+# changed with it); gopher_quality / line_dedup_boilerplate /
+# web_curation_pipeline are new pipeline operators (Rae et al. 2021
+# quality rules; CCNet/RefinedWeb line-level boilerplate removal; the
+# composed FineWeb-order pipeline); the froll_adaptive family gained
+# na_rm/nan_is_na; frank gained na_last. Then the r4-latest tail
+# (oldest evidence first, alphabetical; six r4 rows now spill to the
+# r10 window). Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
-# #   r0: 6
+# #   r0: 7
 # #   r4: 33
 # #   r5: 46
 # #   r7: 50
 # #   r8: 50
 # # window covers 50 slots; oldest row left outside: r4
 # # POST-window histogram (window rows counted as r9):
-# #   r4: 2
-# #   r5: 45
-# #   r7: 47
+# #   r4: 6
+# #   r5: 43
+# #   r7: 46
 # #   r8: 41
 # #   r9: 50
 _PRIORITY = [
@@ -84,12 +88,16 @@ _PRIORITY = [
     "shift_lag_lead",  # new
     "gopher_quality",  # new
     "line_dedup_boilerplate",  # new
+    "web_curation_pipeline",  # new
+    "froll_adaptive_sum",  # new
+    "froll_adaptive_minmax",  # new
+    "froll_adaptive_median",  # new
+    "frank_ties",  # new
+    "frank_random",  # new
     "embedding_lsh_pairs",  # r4
     "fcoalesce_nafill",  # r4
     "fintersect_all",  # r4
     "frame_sample_counts",  # r4
-    "froll_adaptive_minmax",  # r4
-    "froll_adaptive_sum",  # r4
     "fsetdiff_all",  # r4
     "gtail_per_group",  # r4
     "json_extract_props",  # r4
@@ -111,10 +119,6 @@ _PRIORITY = [
     "stream_dedup",  # r4
     "stream_sliding_agg",  # r4
     "stream_stream_join",  # r4
-    "stream_tumbling_agg",  # r4
-    "time_parts",  # r4
-    "transpose_small",  # r4
-    "tstrsplit_cols",  # r4
 ]
 
 

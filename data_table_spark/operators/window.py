@@ -521,11 +521,17 @@ def frank(
     out_col: str = "rank",
     tiebreak=None,
     seed: int = 0,
+    na_last="keep",
 ) -> DT:
     """frank — ranking with data.table tie methods (reference R/frank.R:1,
     src/frank.c:112).
 
     ties: average | first | min (data.table "min") | max | dense | random.
+
+    na_last (reference frank na.last, default "keep"): "keep" ranks NAs
+    as NA — non-NA ranks are computed among non-NAs only (one
+    partition-wide null count subtracted, no second sort); True ranks
+    NAs last with real ranks; False ranks them first.
 
     ties="random" (reference breaks ties with the R RNG stream) is
     adapted to a SEEDED deterministic permutation: ties are ordered by
@@ -535,7 +541,19 @@ def frank(
     forming a unique key — random tie-breaking on a distributed engine
     is only well-defined relative to stable row identity.
     """
-    c = F.col(col).desc() if desc else F.col(col).asc()
+    if na_last is True:
+        c = (
+            F.col(col).desc_nulls_last()
+            if desc
+            else F.col(col).asc_nulls_last()
+        )
+    else:
+        # False and "keep" both sort nulls first; "keep" masks below
+        c = (
+            F.col(col).desc_nulls_first()
+            if desc
+            else F.col(col).asc_nulls_first()
+        )
     part = Window.partitionBy(*_namelist(by)) if by else Window.partitionBy()
     w = part.orderBy(c)
     if ties == "random":
@@ -569,6 +587,10 @@ def frank(
         ).cast("double")
     else:
         raise ValueError(f"bad ties: {ties}")
+    if na_last == "keep":
+        nn = F.sum(F.col(col).isNull().cast("int")).over(part)
+        shift = (nn > 0).cast("int") if ties == "dense" else nn
+        r = F.when(F.col(col).isNull(), F.lit(None)).otherwise(r - shift)
     return DT(dt.df.withColumn(out_col, r), key=dt.key, order_by=dt.order_by)
 
 

@@ -2462,3 +2462,94 @@ def q_line_dedup(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     lines = lineify(t["documents"].df, tokens_per_line=2)
     return line_dedup(lines, max_df=20)
+
+
+_SQL_WEB_CURATION = """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks), 1) + 1, 2)) AS start
+      FROM t
+    ),
+    l AS (
+      SELECT doc_id,
+             CAST((start - 1) // 2 AS BIGINT) AS line_no,
+             array_to_string(toks[start:start+1], ' ') AS line
+      FROM st
+    ),
+    b AS (
+      SELECT line FROM l GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) >= 40
+    ),
+    cleaned AS (
+      SELECT doc_id,
+        coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+                            ' ' ORDER BY l.line_no), '') AS text_clean
+      FROM l LEFT JOIN b ON l.line = b.line
+      GROUP BY doc_id
+    ),
+    g AS (
+      SELECT doc_id, text_clean,
+             regexp_split_to_array(trim(text_clean), ' +') AS ctoks
+      FROM cleaned WHERE text_clean <> ''
+    ),
+    m AS (
+      SELECT doc_id, text_clean,
+        CAST(len(ctoks) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(ctoks, t -> length(t))), 0)
+             AS BIGINT) AS total_len,
+        CAST(len(list_distinct(list_filter(ctoks, t -> t IN
+          ('the','be','to','of','and','that','have','with'))))
+             AS BIGINT) AS stop_hits
+      FROM g
+    ),
+    kept AS (
+      SELECT doc_id, text_clean, n_words FROM m
+      WHERE n_words >= 20 AND n_words <= 100000
+        AND total_len >= 3 * n_words AND total_len <= 10 * n_words
+        AND stop_hits >= 1
+    )
+    SELECT md5(text_clean) AS digest,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           CAST(MIN(n_words) AS BIGINT) AS n_words
+    FROM kept
+    GROUP BY md5(text_clean)
+"""
+
+
+@query("web_curation_pipeline", _SQL_WEB_CURATION)
+def q_web_curation_pipeline(spark, sf_dir):
+    """End-to-end web-curation composition (the FineWeb/RefinedWeb
+    stage order): line-level boilerplate removal (lineify + line_dedup)
+    -> Gopher quality filter on the CLEANED text -> exact dedup of the
+    surviving cleaned documents (min-doc_id keep). Exercises the new
+    operators composing with each other and with dedup_exact — two
+    corpus scans + one doc_id shuffle from line_dedup, a zero-shuffle
+    quality projection, and one digest shuffle from the final dedup."""
+    from .pipeline import gopher_quality_filter, line_dedup, lineify
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].df
+    cleaned = line_dedup(
+        lineify(docs, tokens_per_line=2), max_df=40, line_sep=" "
+    ).filter(F.col("text_clean") != "")
+    flags = gopher_quality_filter(
+        cleaned.select("doc_id", F.col("text_clean").alias("text")),
+        min_words=20, min_stop_words=1,
+    ).filter("keep").select("doc_id")
+    kept = cleaned.join(flags, "doc_id").select(
+        "doc_id", "text_clean",
+        F.size(F.split(F.trim("text_clean"), " +")).cast("long").alias(
+            "n_words"
+        ),
+    )
+    return (
+        kept.groupBy(F.md5("text_clean").alias("digest"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_words").alias("n_words"),
+        )
+    )

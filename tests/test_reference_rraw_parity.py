@@ -190,3 +190,39 @@ def test_frolladaptive_extrema_median_poison(spark):
         dt, "x", "nn", fun="median", out_col="m", na_rm=True
     ).df.orderBy("i").collect()]
     assert md_rm == [5.0, 3.0, 1.0, 4.0, 4.5, 7.0]
+
+
+def test_frank_na_last(spark):
+    """frank na.last (reference R/frank.R; base-R rank semantics):
+    'keep' ranks NAs as NA, TRUE ranks them last, FALSE first. Vector
+    (4, 1, 4, NA, 1), ties='average'."""
+    from data_table_spark.operators.window import frank
+
+    dt = _mk(spark, [4.0, 1.0, 4.0, None, 1.0])
+
+    def ranks(**kw):
+        return [
+            r["rank"]
+            for r in frank(dt, "x", ties="average", **kw).df
+            .orderBy("i").collect()
+        ]
+
+    assert ranks() == [3.5, 1.5, 3.5, None, 1.5]              # keep
+    assert ranks(na_last=True) == [3.5, 1.5, 3.5, 5.0, 1.5]
+    assert ranks(na_last=False) == [4.5, 2.5, 4.5, 1.0, 2.5]
+
+    dense = [
+        r["rank"]
+        for r in frank(dt, "x", ties="dense").df.orderBy("i").collect()
+    ]
+    assert dense == [2, 1, 2, None, 1]
+    first = [
+        r["rank"]
+        for r in frank(dt, "x", ties="first").df.orderBy("i").collect()
+    ]
+    # ties='first' needs a declared row order to fix WHICH tie gets the
+    # lower rank (documented; ties='random' + tiebreak is the stable
+    # spelling) — assert the tie-set shape, order-agnostically
+    assert first[3] is None
+    assert sorted([first[0], first[2]]) == [3, 4]
+    assert sorted([first[1], first[4]]) == [1, 2]
