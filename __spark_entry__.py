@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tool now prints the post-window histogram too and prose quotes only
 # tool output).
 #
-# Round-9 window = rotate_window.py output for --new = the 25 queries
+# Round-9 window = rotate_window.py output for --new = the 26 queries
 # added or physically changed this round: semdedup_prune_capped /
 # dedup_clusters_star / froll_chunked / asof_chunked are new (hot-key
 # scale mitigations with driver contracts); semdedup_prune and
@@ -51,19 +51,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # web_curation_pipeline are new pipeline operators (Rae et al. 2021
 # quality rules; CCNet/RefinedWeb line-level boilerplate removal; the
 # composed FineWeb-order pipeline); the froll_adaptive family gained
-# na_rm/nan_is_na; frank gained na_last. Then the r4-latest tail
-# (oldest evidence first, alphabetical; six r4 rows now spill to the
-# r10 window). Tool output:
+# na_rm/nan_is_na; frank gained na_last and the n_chunks rank
+# chunk-stitch (frank_chunked runs the stitched plan against
+# frank_ties' oracle verbatim). Then the r4-latest tail (oldest
+# evidence first, alphabetical; seven r4 rows now spill to the r10
+# window). Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
-# #   r0: 7
+# #   r0: 8
 # #   r4: 33
 # #   r5: 46
 # #   r7: 50
 # #   r8: 50
 # # window covers 50 slots; oldest row left outside: r4
 # # POST-window histogram (window rows counted as r9):
-# #   r4: 6
+# #   r4: 7
 # #   r5: 43
 # #   r7: 46
 # #   r8: 41
@@ -94,6 +96,7 @@ _PRIORITY = [
     "froll_adaptive_median",  # new
     "frank_ties",  # new
     "frank_random",  # new
+    "frank_chunked",  # new
     "embedding_lsh_pairs",  # r4
     "fcoalesce_nafill",  # r4
     "fintersect_all",  # r4
@@ -118,7 +121,6 @@ _PRIORITY = [
     "stream_decontaminate",  # r4
     "stream_dedup",  # r4
     "stream_sliding_agg",  # r4
-    "stream_stream_join",  # r4
 ]
 
 

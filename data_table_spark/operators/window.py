@@ -522,6 +522,7 @@ def frank(
     tiebreak=None,
     seed: int = 0,
     na_last="keep",
+    n_chunks: int | None = None,
 ) -> DT:
     """frank — ranking with data.table tie methods (reference R/frank.R:1,
     src/frank.c:112).
@@ -533,6 +534,15 @@ def frank(
     partition-wide null count subtracted, no second sort); True ranks
     NAs last with real ranks; False ranks them first.
 
+    ``n_chunks=`` (opt-in, SCALE.md "Skewed keys"): hot-key chunk
+    stitch for ranking — a rank window runs ONE task per key; with
+    n_chunks the rows value-chunk on the ranked column (tie groups
+    never straddle a chunk boundary by construction), ranks compute
+    per (key, chunk), and the global rank is chunk rank + a spine
+    offset (cumulative row count; cumulative distinct count for
+    dense). Exact for every tie method and na_last keep/False
+    (na_last=True reorders nulls across chunks — unsupported split).
+
     ties="random" (reference breaks ties with the R RNG stream) is
     adapted to a SEEDED deterministic permutation: ties are ordered by
     md5(seed ':' tiebreak-key), a uniform pseudo-random draw that is
@@ -541,6 +551,11 @@ def frank(
     forming a unique key — random tie-breaking on a distributed engine
     is only well-defined relative to stable row identity.
     """
+    if n_chunks is not None and n_chunks > 1:
+        return _frank_chunked(
+            dt, col, ties, by, desc, out_col, tiebreak, seed, na_last,
+            n_chunks,
+        )
     if na_last is True:
         c = (
             F.col(col).desc_nulls_last()
@@ -577,9 +592,10 @@ def frank(
     elif ties == "dense":
         r = F.dense_rank().over(w)
     elif ties == "max":
-        # max rank of the tie group = rank + count(ties) - 1
+        # max rank of the tie group = rank + count(ties) - 1 (tie count
+        # cast int: rank dtypes stay IntegerType like the other methods)
         tie_w = Window.partitionBy(*(_namelist(by) + [col]))
-        r = F.rank().over(w) + F.count(F.lit(1)).over(tie_w) - 1
+        r = F.rank().over(w) + F.count(F.lit(1)).over(tie_w).cast("int") - 1
     elif ties == "average":
         tie_w = Window.partitionBy(*(_namelist(by) + [col]))
         r = (
@@ -588,10 +604,126 @@ def frank(
     else:
         raise ValueError(f"bad ties: {ties}")
     if na_last == "keep":
-        nn = F.sum(F.col(col).isNull().cast("int")).over(part)
+        # cast the partition null count back to int so integer rank
+        # dtypes don't widen to bigint under the shift
+        nn = F.sum(F.col(col).isNull().cast("int")).over(part).cast("int")
         shift = (nn > 0).cast("int") if ties == "dense" else nn
         r = F.when(F.col(col).isNull(), F.lit(None)).otherwise(r - shift)
     return DT(dt.df.withColumn(out_col, r), key=dt.key, order_by=dt.order_by)
+
+
+def _frank_chunked(
+    dt: DT, col, ties, by, desc, out_col, tiebreak, seed, na_last,
+    n_chunks: int,
+) -> DT:
+    """Chunk-stitched frank (see frank's n_chunks doc). Value chunks
+    come from the shared _chunked_frame (equal values share a chunk,
+    so tie groups never straddle a boundary — tie counts and dense
+    groups stay chunk-local facts); NULLs move to a dedicated chunk
+    that traverses FIRST under both sort directions. Global rank =
+    within-(key, chunk) rank + the spine's cumulative row count before
+    the chunk (cumulative distinct-value count for dense)."""
+    if na_last is True:
+        raise ValueError(
+            "frank(n_chunks=) supports na_last='keep'/False; na_last=True"
+            " moves nulls across the value-chunk order"
+        )
+    if ties == "random" and not tiebreak:
+        raise ValueError(
+            "ties='random' needs tiebreak= unique-key columns for a "
+            "deterministic seeded permutation"
+        )
+    sdf, keys, _ = _chunked_frame(dt, by, order=[col], n_chunks=n_chunks)
+    sdf = sdf.withColumn(
+        "__chunk__",
+        F.when(F.col(col).isNull(), F.lit(-1)).otherwise(F.col("__chunk__")),
+    )
+    # traversal key: ascending value order, or descending with the
+    # null chunk still first
+    if desc:
+        tk = F.when(
+            F.col("__chunk__") == -1, F.lit(-(n_chunks + 1))
+        ).otherwise(-F.col("__chunk__"))
+    else:
+        tk = F.col("__chunk__")
+    sdf = sdf.withColumn("__tk__", tk)
+
+    spine = sdf.groupBy(*keys, "__tk__").agg(
+        F.count(F.lit(1)).alias("__cnt__"),
+        (
+            F.count_distinct(F.col(col))
+            + F.max(F.col(col).isNull().cast("long"))
+        ).alias("__nd__"),
+        F.sum(F.col(col).isNull().cast("long")).alias("__nulls__"),
+    )
+    wsp = (
+        Window.partitionBy(*keys)
+        .orderBy("__tk__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(*keys).orderBy("__tk__").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = spine.select(
+        *keys, "__tk__",
+        F.coalesce(F.sum("__cnt__").over(wsp), F.lit(0)).alias("__rb__"),
+        F.coalesce(F.sum("__nd__").over(wsp), F.lit(0)).alias("__db__"),
+        F.sum("__nulls__").over(wall).alias("__nn__"),
+    )
+    sdf = sdf.join(F.broadcast(offs), [*keys, "__tk__"], "left")
+
+    c = F.col(col).desc_nulls_first() if desc else F.col(col).asc_nulls_first()
+    w_c = Window.partitionBy(*keys, "__tk__").orderBy(c)
+    if ties == "random":
+        salt = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(seed)),
+                *[F.col(t).cast("string") for t in _namelist(tiebreak)],
+            )
+        )
+        r = F.row_number().over(
+            Window.partitionBy(*keys, "__tk__").orderBy(c, salt.asc())
+        ) + F.col("__rb__")
+    elif ties == "first":
+        r = F.row_number().over(w_c) + F.col("__rb__")
+    elif ties == "min":
+        r = F.rank().over(w_c) + F.col("__rb__")
+    elif ties == "dense":
+        r = F.dense_rank().over(w_c) + F.col("__db__")
+    elif ties == "max":
+        tie_w = Window.partitionBy(*(_namelist(by) + [col]))
+        r = (
+            F.rank().over(w_c) + F.col("__rb__")
+            + F.count(F.lit(1)).over(tie_w) - 1
+        )
+    elif ties == "average":
+        tie_w = Window.partitionBy(*(_namelist(by) + [col]))
+        r = (
+            (
+                2 * (F.rank().over(w_c) + F.col("__rb__"))
+                + F.count(F.lit(1)).over(tie_w) - 1
+            ) / 2
+        ).cast("double")
+    else:
+        raise ValueError(f"bad ties: {ties}")
+    if ties != "average":
+        # unsplit rank()/dense_rank()/row_number() are IntegerType; the
+        # long spine offsets must not widen the output schema
+        r = r.cast("int")
+    if na_last == "keep":
+        shift = (
+            (F.col("__nn__") > 0).cast("int")
+            if ties == "dense"
+            else F.col("__nn__")
+        )
+        r = F.when(F.col(col).isNull(), F.lit(None)).otherwise(r - shift)
+        if ties != "average":
+            r = r.cast("int")
+    out = sdf.withColumn(out_col, r).drop(
+        "__chunk__", "__tk__", "__rb__", "__db__", "__nn__"
+    )
+    return DT(out, key=dt.key, order_by=dt.order_by)
 
 
 def rleid(dt: DT, cols, by=None, order=None, out_col: str = "rleid") -> DT:

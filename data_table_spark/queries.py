@@ -1846,8 +1846,29 @@ def q_asof_chunked(spark, sf_dir):
     return out.df.withColumnRenamed("ts_us_x", "quote_ts")
 
 
+@query("frank_chunked", None)
+def q_frank_chunked(spark, sf_dir):
+    """frank_ties through the rank chunk-stitch (n_chunks=4):
+    per-(key, value-chunk) ranks + spine offsets (cumulative rows;
+    cumulative distinct groups for dense) — the hot-key posture for
+    ranking; output identical to the unsplit plan, same oracle."""
+    from .operators.window import frank
+
+    t = load_tables(spark, sf_dir)
+    out = frank(
+        t["lineitem"], "l_quantity", ties="average", by=["l_returnflag"],
+        n_chunks=4,
+    )
+    out = frank(
+        out, "l_quantity", ties="dense", by=["l_returnflag"],
+        out_col="drank", n_chunks=4,
+    )
+    return out.query(j=["l_orderkey", "l_linenumber", "rank", "drank"]).df
+
+
 ORACLE["froll_chunked"] = ORACLE["froll_mean_sum"]
 ORACLE["asof_chunked"] = ORACLE["asof_roll_nearest"]
+ORACLE["frank_chunked"] = ORACLE["frank_ties"]
 
 
 # Pipeline extension registrations (dedup / similarity / text analysis).
