@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tool now prints the post-window histogram too and prose quotes only
 # tool output).
 #
-# Round-9 window = rotate_window.py output for --new = the 26 queries
+# Round-9 window = rotate_window.py output for --new = the 28 queries
 # added or physically changed this round: semdedup_prune_capped /
 # dedup_clusters_star / froll_chunked / asof_chunked are new (hot-key
 # scale mitigations with driver contracts); semdedup_prune and
@@ -52,20 +52,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # quality rules; CCNet/RefinedWeb line-level boilerplate removal; the
 # composed FineWeb-order pipeline); the froll_adaptive family gained
 # na_rm/nan_is_na; frank gained na_last and the n_chunks rank
-# chunk-stitch (frank_chunked runs the stitched plan against
-# frank_ties' oracle verbatim). Then the r4-latest tail (oldest
-# evidence first, alphabetical; seven r4 rows now spill to the r10
-# window). Tool output:
+# chunk-stitch, rleid the n_chunks run chunk-stitch (frank_chunked /
+# rleid_chunked run the stitched plans against frank_ties' /
+# rleid_runs' oracles verbatim). Then the r4-latest tail (oldest
+# evidence first, alphabetical; the spill to the r10 window grows
+# accordingly — see the POST histogram below). Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
-# #   r0: 8
+# #   r0: 9
 # #   r4: 33
 # #   r5: 46
 # #   r7: 50
 # #   r8: 50
 # # window covers 50 slots; oldest row left outside: r4
 # # POST-window histogram (window rows counted as r9):
-# #   r4: 7
+# #   r4: 8
 # #   r5: 43
 # #   r7: 46
 # #   r8: 41
@@ -97,6 +98,8 @@ _PRIORITY = [
     "frank_ties",  # new
     "frank_random",  # new
     "frank_chunked",  # new
+    "rleid_runs",  # new
+    "rleid_chunked",  # new
     "embedding_lsh_pairs",  # r4
     "fcoalesce_nafill",  # r4
     "fintersect_all",  # r4
@@ -109,7 +112,6 @@ _PRIORITY = [
     "quantiles_by",  # r4
     "rbindlist_fill",  # r4
     "repetition_metrics",  # r4
-    "rleid_runs",  # r4
     "rollup_label",  # r4
     "rowwise_literal",  # r4
     "sdcols_agg",  # r4
@@ -120,7 +122,6 @@ _PRIORITY = [
     "stratified_sample",  # r4
     "stream_decontaminate",  # r4
     "stream_dedup",  # r4
-    "stream_sliding_agg",  # r4
 ]
 
 

@@ -726,9 +726,22 @@ def _frank_chunked(
     return DT(out, key=dt.key, order_by=dt.order_by)
 
 
-def rleid(dt: DT, cols, by=None, order=None, out_col: str = "rleid") -> DT:
+def rleid(
+    dt: DT, cols, by=None, order=None, out_col: str = "rleid",
+    n_chunks: int | None = None,
+) -> DT:
     """rleid — run-length group id over the declared order (reference
-    R/data.table.R:3292, src/uniqlist.c:170). Change-flag + running sum."""
+    R/data.table.R:3292, src/uniqlist.c:170). Change-flag + running sum.
+
+    ``n_chunks=`` (opt-in, SCALE.md "Skewed keys"): hot-key chunk
+    stitch — run ids compute per (key, value-chunk) and stitch through
+    a tiny spine carrying each chunk's run count plus its first/last
+    run values; a run straddling a chunk boundary is merged by the
+    spine's null-safe first==prev-last comparison (exact; chains
+    through any number of chunks because the correction is cumulative).
+    """
+    if n_chunks is not None and n_chunks > 1:
+        return _rleid_chunked(dt, cols, by, order, out_col, n_chunks)
     w = win(dt, by=by, order=order)
     cum_w = w.rowsBetween(Window.unboundedPreceding, 0)
     cols = _namelist(cols)
@@ -746,6 +759,71 @@ def rleid(dt: DT, cols, by=None, order=None, out_col: str = "rleid") -> DT:
         key=dt.key,
         order_by=dt.order_by,
     )
+
+
+def _rleid_chunked(
+    dt: DT, cols, by, order, out_col: str, n_chunks: int
+) -> DT:
+    """Chunk-stitched rleid (see rleid's n_chunks doc). Within-chunk
+    run ids + spine offsets: offset(c) = cumulative run count of the
+    chunks before c MINUS the cumulative count of boundary merges up
+    to and including c's own leading boundary (a run straddling k
+    boundaries loses k double-counts — the cumulative form chains
+    exactly)."""
+    from ..core import _ocol
+
+    names = _namelist(cols)
+    sdf, keys, ordn = _chunked_frame(dt, by, order, n_chunks)
+    w_in = Window.partitionBy(*keys, "__chunk__").orderBy(
+        *[_ocol(c) for c in ordn]
+    )
+    cum_in = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    chg = None
+    for c in names:
+        d = ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w_in))
+        chg = d if chg is None else (chg | d)
+    rn = F.row_number().over(w_in)
+    flag = F.when(rn == 1, 1).otherwise(F.when(chg, 1).otherwise(0))
+    packed = F.struct(*[F.col(c) for c in names])
+    local = (
+        sdf.withColumn("__lrle__", F.sum(flag).over(cum_in).cast("long"))
+        .withColumn("__rn__", rn)
+    )
+    spine = local.groupBy(*keys, "__chunk__").agg(
+        F.max("__lrle__").alias("__runs__"),
+        F.min_by(packed, F.col("__rn__")).alias("__first__"),
+        F.max_by(packed, F.col("__rn__")).alias("__last__"),
+    )
+    desc0 = ordn[0].startswith("-")
+    wsp = Window.partitionBy(*keys).orderBy(
+        F.col("__chunk__").desc() if desc0 else F.col("__chunk__").asc()
+    )
+    prev_last = F.lag("__last__").over(wsp)
+    # field-wise null-safe equality (a struct EqualNullSafe would treat
+    # a struct with null FIELDS as a plain value; the run semantics are
+    # per-column NA == NA)
+    eq = F.lit(True)
+    for c in names:
+        eq = eq & F.col("__first__")[c].eqNullSafe(prev_last[c])
+    merge = F.when(prev_last.isNotNull() & eq, F.lit(1)).otherwise(F.lit(0))
+    spine = spine.withColumn(
+        "__off__",
+        (
+            F.coalesce(
+                F.sum("__runs__").over(
+                    wsp.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            - F.sum(merge).over(wsp.rowsBetween(Window.unboundedPreceding, 0))
+        ).cast("long"),
+    ).select(*keys, "__chunk__", "__off__")
+    out = (
+        local.join(F.broadcast(spine), [*keys, "__chunk__"], "left")
+        .withColumn(out_col, (F.col("__lrle__") + F.col("__off__")).cast("long"))
+        .drop("__chunk__", "__lrle__", "__rn__", "__off__")
+    )
+    return DT(out, key=dt.key, order_by=dt.order_by)
 
 
 def rowid(dt: DT, cols, out_col: str = "rowid", order=None) -> DT:

@@ -1866,9 +1866,26 @@ def q_frank_chunked(spark, sf_dir):
     return out.query(j=["l_orderkey", "l_linenumber", "rank", "drank"]).df
 
 
+@query("rleid_chunked", None)
+def q_rleid_chunked(spark, sf_dir):
+    """rleid_runs through the run chunk-stitch (n_chunks=4): per-(key,
+    value-chunk) run ids + spine run counts with boundary-merge
+    correction — the hot-key posture for run numbering; output
+    identical to the unsplit plan, same oracle."""
+    from .operators.window import rleid
+
+    t = load_tables(spark, sf_dir)
+    out = rleid(t["events"], ["event_type"], by=["user_id"], n_chunks=4)
+    return (
+        out.query(j=["event_id", "user_id", "event_type", "rleid"])
+        .df.withColumn("rleid", F.col("rleid").cast("long"))
+    )
+
+
 ORACLE["froll_chunked"] = ORACLE["froll_mean_sum"]
 ORACLE["asof_chunked"] = ORACLE["asof_roll_nearest"]
 ORACLE["frank_chunked"] = ORACLE["frank_ties"]
+ORACLE["rleid_chunked"] = ORACLE["rleid_runs"]
 
 
 # Pipeline extension registrations (dedup / similarity / text analysis).

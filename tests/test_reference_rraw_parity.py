@@ -261,3 +261,49 @@ def test_frank_chunk_stitch_equivalence(spark):
                 assert dict(plain.dtypes)["rank"] == dict(
                     chunked.dtypes
                 )["rank"], (ties, na_last, desc)
+
+
+def test_rleid_chunk_stitch_equivalence(spark):
+    """rleid(n_chunks=) is identical to the unsplit run numbering,
+    including runs straddling several chunk boundaries and NA runs
+    (NA == NA continues a run)."""
+    from data_table_spark.operators.window import rleid
+
+    # long constant stretches guarantee boundary-straddling runs at
+    # every chunking; NULL stretch included
+    vals = ([1.0] * 7 + [2.0] * 5 + [None] * 6 + [2.0] * 4 + [3.0] * 9
+            + [None] * 2)
+    rows = [(i, i % 2, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i int, g int, x double")
+    dt = DT(df, order_by=["i"])
+
+    plain = {
+        (r["g"], r["i"]): r["rleid"]
+        for r in rleid(dt, "x", by="g", order=["i"]).df.collect()
+    }
+    for k in (2, 3, 7):
+        chunked = {
+            (r["g"], r["i"]): r["rleid"]
+            for r in rleid(
+                dt, "x", by="g", order=["i"], n_chunks=k
+            ).df.collect()
+        }
+        assert chunked == plain, k
+
+    # multi-column runs + descending order
+    dt2 = DT(
+        spark.createDataFrame(
+            [(i, vals[i], float(i // 5)) for i in range(len(vals))],
+            "i int, x double, y double",
+        ),
+        order_by=["i"],
+    )
+    p2 = {
+        r["i"]: r["rleid"]
+        for r in rleid(dt2, ["x", "y"], order=["-i"]).df.collect()
+    }
+    c2 = {
+        r["i"]: r["rleid"]
+        for r in rleid(dt2, ["x", "y"], order=["-i"], n_chunks=4).df.collect()
+    }
+    assert c2 == p2
