@@ -89,6 +89,39 @@ def main() -> None:
         )
         print(f"asof nearest n_chunks={nc}: {t:.2f}s {out}", flush=True)
 
+    # r9-continuation family members: ranking and run numbering
+    from data_table_spark.operators.window import frank, rleid
+
+    # duplicate-heavy rank column (ties exercise the offset arithmetic)
+    rdt = DT(
+        ev.withColumn("rv", F.pmod(F.xxhash64("eid"), F.lit(100000)).cast("double")),
+        order_by=["eid"],
+    )
+    for nc in (None, 32):
+        t, out = med(
+            lambda nc=nc: frank(
+                rdt, "rv", ties="average", by=["u"], n_chunks=nc
+            ).df,
+            reps,
+        )
+        print(f"frank average n_chunks={nc}: {t:.2f}s {out}", flush=True)
+
+    # ~1000-row runs (boundary-straddling at any chunking)
+    ldt = DT(
+        ev.withColumn(
+            "runv", (F.col("eid") / 1000).cast("long").cast("string")
+        ),
+        order_by=["eid"],
+    )
+    for nc in (None, 32):
+        t, out = med(
+            lambda nc=nc: rleid(
+                ldt, "runv", by=["u"], order=["eid"], n_chunks=nc
+            ).df,
+            reps,
+        )
+        print(f"rleid runs n_chunks={nc}: {t:.2f}s {out}", flush=True)
+
 
 if __name__ == "__main__":
     main()
