@@ -521,18 +521,32 @@ def frank(
     out_col: str = "rank",
     tiebreak=None,
     seed: int = 0,
-    na_last="keep",
+    na_last=True,
     n_chunks: int | None = None,
+    nan_is_na: bool = True,
 ) -> DT:
     """frank — ranking with data.table tie methods (reference R/frank.R:1,
     src/frank.c:112).
 
-    ties: average | first | min (data.table "min") | max | dense | random.
+    ties: average | first | last | min (data.table "min") | max |
+    dense | random. ties="last" mirrors "first" with the tie group
+    numbered in reverse; like the reference's appearance-order rule it
+    is only deterministic here with ``tiebreak=`` columns (documented
+    adaptation — a distributed table has no appearance order).
 
-    na_last (reference frank na.last, default "keep"): "keep" ranks NAs
-    as NA — non-NA ranks are computed among non-NAs only (one
-    partition-wide null count subtracted, no second sort); True ranks
-    NAs last with real ranks; False ranks them first.
+    na_last (reference frank na.last, default TRUE — R/frank.R:1,:76):
+    True ranks NAs last as one tie group (the reference sorts NAs last
+    via forderv then applies ties.method to the NA group —
+    R/frank.R:52); False ranks them first; "keep" ranks NAs as NA —
+    non-NA ranks are computed among non-NAs only (one partition-wide
+    null count subtracted, no second sort); None (reference
+    na.last=NA, R/frank.R:70) drops NA rows from the output entirely.
+
+    nan_is_na (reference is.na(NaN) is TRUE): NaN in a float/double
+    ranked column is treated as NA — masked to NULL in a temporary
+    rank-source column, so na_last governs NaN too and the original
+    column is untouched. nan_is_na=False ranks NaN as Spark orders it
+    (after +Inf).
 
     ``n_chunks=`` (opt-in, SCALE.md "Skewed keys"): hot-key chunk
     stitch for ranking — a rank window runs ONE task per key; with
@@ -540,8 +554,9 @@ def frank(
     never straddle a chunk boundary by construction), ranks compute
     per (key, chunk), and the global rank is chunk rank + a spine
     offset (cumulative row count; cumulative distinct count for
-    dense). Exact for every tie method and na_last keep/False
-    (na_last=True reorders nulls across chunks — unsupported split).
+    dense). Exact for every tie method and every na_last (NAs take a
+    dedicated chunk that traverses first for False/"keep" and last for
+    True).
 
     ties="random" (reference breaks ties with the R RNG stream) is
     adapted to a SEEDED deterministic permutation: ties are ordered by
@@ -551,6 +566,29 @@ def frank(
     forming a unique key — random tie-breaking on a distributed engine
     is only well-defined relative to stable row identity.
     """
+    if nan_is_na and dict(dt.df.dtypes).get(col) in ("float", "double"):
+        src = "__rksrc__"
+        masked = dt.df.withColumn(
+            src,
+            F.when(F.isnan(F.col(col)), F.lit(None)).otherwise(F.col(col)),
+        )
+        out = frank(
+            DT(masked, key=dt.key, order_by=dt.order_by), src, ties=ties,
+            by=by, desc=desc, out_col=out_col, tiebreak=tiebreak, seed=seed,
+            na_last=na_last, n_chunks=n_chunks, nan_is_na=False,
+        )
+        return DT(out.df.drop(src), key=dt.key, order_by=dt.order_by)
+    if na_last is None:
+        # reference na.last=NA: remove NAs before ranking (R/frank.R:70)
+        kept = DT(
+            dt.df.where(F.col(col).isNotNull()),
+            key=dt.key, order_by=dt.order_by,
+        )
+        return frank(
+            kept, col, ties=ties, by=by, desc=desc, out_col=out_col,
+            tiebreak=tiebreak, seed=seed, na_last=True, n_chunks=n_chunks,
+            nan_is_na=False,
+        )
     if n_chunks is not None and n_chunks > 1:
         return _frank_chunked(
             dt, col, ties, by, desc, out_col, tiebreak, seed, na_last,
@@ -585,8 +623,19 @@ def frank(
             )
         )
         r = F.row_number().over(part.orderBy(c, salt.asc()))
-    elif ties == "first":
-        r = F.row_number().over(w)
+    elif ties in ("first", "last"):
+        # "last" numbers the tie group in reverse (reference
+        # src/frank.c ties.method="last"); with tiebreak= the order
+        # within ties is pinned (asc for first, desc for last),
+        # otherwise it is engine order (documented nondeterminism)
+        if tiebreak:
+            tb = [
+                F.col(t).asc() if ties == "first" else F.col(t).desc()
+                for t in _namelist(tiebreak)
+            ]
+            r = F.row_number().over(part.orderBy(c, *tb))
+        else:
+            r = F.row_number().over(w)
     elif ties == "min":
         r = F.rank().over(w)
     elif ties == "dense":
@@ -620,14 +669,11 @@ def _frank_chunked(
     come from the shared _chunked_frame (equal values share a chunk,
     so tie groups never straddle a boundary — tie counts and dense
     groups stay chunk-local facts); NULLs move to a dedicated chunk
-    that traverses FIRST under both sort directions. Global rank =
-    within-(key, chunk) rank + the spine's cumulative row count before
-    the chunk (cumulative distinct-value count for dense)."""
-    if na_last is True:
-        raise ValueError(
-            "frank(n_chunks=) supports na_last='keep'/False; na_last=True"
-            " moves nulls across the value-chunk order"
-        )
+    that traverses FIRST for na_last False/"keep" and LAST for
+    na_last=True (the reference sorts NAs last as one tie group —
+    R/frank.R:52). Global rank = within-(key, chunk) rank + the
+    spine's cumulative row count before the chunk (cumulative
+    distinct-value count for dense)."""
     if ties == "random" and not tiebreak:
         raise ValueError(
             "ties='random' needs tiebreak= unique-key columns for a "
@@ -638,14 +684,20 @@ def _frank_chunked(
         "__chunk__",
         F.when(F.col(col).isNull(), F.lit(-1)).otherwise(F.col("__chunk__")),
     )
-    # traversal key: ascending value order, or descending with the
-    # null chunk still first
+    # traversal key: ascending value order (or negated for desc), with
+    # the null chunk pinned first (na_last False/"keep") or last
+    # (na_last=True) regardless of direction
+    null_first = na_last is not True
     if desc:
-        tk = F.when(
-            F.col("__chunk__") == -1, F.lit(-(n_chunks + 1))
-        ).otherwise(-F.col("__chunk__"))
+        null_tk = F.lit(-(n_chunks + 1)) if null_first else F.lit(1)
+        tk = F.when(F.col("__chunk__") == -1, null_tk).otherwise(
+            -F.col("__chunk__")
+        )
     else:
-        tk = F.col("__chunk__")
+        null_tk = F.lit(-1) if null_first else F.lit(n_chunks)
+        tk = F.when(F.col("__chunk__") == -1, null_tk).otherwise(
+            F.col("__chunk__")
+        )
     sdf = sdf.withColumn("__tk__", tk)
 
     spine = sdf.groupBy(*keys, "__tk__").agg(
@@ -685,8 +737,17 @@ def _frank_chunked(
         r = F.row_number().over(
             Window.partitionBy(*keys, "__tk__").orderBy(c, salt.asc())
         ) + F.col("__rb__")
-    elif ties == "first":
-        r = F.row_number().over(w_c) + F.col("__rb__")
+    elif ties in ("first", "last"):
+        if tiebreak:
+            tb = [
+                F.col(t).asc() if ties == "first" else F.col(t).desc()
+                for t in _namelist(tiebreak)
+            ]
+            r = F.row_number().over(
+                Window.partitionBy(*keys, "__tk__").orderBy(c, *tb)
+            ) + F.col("__rb__")
+        else:
+            r = F.row_number().over(w_c) + F.col("__rb__")
     elif ties == "min":
         r = F.rank().over(w_c) + F.col("__rb__")
     elif ties == "dense":
@@ -845,7 +906,12 @@ def rowid(dt: DT, cols, out_col: str = "rowid", order=None) -> DT:
 def _chunked_frame(dt: DT, by, order, n_chunks: int):
     """Shared chunk assignment for the running-operator carry stitch:
     value-chunk each key's rows on the first order column (equal values
-    share a chunk). Returns (df+__chunk__, keys, order names)."""
+    share a chunk). NaN order values are excluded from the min/max
+    bounds (a single NaN would otherwise poison the chunk width) and
+    routed to the HIGHEST chunk — consistent with Spark ordering NaN
+    after +Inf under asc (and first under desc, which consumers express
+    by reversing chunk traversal). Returns (df+__chunk__, keys, order
+    names)."""
     keys = _namelist(by)
     ordn = _namelist(order) or dt.order_by
     if not ordn:
@@ -853,7 +919,8 @@ def _chunked_frame(dt: DT, by, order, n_chunks: int):
     first = ordn[0]
     vcol = F.col(first[1:] if first.startswith("-") else first).cast("double")
     sdf = dt.df
-    bcols = [F.min(vcol).alias("__tlo__"), F.max(vcol).alias("__thi__")]
+    fin = F.when(~F.isnan(vcol), vcol)  # NULL for NaN, pass-through else
+    bcols = [F.min(fin).alias("__tlo__"), F.max(fin).alias("__thi__")]
     if keys:
         sdf = sdf.join(F.broadcast(sdf.groupBy(*keys).agg(*bcols)), keys, "left")
     else:
@@ -861,17 +928,21 @@ def _chunked_frame(dt: DT, by, order, n_chunks: int):
     width = (F.col("__thi__") - F.col("__tlo__")) / F.lit(float(n_chunks))
     sdf = sdf.withColumn(
         "__chunk__",
-        F.coalesce(
-            F.when(F.col("__tlo__").isNull() | (width <= 0), F.lit(0))
-            .otherwise(
-                F.least(
-                    F.lit(n_chunks - 1),
-                    F.greatest(
-                        F.lit(0), F.floor((vcol - F.col("__tlo__")) / width)
-                    ),
-                )
-            ),
-            F.lit(0),
+        F.when(vcol.isNotNull() & F.isnan(vcol), F.lit(n_chunks - 1))
+        .otherwise(
+            F.coalesce(
+                F.when(F.col("__tlo__").isNull() | (width <= 0), F.lit(0))
+                .otherwise(
+                    F.least(
+                        F.lit(n_chunks - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor((vcol - F.col("__tlo__")) / width),
+                        ),
+                    )
+                ),
+                F.lit(0),
+            )
         ).cast("int"),
     ).drop("__tlo__", "__thi__")
     return sdf, keys, ordn

@@ -193,9 +193,12 @@ def test_frolladaptive_extrema_median_poison(spark):
 
 
 def test_frank_na_last(spark):
-    """frank na.last (reference R/frank.R; base-R rank semantics):
-    'keep' ranks NAs as NA, TRUE ranks them last, FALSE first. Vector
-    (4, 1, 4, NA, 1), ties='average'."""
+    """frank na.last (reference R/frank.R:1 — default na.last=TRUE;
+    frankv sorts NAs last via forderv then applies ties.method to the
+    NA group, R/frank.R:52): TRUE ranks NAs last as one TIE GROUP,
+    FALSE first, 'keep' ranks NAs as NA, None (reference na.last=NA,
+    R/frank.R:70) drops NA rows. Vector (4, 1, 4, NA, 1),
+    ties='average'."""
     from data_table_spark.operators.window import frank
 
     dt = _mk(spark, [4.0, 1.0, 4.0, None, 1.0])
@@ -207,18 +210,38 @@ def test_frank_na_last(spark):
             .orderBy("i").collect()
         ]
 
-    assert ranks() == [3.5, 1.5, 3.5, None, 1.5]              # keep
-    assert ranks(na_last=True) == [3.5, 1.5, 3.5, 5.0, 1.5]
+    assert ranks() == [3.5, 1.5, 3.5, 5.0, 1.5]               # default TRUE
+    assert ranks(na_last="keep") == [3.5, 1.5, 3.5, None, 1.5]
     assert ranks(na_last=False) == [4.5, 2.5, 4.5, 1.0, 2.5]
+
+    # na.last=NA removes NA rows entirely (4 rows out, real ranks)
+    dropped = frank(dt, "x", ties="average", na_last=None).df
+    assert dropped.count() == 4
+    got = {r["i"]: r["rank"] for r in dropped.collect()}
+    assert got == {0: 3.5, 1: 1.5, 2: 3.5, 4: 1.5}
+
+    # NA tie GROUP under TRUE (two NAs -> both (4+5)/2, data.table
+    # semantics — base R would give sequential 4,5)
+    dt2 = _mk(spark, [4.0, 1.0, None, None, 1.0])
+    assert [
+        r["rank"]
+        for r in frank(dt2, "x", ties="average").df.orderBy("i").collect()
+    ] == [3.0, 1.5, 4.5, 4.5, 1.5]
 
     dense = [
         r["rank"]
-        for r in frank(dt, "x", ties="dense").df.orderBy("i").collect()
+        for r in frank(dt, "x", ties="dense", na_last="keep").df
+        .orderBy("i").collect()
     ]
     assert dense == [2, 1, 2, None, 1]
+    assert [
+        r["rank"]
+        for r in frank(dt, "x", ties="dense").df.orderBy("i").collect()
+    ] == [2, 1, 2, 3, 1]
     first = [
         r["rank"]
-        for r in frank(dt, "x", ties="first").df.orderBy("i").collect()
+        for r in frank(dt, "x", ties="first", na_last="keep").df
+        .orderBy("i").collect()
     ]
     # ties='first' needs a declared row order to fix WHICH tie gets the
     # lower rank (documented; ties='random' + tiebreak is the stable
@@ -226,6 +249,46 @@ def test_frank_na_last(spark):
     assert first[3] is None
     assert sorted([first[0], first[2]]) == [3, 4]
     assert sorted([first[1], first[4]]) == [1, 2]
+
+    # ties='last' with tiebreak= reverses the within-tie numbering of
+    # ties='first' (reference ties.method="last", R/frank.R:1)
+    f = {
+        r["i"]: r["rank"]
+        for r in frank(dt, "x", ties="first", tiebreak=["i"]).df.collect()
+    }
+    l = {
+        r["i"]: r["rank"]
+        for r in frank(dt, "x", ties="last", tiebreak=["i"]).df.collect()
+    }
+    assert f == {1: 1, 4: 2, 0: 3, 2: 4, 3: 5}
+    assert l == {1: 2, 4: 1, 0: 4, 2: 3, 3: 5}
+
+
+def test_frank_nan_is_na(spark):
+    """frank NaN rule (reference is.na(NaN) is TRUE): NaN ranks like
+    NA under every na.last, and the original column keeps its NaN."""
+    from data_table_spark.operators.window import frank
+
+    dt = _mk(spark, [4.0, float("nan"), 1.0, None, 1.0])
+
+    def ranks(**kw):
+        return [
+            r["rank"]
+            for r in frank(dt, "x", ties="average", **kw).df
+            .orderBy("i").collect()
+        ]
+
+    assert ranks() == [3.0, 4.5, 1.5, 4.5, 1.5]          # NaN+NA tie last
+    assert ranks(na_last="keep") == [3.0, None, 1.5, None, 1.5]
+    assert ranks(na_last=False) == [5.0, 1.5, 3.5, 1.5, 3.5]
+    # opt-out: Spark orders NaN after +Inf, NULL placement per na_last
+    assert ranks(nan_is_na=False) == [3.0, 4.0, 1.5, 5.0, 1.5]
+    # original column untouched (NaN still NaN, not NULL)
+    import math
+    row = {
+        r["i"]: r["x"] for r in frank(dt, "x").df.collect()
+    }
+    assert math.isnan(row[1]) and row[3] is None
 
 
 def test_frank_chunk_stitch_equivalence(spark):
@@ -235,22 +298,22 @@ def test_frank_chunk_stitch_equivalence(spark):
     rest)."""
     from data_table_spark.operators.window import frank
 
+    nan = float("nan")
     vals = [4.0, 1.0, 4.0, None, 1.0, 7.0, 4.0, None, 2.0, 7.0,
-            2.0, 9.0, 1.0, 5.0, 5.0]
+            2.0, 9.0, 1.0, 5.0, 5.0, nan, 3.0, nan]
     rows = [(i, i % 2, v) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "i int, g int, x double")
     dt = DT(df, order_by=["i"])
 
-    for ties in ("average", "min", "max", "dense", "first", "random"):
-        for na_last in ("keep", False):
+    for ties in ("average", "min", "max", "dense", "first", "last",
+                 "random"):
+        for na_last in ("keep", False, True):
             for desc in (False, True):
                 kw = dict(ties=ties, by="g", desc=desc, na_last=na_last)
-                if ties == "first" and na_last is not False:
+                if ties in ("first", "last"):
                     # row_number tie order is nondeterministic without
-                    # a tiebreak; compare via random instead
-                    continue
-                if ties == "first":
-                    continue
+                    # a tiebreak; pin it
+                    kw["tiebreak"] = ["i"]
                 if ties == "random":
                     kw["tiebreak"] = ["i"]
                 plain = frank(dt, "x", **kw).df
