@@ -469,7 +469,7 @@ def lsh_band_index(
 
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.8, n: int = 3,
-    verify: str = "onepass",
+    verify: str = "onepass", broadcast: str = "auto",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-Jaccard-verified.
 
@@ -494,7 +494,21 @@ def minhash_lsh_pairs(
       are independent stages Spark runs CONCURRENTLY with the signature
       branch — worth trying on a cluster with idle slots.
     (A persisted-shingles variant loses badly at this SF — persist()
-    disables AQE above the cache and pins 32-partition shuffles.)"""
+    disables AQE above the cache and pins 32-partition shuffles.)
+
+    ``broadcast`` governs how the onepass membership frame joins the
+    shingle rows. The candidate count scales with near-dup DENSITY,
+    not a constant — a dup-heavy 100 TB crawl can emit billions of
+    candidate pairs, which no driver broadcast holds — so the default
+    is "auto": no hint, AQE's runtime stats convert the join to
+    broadcast only when the membership side is actually under
+    spark.sql.adaptive.autoBroadcastJoinThreshold, and keep a shuffle
+    equi-join on doc_id otherwise (identical semantics, one extra
+    exchange, no size cliff). "force" restores the unconditional
+    F.broadcast hint (small corpora where even the first shuffle of
+    mem is not worth it); "never" pins the shuffle merge join (the
+    posture the `minhash_lsh_shuffle` driver twin runs against the
+    same oracle)."""
     sr = shingle_rows(docs, n)
     bands = lsh_band_index(docs, n)
     a, b = bands.alias("a"), bands.alias("b")
@@ -525,7 +539,13 @@ def minhash_lsh_pairs(
                 " struct(doc_b as doc_id, 0 as a_side))) as m"
             ),
         ).select("doc_a", "doc_b", "m.doc_id", "m.a_side")
-        j = sr.join(F.broadcast(mem), "doc_id")
+        if broadcast == "force":
+            mem = F.broadcast(mem)
+        elif broadcast == "never":
+            mem = mem.hint("SHUFFLE_MERGE")
+        elif broadcast != "auto":
+            raise ValueError(f"bad broadcast: {broadcast}")
+        j = sr.join(mem, "doc_id")
         per_s = j.groupBy("doc_a", "doc_b", "s").agg(
             F.sum("a_side").alias("na"),
             F.sum(1 - F.col("a_side")).alias("nb"),

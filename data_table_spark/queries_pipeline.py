@@ -326,6 +326,21 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(t["documents"].df, threshold=0.8)
 
 
+@query("minhash_lsh_shuffle", _SQL_JACCARD_EXACT)
+def q_minhash_lsh_shuffle(spark, sf_dir):
+    """minhash_lsh_pairs through the NON-broadcast onepass verifier
+    (broadcast="never": the membership frame shuffle-merge-joins the
+    shingle rows on doc_id) — the 100 TB posture when candidate-pair
+    volume scales with near-dup density past any broadcast threshold
+    (round-9 verdict "What's wrong" #1). Same oracle as
+    minhash_lsh_pairs verbatim: the join strategy cannot change the
+    verified pair set."""
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_pairs(
+        t["documents"].df, threshold=0.8, broadcast="never"
+    )
+
+
 _SQL_SIMHASH = f"""
     WITH toks AS ({_SQL_TOKS}),
     sh AS ({_SQL_SHINGLES}),
