@@ -35,95 +35,83 @@ def entry(spark: SparkSession) -> DataFrame:
 # tool now prints the post-window histogram too and prose quotes only
 # tool output).
 #
-# Round-9 window = rotate_window.py output for --new = the 28 queries
-# added or physically changed this round: semdedup_prune_capped /
-# dedup_clusters_star / froll_chunked / asof_chunked are new (hot-key
-# scale mitigations with driver contracts); semdedup_prune and
-# dedup_clusters gained opt-in strategies with restructured shared
-# code; fread_fwrite_roundtrip covers the fread changes (sep sampler,
-# fill widening, nrows, blank lines, and the continuation session's
-# skip='auto'/skip-string, whitespace-run sep, CR line endings, BOM
-# sniff, header-width reconciliation); the asof family, froll_mean_sum,
-# froll_narm, nafill_locf_nocb, cumsum_running, and shift_lag_lead
-# cover the n_chunks chunk-stitch restructurings plus the NaN-as-NA
-# masking and the na.rm empty-aggregate identity (froll_narm's oracle
-# changed with it); gopher_quality / line_dedup_boilerplate /
-# web_curation_pipeline are new pipeline operators (Rae et al. 2021
-# quality rules; CCNet/RefinedWeb line-level boilerplate removal; the
-# composed FineWeb-order pipeline); the froll_adaptive family gained
-# na_rm/nan_is_na; frank gained na_last and the n_chunks rank
-# chunk-stitch, rleid the n_chunks run chunk-stitch (frank_chunked /
-# rleid_chunked run the stitched plans against frank_ties' /
-# rleid_runs' oracles verbatim). Then the r4-latest tail (oldest
-# evidence first, alphabetical; the spill to the r10 window grows
-# accordingly — see the POST histogram below). Tool output:
+# Round-10 window = rotate_window.py output for --new =
+# minhash_lsh_shuffle (new this round: the onepass verifier's
+# non-broadcast membership join, broadcast="never", against the
+# minhash_lsh_pairs oracle verbatim — the r9 verdict "What's wrong" #1
+# size-cliff fix) + frank_ties / frank_random / frank_chunked (frank
+# gained reference na.last=TRUE-by-default semantics, ties="last",
+# NaN-as-NA masking, and na_last=True under n_chunks — code changed, so
+# they re-enter the window). Then the 8 r4-latest rows and the oldest
+# r5 rows fill the remaining slots (oldest evidence first, alphabetical
+# within a round). Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
-# #   r0: 9
-# #   r4: 33
-# #   r5: 46
-# #   r7: 50
-# #   r8: 50
-# # window covers 50 slots; oldest row left outside: r4
-# # POST-window histogram (window rows counted as r9):
+# #   r0: 1
 # #   r4: 8
 # #   r5: 43
 # #   r7: 46
 # #   r8: 41
 # #   r9: 50
+# # window covers 50 slots; oldest row left outside: r5
+# # POST-window histogram (window rows counted as r10):
+# #   r5: 5
+# #   r7: 46
+# #   r8: 41
+# #   r9: 47
+# #   r10: 50
 _PRIORITY = [
-    "semdedup_prune_capped",  # new
-    "dedup_clusters_star",  # new
-    "froll_chunked",  # new
-    "asof_chunked",  # new
-    "semdedup_prune",  # new
-    "dedup_clusters",  # new
-    "fread_fwrite_roundtrip",  # new
-    "asof_roll_backward",  # new
-    "asof_roll_forward",  # new
-    "asof_roll_limit",  # new
-    "asof_roll_nearest",  # new
-    "asof_roll_rollends",  # new
-    "froll_mean_sum",  # new
-    "froll_narm",  # new
-    "nafill_locf_nocb",  # new
-    "cumsum_running",  # new
-    "shift_lag_lead",  # new
-    "gopher_quality",  # new
-    "line_dedup_boilerplate",  # new
-    "web_curation_pipeline",  # new
-    "froll_adaptive_sum",  # new
-    "froll_adaptive_minmax",  # new
-    "froll_adaptive_median",  # new
+    "minhash_lsh_shuffle",  # new
     "frank_ties",  # new
     "frank_random",  # new
     "frank_chunked",  # new
-    "rleid_runs",  # new
-    "rleid_chunked",  # new
-    "embedding_lsh_pairs",  # r4
-    "fcoalesce_nafill",  # r4
-    "fintersect_all",  # r4
-    "frame_sample_counts",  # r4
-    "fsetdiff_all",  # r4
-    "gtail_per_group",  # r4
-    "json_extract_props",  # r4
-    "lsh_ann_topk",  # r4
-    "mutation_let",  # r4
-    "quantiles_by",  # r4
-    "rbindlist_fill",  # r4
-    "repetition_metrics",  # r4
-    "rollup_label",  # r4
-    "rowwise_literal",  # r4
-    "sdcols_agg",  # r4
-    "sequence_packing",  # r4
-    "sessionize_batch",  # r4
-    "setorder_topk",  # r4
-    "sketch_distinct_tokens",  # r4
-    "stratified_sample",  # r4
-    "stream_decontaminate",  # r4
-    "stream_dedup",  # r4
+    "stream_sliding_agg",  # r4
+    "stream_stream_join",  # r4
+    "stream_tumbling_agg",  # r4
+    "time_parts",  # r4
+    "transpose_small",  # r4
+    "tstrsplit_cols",  # r4
+    "vecseq_expand",  # r4
+    "vocab_topk",  # r4
+    "bigram_lm_score",  # r5
+    "bm25_topk",  # r5
+    "chgroup_first_appearance",  # r5
+    "chmatch_rank",  # r5
+    "chunk_dedup_pairs",  # r5
+    "dedup_cluster_sizes",  # r5
+    "dedup_exact_ids",  # r5
+    "dogroups_arrow_udtf",  # r5
+    "eachi_join_agg",  # r5
+    "embedding_centroids",  # r5
+    "fdistinct_last",  # r5
+    "foverlaps_end",  # r5
+    "foverlaps_equal",  # r5
+    "frollapply_median",  # r5
+    "fsetequal_check",  # r5
+    "funnel_stages",  # r5
+    "gforce_q1",  # r5
+    "ghead_per_group",  # r5
+    "ivf_ann_topk",  # r5
+    "join_inner",  # r5
+    "jsonl_roundtrip",  # r5
+    "lookup_join",  # r5
+    "melt_narm",  # r5
+    "merge_full",  # r5
+    "mergelist_fold",  # r5
+    "mult_first",  # r5
+    "na_omit_cols",  # r5
+    "orc_roundtrip",  # r5
+    "pii_scrub",  # r5
+    "setindex_bucketed",  # r5
+    "sketch_quantiles",  # r5
+    "split_leakfree",  # r5
+    "sq8_ann_topk",  # r5
+    "stream_neardup_screen",  # r5
+    "stream_session_agg",  # r5
+    "stream_session_dynamic",  # r5
+    "stream_stream_full_join",  # r5
+    "stream_stream_left_join",  # r5
 ]
-
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered = {name: QUERIES[name] for name in _PRIORITY if name in QUERIES}
