@@ -129,7 +129,19 @@ def main() -> None:
         "spark.sql.files.maxPartitionBytes", "spark.master",
     ]
     conf = {k: spark.conf.get(k, None) for k in conf_keys}
-    probe_start = probe()
+
+    # Ambient NORMALIZATION (VERDICT r9 "Next round" #2): three rounds of
+    # legacy14 drift (9.78 -> 11.70 -> 14.91 s) were each adjudicated as
+    # host noise only via out-of-band quiet-box reruns. Make the artifact
+    # self-normalizing instead: interleave the fixed probe query BETWEEN
+    # every headline block and report each headline as a RATIO to the
+    # mean of its two adjacent probes. The ratio is unitless and
+    # host-speed-invariant — a slow box inflates numerator and
+    # denominator together — so cross-round regression reads straight
+    # off queries_norm / total_*_norm without a quiet-box appeal. Raw
+    # seconds stay in `queries` for continuity with BENCH_r01-r09.
+    probes: list[float] = [probe()]
+    probe_start = probes[0]
 
     names = [n for n in HEADLINE if n in QUERIES]
     # max(1, ·): reps<=0 would silently skip every query and emit a fake
@@ -137,6 +149,7 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # fall back: if a headline name is missing, still produce a line
     timings: dict[str, float] = {}
+    probe_pair: dict[str, tuple[float, float]] = {}
     for name in names:
         fn = QUERIES[name]
         samples: list[float] = []
@@ -153,15 +166,30 @@ def main() -> None:
                 break
             samples.append(time.perf_counter() - t0)
         if not samples:
+            # still close the probe bracket so the series stays an
+            # honest record of the whole run
+            probes.append(probe())
             continue
         timings[name] = round(sorted(samples)[len(samples) // 2], 4)
+        probes.append(probe())
+        probe_pair[name] = (probes[-2], probes[-1])
         detail = "/".join(f"{s:.2f}" for s in sorted(samples))
         print(
-            f"# {name}: median {timings[name]:.3f}s of [{detail}] ({n} rows)",
+            f"# {name}: median {timings[name]:.3f}s of [{detail}] "
+            f"({n} rows; local probe {probes[-2]:.2f}/{probes[-1]:.2f})",
             file=sys.stderr,
         )
 
-    probe_end = probe()
+    probe_end = probes[-1]
+    # per-query ambient-normalized ratio: median seconds over the mean of
+    # the two probes bracketing that query's reps (NOT the global probe
+    # median — ambient load moves WITHIN a run; the r9 builder measured a
+    # 13.8-18.6s spread on same-code back-to-back runs)
+    norm = {
+        name: round(t / ((probe_pair[name][0] + probe_pair[name][1]) / 2), 4)
+        for name, t in timings.items()
+        if name in probe_pair and sum(probe_pair[name]) > 0
+    }
     total = round(sum(timings.values()), 4)
     legacy14 = round(sum(timings.get(n, 0.0) for n in LEGACY14), 4)
     try:
@@ -187,6 +215,17 @@ def main() -> None:
             sum(timings.get(n, 0.0) for n in HEADLINE[:20]), 4
         ),
         "ambient_probe": {"start": probe_start, "end": probe_end},
+        # ambient-normalized series (VERDICT r9 #2): each headline as a
+        # ratio to the mean of its two bracketing probe runs. Unitless;
+        # compare THESE across rounds — host slowdown cancels. The full
+        # probe series is included so the noise profile of the run is
+        # reconstructible from the artifact alone.
+        "queries_norm": norm,
+        "total_legacy14_norm": round(
+            sum(norm.get(n, 0.0) for n in LEGACY14), 4
+        ),
+        "total_headline_norm": round(sum(norm.values()), 4),
+        "probe_series": [round(p, 4) for p in probes],
         "conf": conf,
     }))
 
