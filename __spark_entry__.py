@@ -35,16 +35,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # tool now prints the post-window histogram too and prose quotes only
 # tool output).
 #
-# Round-10 window = rotate_window.py output for --new =
-# minhash_lsh_shuffle (new this round: the onepass verifier's
-# non-broadcast membership join, broadcast="never", against the
-# minhash_lsh_pairs oracle verbatim — the r9 verdict "What's wrong" #1
-# size-cliff fix) + frank_ties / frank_random / frank_chunked (frank
-# gained reference na.last=TRUE-by-default semantics, ties="last",
-# NaN-as-NA masking, and na_last=True under n_chunks — code changed, so
-# they re-enter the window). Then the 8 r4-latest rows and the oldest
-# r5 rows fill the remaining slots (oldest evidence first, alphabetical
-# within a round). Tool output:
+# Round-10 window = rotate_window.py output for --new = the queries
+# added or plan-changed this round: minhash_lsh_shuffle (new: the
+# onepass verifier's pinned non-broadcast membership join,
+# broadcast="never", same oracle as minhash_lsh_pairs — the r9 verdict
+# "What's wrong" #1 size-cliff fix) + minhash_lsh_pairs (its DEFAULT
+# membership join changed from a hard F.broadcast hint to AQE-decided)
+# + line_dedup_boilerplate / web_curation_pipeline (line_dedup's
+# boilerplate join got the same broadcast="auto" gate — default plan
+# changed) + frank_ties / frank_random / frank_chunked (frank gained
+# reference na.last=TRUE-by-default semantics, ties="last", NaN-as-NA
+# masking, and na_last=True under n_chunks). The n_chunks="auto"
+# resolution added to the ordered operators is a pure pass-through for
+# the integer/None arguments every registry query uses (covered by the
+# stitch-family pytest run + the config-differential sweep), so those
+# queries do NOT re-enter. Then the 8 r4-latest rows and the oldest r5
+# rows fill the remaining slots. Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
 # #   r0: 1
@@ -55,13 +61,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # #   r9: 50
 # # window covers 50 slots; oldest row left outside: r5
 # # POST-window histogram (window rows counted as r10):
-# #   r5: 5
-# #   r7: 46
+# #   r5: 8
+# #   r7: 45
 # #   r8: 41
-# #   r9: 47
+# #   r9: 45
 # #   r10: 50
 _PRIORITY = [
     "minhash_lsh_shuffle",  # new
+    "minhash_lsh_pairs",  # new
+    "line_dedup_boilerplate",  # new
+    "web_curation_pipeline",  # new
     "frank_ties",  # new
     "frank_random",  # new
     "frank_chunked",  # new
@@ -108,9 +117,6 @@ _PRIORITY = [
     "sq8_ann_topk",  # r5
     "stream_neardup_screen",  # r5
     "stream_session_agg",  # r5
-    "stream_session_dynamic",  # r5
-    "stream_stream_full_join",  # r5
-    "stream_stream_left_join",  # r5
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

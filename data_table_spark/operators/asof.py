@@ -43,7 +43,7 @@ def asof_join(
     nomatch: str | None = "NA",
     x_cols: Sequence[str] | None = None,
     suffix: str = "_x",
-    n_chunks: int | None = None,
+    n_chunks: int | str | None = None,
 ) -> DT:
     """``X[I, on=.(keys, time), roll=roll]`` — one output row per I row.
 
@@ -69,7 +69,9 @@ def asof_join(
     stay intra-chunk because equal times land in the same chunk.
     Requires a numeric time column (the chunk arithmetic); equivalence
     with the unsplit path is pinned by test_asof_chunk_stitch for every
-    roll type.
+    roll type. ``n_chunks="auto"`` probes the hottest key over BOTH
+    sides (the window partition holds the union) and splits only past
+    the measured break-even (window._resolve_n_chunks).
     """
     keys = _namelist(on)
     x_payload = [c for c in (x_cols or x.columns) if c not in keys and c != time_x]
@@ -111,6 +113,9 @@ def asof_join(
     )
     u = xt.unionByName(it, allowMissingColumns=True)
 
+    from .window import _resolve_n_chunks
+
+    n_chunks = _resolve_n_chunks(u, keys, n_chunks)
     chunked = n_chunks is not None and n_chunks > 1
     part = list(keys)
     if chunked:

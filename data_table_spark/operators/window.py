@@ -58,6 +58,50 @@ def win(dt: DT, by=None, order=None) -> WindowSpec:
     return w.orderBy(*[_ocol(c) for c in order])
 
 
+# Measured break-even for the hot-key chunk-stitches (SCALE.md "Skewed
+# keys"; probes in tools/chunk_probe.py): at 1M rows in ONE key the
+# stitch is break-even-to-slightly-worse (frank 1.53s vs 1.68s, rleid
+# 1.62s vs 1.75s, asof 1.5s -> 2.8s), at 10M it wins 3.3-6.7x. AUTO
+# splits only safely past the crossover; the per-chunk target matches
+# the probes' best configuration (10M rows / 32 chunks ~ 312k).
+AUTO_CHUNK_BREAK_EVEN = 2_000_000
+AUTO_CHUNK_TARGET = 250_000
+
+
+def _resolve_n_chunks(
+    sdf,
+    keys,
+    n_chunks,
+    break_even: int = AUTO_CHUNK_BREAK_EVEN,
+    target: int = AUTO_CHUNK_TARGET,
+):
+    """Resolve ``n_chunks="auto"`` to an int (split) or None (unsplit).
+
+    One cheap probe aggregate — max rows in any window partition (total
+    count when unpartitioned), the same pre-flight pattern as
+    frolladaptive's n_max — decides against the MEASURED break-even:
+    below it the single-task window wins and auto stays unsplit; above
+    it the chunk count brings the hottest key to ~AUTO_CHUNK_TARGET
+    rows per chunk, capped at the cluster's default parallelism (more
+    chunks than slots only adds stitch overhead). Ints and None pass
+    through untouched, so explicit callers keep exact control."""
+    if n_chunks != "auto":
+        return n_chunks
+    if keys:
+        m = (
+            sdf.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .agg(F.max("__n__").alias("m"))
+            .collect()[0]["m"]
+        )
+    else:
+        m = sdf.count()
+    if not m or m <= break_even:
+        return None
+    cap = sdf.sparkSession.sparkContext.defaultParallelism
+    return int(max(2, min(cap, -(-m // target))))
+
+
 def shift(
     dt: DT,
     cols,
@@ -67,7 +111,7 @@ def shift(
     by=None,
     order=None,
     give_names: bool = True,
-    n_chunks: int | None = None,
+    n_chunks: int | str | None = None,
 ) -> DT:
     """shift — lag/lead with fill (reference R/shift.R:1, src/shift.c:4;
     grouped form is GForce gshift, src/gsumm.c:1195).
@@ -80,12 +124,14 @@ def shift(
     lag/lead — halo width max|n|; the out-of-range fill positions come
     from the stitch's global rank/count columns, so fill semantics are
     identical. Not supported for cyclic (wrapping needs the whole
-    group).
+    group). ``n_chunks="auto"`` probes the hottest key and splits only
+    past the measured break-even (see ``_resolve_n_chunks``).
     """
     if type_ == "cyclic":
-        if n_chunks is not None and n_chunks > 1:
+        if n_chunks is not None and (n_chunks == "auto" or n_chunks > 1):
             raise ValueError("n_chunks does not support type_='cyclic'")
         return _shift_cyclic(dt, cols, n, by=by, order=order, give_names=give_names)
+    n_chunks = _resolve_n_chunks(dt.df, _namelist(by), n_chunks)
     ns = list(n) if isinstance(n, (list, tuple)) else [n]
     fn = F.lag if type_ == "lag" else F.lead
 
@@ -178,7 +224,7 @@ def froll(
     partial: bool = False,
     give_names: bool = True,
     na_rm: bool = False,
-    n_chunks: int | None = None,
+    n_chunks: int | str | None = None,
     nan_is_na: bool = True,
 ) -> DT:
     """frollmean/sum/... — fixed-width rolling aggregate (reference
@@ -215,8 +261,11 @@ def froll(
     chunk spine so sparse chunks chain through transitively. Output
     rows are identical to the unsplit path for every fun/align/
     partial/na_rm (pinned by test_froll_chunk_stitch); requires a
-    numeric first order column.
+    numeric first order column. ``n_chunks="auto"`` probes the hottest
+    key and splits only past the measured break-even
+    (``_resolve_n_chunks``).
     """
+    n_chunks = _resolve_n_chunks(dt.df, _namelist(by), n_chunks)
     ns = list(n) if isinstance(n, (list, tuple)) else [n]
 
     def frame_bounds(k: int) -> tuple[int, int]:
@@ -522,7 +571,7 @@ def frank(
     tiebreak=None,
     seed: int = 0,
     na_last=True,
-    n_chunks: int | None = None,
+    n_chunks: int | str | None = None,
     nan_is_na: bool = True,
 ) -> DT:
     """frank — ranking with data.table tie methods (reference R/frank.R:1,
@@ -565,7 +614,9 @@ def frank(
     oracle computes the identical hash). Requires ``tiebreak=`` columns
     forming a unique key — random tie-breaking on a distributed engine
     is only well-defined relative to stable row identity.
+    ``n_chunks="auto"``: see ``_resolve_n_chunks``.
     """
+    n_chunks = _resolve_n_chunks(dt.df, _namelist(by), n_chunks)
     if nan_is_na and dict(dt.df.dtypes).get(col) in ("float", "double"):
         src = "__rksrc__"
         masked = dt.df.withColumn(
@@ -789,7 +840,7 @@ def _frank_chunked(
 
 def rleid(
     dt: DT, cols, by=None, order=None, out_col: str = "rleid",
-    n_chunks: int | None = None,
+    n_chunks: int | str | None = None,
 ) -> DT:
     """rleid — run-length group id over the declared order (reference
     R/data.table.R:3292, src/uniqlist.c:170). Change-flag + running sum.
@@ -800,7 +851,9 @@ def rleid(
     run values; a run straddling a chunk boundary is merged by the
     spine's null-safe first==prev-last comparison (exact; chains
     through any number of chunks because the correction is cumulative).
+    ``n_chunks="auto"``: see ``_resolve_n_chunks``.
     """
+    n_chunks = _resolve_n_chunks(dt.df, _namelist(by), n_chunks)
     if n_chunks is not None and n_chunks > 1:
         return _rleid_chunked(dt, cols, by, order, out_col, n_chunks)
     w = win(dt, by=by, order=order)
@@ -1024,12 +1077,14 @@ def _running_fill_chunked(
 
 def nafill_locf(
     dt: DT, cols, by=None, order=None, suffix: str = "",
-    n_chunks: int | None = None,
+    n_chunks: int | str | None = None,
 ) -> DT:
     """nafill(type="locf") — last observation carried forward (reference
     src/nafill.c:120). last(ignorenulls) over unbounded-preceding frame.
     ``n_chunks=`` opts into the hot-key carry stitch (exact; see
-    _running_fill_chunked)."""
+    _running_fill_chunked); "auto" probes the break-even
+    (``_resolve_n_chunks``)."""
+    n_chunks = _resolve_n_chunks(dt.df, _namelist(by), n_chunks)
     if n_chunks is not None and n_chunks > 1:
         return _running_fill_chunked(
             dt, cols, by, order, suffix, n_chunks, reverse=False
@@ -1052,14 +1107,16 @@ def _nan_na(dt: DT, c: str):
 
 def nafill_nocb(
     dt: DT, cols, by=None, order=None, suffix: str = "",
-    n_chunks: int | None = None,
+    n_chunks: int | str | None = None,
 ) -> DT:
     """nafill(type="nocb") — next observation carried backward, computed
     as locf over the REVERSED order. A rowsBetween(0, unboundedFollowing)
     frame gives the same answer but Spark re-aggregates the remaining
     frame per row — O(rows²) per key (measured 363x at one 100k-row key);
     the mirrored unbounded-preceding frame runs incrementally.
-    ``n_chunks=`` opts into the hot-key carry stitch (exact)."""
+    ``n_chunks=`` opts into the hot-key carry stitch (exact); "auto"
+    probes the break-even (``_resolve_n_chunks``)."""
+    n_chunks = _resolve_n_chunks(dt.df, _namelist(by), n_chunks)
     if n_chunks is not None and n_chunks > 1:
         return _running_fill_chunked(
             dt, cols, by, order, suffix, n_chunks, reverse=True
@@ -1079,7 +1136,7 @@ def nafill_nocb(
 def nafill(
     dt: DT, cols, type: str = "const", fill=None,
     by=None, order=None, suffix: str = "",
-    n_chunks: int | None = None,
+    n_chunks: int | str | None = None,
 ) -> DT:
     """nafill / setnafill under the reference's own entry-point name
     (R/shift.R:29-36; the set* spelling is the SAME rebind here —
@@ -1106,7 +1163,7 @@ setnafill = nafill
 
 def cumfn(
     dt: DT, fun: str, cols, by=None, order=None, give_names: bool = True,
-    n_chunks: int | None = None,
+    n_chunks: int | str | None = None,
 ) -> DT:
     """cumsum/cummin/cummax/cumprod inside j (base R in the reference;
     SURVEY §2.5 last row). Running aggregate over unbounded-preceding.
@@ -1117,9 +1174,11 @@ def cumfn(
     spine window + broadcast join; exact, NULLs skipped exactly as the
     unsplit aggregate skips them. (Float sum/prod regroup the fold —
     bit-drift is ulp-level, same caveat as any Spark partial
-    aggregation of floats.)"""
+    aggregation of floats.) ``n_chunks="auto"``: see
+    ``_resolve_n_chunks``."""
     fns = {"sum": F.sum, "min": F.min, "max": F.max, "prod": F.product, "count": F.count}
     names = _namelist(cols)
+    n_chunks = _resolve_n_chunks(dt.df, _namelist(by), n_chunks)
     if n_chunks is not None and n_chunks > 1:
         from ..core import _ocol
 

@@ -1131,6 +1131,7 @@ def line_dedup(
     order_col: str = "line_no",
     line_col: str = "line",
     line_sep: str = "\n",
+    broadcast: str = "auto",
 ) -> DataFrame:
     """Line-level boilerplate removal (the CCNet / RefinedWeb pass:
     Wenzek et al. 2019 §3.1 drop lines duplicated across documents;
@@ -1146,13 +1147,21 @@ def line_dedup(
     boilerplate.
 
     Scale posture (100 TB): lines shuffle ONCE by a 128-bit md5 line
-    digest to count distinct holding docs; the boilerplate set (lines
-    with df >= max_df) is tiny relative to the corpus by construction
-    — unique body lines vastly outnumber repeated chrome — so it comes
-    back as a broadcast build side and the corpus streams through a
-    broadcast hash join with no second corpus shuffle. Reassembly is a
-    per-doc sort_array(collect_list(...)) bounded by DOCUMENT size,
-    the same bound dedup_spans_remove rides.
+    digest to count distinct holding docs; on a typical crawl the
+    boilerplate set (lines with df >= max_df) is small — unique body
+    lines vastly outnumber repeated chrome — but it is NOT a constant:
+    with the default max_df=2 the build side is every line appearing
+    in >= 2 documents, and a crawl heavy in exact-duplicate documents
+    makes that a large fraction of the corpus. So ``broadcast``
+    defaults to "auto": no hint, AQE's RUNTIME size statistics convert
+    the join to broadcast only when the boilerplate side actually fits
+    under spark.sql.adaptive.autoBroadcastJoinThreshold, and keep a
+    shuffle hash join on line_h otherwise (identical output, one more
+    exchange, no driver-OOM cliff). "force" restores the unconditional
+    broadcast hint; "never" pins the shuffle join (the posture for a
+    dup-heavy corpus with a small max_df). Reassembly is a per-doc
+    sort_array(collect_list(...)) bounded by DOCUMENT size, the same
+    bound dedup_spans_remove rides.
     """
     h = F.md5(F.col(line_col)).alias("line_h")
     keyed = lines.select(
@@ -1166,12 +1175,15 @@ def line_dedup(
         .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df") >= max_df)
         .select("line_h")
+        .withColumn("__boiler__", F.lit(True))
     )
-    flagged = keyed.join(
-        F.broadcast(boiler.withColumn("__boiler__", F.lit(True))),
-        "line_h",
-        "left",
-    )
+    if broadcast == "force":
+        boiler = F.broadcast(boiler)
+    elif broadcast == "never":
+        boiler = boiler.hint("SHUFFLE_MERGE")
+    elif broadcast != "auto":
+        raise ValueError(f"bad broadcast: {broadcast}")
+    flagged = keyed.join(boiler, "line_h", "left")
     return (
         flagged.groupBy("doc_id")
         .agg(

@@ -378,7 +378,15 @@ def fread(
         if _os.path.isfile(path):
             with open(path, "rb") as _fh:
                 head4 = _fh.read(4)
-            if head4[:2] == b"\xff\xfe" and head4[2:4] != b"\x00\x00":
+            if head4 == b"\xff\xfe\x00\x00":
+                # must test BEFORE UTF-16LE: the UTF-32LE BOM starts
+                # with the UTF-16LE one (the silent-garbage fallthrough
+                # the r9 ADVICE flagged; reference detects-and-errors,
+                # here both simply decode)
+                encoding = "UTF-32LE"
+            elif head4 == b"\x00\x00\xfe\xff":
+                encoding = "UTF-32BE"
+            elif head4[:2] == b"\xff\xfe":
                 encoding = "UTF-16LE"
             elif head4[:2] == b"\xfe\xff":
                 encoding = "UTF-16BE"
@@ -393,28 +401,41 @@ def fread(
         not in _SPARK_CHARSETS
     ):
         # Spark's csv reader whitelists a handful of charsets; anything
-        # else (GB18030, Shift_JIS, ...) is transcoded to a UTF-8 temp
-        # file driver-side — a single-local-file compatibility path,
-        # like the reference's connection-based re-encoding. Land UTF-8
-        # shards for distributed reads at scale.
+        # else (GB18030, Shift_JIS, UTF-32, ...) is transcoded to a
+        # UTF-8 temp file driver-side — a single-local-file
+        # compatibility path, like the reference's connection-based
+        # re-encoding. Land UTF-8 shards for distributed reads at
+        # scale. Temp dir: $DATA_TABLE_SPARK_TMPDIR, else the system
+        # tempfile dir; the transcode STREAMS in 1 MiB text chunks
+        # (text-mode read handles multibyte boundaries) so the file
+        # never has to fit in driver memory.
         import hashlib as _hl
         import os as _os
+        import tempfile as _tf
 
         if not _os.path.isfile(path):
             raise ValueError(
                 f"fread: encoding={encoding!r} is outside Spark's csv"
                 " charset set and transcoding needs a single local file"
             )
-        with open(path, encoding=encoding) as _fh:
-            _txt = _fh.read()
-        _os.makedirs("/root/repo/.tmp/fread_enc", exist_ok=True)
-        path = (
-            "/root/repo/.tmp/fread_enc/"
-            + _hl.md5((path + encoding).encode()).hexdigest()
-            + ".csv"
+        _tmp = _os.path.join(
+            _os.environ.get("DATA_TABLE_SPARK_TMPDIR", _tf.gettempdir()),
+            "fread_enc",
         )
-        with open(path, "w", encoding="utf-8") as _fh:
-            _fh.write(_txt)
+        _os.makedirs(_tmp, exist_ok=True)
+        out_path = _os.path.join(
+            _tmp,
+            _hl.md5((path + encoding).encode()).hexdigest() + ".csv",
+        )
+        with open(path, encoding=encoding) as _src, open(
+            out_path, "w", encoding="utf-8"
+        ) as _dst:
+            while True:
+                _chunk = _src.read(1 << 20)
+                if not _chunk:
+                    break
+                _dst.write(_chunk)
+        path = out_path
         encoding = "UTF-8"
     scalar_class = None
     if isinstance(col_classes, str):
@@ -675,10 +696,19 @@ def fread(
         lines = (
             lines if lines is not None else _line_rdd()
         ).filter(lambda ln: ln.strip() != "")
-    if nul_strip and line_path:
-        # embedded NUL bytes (reference src/fread.c skips them in place,
-        # tests.Rraw 2025.x): strip before parse; sample-gated so the
-        # common path adds no per-line work
+    if line_path and (nul_strip or lines is not None):
+        # embedded NUL bytes (reference src/fread.c skips them ANYWHERE
+        # in the file, tests.Rraw 2025.x): strip before parse. Applied
+        # unconditionally whenever a line RDD is already materialized —
+        # one cheap str.replace per line, and the default
+        # blank_lines_skip path always materializes one, so NULs past
+        # the 50-line driver sample (or in reads with explicit
+        # sep+header, which take no sample at all) are still stripped
+        # (r9 ADVICE). The sample gate only decides whether a NUL alone
+        # FORCES the line-RDD path. Residual documented gap: explicit
+        # sep+header WITH blank_lines_skip=False keeps the native csv
+        # scan, where unsampled NULs reach the parser unstripped —
+        # stripping there would cost every clean read its native scan.
         lines = (lines if lines is not None else _line_rdd()).map(
             lambda ln: ln.replace("\x00", "")
         )

@@ -2803,3 +2803,98 @@ def test_cc_reliable_checkpoint_identical(spark, tables):
 
     with pytest.raises(ValueError):
         dedup_clusters(docs, checkpoint_mode="bogus")
+
+
+def test_auto_n_chunks_heuristic(spark, tables):
+    """n_chunks="auto" (round-9 verdict item 6): a cheap hottest-key
+    probe decides split vs unsplit against the MEASURED 1M break-even
+    (SCALE.md / tools/chunk_probe.py). Uniform small keys stay
+    unsplit; a key past the break-even splits to ~target-row chunks
+    capped at defaultParallelism; ints/None pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.core import DT
+    from data_table_spark.operators.window import (
+        _resolve_n_chunks,
+        froll,
+        shift,
+    )
+
+    li = tables["lineitem"].df
+    # passthrough: explicit values never re-probe
+    assert _resolve_n_chunks(li, ["l_returnflag"], None) is None
+    assert _resolve_n_chunks(li, ["l_returnflag"], 7) == 7
+    # sf0.001 lineitem keys are far below the real break-even
+    assert _resolve_n_chunks(li, ["l_returnflag"], "auto") is None
+    # lowered break-even: the hottest l_returnflag key (~3k rows at
+    # sf0.001) now crosses, and the chunk count targets ~500-row chunks
+    got = _resolve_n_chunks(
+        li, ["l_returnflag"], "auto", break_even=1000, target=500
+    )
+    cap = spark.sparkContext.defaultParallelism
+    assert isinstance(got, int) and 2 <= got <= cap
+    # unpartitioned probe = total count
+    assert _resolve_n_chunks(li, [], "auto", break_even=10**9) is None
+    assert _resolve_n_chunks(li, [], "auto", break_even=100, target=100) >= 2
+
+    # end-to-end: auto-split output is hash-identical to the unsplit
+    # plan on a frame past the REAL break-even (one 2.5M-row global
+    # ordering -> auto resolves to ceil(2.5M/250k) = 10 chunks)
+    big = DT(
+        spark.range(2_500_000).select(
+            F.col("id").alias("t"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        ),
+        order_by=["t"],
+    )
+
+    def sig(d):
+        return d.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("t", "v", "v_rollmean_5"), F.lit(1000003))).alias("h"),
+        ).collect()[0]
+
+    # the probe must actually choose the SPLIT path here, or the
+    # equality below is vacuous
+    assert _resolve_n_chunks(big.df, [], "auto") == 10
+    base = sig(froll(big, "mean", "v", 5))
+    auto = sig(froll(big, "mean", "v", 5, n_chunks="auto"))
+    assert (base["n"], base["h"]) == (auto["n"], auto["h"])
+
+    with pytest.raises(ValueError):
+        shift(big, "v", 1, type_="cyclic", n_chunks="auto")
+
+
+def test_line_dedup_broadcast_modes_identical(spark):
+    """line_dedup's boilerplate join strategy (broadcast='auto' AQE /
+    'force' hinted / 'never' shuffle) cannot change the output — the
+    r9 ADVICE size-cliff item: with max_df=2 the build side is every
+    line in >=2 docs, which a dup-heavy crawl makes corpus-scale, so
+    the default must not hard-pin a driver broadcast."""
+    from data_table_spark.pipeline import line_dedup
+
+    rows = []
+    for d in range(6):
+        rows.append((d, 0, "shared cookie banner"))
+        rows.append((d, 1, f"unique body {d}"))
+        if d % 2 == 0:
+            rows.append((d, 2, "shared footer"))
+    lines = spark.createDataFrame(rows, ["doc_id", "line_no", "line"])
+
+    def run(mode):
+        return sorted(map(tuple, line_dedup(lines, broadcast=mode).collect()))
+
+    auto, force, never = run("auto"), run("force"), run("never")
+    assert auto == force == never
+    assert any(r[3] > 0 for r in auto)  # boilerplate actually dropped
+
+    lp_force = line_dedup(
+        lines, broadcast="force"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    lp_never = line_dedup(
+        lines, broadcast="never"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert lp_force.count("broadcast") > lp_never.count("broadcast")
+
+    with pytest.raises(ValueError):
+        line_dedup(lines, broadcast="bogus")

@@ -535,3 +535,48 @@ def test_fill_space_sep_parses(rd):
     rows = df.collect()
     assert len(rows) == 7
     assert len(df.columns) >= 12
+
+
+def test_utf32_bom_and_streamed_transcode(spark, tmp_path):
+    """UTF-32 BOMs (r9 ADVICE: ff fe 00 00 previously fell through to
+    the UTF-16LE branch and decoded as garbage; the reference
+    detects-and-errors, src/fread.c:~1370 — here both decode). The
+    transcode path streams to a tempfile-derived dir, not a hardcoded
+    repo path."""
+    import os
+
+    from data_table_spark.sources.fread import fread
+
+    for codec in ("utf-32-le", "utf-32-be"):
+        p = tmp_path / f"{codec}.csv"
+        # Python's utf-32 LE/BE codecs don't emit a BOM; prepend it
+        p.write_bytes(
+            "a,b\n1,2\n3,4\n".encode(codec).join([
+                codecs_bom(codec), b"",
+            ])
+        )
+        df = fread(spark, str(p)).df
+        assert df.columns == ["a", "b"]
+        assert sorted(map(tuple, df.collect())) == [(1, 2), (3, 4)]
+
+
+def codecs_bom(codec: str) -> bytes:
+    return b"\xff\xfe\x00\x00" if codec == "utf-32-le" else b"\x00\x00\xfe\xff"
+
+
+def test_nul_stripped_past_sample_with_explicit_sep_header(spark, tmp_path):
+    """NUL bytes beyond the 50-line driver sample, in a read where sep
+    AND header are explicit (so no sample is taken at all), are still
+    stripped (r9 ADVICE: the strip used to be sample-gated only). The
+    default blank_lines_skip line-RDD path applies the replace
+    unconditionally."""
+    from data_table_spark.sources.fread import fread
+
+    p = tmp_path / "nul_tail.csv"
+    rows = ["a,b"] + [f"{i},x{i}" for i in range(80)]
+    rows[76] = "75,x\x007\x005"  # NULs far past any 50-line sample
+    p.write_bytes(("\n".join(rows) + "\n").encode())
+    df = fread(spark, str(p), sep=",", header=True).df
+    got = {r["a"]: r["b"] for r in df.collect()}
+    assert got[75] == "x75"
+    assert len(got) == 80
