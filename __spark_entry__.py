@@ -50,10 +50,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the integer/None arguments every registry query uses (covered by the
 # stitch-family pytest run + the config-differential sweep), so those
 # queries do NOT re-enter. Then the 8 r4-latest rows and the oldest r5
-# rows fill the remaining slots. Tool output:
+# rows fill the remaining slots.
+# froll_auto_chunks is the new driver twin for the n_chunks="auto"
+# resolution (same oracle as froll_mean_sum verbatim). Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
-# #   r0: 1
+# #   r0: 2
 # #   r4: 8
 # #   r5: 43
 # #   r7: 46
@@ -61,7 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # #   r9: 50
 # # window covers 50 slots; oldest row left outside: r5
 # # POST-window histogram (window rows counted as r10):
-# #   r5: 8
+# #   r5: 9
 # #   r7: 45
 # #   r8: 41
 # #   r9: 45
@@ -74,6 +76,7 @@ _PRIORITY = [
     "frank_ties",  # new
     "frank_random",  # new
     "frank_chunked",  # new
+    "froll_auto_chunks",  # new
     "stream_sliding_agg",  # r4
     "stream_stream_join",  # r4
     "stream_tumbling_agg",  # r4
@@ -116,7 +119,6 @@ _PRIORITY = [
     "split_leakfree",  # r5
     "sq8_ann_topk",  # r5
     "stream_neardup_screen",  # r5
-    "stream_session_agg",  # r5
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
