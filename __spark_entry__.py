@@ -52,7 +52,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries do NOT re-enter. Then the 8 r4-latest rows and the oldest r5
 # rows fill the remaining slots.
 # froll_auto_chunks is the new driver twin for the n_chunks="auto"
-# resolution (same oracle as froll_mean_sum verbatim). Tool output:
+# resolution (same oracle as froll_mean_sum verbatim); frollapply /
+# frollapply_multi were restructured around the stitch-compatible
+# exprs closure (default plan identical), so frollapply_corr re-enters
+# (frollapply_median is already in the r5 tail). Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
 # #   r0: 2
@@ -63,9 +66,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # #   r9: 50
 # # window covers 50 slots; oldest row left outside: r5
 # # POST-window histogram (window rows counted as r10):
-# #   r5: 9
+# #   r5: 10
 # #   r7: 45
-# #   r8: 41
+# #   r8: 40
 # #   r9: 45
 # #   r10: 50
 _PRIORITY = [
@@ -77,6 +80,7 @@ _PRIORITY = [
     "frank_random",  # new
     "frank_chunked",  # new
     "froll_auto_chunks",  # new
+    "frollapply_corr",  # new
     "stream_sliding_agg",  # r4
     "stream_stream_join",  # r4
     "stream_tumbling_agg",  # r4
@@ -118,7 +122,6 @@ _PRIORITY = [
     "sketch_quantiles",  # r5
     "split_leakfree",  # r5
     "sq8_ann_topk",  # r5
-    "stream_neardup_screen",  # r5
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

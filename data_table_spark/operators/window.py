@@ -1254,7 +1254,8 @@ def frev_order(dt: DT) -> DT:
 
 
 def frollapply(
-    dt: DT, col, n: int, fn, by=None, order=None, out_col: str | None = None
+    dt: DT, col, n: int, fn, by=None, order=None, out_col: str | None = None,
+    n_chunks: int | str | None = None,
 ) -> DT:
     """frollapply (reference R/frollapply.R:128, src/frollapply.c):
     arbitrary function over a fixed right-aligned rolling window.
@@ -1263,27 +1264,41 @@ def frollapply(
     Arrow-batched pandas_udf applying `fn` per window array — the
     documented slow path (§2.11), used only because `fn` is arbitrary
     Python. Windows shorter than n yield NULL (data.table's
-    fill/partial default)."""
+    fill/partial default).
+
+    ``n_chunks=``: the same halo chunk-stitch as froll (right-aligned
+    frame, halo width n-1); "auto" probes the break-even
+    (``_resolve_n_chunks``). The UDF applies to the collected window
+    array AFTER the frame evaluates, so the stitch composes untouched."""
     from pyspark.sql.functions import pandas_udf
 
     c = col if isinstance(col, str) else col._jc.toString()
-    w = win(dt, by=by, order=order).rowsBetween(-(n - 1), 0)
-    # collect_list drops NULLs, which would make a full window with a
-    # NULL look incomplete: preserve positions as NaN (fn sees NaN,
-    # data.table's fn-sees-NA analog) and gate completeness on the
-    # window ROW count instead.
-    arr = F.collect_list(
-        F.when(F.col(c).isNull(), F.lit(float("nan"))).otherwise(F.col(c))
-    ).over(w)
-    full = F.count(F.lit(1)).over(w) >= n
+    name = out_col or f"{c}_roll{n}"
 
     @pandas_udf("double")
     def apply_fn(s: pd.Series) -> pd.Series:
         return s.map(lambda a: float(fn(a)) if a is not None else None)
 
-    name = out_col or f"{c}_roll{n}"
+    def exprs(base: WindowSpec) -> dict:
+        w = base.rowsBetween(-(n - 1), 0)
+        # collect_list drops NULLs, which would make a full window with
+        # a NULL look incomplete: preserve positions as NaN (fn sees
+        # NaN, data.table's fn-sees-NA analog) and gate completeness on
+        # the window ROW count instead.
+        arr = F.collect_list(
+            F.when(F.col(c).isNull(), F.lit(float("nan"))).otherwise(F.col(c))
+        ).over(w)
+        full = F.count(F.lit(1)).over(w) >= n
+        return {name: apply_fn(F.when(full, arr))}
+
+    n_chunks = _resolve_n_chunks(dt.df, _namelist(by), n_chunks)
+    if n_chunks is not None and n_chunks > 1:
+        return _ordered_chunk_stitch(
+            dt, exprs, by=by, order=order, n_chunks=n_chunks,
+            hw_lo=n - 1, hw_hi=0,
+        )
     return DT(
-        dt.df.withColumn(name, apply_fn(F.when(full, arr))),
+        dt.df.withColumns(exprs(win(dt, by=by, order=order))),
         key=dt.key,
         order_by=dt.order_by,
     )
@@ -1297,6 +1312,7 @@ def frollapply_multi(
     by=None,
     order=None,
     out_col: str = "roll_apply",
+    n_chunks: int | str | None = None,
 ) -> DT:
     """frollapply with by.column=FALSE (reference R/frollapply.R:128:
     `x` a data.table and `by.column=FALSE` passes the whole n-row window
@@ -1305,15 +1321,11 @@ def frollapply_multi(
     Spark shape: collect_list of struct(cols) over the rolling frame
     keeps the window rows aligned across columns JVM-side; one
     Arrow-batched pandas_udf then calls `fn(pandas.DataFrame)` per
-    window. Windows shorter than n yield NULL."""
+    window. Windows shorter than n yield NULL. ``n_chunks=``: the same
+    halo chunk-stitch as froll; "auto" probes the break-even."""
     from pyspark.sql.functions import pandas_udf
 
     cols = _namelist(cols)
-    w = win(dt, by=by, order=order).rowsBetween(-(n - 1), 0)
-    # struct(...) is never NULL even when fields are, so collect_list
-    # keeps every row; fn sees the fields' NULLs as NaN.
-    arr = F.collect_list(F.struct(*[F.col(c) for c in cols])).over(w)
-    full = F.count(F.lit(1)).over(w) >= n
 
     @pandas_udf("double")
     def apply_fn(s: pd.Series) -> pd.Series:
@@ -1330,8 +1342,23 @@ def frollapply_multi(
 
         return s.map(one)
 
+    def exprs(base: WindowSpec) -> dict:
+        w = base.rowsBetween(-(n - 1), 0)
+        # struct(...) is never NULL even when fields are, so
+        # collect_list keeps every row; fn sees the fields' NULLs as
+        # NaN.
+        arr = F.collect_list(F.struct(*[F.col(c) for c in cols])).over(w)
+        full = F.count(F.lit(1)).over(w) >= n
+        return {out_col: apply_fn(F.when(full, arr))}
+
+    n_chunks = _resolve_n_chunks(dt.df, _namelist(by), n_chunks)
+    if n_chunks is not None and n_chunks > 1:
+        return _ordered_chunk_stitch(
+            dt, exprs, by=by, order=order, n_chunks=n_chunks,
+            hw_lo=n - 1, hw_hi=0,
+        )
     return DT(
-        dt.df.withColumn(out_col, apply_fn(F.when(full, arr))),
+        dt.df.withColumns(exprs(win(dt, by=by, order=order))),
         key=dt.key,
         order_by=dt.order_by,
     )

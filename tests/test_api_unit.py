@@ -2898,3 +2898,37 @@ def test_line_dedup_broadcast_modes_identical(spark):
 
     with pytest.raises(ValueError):
         line_dedup(lines, broadcast="bogus")
+
+
+def test_frollapply_chunk_stitch(spark, tables):
+    """frollapply / frollapply_multi through the halo chunk-stitch:
+    same n_chunks= contract as froll (the arbitrary-fn member of the
+    ordered family was the one stitch gap left after round 9)."""
+    from data_table_spark.operators.window import (
+        frollapply,
+        frollapply_multi,
+    )
+
+    ev = tables["events"]
+
+    def sig(d, col):
+        from pyspark.sql import functions as F
+
+        return sorted(
+            (r["event_id"], None if r[col] is None else round(r[col], 9))
+            for r in d.df.select("event_id", col).collect()
+        )
+
+    fmax = lambda a: float(max(a))
+    base = frollapply(ev, "value", 5, fmax, by=["user_id"])
+    chk = frollapply(ev, "value", 5, fmax, by=["user_id"], n_chunks=4)
+    assert sig(base, "value_roll5") == sig(chk, "value_roll5")
+
+    corr = lambda pdf: pdf["value"].corr(pdf["ts_us"])
+    base_m = frollapply_multi(
+        ev, ["value", "ts_us"], 6, corr, by=["user_id"]
+    )
+    chk_m = frollapply_multi(
+        ev, ["value", "ts_us"], 6, corr, by=["user_id"], n_chunks=3
+    )
+    assert sig(base_m, "roll_apply") == sig(chk_m, "roll_apply")
