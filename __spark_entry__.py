@@ -55,7 +55,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # resolution (same oracle as froll_mean_sum verbatim); frollapply /
 # frollapply_multi were restructured around the stitch-compatible
 # exprs closure (default plan identical), so frollapply_corr re-enters
-# (frollapply_median is already in the r5 tail). Tool output:
+# (frollapply_median is already in the r5 tail); frolladaptive's
+# sum/mean path was restructured around the chunked running-triple
+# (default plan identical), so froll_adaptive_sum re-enters too.
+# Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
 # #   r0: 2
@@ -66,10 +69,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # #   r9: 50
 # # window covers 50 slots; oldest row left outside: r5
 # # POST-window histogram (window rows counted as r10):
-# #   r5: 10
+# #   r5: 11
 # #   r7: 45
 # #   r8: 40
-# #   r9: 45
+# #   r9: 44
 # #   r10: 50
 _PRIORITY = [
     "minhash_lsh_shuffle",  # new
@@ -81,6 +84,7 @@ _PRIORITY = [
     "frank_chunked",  # new
     "froll_auto_chunks",  # new
     "frollapply_corr",  # new
+    "froll_adaptive_sum",  # new
     "stream_sliding_agg",  # r4
     "stream_stream_join",  # r4
     "stream_tumbling_agg",  # r4
@@ -121,7 +125,6 @@ _PRIORITY = [
     "setindex_bucketed",  # r5
     "sketch_quantiles",  # r5
     "split_leakfree",  # r5
-    "sq8_ann_topk",  # r5
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1364,9 +1364,70 @@ def frollapply_multi(
     )
 
 
+def _adaptive_running_chunked(dt: DT, c, by, order, n_chunks: int):
+    """Chunk-stitched (__pos__, __cs__, __cc__) for frolladaptive (see
+    its n_chunks doc): per-(key, value-chunk) row_number / running
+    DECIMAL sum / running non-null count, plus one tiny spine of
+    per-chunk totals combined by an EXCLUSIVE running window and
+    broadcast back. All three carries are associative (integer adds and
+    DECIMAL adds), so the stitched columns equal the unsplit plan's
+    bit-for-bit."""
+    from ..core import _ocol
+
+    sdf, keys, ordn = _chunked_frame(dt, by, order, n_chunks)
+    w_in = Window.partitionBy(*keys, "__chunk__").orderBy(
+        *[_ocol(o) for o in ordn]
+    )
+    cum_in = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    base = (
+        sdf.withColumn("__pos_in__", F.row_number().over(w_in))
+        .withColumn("__cs_in__", F.sum(c).over(cum_in))
+        .withColumn("__cc_in__", F.count(c).over(cum_in))
+    )
+    ends = sdf.groupBy(*keys, "__chunk__").agg(
+        F.count(F.lit(1)).alias("__n_tot__"),
+        F.sum(c).alias("__s_tot__"),
+        F.count(c).alias("__c_tot__"),
+    )
+    wsp = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__chunk__").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = ends.select(
+        *keys,
+        "__chunk__",
+        F.coalesce(F.sum("__n_tot__").over(wsp), F.lit(0)).alias("__n_car__"),
+        F.coalesce(
+            F.sum("__s_tot__").over(wsp), F.lit(0).cast("decimal(18,4)")
+        ).alias("__s_car__"),
+        F.coalesce(F.sum("__c_tot__").over(wsp), F.lit(0)).alias("__c_car__"),
+    )
+    return (
+        base.join(F.broadcast(carry), [*keys, "__chunk__"], "left")
+        .withColumn("__pos__", (F.col("__pos_in__") + F.col("__n_car__")).cast("int"))
+        .withColumn(
+            "__cs__",
+            F.when(
+                F.col("__cs_in__").isNull() & (F.col("__c_car__") == 0),
+                F.lit(None).cast("decimal(18,4)"),
+            ).otherwise(
+                F.coalesce(F.col("__cs_in__"), F.lit(0).cast("decimal(18,4)"))
+                + F.col("__s_car__")
+            ),
+        )
+        .withColumn("__cc__", F.col("__cc_in__") + F.col("__c_car__"))
+        .drop(
+            "__pos_in__", "__cs_in__", "__cc_in__", "__n_car__", "__s_car__",
+            "__c_car__", "__chunk__",
+        )
+    )
+
+
 def frolladaptive(
     dt: DT, col, n_col, by=None, order=None, out_col: str | None = None,
     fun: str = "sum", na_rm: bool = False, nan_is_na: bool = True,
+    n_chunks: int | str | None = None,
 ) -> DT:
     """Adaptive (variable-width) rolling sum/mean (reference
     src/frolladaptive.c: per-row window size vector `n`).
@@ -1393,7 +1454,17 @@ def frolladaptive(
     join; TRUE skips NAs (mean divides by the in-window non-null
     count) and a full all-NA window yields R's empty-aggregate
     identity (sum 0, mean NaN). nan_is_na: NaN participates as NA
-    (is.na semantics), same rule as froll/nafill."""
+    (is.na semantics), same rule as froll/nafill.
+
+    ``n_chunks=`` (hot-key chunk-stitch): the three per-key running
+    quantities this operator needs — row position, running DECIMAL
+    sum, running non-null count — are all associative, so they compute
+    per (key, value-chunk) and stitch through the tiny chunk spine by
+    an exclusive running combine (the cumfn carry shape), exactly.
+    DECIMAL sums make the regrouped fold bit-identical, not just
+    ulp-close. The cumsum-difference self-join downstream is a shuffle
+    join, unaffected. "auto" probes the break-even
+    (``_resolve_n_chunks``)."""
     if fun in ("max", "min"):
         return frolladaptive_extrema(
             dt, col, n_col, by=by, order=order, out_col=out_col, fun=fun,
@@ -1405,18 +1476,22 @@ def frolladaptive(
             na_rm=na_rm, nan_is_na=nan_is_na,
         )
     grp = _namelist(by)
-    w = win(dt, by=by, order=order)
-    cum = w.rowsBetween(Window.unboundedPreceding, 0)
     src = F.col(col)
     if nan_is_na and dict(dt.df.dtypes).get(col) in ("double", "float"):
         src = F.when(F.isnan(F.col(col)), F.lit(None)).otherwise(F.col(col))
     c = src.cast("decimal(18,4)")
-    base = (
-        dt.df.withColumn("__pos__", F.row_number().over(w))
-        .withColumn("__cs__", F.sum(c).over(cum))
-        .withColumn("__cc__", F.count(c).over(cum))
-        .withColumn("__nn__", F.col(n_col).cast("int"))
-    )
+    n_chunks = _resolve_n_chunks(dt.df, grp, n_chunks)
+    if n_chunks is not None and n_chunks > 1:
+        base = _adaptive_running_chunked(dt, c, by, order, n_chunks)
+    else:
+        w = win(dt, by=by, order=order)
+        cum = w.rowsBetween(Window.unboundedPreceding, 0)
+        base = (
+            dt.df.withColumn("__pos__", F.row_number().over(w))
+            .withColumn("__cs__", F.sum(c).over(cum))
+            .withColumn("__cc__", F.count(c).over(cum))
+        )
+    base = base.withColumn("__nn__", F.col(n_col).cast("int"))
     prev = base.select(
         *[F.col(g).alias(f"__pg_{g}__") for g in grp],
         F.col("__pos__").alias("__ppos__"),

@@ -2932,3 +2932,55 @@ def test_frollapply_chunk_stitch(spark, tables):
         ev, ["value", "ts_us"], 6, corr, by=["user_id"], n_chunks=3
     )
     assert sig(base_m, "roll_apply") == sig(chk_m, "roll_apply")
+
+
+def test_frolladaptive_chunk_stitch(spark, tables):
+    """frolladaptive(n_chunks=): the operator's three per-key running
+    quantities (position, DECIMAL cumsum, non-null count) stitch
+    through the associative chunk carry — output identical to the
+    unsplit plan for sum/mean x na_rm True/False, NULLs and NaN
+    included (DECIMAL sums make the regrouped fold exact, so this is
+    equality, not tolerance)."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.core import DT
+    from data_table_spark.operators.window import frolladaptive
+
+    ev = tables["events"]
+    # NULL/NaN-seeded copy with a per-row width column
+    seeded = DT(
+        ev.df.withColumn(
+            "v",
+            F.when(F.col("event_id") % 11 == 0, F.lit(None))
+            .when(F.col("event_id") % 13 == 0, F.lit(float("nan")))
+            .otherwise(F.col("value")),
+        ).withColumn("nw", (F.col("event_id") % 7 + 1).cast("int")),
+        order_by=ev.order_by,
+    )
+
+    def sig(d, col="out"):
+        import math
+
+        def norm(x):
+            if x is None:
+                return None
+            if isinstance(x, float) and math.isnan(x):
+                return "NaN"
+            return round(x, 6)
+
+        return sorted(
+            (r["event_id"], norm(r[col]))
+            for r in d.df.select("event_id", col).collect()
+        )
+
+    for fun in ("sum", "mean"):
+        for na_rm in (False, True):
+            base = frolladaptive(
+                seeded, "v", "nw", by=["user_id"], fun=fun, na_rm=na_rm,
+                out_col="out",
+            )
+            chk = frolladaptive(
+                seeded, "v", "nw", by=["user_id"], fun=fun, na_rm=na_rm,
+                out_col="out", n_chunks=4,
+            )
+            assert sig(base) == sig(chk), (fun, na_rm)
