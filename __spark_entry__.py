@@ -56,8 +56,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # frollapply_multi were restructured around the stitch-compatible
 # exprs closure (default plan identical), so frollapply_corr re-enters
 # (frollapply_median is already in the r5 tail); frolladaptive's
-# sum/mean path was restructured around the chunked running-triple
-# (default plan identical), so froll_adaptive_sum re-enters too.
+# family was restructured around the chunk-stitches (running-triple
+# carry for sum/mean, halo stitch for extrema, chunked-rank position
+# for median; default plans identical), so froll_adaptive_sum /
+# froll_adaptive_minmax / froll_adaptive_median re-enter too.
 # Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
@@ -69,10 +71,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # #   r9: 50
 # # window covers 50 slots; oldest row left outside: r5
 # # POST-window histogram (window rows counted as r10):
-# #   r5: 11
+# #   r5: 13
 # #   r7: 45
 # #   r8: 40
-# #   r9: 44
+# #   r9: 42
 # #   r10: 50
 _PRIORITY = [
     "minhash_lsh_shuffle",  # new
@@ -85,6 +87,8 @@ _PRIORITY = [
     "froll_auto_chunks",  # new
     "frollapply_corr",  # new
     "froll_adaptive_sum",  # new
+    "froll_adaptive_minmax",  # new
+    "froll_adaptive_median",  # new
     "stream_sliding_agg",  # r4
     "stream_stream_join",  # r4
     "stream_tumbling_agg",  # r4
@@ -123,8 +127,6 @@ _PRIORITY = [
     "orc_roundtrip",  # r5
     "pii_scrub",  # r5
     "setindex_bucketed",  # r5
-    "sketch_quantiles",  # r5
-    "split_leakfree",  # r5
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

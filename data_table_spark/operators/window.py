@@ -1364,6 +1364,41 @@ def frollapply_multi(
     )
 
 
+def _chunked_row_number(dt: DT, by, order, n_chunks: int, out: str = "__pos__"):
+    """Global per-key row position WITHOUT a whole-key window task:
+    per-(key, value-chunk) row_number + the spine's exclusive
+    cumulative chunk-count carry (broadcast back). Integer adds —
+    identical to row_number over the unsplit window."""
+    from ..core import _ocol
+
+    sdf, keys, ordn = _chunked_frame(dt, by, order, n_chunks)
+    w_in = Window.partitionBy(*keys, "__chunk__").orderBy(
+        *[_ocol(o) for o in ordn]
+    )
+    wsp = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__chunk__").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        sdf.groupBy(*keys, "__chunk__")
+        .agg(F.count(F.lit(1)).alias("__n_tot__"))
+        .select(
+            *keys,
+            "__chunk__",
+            F.coalesce(F.sum("__n_tot__").over(wsp), F.lit(0)).alias(
+                "__n_car__"
+            ),
+        )
+    )
+    return (
+        sdf.withColumn("__rn_in__", F.row_number().over(w_in))
+        .join(F.broadcast(carry), [*keys, "__chunk__"], "left")
+        .withColumn(out, (F.col("__rn_in__") + F.col("__n_car__")).cast("int"))
+        .drop("__rn_in__", "__n_car__", "__chunk__")
+    )
+
+
 def _adaptive_running_chunked(dt: DT, c, by, order, n_chunks: int):
     """Chunk-stitched (__pos__, __cs__, __cc__) for frolladaptive (see
     its n_chunks doc): per-(key, value-chunk) row_number / running
@@ -1468,12 +1503,12 @@ def frolladaptive(
     if fun in ("max", "min"):
         return frolladaptive_extrema(
             dt, col, n_col, by=by, order=order, out_col=out_col, fun=fun,
-            na_rm=na_rm, nan_is_na=nan_is_na,
+            na_rm=na_rm, nan_is_na=nan_is_na, n_chunks=n_chunks,
         )
     if fun == "median":
         return frolladaptive_median(
             dt, col, n_col, by=by, order=order, out_col=out_col,
-            na_rm=na_rm, nan_is_na=nan_is_na,
+            na_rm=na_rm, nan_is_na=nan_is_na, n_chunks=n_chunks,
         )
     grp = _namelist(by)
     src = F.col(col)
@@ -1541,6 +1576,7 @@ def frolladaptive_extrema(
     dt: DT, col, n_col, by=None, order=None, out_col: str | None = None,
     fun: str = "max", n_max: int | None = None,
     na_rm: bool = False, nan_is_na: bool = True,
+    n_chunks: int | str | None = None,
 ) -> DT:
     """Adaptive rolling max/min (reference src/frolladaptive.c).
 
@@ -1563,9 +1599,15 @@ def frolladaptive_extrema(
     ignore nulls); a full all-NA window stays NULL (the reference warns
     and returns -Inf/Inf from base R there — NULL is this engine's NA
     spelling of the same no-observations case). nan_is_na: NaN
-    participates as NA (froll-family rule)."""
+    participates as NA (froll-family rule).
+
+    ``n_chunks=``: the sparse table's J+1 frames are FIXED power-of-two
+    widths, so they ride the standard halo chunk-stitch (hw_lo =
+    2^J - 1) and the global position comes from the stitch's spine rank
+    — the whole per-key window block becomes n_chunks-way parallel; the
+    downstream pos' self-join is a shuffle join either way. "auto"
+    probes the break-even."""
     grp = _namelist(by)
-    w = win(dt, by=by, order=order)
     agg = F.max if fun == "max" else F.min
     comb = F.greatest if fun == "max" else F.least
     if n_max is None:
@@ -1575,19 +1617,37 @@ def frolladaptive_extrema(
     src = F.col(col)
     if nan_is_na and dict(dt.df.dtypes).get(col) in ("double", "float"):
         src = F.when(F.isnan(F.col(col)), F.lit(None)).otherwise(F.col(col))
-    base = (
-        dt.df.withColumn("__v__", src)
-        .withColumn("__pos__", F.row_number().over(w))
-        .withColumn("__nn__", F.col(n_col).cast("int"))
-    )
-    for j in range(J + 1):
-        fr = w.rowsBetween(-(2 ** j - 1), 0)
-        base = base.withColumn(f"__m{j}__", agg(F.col("__v__")).over(fr))
-        if not na_rm:
-            base = base.withColumn(
-                f"__z{j}__",
-                F.max(F.col("__v__").isNull().cast("int")).over(fr),
-            )
+    dtv = DT(dt.df.withColumn("__v__", src), key=dt.key, order_by=dt.order_by)
+
+    def mj_exprs(bs: WindowSpec) -> dict:
+        out = {}
+        for j in range(J + 1):
+            fr = bs.rowsBetween(-(2 ** j - 1), 0)
+            out[f"__m{j}__"] = agg(F.col("__v__")).over(fr)
+            if not na_rm:
+                out[f"__z{j}__"] = F.max(
+                    F.col("__v__").isNull().cast("int")
+                ).over(fr)
+        return out
+
+    n_chunks = _resolve_n_chunks(dt.df, grp, n_chunks)
+    if n_chunks is not None and n_chunks > 1:
+        base = _ordered_chunk_stitch(
+            dtv,
+            lambda bs: {
+                **mj_exprs(bs),
+                "__pos__": F.col("__grank__").cast("int"),
+            },
+            by=by, order=order, n_chunks=n_chunks,
+            hw_lo=2 ** J - 1, hw_hi=0, with_rank=True,
+        ).df.withColumn("__nn__", F.col(n_col).cast("int"))
+    else:
+        w = win(dt, by=by, order=order)
+        base = (
+            dtv.df.withColumn("__pos__", F.row_number().over(w))
+            .withColumn("__nn__", F.col(n_col).cast("int"))
+            .withColumns(mj_exprs(w))
+        )
     # dynamic j per row: index the [M_0..M_J] array by floor(log2(n_i))
     base = base.withColumn(
         "__j__", F.floor(F.log2(F.col("__nn__"))).cast("int")
@@ -1638,6 +1698,7 @@ def frolladaptive_extrema(
 def frolladaptive_median(
     dt: DT, col, n_col, by=None, order=None, out_col: str | None = None,
     na_rm: bool = False, nan_is_na: bool = True,
+    n_chunks: int | str | None = None,
 ) -> DT:
     """Adaptive rolling median (reference src/frolladaptive.c
     fadaptiverollmedian). Median is not a semigroup (two overlapping
@@ -1652,15 +1713,25 @@ def frolladaptive_median(
     na_rm=False (reference default) poisons windows containing an NA —
     one count comparison inside the per-target aggregate, no extra
     shuffle; na_rm=True skips NAs (F.median's native rule). nan_is_na:
-    NaN participates as NA."""
+    NaN participates as NA.
+
+    ``n_chunks=``: the expansion/join/aggregate are shuffle-parallel
+    already; the one whole-key piece is the row_number position
+    window, which n_chunks swaps for the chunked-rank carry
+    (``_chunked_row_number``) — identical positions, no single hot-key
+    sort task. "auto" probes the break-even."""
     grp = _namelist(by)
-    w = win(dt, by=by, order=order)
     srcv = F.col(col)
     if nan_is_na and dict(dt.df.dtypes).get(col) in ("double", "float"):
         srcv = F.when(F.isnan(F.col(col)), F.lit(None)).otherwise(F.col(col))
-    base = dt.df.withColumn("__pos__", F.row_number().over(w)).withColumn(
-        "__nn__", F.col(n_col).cast("int")
-    )
+    n_chunks = _resolve_n_chunks(dt.df, grp, n_chunks)
+    if n_chunks is not None and n_chunks > 1:
+        base = _chunked_row_number(dt, by, order, n_chunks)
+    else:
+        base = dt.df.withColumn(
+            "__pos__", F.row_number().over(win(dt, by=by, order=order))
+        )
+    base = base.withColumn("__nn__", F.col(n_col).cast("int"))
     need = base.select(
         *[F.col(g).alias(f"__tg_{g}__") for g in grp],
         F.col("__pos__").alias("__tpos__"),

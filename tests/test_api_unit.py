@@ -2973,7 +2973,11 @@ def test_frolladaptive_chunk_stitch(spark, tables):
             for r in d.df.select("event_id", col).collect()
         )
 
-    for fun in ("sum", "mean"):
+    # sum/mean stitch the running triple; max/min ride the halo stitch
+    # on the power-of-two sparse frames; median swaps only the position
+    # window for the chunked-rank carry (its expansion join is already
+    # shuffle-parallel)
+    for fun in ("sum", "mean", "max", "min", "median"):
         for na_rm in (False, True):
             base = frolladaptive(
                 seeded, "v", "nw", by=["user_id"], fun=fun, na_rm=na_rm,
