@@ -122,6 +122,41 @@ def main() -> None:
         )
         print(f"rleid runs n_chunks={nc}: {t:.2f}s {out}", flush=True)
 
+    # r10 family members: adaptive rolling (running-triple carry for
+    # sum, halo sparse-table stitch for extrema) and arbitrary-fn
+    # frollapply (halo stitch + the Arrow UDF parallelizing with the
+    # chunks — the UDF is the wall here, so the win is pure Python
+    # parallelism)
+    from data_table_spark.operators.window import frolladaptive, frollapply
+
+    adt = DT(
+        ev.withColumn("nw", (F.pmod(F.col("eid"), F.lit(50)) + 1).cast("int")),
+        order_by=["eid"],
+    )
+    for fun in ("sum", "max"):
+        for nc in (None, 32):
+            t, out = med(
+                lambda nc=nc, fun=fun: frolladaptive(
+                    adt, "value", "nw", by=["u"], order=["eid"], fun=fun,
+                    n_chunks=nc,
+                ).df,
+                reps,
+            )
+            print(
+                f"frolladaptive {fun} n<=50 n_chunks={nc}: {t:.2f}s {out}",
+                flush=True,
+            )
+
+    for nc in (None, 32):
+        t, out = med(
+            lambda nc=nc: frollapply(
+                dt, "value", 25, lambda a: float(max(a)), by=["u"],
+                order=["eid"], n_chunks=nc,
+            ).df,
+            reps,
+        )
+        print(f"frollapply max n=25 n_chunks={nc}: {t:.2f}s {out}", flush=True)
+
 
 if __name__ == "__main__":
     main()
