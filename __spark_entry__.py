@@ -59,7 +59,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # family was restructured around the chunk-stitches (running-triple
 # carry for sum/mean, halo stitch for extrema, chunked-rank position
 # for median; default plans identical), so froll_adaptive_sum /
-# froll_adaptive_minmax / froll_adaptive_median re-enter too.
+# froll_adaptive_minmax / froll_adaptive_median re-enter too, as does
+# rowid_counter (rowid gained the chunked-rank option; default plan
+# identical).
 # Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
@@ -71,8 +73,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # #   r9: 50
 # # window covers 50 slots; oldest row left outside: r5
 # # POST-window histogram (window rows counted as r10):
-# #   r5: 13
-# #   r7: 45
+# #   r5: 14
+# #   r7: 44
 # #   r8: 40
 # #   r9: 42
 # #   r10: 50
@@ -89,6 +91,7 @@ _PRIORITY = [
     "froll_adaptive_sum",  # new
     "froll_adaptive_minmax",  # new
     "froll_adaptive_median",  # new
+    "rowid_counter",  # new
     "stream_sliding_agg",  # r4
     "stream_stream_join",  # r4
     "stream_tumbling_agg",  # r4
@@ -126,7 +129,6 @@ _PRIORITY = [
     "na_omit_cols",  # r5
     "orc_roundtrip",  # r5
     "pii_scrub",  # r5
-    "setindex_bucketed",  # r5
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -940,12 +940,25 @@ def _rleid_chunked(
     return DT(out, key=dt.key, order_by=dt.order_by)
 
 
-def rowid(dt: DT, cols, out_col: str = "rowid", order=None) -> DT:
+def rowid(
+    dt: DT, cols, out_col: str = "rowid", order=None,
+    n_chunks: int | str | None = None,
+) -> DT:
     """rowid/rowidv — 1-based counter within duplicate group (reference
-    R/data.table.R:3267-3291). Partitioned by the id columns → distributes."""
+    R/data.table.R:3267-3291). Partitioned by the id columns →
+    distributes. ``n_chunks=`` swaps the per-group row_number for the
+    chunked-rank carry (``_chunked_row_number``) on a hot group; "auto"
+    probes the break-even."""
     order = _namelist(order) or dt.order_by
     if not order:
         raise ValueError("rowid needs a declared order for determinism")
+    n_chunks = _resolve_n_chunks(dt.df, _namelist(cols), n_chunks)
+    if n_chunks is not None and n_chunks > 1:
+        return DT(
+            _chunked_row_number(dt, cols, order, n_chunks, out=out_col),
+            key=dt.key,
+            order_by=dt.order_by,
+        )
     from ..core import _ocol
 
     w = Window.partitionBy(*_namelist(cols)).orderBy(*[_ocol(c) for c in order])

@@ -2988,3 +2988,20 @@ def test_frolladaptive_chunk_stitch(spark, tables):
                 out_col="out", n_chunks=4,
             )
             assert sig(base) == sig(chk), (fun, na_rm)
+
+
+def test_rowid_chunked(spark, tables):
+    """rowid(n_chunks=): the chunked-rank carry gives identical 1-based
+    counters to the per-group row_number window."""
+    from data_table_spark.operators.window import rowid
+
+    ev = tables["events"]
+    base = sorted(
+        map(tuple, rowid(ev, ["user_id"], order=["event_id"]).df
+            .select("event_id", "rowid").collect())
+    )
+    chk = sorted(
+        map(tuple, rowid(ev, ["user_id"], order=["event_id"], n_chunks=4).df
+            .select("event_id", "rowid").collect())
+    )
+    assert base == chk
