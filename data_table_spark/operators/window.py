@@ -373,7 +373,15 @@ def _ordered_chunk_stitch(
     vcol = F.col(first[1:] if desc else first).cast("double")
 
     sdf = dt.df
-    bcols = [F.min(vcol).alias("__tlo__"), F.max(vcol).alias("__thi__")]
+    # NaN order values are excluded from the bounds (one NaN would make
+    # width NaN and collapse EVERY row into the top chunk — exact but
+    # unsplit, silently losing the parallelism this exists for; the
+    # same rule as _chunked_frame). NaN rows themselves land in the
+    # top chunk via the floor/least/greatest arithmetic below, which
+    # matches Spark sorting NaN after +Inf under asc (and first under
+    # desc, where pos/chunk traversal is already reversed).
+    fin = F.when(~F.isnan(vcol), vcol)
+    bcols = [F.min(fin).alias("__tlo__"), F.max(fin).alias("__thi__")]
     if keys:
         bounds = sdf.groupBy(*keys).agg(*bcols)
         sdf = sdf.join(F.broadcast(bounds), keys, "left")
@@ -381,9 +389,28 @@ def _ordered_chunk_stitch(
         sdf = sdf.crossJoin(F.broadcast(sdf.agg(*bcols)))
     width = (F.col("__thi__") - F.col("__tlo__")) / F.lit(float(n_chunks))
     pos = (F.col("__thi__") - vcol) if desc else (vcol - F.col("__tlo__"))
+    # NaN order rows go to the chunk the GLOBAL sort puts them in: Spark
+    # sorts NaN after +Inf, so last chunk under asc, chunk 0 under desc
+    # (chunk index follows sort direction via `pos`). Without this,
+    # greatest(0, floor(NaN/width)) evaluates to 0 and a NaN row lands
+    # in chunk 0 while sorting LAST within it — shifting the spine
+    # counts and poisoning the next chunk's halo
+    # (test_halo_stitch_nan_order_value).
+    nan_chunk = F.lit(0) if desc else F.lit(n_chunks - 1)
+    # NULL order values: asc sorts NULLS FIRST (chunk 0), `.desc()` is
+    # NULLS LAST (last chunk) — same global-position rule as NaN. Both
+    # MUST be routed before the arithmetic: F.greatest/F.least SKIP
+    # null arguments (and floor(NaN) IS null), so greatest(0,
+    # floor(NULL/width)) silently evaluates to 0 and a trailing-sorted
+    # row lands in a leading chunk — shifting the spine counts and
+    # poisoning the next chunk's halo (test_halo_stitch_nan_order_value
+    # covers all four direction x NaN/NULL cases).
+    null_chunk = F.lit(n_chunks - 1) if desc else F.lit(0)
     sdf = sdf.withColumn(
         "__chunk__",
-        F.coalesce(
+        F.when(vcol.isNotNull() & F.isnan(vcol), nan_chunk)
+        .when(vcol.isNull(), null_chunk)
+        .otherwise(
             F.when(
                 F.col("__tlo__").isNull() | (width <= 0), F.lit(0)
             ).otherwise(
@@ -391,8 +418,7 @@ def _ordered_chunk_stitch(
                     F.lit(n_chunks - 1),
                     F.greatest(F.lit(0), F.floor(pos / width)),
                 )
-            ),
-            F.lit(0),  # NULL order values sort first; chunk 0
+            )
         ).cast("int"),
     ).drop("__tlo__", "__thi__")
 

@@ -3005,3 +3005,62 @@ def test_rowid_chunked(spark, tables):
             .select("event_id", "rowid").collect())
     )
     assert base == chk
+
+
+def test_halo_stitch_nan_order_value(spark):
+    """A NaN in the ORDER column must neither break the halo stitch's
+    exactness NOR collapse the chunking: NaN is excluded from the
+    per-key bounds (one NaN would make the chunk width NaN and send
+    every row to the top chunk — exact but silently unsplit) and the
+    NaN row itself lands in the top chunk, matching Spark's
+    NaN-sorts-after-+Inf ordering."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.core import DT
+    from data_table_spark.operators.window import froll
+
+    rows = [(1, float(i), float(i % 7)) for i in range(100)]
+    rows[50] = (1, float("nan"), 3.0)
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    dt = DT(df, order_by=["t"])
+
+    def sig(d):
+        return sorted(
+            (str(r["t"]), r["v_rollmean_5"])
+            for r in d.df.collect()
+        )
+
+    assert sig(froll(dt, "mean", "v", 5, by=["g"])) == sig(
+        froll(dt, "mean", "v", 5, by=["g"], n_chunks=4)
+    )
+    # desc first order: NaN sorts FIRST under .desc() -> chunk 0
+    dtd = DT(df, order_by=["-t"])
+    assert sig(froll(dtd, "mean", "v", 5, by=["g"])) == sig(
+        froll(dtd, "mean", "v", 5, by=["g"], n_chunks=4)
+    )
+    # NULL order values: asc NULLS FIRST (chunk 0) / desc NULLS LAST
+    # (top chunk) — same global-position routing as NaN
+    rows_n = [(1, None if i in (3, 97) else float(i), float(i % 7)) for i in range(100)]
+    dfn = spark.createDataFrame(rows_n, "g int, t double, v double")
+    for ob in (["t"], ["-t"]):
+        dtn = DT(dfn, order_by=ob)
+        assert sig(froll(dtn, "mean", "v", 5, by=["g"])) == sig(
+            froll(dtn, "mean", "v", 5, by=["g"], n_chunks=4)
+        )
+    # the chunking must actually SPREAD: >1 distinct chunk despite NaN
+    from data_table_spark.operators.window import _ordered_chunk_stitch
+
+    spread = _ordered_chunk_stitch(
+        dt, lambda bs: {"x": F.count(F.lit(1)).over(bs.rowsBetween(-1, 0))},
+        by=["g"], order=["t"], n_chunks=4, hw_lo=1, hw_hi=0,
+    )
+    # re-derive the chunk split the same way to observe it: the bounds
+    # exclude NaN, so the 99 finite rows span all 4 chunks
+    from data_table_spark.operators.window import _chunked_frame
+
+    nchunks = (
+        _chunked_frame(dt, ["g"], ["t"], 4)[0]
+        .select("__chunk__").distinct().count()
+    )
+    assert nchunks == 4
+    assert spread.df.count() == 100
