@@ -61,11 +61,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # for median; default plans identical), so froll_adaptive_sum /
 # froll_adaptive_minmax / froll_adaptive_median re-enter too, as does
 # rowid_counter (rowid gained the chunked-rank option; default plan
-# identical).
+# identical). froll_adaptive_chunked / frollapply_chunked are the new
+# stitched-path driver twins (same oracles as froll_adaptive_sum /
+# frollapply_median verbatim).
 # Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
-# #   r0: 2
+# #   r0: 4
 # #   r4: 8
 # #   r5: 43
 # #   r7: 46
@@ -73,7 +75,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # #   r9: 50
 # # window covers 50 slots; oldest row left outside: r5
 # # POST-window histogram (window rows counted as r10):
-# #   r5: 14
+# #   r5: 16
 # #   r7: 44
 # #   r8: 40
 # #   r9: 42
@@ -92,6 +94,8 @@ _PRIORITY = [
     "froll_adaptive_minmax",  # new
     "froll_adaptive_median",  # new
     "rowid_counter",  # new
+    "froll_adaptive_chunked",  # new
+    "frollapply_chunked",  # new
     "stream_sliding_agg",  # r4
     "stream_stream_join",  # r4
     "stream_tumbling_agg",  # r4
@@ -127,8 +131,6 @@ _PRIORITY = [
     "mergelist_fold",  # r5
     "mult_first",  # r5
     "na_omit_cols",  # r5
-    "orc_roundtrip",  # r5
-    "pii_scrub",  # r5
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

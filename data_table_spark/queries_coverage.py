@@ -1047,3 +1047,33 @@ def q_retention_cohorts(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     ev = t["events"].query(j=["user_id", "ts_us"]).df
     return retention_cohorts(ev)
+
+
+@query("froll_adaptive_chunked", None)
+def q_froll_adaptive_chunked(spark, sf_dir):
+    """froll_adaptive_sum through the running-triple carry stitch
+    (n_chunks=4): position / DECIMAL cumsum / non-null count compute
+    per (key, value-chunk) and stitch by the associative exclusive
+    carry (operators/window.py _adaptive_running_chunked) — identical
+    output, same oracle as froll_adaptive_sum verbatim."""
+    from .operators.window import frolladaptive
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].query(
+        j={
+            "event_id": F.col("event_id"),
+            "user_id": F.col("user_id"),
+            "value": F.col("value"),
+            "nn": (1 + F.col("event_id") % 5).cast("int"),
+        }
+    )
+    out = frolladaptive(
+        ev, "value", "nn", by=["user_id"], order=["event_id"],
+        out_col="roll_sum", n_chunks=4,
+    )
+    return out.df.select("event_id", "user_id", "roll_sum")
+
+
+from .queries import ORACLE as _ORACLE  # noqa: E402
+
+_ORACLE["froll_adaptive_chunked"] = _ORACLE["froll_adaptive_sum"]

@@ -344,3 +344,30 @@ def q_frollapply_corr(spark, sf_dir):
             .cast("double").alias("sum_corr"),
         )
     )
+
+
+@query("frollapply_chunked", None)
+def q_frollapply_chunked(spark, sf_dir):
+    """frollapply_median through the halo chunk-stitch (n_chunks=4):
+    the collect_list frame evaluates over (key, chunk) partitions with
+    halo n-1 and the Arrow pandas_udf applies after the frame —
+    identical output, same oracle as frollapply_median verbatim."""
+    import numpy as np
+
+    from .operators.window import frollapply
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].query(j=["event_id", "user_id", "value"])
+    out = frollapply(
+        ev, "value", 5, np.median, by=["user_id"], order=["event_id"],
+        out_col="roll_med", n_chunks=4,
+    )
+    return (
+        out.df.filter(F.col("roll_med").isNotNull())
+        .select("event_id", "user_id", "roll_med")
+    )
+
+
+from .queries import ORACLE as _ORACLE  # noqa: E402
+
+_ORACLE["frollapply_chunked"] = _ORACLE["frollapply_median"]
