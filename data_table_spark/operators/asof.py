@@ -120,27 +120,40 @@ def asof_join(
     part = list(keys)
     if chunked:
         # value-chunk the timeline per key: equal times share a chunk,
-        # so the same-t tag tiebreak never crosses a chunk boundary
+        # so the same-t tag tiebreak never crosses a chunk boundary.
+        # NaN times are excluded from the bounds (one NaN would make
+        # the width NaN and collapse every row into one chunk — exact
+        # but silently unsplit) and routed to the TOP chunk, where both
+        # traversals stay consistent: the chunk index is value-based,
+        # and Spark sorts NaN after +Inf asc (top chunk = end of the
+        # fwd fill) and first desc (top chunk = start of the bwd
+        # mirror). NULL times route to chunk 0 for the mirrored reason.
+        # The explicit routing matters because F.greatest/F.least SKIP
+        # null arguments and floor(NaN) IS null (see the window.py
+        # halo-stitch fix).
+        tcol = F.col("__t__").cast("double")
+        tfin = F.when(~F.isnan(tcol), tcol)
         bounds = u.groupBy(*keys).agg(
-            F.min(F.col("__t__").cast("double")).alias("__tlo__"),
-            F.max(F.col("__t__").cast("double")).alias("__thi__"),
+            F.min(tfin).alias("__tlo__"),
+            F.max(tfin).alias("__thi__"),
         )
         u = u.join(F.broadcast(bounds), keys, "left")
         width = (F.col("__thi__") - F.col("__tlo__")) / F.lit(float(n_chunks))
         u = u.withColumn(
             "__chunk__",
-            F.when(
-                F.col("__tlo__").isNull() | (width <= 0), F.lit(0)
-            ).otherwise(
-                F.least(
-                    F.lit(n_chunks - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.floor(
-                            (F.col("__t__").cast("double") - F.col("__tlo__"))
-                            / width
+            F.when(tcol.isNotNull() & F.isnan(tcol), F.lit(n_chunks - 1))
+            .when(tcol.isNull(), F.lit(0))
+            .otherwise(
+                F.when(
+                    F.col("__tlo__").isNull() | (width <= 0), F.lit(0)
+                ).otherwise(
+                    F.least(
+                        F.lit(n_chunks - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor((tcol - F.col("__tlo__")) / width),
                         ),
-                    ),
+                    )
                 )
             ).cast("int"),
         ).drop("__tlo__", "__thi__")

@@ -3064,3 +3064,54 @@ def test_halo_stitch_nan_order_value(spark):
     )
     assert nchunks == 4
     assert spread.df.count() == 100
+
+
+def test_asof_chunked_nan_time(spark):
+    """asof_join(n_chunks=) with a NaN time value: the bounds exclude
+    NaN (otherwise the chunk width is NaN and the split collapses) and
+    the NaN row routes to the top chunk — output identical to the
+    unsplit plan for forward, backward, and nearest rolls."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.core import DT
+    from data_table_spark.operators.asof import asof_join
+
+    x_rows = [(1, float(t), float(t) * 10) for t in range(0, 100, 10)]
+    x_rows.append((1, float("nan"), -1.0))
+    i_rows = [(1, float(t) + 0.5) for t in range(0, 100, 5)]
+    x = DT(spark.createDataFrame(x_rows, ["k", "tx", "xv"]))
+    i = DT(spark.createDataFrame(i_rows, ["k", "ti"]))
+
+    def sig(roll, nc):
+        out = asof_join(
+            x, i, on=["k"], time_x="tx", time_i="ti", roll=roll,
+            n_chunks=nc,
+        ).df
+        return sorted(
+            (str(r["ti"]), r["xv"]) for r in out.select("ti", "xv").collect()
+        )
+
+    for roll in (True, "nocb", "nearest"):
+        assert sig(roll, None) == sig(roll, 4), roll
+
+    # the split must actually spread despite the NaN (not one chunk)
+    u = (
+        x.df.select("k", F.col("tx").alias("__t__"))
+        .unionByName(i.df.select("k", F.col("ti").alias("__t__")))
+    )
+    tcol = F.col("__t__").cast("double")
+    tfin = F.when(~F.isnan(tcol), tcol)
+    b = u.groupBy("k").agg(F.min(tfin).alias("lo"), F.max(tfin).alias("hi"))
+    w = u.join(F.broadcast(b), "k").withColumn(
+        "c",
+        F.when(tcol.isNotNull() & F.isnan(tcol), F.lit(3)).otherwise(
+            F.least(
+                F.lit(3),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((tcol - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 4)),
+                ),
+            )
+        ),
+    )
+    assert w.select("c").distinct().count() == 4
