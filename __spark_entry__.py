@@ -63,7 +63,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # rowid_counter (rowid gained the chunked-rank option; default plan
 # identical). froll_adaptive_chunked / frollapply_chunked are the new
 # stitched-path driver twins (same oracles as froll_adaptive_sum /
-# frollapply_median verbatim).
+# frollapply_median verbatim); froll_chunked / asof_chunked re-enter
+# because their executed stitch code changed (the NaN/NULL chunk
+# routing fixes).
 # Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
@@ -75,10 +77,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # #   r9: 50
 # # window covers 50 slots; oldest row left outside: r5
 # # POST-window histogram (window rows counted as r10):
-# #   r5: 16
+# #   r5: 18
 # #   r7: 44
 # #   r8: 40
-# #   r9: 42
+# #   r9: 40
 # #   r10: 50
 _PRIORITY = [
     "minhash_lsh_shuffle",  # new
@@ -96,6 +98,8 @@ _PRIORITY = [
     "rowid_counter",  # new
     "froll_adaptive_chunked",  # new
     "frollapply_chunked",  # new
+    "froll_chunked",  # new
+    "asof_chunked",  # new
     "stream_sliding_agg",  # r4
     "stream_stream_join",  # r4
     "stream_tumbling_agg",  # r4
@@ -129,8 +133,6 @@ _PRIORITY = [
     "melt_narm",  # r5
     "merge_full",  # r5
     "mergelist_fold",  # r5
-    "mult_first",  # r5
-    "na_omit_cols",  # r5
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
