@@ -67,6 +67,16 @@ SWEEP = [
     "ann_cosine_topk",      # brute-force ANN
     "text_quality",         # text scoring
     "stratified_sample",    # deterministic sampling
+    # the hot-key chunk-stitch family (round 10): the stitched plans
+    # lean on broadcast hints and union/window composition, exactly
+    # the shapes these knobs re-plan — each must stay value-identical
+    "froll_chunked",        # halo stitch
+    "asof_chunked",         # carry-in stitch
+    "frank_chunked",        # rank chunk-stitch
+    "rleid_chunked",        # run chunk-stitch
+    "froll_adaptive_chunked",  # running-triple carry
+    "frollapply_chunked",   # halo stitch + Arrow UDF
+    "minhash_lsh_shuffle",  # non-broadcast onepass verifier
 ]
 
 # (conf, variant_value) triples; each variant restores the session value
