@@ -994,3 +994,88 @@ def test_fread_prologue_and_aligned_space_roundtrip(spark, n, prologue, pad):
     df2 = fread(spark, p2).df
     assert df2.columns == ["x", "y", "s"]
     assert sorted(map(tuple, df2.collect())) == rows
+
+
+# --- chunk-stitch equivalence under randomized NULL/NaN/tie patterns ---
+# The r10 halo-routing bug (NaN/NULL order values landing in a leading
+# chunk under greatest()'s null-skipping) was found by a hand probe;
+# these randomized properties pin the whole family: for ANY small
+# table — random values, random NULL/NaN placement, random duplicate
+# ties, both sort directions, any chunk count — the stitched plan must
+# equal the unsplit plan exactly.
+
+ordvals = st.lists(
+    st.one_of(
+        st.integers(min_value=-5, max_value=5).map(float),
+        st.just(None),
+        st.just(float("nan")),
+    ),
+    min_size=2,
+    max_size=14,
+)
+
+
+def _rows(ts):
+    return pd.DataFrame(
+        {
+            "g": [1] * len(ts),
+            "t": pd.array(ts, dtype="Float64"),
+            "v": [float(i % 5) for i in range(len(ts))],
+        }
+    )
+
+
+def _sig(df, col):
+    import math
+
+    out = []
+    for r in df.collect():
+        x = r[col]
+        if isinstance(x, float) and math.isnan(x):
+            x = "NaN"
+        out.append((r["rid"], x))
+    return sorted(out)
+
+
+@SET
+@given(ts=ordvals, desc=st.booleans(), nc=st.integers(2, 5))
+def test_froll_stitch_equivalence_property(spark, ts, desc, nc):
+    from data_table_spark.operators.window import froll
+
+    pdf = _rows(ts)
+    pdf["rid"] = range(len(pdf))
+    sdf = spark.createDataFrame(pdf)
+    dt = DT(sdf, order_by=["-t" if desc else "t", "rid"])
+    a = froll(dt, "sum", "v", 3, by=["g"]).df
+    b = froll(dt, "sum", "v", 3, by=["g"], n_chunks=nc).df
+    assert _sig(a, "v_rollsum_3") == _sig(b, "v_rollsum_3")
+
+
+@SET
+@given(ts=ordvals, nc=st.integers(2, 5))
+def test_cumfn_stitch_equivalence_property(spark, ts, nc):
+    from data_table_spark.operators.window import cumfn
+
+    pdf = _rows(ts)
+    pdf["rid"] = range(len(pdf))
+    sdf = spark.createDataFrame(pdf)
+    dt = DT(sdf, order_by=["t", "rid"])
+    a = cumfn(dt, "max", "v", by=["g"]).df
+    b = cumfn(dt, "max", "v", by=["g"], n_chunks=nc).df
+    assert _sig(a, "v_cummax") == _sig(b, "v_cummax")
+
+
+@SET
+@given(ts=ordvals, nc=st.integers(2, 5))
+def test_nafill_stitch_equivalence_property(spark, ts, nc):
+    from data_table_spark.operators.window import nafill_locf
+
+    pdf = _rows(ts)
+    pdf["rid"] = range(len(pdf))
+    # fill the VALUE column with nulls too (the fill target)
+    pdf.loc[pdf.index % 3 == 0, "v"] = None
+    sdf = spark.createDataFrame(pdf)
+    dt = DT(sdf, order_by=["t", "rid"])
+    a = nafill_locf(dt, "v", by=["g"]).df
+    b = nafill_locf(dt, "v", by=["g"], n_chunks=nc).df
+    assert _sig(a, "v") == _sig(b, "v")
