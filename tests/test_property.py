@@ -1079,3 +1079,72 @@ def test_nafill_stitch_equivalence_property(spark, ts, nc):
     a = nafill_locf(dt, "v", by=["g"]).df
     b = nafill_locf(dt, "v", by=["g"], n_chunks=nc).df
     assert _sig(a, "v") == _sig(b, "v")
+
+
+@SET
+@given(ts=ordvals, desc=st.booleans(), nc=st.integers(2, 5))
+def test_frank_stitch_equivalence_property(spark, ts, desc, nc):
+    """frank(n_chunks=) vs unsplit across random NULL/NaN/tie patterns,
+    both directions, na_last=True (the reference default, which routes
+    NULLs to a dedicated trailing chunk in the stitched path)."""
+    from data_table_spark.operators.window import frank
+
+    pdf = _rows(ts)
+    pdf["rid"] = range(len(pdf))
+    sdf = spark.createDataFrame(pdf)
+    dt = DT(sdf, order_by=["rid"])
+    a = frank(dt, "t", ties="min", by=["g"], desc=desc).df
+    b = frank(dt, "t", ties="min", by=["g"], desc=desc, n_chunks=nc).df
+    assert _sig(a, "rank") == _sig(b, "rank")
+
+
+@SET
+@given(ts=ordvals, nc=st.integers(2, 5))
+def test_rleid_stitch_equivalence_property(spark, ts, nc):
+    """rleid(n_chunks=) vs unsplit: random runs (values drawn from a
+    tiny domain force boundary-straddling runs; NULL==NULL counts as
+    same-run per the reference rule)."""
+    from data_table_spark.operators.window import rleid
+
+    pdf = _rows(ts)
+    pdf["rid"] = range(len(pdf))
+    # runs over a 3-value domain incl. NULL
+    pdf["runv"] = [
+        None if i % 3 == 0 else float(i // 3 % 2) for i in range(len(pdf))
+    ]
+    sdf = spark.createDataFrame(pdf)
+    dt = DT(sdf, order_by=["rid"])
+    a = rleid(dt, "runv", by=["g"], order=["rid"]).df
+    b = rleid(dt, "runv", by=["g"], order=["rid"], n_chunks=nc).df
+    assert _sig(a, "rleid") == _sig(b, "rleid")
+
+
+@SET
+@given(
+    xts=st.lists(st.integers(0, 20), min_size=1, max_size=8),
+    its=st.lists(st.integers(0, 20), min_size=1, max_size=8),
+    roll=st.sampled_from([True, "nocb", "nearest"]),
+    nc=st.integers(2, 5),
+)
+def test_asof_stitch_equivalence_property(spark, xts, its, roll, nc):
+    """asof_join(n_chunks=) vs unsplit over random X/I timelines with
+    duplicate and exactly-matching times (the tag tiebreak cases)."""
+    from data_table_spark.operators.asof import asof_join
+
+    x = DT(spark.createDataFrame(
+        [(1, float(t), float(j)) for j, t in enumerate(xts)],
+        ["k", "tx", "xv"],
+    ))
+    i = DT(spark.createDataFrame(
+        [(1, float(t)) for t in its], ["k", "ti"]
+    ))
+
+    def run(n):
+        out = asof_join(
+            x, i, on=["k"], time_x="tx", time_i="ti", roll=roll, n_chunks=n
+        ).df
+        return sorted(
+            (r["ti"], r["xv"]) for r in out.select("ti", "xv").collect()
+        )
+
+    assert run(None) == run(nc)
