@@ -1233,9 +1233,19 @@ def cumfn(
         spine = sdf.select(*keys, "__chunk__").distinct().join(
             ends, [*keys, "__chunk__"], "left"
         )
+        # _chunked_frame's chunk index is VALUE-based; under a desc
+        # first order key the global traversal runs high chunk -> low,
+        # so the carry accumulates over HIGHER chunks (the same
+        # direction rule _rleid_chunked and _running_fill_chunked
+        # apply; missing here until round 10 — cumfn(n_chunks=) with a
+        # desc order silently accumulated the wrong chunks' totals)
+        desc0 = ordn[0].startswith("-")
         wsp = (
             Window.partitionBy(*keys)
-            .orderBy("__chunk__")
+            .orderBy(
+                F.col("__chunk__").desc() if desc0
+                else F.col("__chunk__").asc()
+            )
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         comb = {"sum": F.sum, "count": F.sum, "min": F.min,
@@ -1414,9 +1424,14 @@ def _chunked_row_number(dt: DT, by, order, n_chunks: int, out: str = "__pos__"):
     w_in = Window.partitionBy(*keys, "__chunk__").orderBy(
         *[_ocol(o) for o in ordn]
     )
+    # value-based chunk index: reverse the spine under a desc first
+    # order key (global traversal is high chunk -> low there)
     wsp = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__chunk__").asc())
+        .orderBy(
+            F.col("__chunk__").desc() if ordn[0].startswith("-")
+            else F.col("__chunk__").asc()
+        )
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = (
@@ -1463,9 +1478,14 @@ def _adaptive_running_chunked(dt: DT, c, by, order, n_chunks: int):
         F.sum(c).alias("__s_tot__"),
         F.count(c).alias("__c_tot__"),
     )
+    # value-based chunk index: reverse the spine under a desc first
+    # order key (global traversal is high chunk -> low there)
     wsp = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__chunk__").asc())
+        .orderBy(
+            F.col("__chunk__").desc() if ordn[0].startswith("-")
+            else F.col("__chunk__").asc()
+        )
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = ends.select(

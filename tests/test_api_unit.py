@@ -2989,6 +2989,21 @@ def test_frolladaptive_chunk_stitch(spark, tables):
             )
             assert sig(base) == sig(chk), (fun, na_rm)
 
+    # desc first order key: the value-based chunk index reverses the
+    # carry spine (r10 fix — the asc-pinned spine accumulated the
+    # WRONG chunks' totals under desc)
+    dord = ["-event_id"]
+    for fun in ("sum", "median"):
+        base = frolladaptive(
+            seeded, "v", "nw", by=["user_id"], order=dord, fun=fun,
+            out_col="out",
+        )
+        chk = frolladaptive(
+            seeded, "v", "nw", by=["user_id"], order=dord, fun=fun,
+            out_col="out", n_chunks=4,
+        )
+        assert sig(base) == sig(chk), ("desc", fun)
+
 
 def test_rowid_chunked(spark, tables):
     """rowid(n_chunks=): the chunked-rank carry gives identical 1-based
@@ -3005,6 +3020,16 @@ def test_rowid_chunked(spark, tables):
             .select("event_id", "rowid").collect())
     )
     assert base == chk
+    # desc order: the chunked-rank spine reverses (r10 fix)
+    based = sorted(
+        map(tuple, rowid(ev, ["user_id"], order=["-event_id"]).df
+            .select("event_id", "rowid").collect())
+    )
+    chkd = sorted(
+        map(tuple, rowid(ev, ["user_id"], order=["-event_id"], n_chunks=4).df
+            .select("event_id", "rowid").collect())
+    )
+    assert based == chkd
 
 
 def test_halo_stitch_nan_order_value(spark):

@@ -1052,16 +1052,20 @@ def test_froll_stitch_equivalence_property(spark, ts, desc, nc):
 
 
 @SET
-@given(ts=ordvals, nc=st.integers(2, 5))
-def test_cumfn_stitch_equivalence_property(spark, ts, nc):
+@given(ts=ordvals, desc=st.booleans(), nc=st.integers(2, 5))
+def test_cumfn_stitch_equivalence_property(spark, ts, desc, nc):
+    """Covers BOTH directions: the value-based chunk index means a desc
+    first order key must reverse the carry spine (the r10 fix — cumfn
+    silently accumulated the wrong chunks' totals under desc)."""
     from data_table_spark.operators.window import cumfn
 
     pdf = _rows(ts)
     pdf["rid"] = range(len(pdf))
     sdf = spark.createDataFrame(pdf)
-    dt = DT(sdf, order_by=["t", "rid"])
-    a = cumfn(dt, "max", "v", by=["g"]).df
-    b = cumfn(dt, "max", "v", by=["g"], n_chunks=nc).df
+    order = ["-t" if desc else "t", "rid"]
+    dt = DT(sdf, order_by=order)
+    a = cumfn(dt, "max", "v", by=["g"], order=order).df
+    b = cumfn(dt, "max", "v", by=["g"], order=order, n_chunks=nc).df
     assert _sig(a, "v_cummax") == _sig(b, "v_cummax")
 
 
