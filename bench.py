@@ -225,6 +225,12 @@ def main() -> None:
             sum(norm.get(n, 0.0) for n in LEGACY14), 4
         ),
         "total_headline_norm": round(sum(norm.values()), 4),
+        # coverage of the normalized series (ADVICE r10): a headline
+        # that errored or whose probe bracket summed to <=0 is absent
+        # from queries_norm, which would make total_*_norm quietly
+        # incomparable across rounds — name the gaps explicitly
+        "norm_covered": len(norm),
+        "norm_missing": sorted(set(names) - set(norm)),
         "probe_series": [round(p, 4) for p in probes],
         "conf": conf,
     }))

@@ -67,6 +67,18 @@ def win(dt: DT, by=None, order=None) -> WindowSpec:
 AUTO_CHUNK_BREAK_EVEN = 2_000_000
 AUTO_CHUNK_TARGET = 250_000
 
+# Probe memo: hottest-key count per (DataFrame, keys). Spark DataFrames
+# are immutable, so a result cached against the DataFrame *object* can
+# never go stale — any rebind (dt.df = transformed) produces a new
+# object and therefore a cache miss. WeakKey so dropped frames free
+# their entries.
+import weakref
+
+_PROBE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+#: number of probe Spark jobs actually run (test hook — chained auto
+#: calls on the same frame+keys must pay the probe once)
+_PROBE_JOBS = 0
+
 
 def _resolve_n_chunks(
     sdf,
@@ -83,22 +95,39 @@ def _resolve_n_chunks(
     below it the single-task window wins and auto stays unsplit; above
     it the chunk count brings the hottest key to ~AUTO_CHUNK_TARGET
     rows per chunk, capped at the cluster's default parallelism (more
-    chunks than slots only adds stitch overhead). Ints and None pass
-    through untouched, so explicit callers keep exact control."""
-    if n_chunks != "auto":
-        return n_chunks
-    if keys:
-        m = (
-            sdf.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__n__"))
-            .agg(F.max("__n__").alias("m"))
-            .collect()[0]["m"]
-        )
+    chunks than slots only adds stitch overhead; on a 1-slot cluster
+    auto never splits). Ints and None pass through untouched, so
+    explicit callers keep exact control; any other string raises. The
+    probe result is memoized per (frame, keys) — chained ordered ops on
+    the same frame pay it once."""
+    if isinstance(n_chunks, str):
+        if n_chunks != "auto":
+            raise ValueError(
+                f"n_chunks must be an int, None, or 'auto' (got {n_chunks!r})"
+            )
     else:
-        m = sdf.count()
+        return n_chunks
+    cap = sdf.sparkSession.sparkContext.defaultParallelism
+    if cap < 2:
+        return None
+    ckey = tuple(keys) if keys else ()
+    per = _PROBE_CACHE.setdefault(sdf, {})
+    m = per.get(ckey, -1)
+    if m == -1:
+        global _PROBE_JOBS
+        _PROBE_JOBS += 1
+        if keys:
+            m = (
+                sdf.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n__"))
+                .agg(F.max("__n__").alias("m"))
+                .collect()[0]["m"]
+            )
+        else:
+            m = sdf.count()
+        per[ckey] = m
     if not m or m <= break_even:
         return None
-    cap = sdf.sparkSession.sparkContext.defaultParallelism
     return int(max(2, min(cap, -(-m // target))))
 
 

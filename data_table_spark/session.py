@@ -24,6 +24,10 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
+    # stage-progress bars interleave with bench/driver stderr capture
+    # (the BENCH_r09/r10 "tail clips mid-stream" nit) and add nothing in
+    # headless runs
+    "spark.ui.showConsoleProgress": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     # the oracle differential collect-compares full result frames; at
     # sf10 sweep scale row-level outputs exceed the 1g default cap

@@ -427,14 +427,27 @@ def fread(
             _tmp,
             _hl.md5((path + encoding).encode()).hexdigest() + ".csv",
         )
-        with open(path, encoding=encoding) as _src, open(
-            out_path, "w", encoding="utf-8"
-        ) as _dst:
-            while True:
-                _chunk = _src.read(1 << 20)
-                if not _chunk:
-                    break
-                _dst.write(_chunk)
+        # write-then-rename: a concurrent fread of the same file (or a
+        # lazy Spark scan racing a rewrite) must only ever see a
+        # complete UTF-8 file, so stream into a unique temp name in the
+        # same dir and atomically os.replace() onto the md5 name
+        _fd, _part = _tf.mkstemp(dir=_tmp, suffix=".csv.part")
+        try:
+            with open(path, encoding=encoding) as _src, _os.fdopen(
+                _fd, "w", encoding="utf-8"
+            ) as _dst:
+                while True:
+                    _chunk = _src.read(1 << 20)
+                    if not _chunk:
+                        break
+                    _dst.write(_chunk)
+            _os.replace(_part, out_path)
+        except BaseException:
+            try:
+                _os.unlink(_part)
+            except OSError:
+                pass
+            raise
         path = out_path
         encoding = "UTF-8"
     scalar_class = None

@@ -2855,14 +2855,71 @@ def test_auto_n_chunks_heuristic(spark, tables):
         ).collect()[0]
 
     # the probe must actually choose the SPLIT path here, or the
-    # equality below is vacuous
-    assert _resolve_n_chunks(big.df, [], "auto") == 10
+    # equality below is vacuous (2.5M rows / 250k target = 10 chunks,
+    # capped at the box's parallelism — not hardcoded, ADVICE r10)
+    assert _resolve_n_chunks(big.df, [], "auto") == min(10, cap)
     base = sig(froll(big, "mean", "v", 5))
     auto = sig(froll(big, "mean", "v", 5, n_chunks="auto"))
     assert (base["n"], base["h"]) == (auto["n"], auto["h"])
 
     with pytest.raises(ValueError):
         shift(big, "v", 1, type_="cyclic", n_chunks="auto")
+    # mistyped string must fail loudly, not fall through to the unsplit
+    # path or an opaque TypeError downstream (ADVICE r10)
+    with pytest.raises(ValueError, match="auto"):
+        _resolve_n_chunks(big.df, [], "Auto")
+
+
+def test_auto_probe_memoized(spark):
+    """Chained auto calls on the SAME frame+keys pay the probe Spark
+    job once (round-10 verdict item 4): the hottest-key count is
+    memoized against the immutable DataFrame object, so a rebind (new
+    object) naturally invalidates. Output stays hash-identical."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.core import DT
+    from data_table_spark.operators import window as W
+
+    big = DT(
+        spark.range(2_500_000).select(
+            F.col("id").alias("t"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        ),
+        order_by=["t"],
+    )
+    before = W._PROBE_JOBS
+    a = W._resolve_n_chunks(big.df, [], "auto")
+    b = W._resolve_n_chunks(big.df, [], "auto")
+    assert a == b and a is not None
+    assert W._PROBE_JOBS == before + 1  # second call is a cache hit
+    # different keys on the same frame = a different probe
+    W._resolve_n_chunks(big.df, ["v"], "auto")
+    assert W._PROBE_JOBS == before + 2
+    # rebind (any transformation -> new DataFrame object) re-probes
+    big2 = big.df.withColumn("v2", F.col("v") + 1)
+    W._resolve_n_chunks(big2, [], "auto")
+    assert W._PROBE_JOBS == before + 3
+
+    # end-to-end: two chained auto ordered ops on a FRESH frame (so the
+    # cache starts cold), one probe job, output identical to the
+    # explicit-chunk twin
+    big = DT(
+        spark.range(2_500_000).select(
+            F.col("id").alias("t"),
+            (F.col("id") % 89).cast("double").alias("v"),
+        ),
+        order_by=["t"],
+    )
+    before = W._PROBE_JOBS
+    r1 = W.froll(big, "mean", "v", 5, n_chunks="auto")
+    r2 = W.froll(big, "sum", "v", 5, n_chunks="auto")
+    assert W._PROBE_JOBS == before + 1
+    h1 = r1.df.agg(F.sum(F.pmod(F.xxhash64("t", "v_rollmean_5"), F.lit(1000003)))).collect()[0][0]
+    h1e = W.froll(big, "mean", "v", 5, n_chunks=10).df.agg(
+        F.sum(F.pmod(F.xxhash64("t", "v_rollmean_5"), F.lit(1000003)))
+    ).collect()[0][0]
+    assert h1 == h1e
+    assert r2 is not None
 
 
 def test_line_dedup_broadcast_modes_identical(spark):
