@@ -140,10 +140,42 @@ def any_duplicated(dt: DT, by=None) -> bool:
     )
 
 
-def fdistinct(dt: DT, on, mult: str = "first", order=None) -> DT:
+def fdistinct(dt: DT, on=None, mult: str = "first", order=None, cols=None) -> DT:
     """fdistinct — distinct on key columns retaining payload of the
-    first/last row (reference R/mergelist.R:50)."""
-    return unique(dt, by=on, fromLast=(mult == "last"), order=order)
+    first/last row (reference R/mergelist.R:50-82).
+
+    Reference argument contracts (mergelist.Rraw 2.01-2.04): ``on``
+    defaults to the key and must name columns of ``dt``; ``mult`` is
+    first/last; ``cols`` selects payload columns (on= always kept,
+    reference someCols keep=on)."""
+    if not isinstance(dt, DT):
+        raise ValueError("'x' must be data.table")
+    on = _namelist(on) or list(dt.key)
+    if not on or any(c not in dt.columns for c in on):
+        raise ValueError("'on' must be character column names of 'x' argument")
+    if mult not in ("first", "last"):
+        raise ValueError("'mult' must be 'first' or 'last'")
+    if cols is not None:
+        cols = _namelist(cols)
+        if not cols or any(c not in dt.columns for c in cols):
+            raise ValueError(
+                "'cols' must be non-zero length, non-NA, integer or "
+                "character columns of 'x' argument"
+            )
+    if not (_namelist(order) or dt.order_by):
+        # no declared order: first/last refer to table order (reference
+        # forderv row indices) — tag the current physical order
+        tagged = DT(
+            dt.df.withColumn("__ord__", F.monotonically_increasing_id())
+        )
+        out = unique(tagged, by=on, fromLast=(mult == "last"), order=["__ord__"])
+        out = DT(out.df.drop("__ord__"), key=dt.key, order_by=dt.order_by)
+    else:
+        out = unique(dt, by=on, fromLast=(mult == "last"), order=order)
+    if cols is not None:
+        keep = [c for c in dt.columns if c in set(on) | set(cols)]
+        out = DT(out.df.select(*keep), key=out.key, order_by=out.order_by)
+    return out
 
 
 def ghead(dt: DT, n: int, by, order=None) -> DT:

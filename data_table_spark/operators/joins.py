@@ -39,7 +39,9 @@ __all__ = [
     "merge",
     "update_on_join",
     "eachi",
+    "mergepair",
     "mergelist",
+    "setmergelist",
     "CJ",
     "SJ",
 ]
@@ -346,47 +348,450 @@ def eachi(x: DT, y: DT, on=None, j: Mapping | None = None, nomatch=None) -> DT:
     return DT(out)
 
 
-def mergelist(tables: Sequence[DT], on=None, how: str = "left", mult: str = "all") -> DT:
-    """mergelist — n-way fold of joins (reference R/mergelist.R:84-259,347).
+_ML_HOWS = ("left", "inner", "full", "right", "semi", "anti", "cross")
+_ML_MULTS = ("error", "all", "first", "last")
 
-    ``mult`` applies per fold step to the incoming (right) table's matches,
-    as the reference's per-step cardinality control:
 
-    - "all" (default): every matching right row.
-    - "first"/"last": the right table is reduced to one row per join key
-      (first/last in its declared key/order, else table order via a
-      monotonic id) BEFORE the merge — a per-key window shuffle on the
-      small right side, no driver involvement.
-    - "error": raise if the right table carries duplicate join keys
-      (reference mergelist mult="error" semantics); costs one extra
-      aggregate job on the right side.
+def _onkeys(xkey, ykey):
+    """Default join columns from two keys (reference R/mergelist.R:15-25
+    onkeys): one-sided key passes through; two keys intersect, order
+    aligned to the shorter (or RHS on ties)."""
+    if xkey and not ykey:
+        return list(xkey)
+    if ykey and not xkey:
+        return list(ykey)
+    if xkey and ykey:
+        if len(xkey) >= len(ykey):
+            return [c for c in ykey if c in xkey] or None
+        return [c for c in xkey if c in ykey] or None
+    return None
+
+
+def _some_cols(all_cols, sel, keep=(), drop=(), retain_order=False):
+    """Column selection (reference R/mergelist.R:28-35 someCols):
+    keep ∪ (sel − drop); keep leads unless retain_order puts everything
+    back in table order (used by semi/anti, reference mergepair
+    retain.order=semi_or_anti)."""
+    sel = list(sel) if sel is not None else list(all_cols)
+    dropset = set(drop)
+    if retain_order:
+        chosen = set(keep) | {c for c in sel if c not in dropset}
+        return [c for c in all_cols if c in chosen]
+    out = list(keep)
+    out += [c for c in sel if c not in dropset and c not in out]
+    return out
+
+
+def _nsafe_cond(a, b, on):
+    """Null-safe equality over aliased frames — bmerge matches NA to NA
+    (reference src/bmerge.c:9-13; mergelist.Rraw 251.*)."""
+    return reduce(
+        lambda l, r: l & r,
+        [F.col(f"{a}.`{c}`").eqNullSafe(F.col(f"{b}.`{c}`")) for c in on],
+    )
+
+
+def _mult_error_check(dup_side: DT, other_side: DT, on) -> None:
+    """mult="error": raise iff some key with >1 rows on ``dup_side`` has
+    a match in ``other_side`` (reference bmerge mult="error" raises on
+    multiple MATCHES — unmatched duplicate keys are fine; mergelist.Rraw
+    104.03 vs 104.05). One aggregate + semi-join probe job."""
+    dups = (
+        dup_side.df.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") > 1)
+        .select(*on)
+        .alias("__d__")
+    )
+    other = other_side.df.select(*on).alias("__o__")
+    hit = dups.join(other, _nsafe_cond("__d__", "__o__", on), "left_semi")
+    if hit.limit(1).count():
+        raise ValueError(
+            "multiple matches during merge (mult='error'); use "
+            "mult='all'/'first'/'last' to control cardinality"
+        )
+
+
+def _join_many_check(from_dt: DT, to_dt: DT, on) -> None:
+    """join.many=FALSE guard (reference R/mergelist.R:120-125, #4383):
+    raise when some key has >1 rows on BOTH sides — a true many-to-many
+    explosion. Probe job, opt-in like allow.cartesian."""
+
+    def _dupkeys(d, tag):
+        return (
+            d.df.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") > 1)
+            .select(*on)
+            .alias(tag)
+        )
+
+    hit = _dupkeys(from_dt, "__f__").join(
+        _dupkeys(to_dt, "__t__"), _nsafe_cond("__f__", "__t__", on), "left_semi"
+    )
+    if hit.limit(1).count():
+        raise ValueError(
+            "Joining resulted in many-to-many join. Perform quality check "
+            "on your data, use mult!='all', or set join_many=True to "
+            "allow rows explosion."
+        )
+
+
+def mergepair(
+    lhs: DT,
+    rhs: DT,
+    on=None,
+    how: str = "left",
+    mult: str | None = None,
+    lhs_cols: Sequence[str] | None = None,
+    rhs_cols: Sequence[str] | None = None,
+    join_many: bool = True,
+) -> DT:
+    """Atomic pairwise merge — the reference's mergepair
+    (R/mergelist.R:147-262), the building block of mergelist.
+
+    Semantics ported exactly (mergelist.Rraw 21-29, 101-110, 121,
+    221-227, 251 vectors in tests/test_reference_rraw_parity.py):
+
+    - ``on=None`` derives join columns from keys: left/semi/anti →
+      key(rhs); right → key(lhs); inner/full → aligned key intersection
+      (onkeys). Missing → "necessary key is not present".
+    - join keys match NA to NA (null-safe equality, bmerge semantics).
+    - ``mult`` reduces the MATCH side per key: left reduces RHS, right
+      reduces LHS, inner/full reduce BOTH sides (reference applies
+      fdistinct to the i side and bmerge mult to the x side).
+      "first"/"last" keep one row per key in table order; "error" (the
+      default) raises only when a duplicated key actually matches;
+      "all" keeps everything. semi/anti default "last" and reject
+      "all" (reference dtmerge); cross requires on=(), mult="all",
+      join_many=True.
+    - ``join_many=False``: raise on true many-to-many keys.
+    - duplicated non-key output names raise (use ``cols``/rename);
+      ``lhs_cols``/``rhs_cols`` subset payload columns (on= always kept).
+    - output column order: on, then LHS payload, then RHS payload
+      (reference setcolorder for how="right"); semi/anti keep the LHS
+      column order untouched (someCols retain.order).
+
+    Spark-first: the reduction is a per-key window (grouping.unique),
+    the checks are bounded aggregate probes, and the join itself is one
+    null-safe equi join Catalyst is free to broadcast — no driver data.
+    Row order is not defined (SURVEY §1.1); the reference's row-order
+    guarantees are not reproduced.
     """
-    if not tables:
-        raise ValueError("empty table list")
-    if mult not in ("all", "first", "last", "error"):
-        raise ValueError(f'bad mult: {mult!r}')
-    if mult != "all" and how not in ("left", "inner", "full", "right"):
-        # semi/anti never multiply rows and cross multiplies by design;
-        # accepting-and-ignoring mult here would repeat the silent no-op
-        # this argument was added to eliminate
-        raise ValueError(f'mult={mult!r} is not meaningful for how={how!r}')
-    acc = tables[0]
-    for t in tables[1:]:
-        if mult != "all" and how in ("left", "inner", "full", "right"):
-            by = _namelist(on) or [c for c in acc.columns if c in t.columns]
-            t = _apply_mult(t, by, mult)
-        if how == "cross":
-            acc = DT(acc.df.crossJoin(t.df))
-        elif how in ("semi", "anti"):
-            acc = join(acc, t, on=on, how=f"left_{how}")
-        elif how in ("left", "inner", "full", "right"):
-            acc = merge(
-                acc, t, by=_namelist(on) or None,
-                all_x=how in ("left", "full"), all_y=how in ("right", "full"),
+    if how not in _ML_HOWS:
+        raise ValueError(
+            "'how' must be one of [left, inner, full, right, semi, anti, "
+            "cross], or a list of such"
+        )
+    if mult is not None and mult not in _ML_MULTS:
+        raise ValueError(
+            "'mult' must be one of [error, all, first, last] or NULL, "
+            "or a list of such"
+        )
+    semi_or_anti = how in ("semi", "anti")
+    inner_or_full = how in ("inner", "full")
+
+    if how == "cross":
+        if (on is not None and len(_namelist(on))) or (
+            mult not in (None, "all")
+        ) or not join_many:
+            raise ValueError(
+                "cross join must be used with zero-length on, mult='all', "
+                "join.many=TRUE"
             )
+        lc = _some_cols(lhs.columns, lhs_cols)
+        rc = _some_cols(rhs.columns, rhs_cols)
+        dup = [c for c in rc if c in lc]
+        if dup:
+            raise ValueError(
+                f"merge result has duplicated column names {dup}, use "
+                "'cols' argument or rename columns"
+            )
+        return DT(lhs.df.select(*lc).crossJoin(rhs.df.select(*rc)))
+
+    if on is None:
+        if how == "left" or semi_or_anti:
+            on = list(rhs.key) or None
+        elif how == "right":
+            on = list(lhs.key) or None
         else:
-            raise ValueError(f"bad how: {how}")
-    return acc
+            on = _onkeys(lhs.key, rhs.key)
+        if not on:
+            raise ValueError("'on' is missing and necessary key is not present")
+    else:
+        on = _namelist(on)
+        if not on:
+            raise ValueError("'on' must be non-zero length character vector")
+        if len(set(on)) != len(on) or any(c is None for c in on):
+            raise ValueError(
+                "'on' must be non-NA, non-duplicated, character vector, "
+                "or a list of such"
+            )
+    bad = [c for c in on if c not in lhs.columns]
+    if bad:
+        raise ValueError(
+            f"'on' argument specifies columns to join {bad} that are not "
+            f"present in LHS table {lhs.columns}"
+        )
+    bad = [c for c in on if c not in rhs.columns]
+    if bad:
+        raise ValueError(
+            f"'on' argument specifies columns to join {bad} that are not "
+            f"present in RHS table {rhs.columns}"
+        )
+
+    if mult is None:
+        mult = "last" if semi_or_anti else "error"
+    if semi_or_anti:
+        if mult == "all":
+            raise ValueError(
+                "semi and anti joins must be used with mult!='all'"
+            )
+        if mult == "error":
+            _mult_error_check(rhs, lhs, on)
+        a = lhs.df.alias("__l__")
+        b = rhs.df.select(*on).alias("__r__")
+        out = a.join(
+            b, _nsafe_cond("__l__", "__r__", on), f"left_{how}"
+        ).select(*_some_cols(lhs.columns, lhs_cols, keep=on, retain_order=True))
+        return DT(out, key=lhs.key, order_by=lhs.order_by)
+
+    swap = how == "right"
+    from_dt, from_cols = (rhs, rhs_cols) if swap else (lhs, lhs_cols)
+    to_dt, to_cols = (lhs, lhs_cols) if swap else (rhs, rhs_cols)
+
+    if mult in ("first", "last"):
+        to_dt = _apply_mult(to_dt, on, mult)
+        if inner_or_full:
+            from_dt = _apply_mult(from_dt, on, mult)
+    elif mult == "error":
+        _mult_error_check(to_dt, from_dt, on)
+        if inner_or_full:
+            _mult_error_check(from_dt, to_dt, on)
+    if mult == "all" and not join_many:
+        _join_many_check(from_dt, to_dt, on)
+
+    cols_i = _some_cols(from_dt.columns, from_cols, keep=on)
+    cols_x = _some_cols(to_dt.columns, to_cols, drop=on)
+    dup = [c for c in cols_i if c in cols_x]
+    if dup:
+        raise ValueError(
+            f"merge result has duplicated column names {dup}, use 'cols' "
+            "argument or rename columns in 'l' tables"
+        )
+    fd = from_dt.df.alias("__i__")
+    xd = to_dt.df.alias("__x__")
+    spark_how = {"left": "left", "right": "left", "inner": "inner", "full": "full"}[how]
+    joined = fd.join(xd, _nsafe_cond("__i__", "__x__", on), spark_how)
+    if how == "full":
+        key_cols = [
+            F.coalesce(F.col(f"__i__.`{c}`"), F.col(f"__x__.`{c}`")).alias(c)
+            for c in on
+        ]
+    else:
+        key_cols = [F.col(f"__i__.`{c}`").alias(c) for c in on]
+    others_i = [
+        F.col(f"__i__.`{c}`").alias(c) for c in cols_i if c not in on
+    ]
+    others_x = [F.col(f"__x__.`{c}`").alias(c) for c in cols_x]
+    # visible order: on, LHS payload, RHS payload (reference arranges
+    # how="right" back to i.on, x.cols, i.cols via setcolorder)
+    if swap:
+        out = joined.select(*key_cols, *others_x, *others_i)
+    else:
+        out = joined.select(*key_cols, *others_i, *others_x)
+    # key metadata: the reference keeps the baseline (i-side) table's
+    # key through left/right/inner (mergepair .shallow retain.key) —
+    # this is what lets default-on chains walk a star schema
+    # (mergelist.Rraw 102.611-635). full joins lose the key (102.34).
+    # DT.key is advisory (on-defaults / orderings), never a uniqueness
+    # contract, so retaining it under mult="all" is safe.
+    key = None if how == "full" else (list(from_dt.key) or list(on))
+    return DT(out, key=key)
+
+
+def _per_step(value, n_steps, is_step_value, default=None):
+    """Normalize a scalar-or-per-step argument to a list of length
+    ``n_steps`` (reference mergelist_impl_ rep(list(x), n-1L))."""
+    if isinstance(value, (list, tuple)) and not is_step_value(value):
+        steps = list(value)
+    else:
+        steps = [value] * n_steps
+    if len(steps) != n_steps:
+        return None
+    return steps
+
+
+def mergelist(
+    tables: Sequence[DT],
+    on=None,
+    how=None,
+    mult=None,
+    cols: Sequence | None = None,
+    join_many=True,
+) -> DT:
+    """mergelist — n-way fold of mergepair (reference R/mergelist.R:264-352).
+
+    ``on``/``how``/``mult``/``join_many`` accept one value for every
+    step or a per-step list of length ``len(tables)-1`` (``on`` steps
+    are themselves name lists); ``cols`` is a per-table payload
+    selection of length ``len(tables)`` (None = all columns). Defaults:
+    how="left", mult=None → per-how default (error for outer/inner,
+    "last" for semi/anti, "all" for cross). Validation and error
+    contracts follow the reference (mergelist.Rraw 101.*).
+
+    setmergelist is an alias: Spark frames are immutable, so the
+    reference's in-place variant (R/mergelist.R:354) has no separate
+    semantics here.
+    """
+    if isinstance(tables, (DT, DataFrame)) or not isinstance(
+        tables, (list, tuple)
+    ):
+        raise ValueError("'l' must be a list")
+    for t in tables:
+        if not isinstance(t, DT):
+            raise ValueError(
+                "Every element of 'l' list must be data.table objects"
+            )
+    bad = [i + 1 for i, t in enumerate(tables) if not t.columns]
+    if bad:
+        raise ValueError(
+            f"Tables in 'l' must all have columns, but these entries "
+            f"have 0: {bad}"
+        )
+    bad = [
+        i + 1
+        for i, t in enumerate(tables)
+        if len(set(t.columns)) != len(t.columns)
+    ]
+    if bad:
+        raise ValueError(
+            "Column names in individual 'l' entries must be unique, but "
+            f"these have some duplicates: {bad}"
+        )
+    n = len(tables)
+    if n == 0:
+        from pyspark.sql import SparkSession
+        from pyspark.sql.types import StructType
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:  # pragma: no cover
+            raise ValueError("empty table list and no active SparkSession")
+        return DT(spark.createDataFrame([], StructType([])))
+    if n == 1:
+        return tables[0]
+
+    hows = _per_step(
+        how if how is not None else "left",
+        n - 1,
+        lambda v: False,
+    )
+    if hows is None or not all(
+        isinstance(h, str) and h in _ML_HOWS for h in hows
+    ):
+        raise ValueError(
+            "'how' must be one of [left, inner, full, right, semi, anti, "
+            "cross], or a list of such whose length must be len(l)-1"
+        )
+    mults = _per_step(mult, n - 1, lambda v: False)
+    if mults is None or not all(
+        m is None or (isinstance(m, str) and m in _ML_MULTS) for m in mults
+    ):
+        raise ValueError(
+            "'mult' must be one of [error, all, first, last] or NULL, or "
+            "a list of such whose length must be len(l)-1"
+        )
+    jms = _per_step(join_many, n - 1, lambda v: False)
+    if jms is None or not all(isinstance(j, bool) for j in jms):
+        raise ValueError(
+            "'join.many' must be TRUE or FALSE, or a list of such whose "
+            "length must be len(l)-1"
+        )
+    if cols is None:
+        cols_steps = [None] * n
+    else:
+        if not isinstance(cols, (list, tuple)):
+            raise ValueError("'cols' must be a list")
+        if len(cols) != n:
+            raise ValueError(
+                f"'cols' must be same length as 'l' ({len(cols)} != {n})"
+            )
+        cols_steps = list(cols)
+        for c in cols_steps:
+            if c is None:
+                continue
+            # an EMPTY vector is valid and means "no payload columns,
+            # on= only" (reference 101.20: cols=list(NULL, character()))
+            names = list(c) if isinstance(c, (list, tuple)) else None
+            if (
+                names is None
+                or any(not isinstance(x, str) for x in names)
+                or len(set(names)) != len(names)
+            ):
+                raise ValueError(
+                    "'cols' must be a list of non-zero length, non-NA, "
+                    "non-duplicated, character vectors, or eventually "
+                    "NULLs (all columns)"
+                )
+        for t, c in zip(tables, cols_steps):
+            if c is not None and any(x not in t.columns for x in c):
+                raise ValueError(
+                    "'cols' specify columns not present in corresponding "
+                    "table"
+                )
+    # on: a plain str/name-list is shared across steps; a list whose
+    # elements are lists/None is per-step (the reference's list-of-
+    # character-vectors form)
+    if on is None:
+        on_steps = [None] * (n - 1)
+    elif isinstance(on, str):
+        on_steps = [[on]] * (n - 1)
+    elif isinstance(on, (list, tuple)) and any(
+        e is None or isinstance(e, (list, tuple)) for e in on
+    ):
+        on_steps = [list(e) if e is not None else None for e in on]
+        if len(on_steps) != n - 1:
+            raise ValueError(
+                "'on' must be non-NA, non-duplicated, character vector, "
+                "or a list of such which length must be len(l)-1"
+            )
+    elif isinstance(on, (list, tuple)):
+        on_steps = [list(on)] * (n - 1)
+    else:
+        raise ValueError(
+            "'on' must be non-NA, non-duplicated, character vector, or a "
+            "list of such which length must be len(l)-1"
+        )
+    for step in on_steps:
+        if step is not None and (
+            any(not isinstance(x, str) for x in step)
+            or len(set(step)) != len(step)
+        ):
+            raise ValueError(
+                "'on' must be non-NA, non-duplicated, character vector, "
+                "or a list of such which length must be len(l)-1"
+            )
+
+    out = tables[0]
+    out_cols = cols_steps[0]
+    for i in range(1, n):
+        out = mergepair(
+            out,
+            tables[i],
+            on=on_steps[i - 1],
+            how=hows[i - 1],
+            mult=mults[i - 1],
+            lhs_cols=out_cols,
+            rhs_cols=cols_steps[i],
+            join_many=jms[i - 1],
+        )
+        out_cols = None
+    return out
+
+
+#: in-place variant alias — Spark frames are immutable so set* has the
+#: same semantics (reference R/mergelist.R:354 setmergelist)
+setmergelist = mergelist
 
 
 def _apply_mult(t: DT, by: Sequence[str], mult: str) -> DT:

@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Mapping, Sequence
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..core import DT, _namelist
@@ -297,18 +297,80 @@ def rbindlist(
 
 
 def cbindlist(tables: Sequence[DT], on: Sequence[str] | None = None) -> DT:
-    """cbindlist (reference R/mergelist.R:11). Positional bind needs a
-    shared key — Spark rows have no position (SURVEY §2.8 note); requires
-    ``on`` (or each table's key) and compiles to joins."""
-    if not tables:
-        raise ValueError("empty list")
-    on = _namelist(on) or tables[0].key
-    if not on:
-        raise ValueError("cbindlist needs `on` (positional bind has no Spark analog)")
-    acc = tables[0].df
-    for t in tables[1:]:
-        acc = acc.join(t.df, on=on, how="inner")
-    return DT(acc, key=list(on))
+    """cbindlist (reference R/mergelist.R:1-12, src Ccbindlist).
+
+    With ``on`` (or a key on the first table): the SCALE path — the
+    bind compiles to key joins, co-partitionable and broadcastable.
+
+    Without ``on``: the reference's positional column-bind. Spark rows
+    have no position (SURVEY §2.8), so each table gets a row_number
+    over its current physical order (a single-reducer window —
+    documented small/medium-table path) and the frames join on it.
+    Reference contracts ported (mergelist.Rraw 11-13): zero-column
+    tables are skipped; unequal row counts raise (recycling is
+    unimplemented in the reference too, 12.13-12.16); duplicated
+    output names are allowed but wipe key/index metadata; the first
+    surviving key is retained and index names concatenate.
+
+    setcbindlist is an alias (immutable frames)."""
+    if isinstance(tables, (DT, DataFrame)) or not isinstance(
+        tables, (list, tuple)
+    ):
+        raise ValueError("'l' must be a list")
+    for i, t in enumerate(tables):
+        if not isinstance(t, DT):
+            raise ValueError(f"Element {i + 1} of 'l' is not a data.table")
+    if on is not None:
+        if not tables:
+            raise ValueError("empty list")
+        on = _namelist(on)
+        acc = tables[0].df
+        for t in tables[1:]:
+            acc = acc.join(t.df, on=on, how="inner")
+        return DT(acc, key=list(on))
+    live = [t for t in tables if t.columns]  # 0-col tables skipped (11.05)
+    if not live:
+        from pyspark.sql import SparkSession
+        from pyspark.sql.types import StructType
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:  # pragma: no cover
+            raise ValueError("empty list and no active SparkSession")
+        return DT(spark.createDataFrame([], StructType([])))
+    counts = [t.df.count() for t in live]
+    if len(set(counts)) > 1:
+        raise ValueError(
+            "cbindlist: tables have to have the same number of rows "
+            f"({counts}); recycling is not yet implemented"
+        )
+    pos_w = Window.orderBy(F.monotonically_increasing_id())
+    acc = None
+    out_cols: list = []
+    for i, t in enumerate(live):
+        tagged = t.df.withColumn(
+            f"__pos{i}__", F.row_number().over(pos_w)
+        ).alias(f"__c{i}__")
+        out_cols += [F.col(f"__c{i}__.`{c}`") for c in t.columns]
+        if acc is None:
+            acc = tagged
+        else:
+            acc = acc.join(
+                tagged,
+                F.col("__pos0__") == F.col(f"__pos{i}__"),
+                "inner",
+            )
+    out = acc.select(*out_cols)
+    names = [c for t in live for c in t.columns]
+    if len(set(names)) != len(names):
+        return DT(out)  # duplicate names wipe key/index (cbindlist_impl_)
+    key = next((list(t.key) for t in live if t.key), None)
+    res = DT(out, key=key)
+    res.index_names = [ix for t in live for ix in t.index_names]
+    return res
+
+
+#: in-place variant alias (reference R/mergelist.R:12 setcbindlist)
+setcbindlist = cbindlist
 
 
 def split_table(dt: DT, by: Sequence[str], values: Sequence) -> dict:

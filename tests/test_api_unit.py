@@ -936,7 +936,7 @@ def test_mergelist_mult_first_last_error(spark):
     got = sorted((r.k, r.r) for r in last.df.collect())
     assert got == [(1, 200), (2, 300)]
 
-    with pytest.raises(ValueError, match="duplicate join keys"):
+    with pytest.raises(ValueError, match="multiple matches during merge"):
         mergelist([left, dup], on="k", how="left", mult="error")
 
     # unique right keys pass mult="error" untouched
@@ -944,7 +944,7 @@ def test_mergelist_mult_first_last_error(spark):
     ok = mergelist([left, uniq], on="k", how="left", mult="error")
     assert ok.df.count() == 2
 
-    with pytest.raises(ValueError, match="bad mult"):
+    with pytest.raises(ValueError, match="must be one of"):
         mergelist([left, uniq], on="k", how="left", mult="bogus")
 
 
@@ -1041,7 +1041,12 @@ def test_mergelist_mult_rejected_for_semi(spark):
 
     a = DT(spark.createDataFrame([(1,)], "k int"))
     b = DT(spark.createDataFrame([(1,), (1,)], "k int"))
-    with pytest.raises(ValueError, match="not meaningful"):
+    # reference dtmerge: semi/anti REQUIRE mult != "all" (mergelist.Rraw
+    # 101.34-35); mult="error" is valid and raises only on actual
+    # multiple matches
+    with pytest.raises(ValueError, match="mult!='all'"):
+        mergelist([a, b], on="k", how="semi", mult="all")
+    with pytest.raises(ValueError, match="multiple matches"):
         mergelist([a, b], on="k", how="semi", mult="error")
 
 
@@ -2912,7 +2917,9 @@ def test_auto_probe_memoized(spark):
     )
     before = W._PROBE_JOBS
     r1 = W.froll(big, "mean", "v", 5, n_chunks="auto")
-    r2 = W.froll(big, "sum", "v", 5, n_chunks="auto")
+    # a DERIVED frame: froll carried the probe memo onto r1.df
+    # (_carries_probe), so the chained call re-probes nothing
+    r2 = W.froll(r1, "sum", "v", 5, n_chunks="auto")
     assert W._PROBE_JOBS == before + 1
     h1 = r1.df.agg(F.sum(F.pmod(F.xxhash64("t", "v_rollmean_5"), F.lit(1000003)))).collect()[0][0]
     h1e = W.froll(big, "mean", "v", 5, n_chunks=10).df.agg(

@@ -136,3 +136,98 @@ def test_config_differential(spark, name):
                     spark.conf.set(k, v)
         assert got[0] == base[0], f"{name} under {variant}: column drift"
         assert got[1] == base[1], f"{name} under {variant}: value drift"
+
+
+# ---------------------------------------------------------------------------
+# Skew axis (round-10 verdict item 7): the chunk-stitch escape hatch
+# crossed with the planner knobs. The driver *_chunked queries pin ONE
+# chunk count; here every ordered-op family runs with n_chunks FORCED to
+# 2 and 7 under all three config variants, asserting value identity with
+# the unsplit default-session run — stitch × planner-knob interactions
+# are exactly where a broadcast-hint or AQE dependence would hide.
+
+def _ordered_ops():
+    from data_table_spark.operators.window import (
+        cumfn, frank, frolladaptive, froll, nafill, rleid, shift,
+    )
+
+    def sel(cols):
+        return lambda out: out.query(j=["event_id", "user_id"] + cols).df
+
+    return {
+        "froll_mean": (
+            lambda dt, n: froll(dt, "mean", ["value"], 5, by=["user_id"],
+                                n_chunks=n),
+            sel(["value_rollmean_5"]),
+        ),
+        "shift_lag": (
+            lambda dt, n: shift(dt, ["value"], 1, by=["user_id"],
+                                n_chunks=n),
+            sel(["value_lag_1"]),
+        ),
+        "frank_avg": (
+            lambda dt, n: frank(dt, "value", ties="average", by=["user_id"],
+                                out_col="rk", n_chunks=n),
+            sel(["rk"]),
+        ),
+        "rleid_runs": (
+            lambda dt, n: rleid(dt, ["event_type"], by=["user_id"],
+                                out_col="run", n_chunks=n),
+            sel(["run"]),
+        ),
+        "nafill_locf": (
+            lambda dt, n: nafill(dt, "value_gap", type="locf",
+                                 by=["user_id"], n_chunks=n),
+            sel(["value_gap"]),
+        ),
+        "cumsum_run": (
+            lambda dt, n: cumfn(dt, "sum", ["value"], by=["user_id"],
+                                n_chunks=n),
+            sel(["value_cumsum"]),
+        ),
+        "frolladaptive_sum": (
+            lambda dt, n: frolladaptive(dt, "value", "awin",
+                                        by=["user_id"], out_col="aroll",
+                                        n_chunks=n),
+            sel(["aroll"]),
+        ),
+    }
+
+
+@pytest.fixture(scope="module")
+def _events_dt(spark):
+    from pyspark.sql import functions as F
+
+    from data_table_spark.core import DT
+    from data_table_spark.queries import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    df = ev.df.withColumn(
+        "value_gap",
+        F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value")),
+    ).withColumn(
+        "awin", (F.pmod(F.col("event_id"), F.lit(4)) + 1).cast("int")
+    )
+    return DT(df, order_by=ev.order_by or ["ts_us", "event_id"])
+
+
+@pytest.mark.parametrize("op", sorted(_ordered_ops()))
+def test_chunk_stitch_config_differential(spark, _events_dt, op):
+    build, project = _ordered_ops()[op]
+    base = _sig(project(build(_events_dt, None)).toPandas())
+    for n in (2, 7):
+        got = _sig(project(build(_events_dt, n)).toPandas())
+        assert got == base, f"{op} n_chunks={n} (default session)"
+        for variant, confs in VARIANTS.items():
+            saved = {k: spark.conf.get(k, None) for k in confs}
+            try:
+                for k, v in confs.items():
+                    spark.conf.set(k, v)
+                got = _sig(project(build(_events_dt, n)).toPandas())
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+            assert got == base, f"{op} n_chunks={n} under {variant}"
