@@ -69,70 +69,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
-# #   r0: 4
-# #   r4: 8
-# #   r5: 43
-# #   r7: 46
-# #   r8: 41
-# #   r9: 50
-# # window covers 50 slots; oldest row left outside: r5
-# # POST-window histogram (window rows counted as r10):
+# #   r0: 1
 # #   r5: 18
 # #   r7: 44
 # #   r8: 40
 # #   r9: 40
 # #   r10: 50
+# # window covers 50 slots; oldest row left outside: r7
+# # POST-window histogram (window rows counted as r11):
+# #   r7: 25
+# #   r8: 39
+# #   r9: 38
+# #   r10: 41
+# #   r11: 50
 _PRIORITY = [
-    "minhash_lsh_shuffle",  # new
-    "minhash_lsh_pairs",  # new
-    "line_dedup_boilerplate",  # new
-    "web_curation_pipeline",  # new
-    "frank_ties",  # new
-    "frank_random",  # new
-    "frank_chunked",  # new
+    "mergelist_mixed",  # new
+    "mergelist_fold",  # new
+    "fdistinct_last",  # new
+    "cbindlist_zip",  # new
     "froll_auto_chunks",  # new
-    "frollapply_corr",  # new
-    "froll_adaptive_sum",  # new
-    "froll_adaptive_minmax",  # new
-    "froll_adaptive_median",  # new
-    "rowid_counter",  # new
-    "froll_adaptive_chunked",  # new
-    "frollapply_chunked",  # new
     "froll_chunked",  # new
     "asof_chunked",  # new
-    "stream_sliding_agg",  # r4
-    "stream_stream_join",  # r4
-    "stream_tumbling_agg",  # r4
-    "time_parts",  # r4
-    "transpose_small",  # r4
-    "tstrsplit_cols",  # r4
-    "vecseq_expand",  # r4
-    "vocab_topk",  # r4
-    "bigram_lm_score",  # r5
-    "bm25_topk",  # r5
-    "chgroup_first_appearance",  # r5
-    "chmatch_rank",  # r5
-    "chunk_dedup_pairs",  # r5
-    "dedup_cluster_sizes",  # r5
-    "dedup_exact_ids",  # r5
-    "dogroups_arrow_udtf",  # r5
-    "eachi_join_agg",  # r5
-    "embedding_centroids",  # r5
-    "fdistinct_last",  # r5
-    "foverlaps_end",  # r5
-    "foverlaps_equal",  # r5
-    "frollapply_median",  # r5
-    "fsetequal_check",  # r5
-    "funnel_stages",  # r5
-    "gforce_q1",  # r5
-    "ghead_per_group",  # r5
-    "ivf_ann_topk",  # r5
-    "join_inner",  # r5
-    "jsonl_roundtrip",  # r5
-    "lookup_join",  # r5
-    "melt_narm",  # r5
-    "merge_full",  # r5
-    "mergelist_fold",  # r5
+    "frank_chunked",  # new
+    "rleid_chunked",  # new
+    "froll_adaptive_chunked",  # new
+    "frollapply_chunked",  # new
+    "rowid_counter",  # new
+    "froll_narm",  # new
+    "mult_first",  # r5
+    "na_omit_cols",  # r5
+    "orc_roundtrip",  # r5
+    "pii_scrub",  # r5
+    "setindex_bucketed",  # r5
+    "sketch_quantiles",  # r5
+    "split_leakfree",  # r5
+    "sq8_ann_topk",  # r5
+    "stream_neardup_screen",  # r5
+    "stream_session_agg",  # r5
+    "stream_session_dynamic",  # r5
+    "stream_stream_full_join",  # r5
+    "stream_stream_left_join",  # r5
+    "stream_stream_right_join",  # r5
+    "tfidf_keywords",  # r5
+    "udtf_chunk_lateral",  # r5
+    "which_rows",  # r5
+    "winnow_dup_pairs",  # r5
+    "anti_join",  # r7
+    "cj_cross",  # r7
+    "cube_agg",  # r7
+    "date_parts",  # r7
+    "dcast_drop_false",  # r7
+    "dcast_multi_agg",  # r7
+    "dcast_pivot",  # r7
+    "dedup_exact",  # r7
+    "duplicated_flag",  # r7
+    "epoch_upsample",  # r7
+    "fifelse_fcase",  # r7
+    "filter_between",  # r7
+    "filter_chin",  # r7
+    "filter_like",  # r7
+    "filter_notin",  # r7
+    "filter_scan",  # r7
+    "foverlaps_any",  # r7
+    "foverlaps_start",  # r7
+    "foverlaps_within",  # r7
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -362,21 +362,32 @@ def froll(
                         F.count(_src(c)).over(w) == F.count(F.lit(1)).over(w),
                         val,
                     )
-                elif fun in ("mean", "sum"):
-                    # R's empty-aggregate identity for a FULL window of
-                    # only NAs under na.rm=TRUE (froll.Rraw 6000.066):
-                    # mean(numeric(0)) = NaN, sum(numeric(0)) = 0.
+                elif fun in ("mean", "sum", "max", "min", "prod"):
+                    # R's empty-aggregate identities for a FULL window
+                    # of only NAs under na.rm=TRUE (froll.Rraw 6000.066
+                    # mean/sum; 6000.4242 frollmax -> -Inf; 6000.6242
+                    # frollmin -> +Inf; base prod(numeric(0)) = 1).
                     # Spark's skip-null aggregate yields NULL there; the
                     # partial/full mask below still nulls incomplete
                     # windows, so only full all-NA windows are touched.
+                    # Extrema/prod identities are float-typed, so they
+                    # apply to double/float columns only (integer
+                    # columns cannot hold ±Inf).
+                    t = dtypes.get(c)
+                    is_f = t in ("double", "float")
+                    empty = None
                     if fun == "mean":
                         empty = F.lit(float("nan"))
-                    else:
-                        t = dtypes.get(c)
-                        empty = F.lit(0).cast(
-                            "double" if t in ("double", "float") else "bigint"
-                        )
-                    val = F.coalesce(val, empty)
+                    elif fun == "sum":
+                        empty = F.lit(0).cast("double" if is_f else "bigint")
+                    elif is_f and fun == "max":
+                        empty = F.lit(float("-inf"))
+                    elif is_f and fun == "min":
+                        empty = F.lit(float("inf"))
+                    elif is_f and fun == "prod":
+                        empty = F.lit(1.0)
+                    if empty is not None:
+                        val = F.coalesce(val, empty)
                 if not partial:
                     val = F.when(F.count(F.lit(1)).over(w) >= k, val)
                 out[name] = val

@@ -370,3 +370,125 @@ def test_rleid_chunk_stitch_equivalence(spark):
         for r in rleid(dt2, ["x", "y"], order=["-i"], n_chunks=4).df.collect()
     }
     assert c2 == p2
+
+
+# ---------------------------------------------------------------------------
+# froll all-NA-window identities + frollBatch-style randomized differential
+
+
+def test_froll_extrema_allna_identities(spark):
+    """froll.Rraw 6000.4242/.4244 (frollmax) and 6000.7242/.7244
+    (frollmin): a FULL window of only NAs under na.rm=TRUE yields the
+    base-R empty-aggregate identity (-Inf / +Inf), not NULL; na.rm=FALSE
+    keeps NA. 6000.7272: NaN mixes count as NA (nan_is_na) and the
+    identity still applies."""
+    import math
+
+    allna = [None] * 8
+    dt = _mk(spark, allna)
+    assert _col(froll(dt, "max", "x", 3, give_names=False)) == [None] * 8
+    assert _col(froll(dt, "max", "x", 3, na_rm=True, give_names=False)) == (
+        [None, None] + [-math.inf] * 6
+    )
+    assert _col(froll(dt, "min", "x", 3, na_rm=True, give_names=False)) == (
+        [None, None] + [math.inf] * 6
+    )
+    # base-R sum/prod identities on the same shape (frollBatch rollfun)
+    assert _col(froll(dt, "sum", "x", 3, na_rm=True, give_names=False)) == (
+        [None, None] + [0.0] * 6
+    )
+    assert _col(froll(dt, "prod", "x", 3, na_rm=True, give_names=False)) == (
+        [None, None] + [1.0] * 6
+    )
+    # 6000.7272: all NaN/NA vector
+    nanmix = [None, math.nan, None, math.nan, math.nan, math.nan, None, None]
+    dt = _mk(spark, nanmix)
+    assert _col(froll(dt, "min", "x", 3, na_rm=True, give_names=False)) == (
+        [None, None] + [math.inf] * 6
+    )
+
+
+def _roll_oracle(xs, n, fun, na_rm, partial):
+    """Base-R loop oracle — the frollBatch.Rraw:28-44 rollfun pattern
+    with the data.table NaN-as-NA rule (is.na(NaN) TRUE): None/NaN are
+    NA; ±Inf are ordinary values; empty aggregates take the base-R
+    identities (sum 0, max -Inf, min +Inf, mean NA)."""
+    import math
+
+    def is_na(v):
+        return v is None or (isinstance(v, float) and math.isnan(v))
+
+    out = []
+    for i in range(len(xs)):
+        lo = i - n + 1
+        if lo < 0 and not partial:
+            out.append(None)
+            continue
+        w = xs[max(lo, 0):i + 1]
+        vals = [float(v) for v in w if not is_na(v)]
+        if not na_rm and len(vals) != len(w):
+            out.append(None)
+            continue
+        if fun == "sum":
+            out.append(sum(vals) if vals else 0.0)
+        elif fun == "mean":
+            out.append(sum(vals) / len(vals) if vals else None)
+        elif fun == "max":
+            out.append(max(vals) if vals else -math.inf)
+        elif fun == "min":
+            out.append(min(vals) if vals else math.inf)
+    return out
+
+
+def test_froll_batch_differential(spark):
+    """frollBatch.Rraw batch-validation pattern: random vectors mixing
+    NA/NaN/±Inf at high ratio, every fun x na.rm x partial combination
+    checked against the loop oracle. Runs as a table of seeded cases
+    (deterministic — Date.now/seeding constraints) rather than live
+    hypothesis, like the reference's set.seed(108) batch."""
+    import itertools
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(108)
+    pool = [None, math.nan, math.inf, -math.inf] + [
+        float(v) for v in range(-5, 6)
+    ]
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        return v
+
+    for case in range(12):
+        xs = [rng.choice(pool) for _ in range(rng.randint(1, 14))]
+        n = rng.randint(1, 5)
+        dt = _mk(spark, xs)
+        acc = dt
+        names = {}
+        for j, (fun, na_rm, partial) in enumerate(
+            itertools.product(("sum", "mean", "max", "min"),
+                              (False, True), (False, True))
+        ):
+            acc = froll(acc, fun, ["x"], n, na_rm=na_rm, partial=partial)
+            out_name = f"o{j}"
+            acc = DT(
+                acc.df.withColumnRenamed(f"x_roll{fun}_{n}", out_name),
+                order_by=acc.order_by,
+            )
+            names[out_name] = (fun, na_rm, partial)
+        rows = acc.df.orderBy("i").collect()
+        for out_name, (fun, na_rm, partial) in names.items():
+            got = [norm(r[out_name]) for r in rows]
+            want = [norm(v) for v in _roll_oracle(xs, n, fun, na_rm, partial)]
+            ctx = (case, xs, n, fun, na_rm, partial)
+            assert len(got) == len(want), ctx
+            for g, w in zip(got, want):
+                if g is None or w is None:
+                    assert g == w, ctx
+                elif math.isinf(g) or math.isinf(w):
+                    assert g == w, ctx
+                else:
+                    assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), ctx
