@@ -96,6 +96,7 @@ _PRIORITY = [
     "frollapply_chunked",  # new
     "rowid_counter",  # new
     "froll_narm",  # new
+    "filter_between",  # new
     "mult_first",  # r5
     "na_omit_cols",  # r5
     "orc_roundtrip",  # r5
@@ -125,7 +126,6 @@ _PRIORITY = [
     "duplicated_flag",  # r7
     "epoch_upsample",  # r7
     "fifelse_fcase",  # r7
-    "filter_between",  # r7
     "filter_chin",  # r7
     "filter_like",  # r7
     "filter_notin",  # r7

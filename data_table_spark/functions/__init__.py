@@ -65,12 +65,45 @@ def fcoalesce(*cols) -> Column:
     return F.coalesce(*[_col(c) for c in cols])
 
 
-def between(x: Column | str, lower, upper, incbounds: bool = True) -> Column:
-    """x %between% [lower, upper] (reference R/between.R:2, src/between.c:9)."""
+def between(
+    x: Column | str, lower, upper, incbounds: bool = True,
+    NAbounds: bool | None = True, check: bool = False,
+) -> Column:
+    """x %between% [lower, upper] (reference R/between.R:2, src/between.c:9).
+
+    Bounds may be scalars or Columns (the reference's per-element
+    vector bounds, tests.Rraw 1695.19-23; Spark columns are row-aligned
+    so the recycling-length errors 1695.24-25 cannot arise).
+
+    ``NAbounds`` (reference default TRUE, tests.Rraw 1529.10-17): an NA
+    bound means that side is UNBOUNDED (always passes). ``NAbounds=None``
+    (the reference's NAbounds=NA) keeps SQL three-valued logic: the
+    result is NA unless the other side already proves FALSE — exactly
+    Spark's native null-propagating comparison, so no extra expression
+    is emitted. ``check=True`` validates lower<=upper for scalar bounds
+    (reference check=; a Column-bounds check would need a Spark action,
+    so it stays scalar-only here).
+
+    Documented divergence: a NaN ``x`` compares under Spark's NaN
+    ordering (NaN > every number), so NaN %between% (3,7) is FALSE
+    here where R returns NA (tests.Rraw 1695.01) — between() takes a
+    bare Column with no frame, so the engine's usual dtype-aware
+    NaN-as-NA masking cannot be applied generically."""
     x = _col(x)
-    if incbounds:
-        return (x >= lower) & (x <= upper)
-    return (x > lower) & (x < upper)
+    if check and not isinstance(lower, Column) and not isinstance(upper, Column):
+        if lower is not None and upper is not None and lower > upper:
+            raise ValueError(f"between: lower ({lower!r}) > upper ({upper!r})")
+    lo = lower if isinstance(lower, Column) else F.lit(lower)
+    up = upper if isinstance(upper, Column) else F.lit(upper)
+    lc = (x >= lo) if incbounds else (x > lo)
+    uc = (x <= up) if incbounds else (x < up)
+    if NAbounds is True:
+        lc = F.when(lo.isNull(), F.lit(True)).otherwise(lc)
+        uc = F.when(up.isNull(), F.lit(True)).otherwise(uc)
+        # an NA bound is unbounded, but an NA x is still NA
+        # (tests.Rraw 1695.11-15 vs 1529.13)
+        return F.when(x.isNull(), F.lit(None).cast("boolean")).otherwise(lc & uc)
+    return lc & uc
 
 
 def inrange_pred(x: Column | str, lower, upper, incbounds: bool = True) -> Column:

@@ -492,3 +492,131 @@ def test_froll_batch_differential(spark):
                     assert g == w, ctx
                 else:
                     assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), ctx
+
+
+# ---------------------------------------------------------------------------
+# between() NAbounds / vector-bounds vectors (tests.Rraw 1529, 1695)
+
+
+def test_between_nabounds_and_vector_bounds(spark):
+    """tests.Rraw 1529.07-1529.17: NAbounds=TRUE treats an NA bound as
+    unbounded; NAbounds=NA keeps SQL 3VL (FALSE only when the other
+    side proves it). 1695.18-23: character x and per-element vector
+    bounds."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.functions import between
+
+    xs = [0.1 * i for i in range(1, 11)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(xs)], "i int, x double")
+
+    def col(expr):
+        return [r["b"] for r in
+                df.select("i", expr.alias("b")).orderBy("i").collect()]
+
+    # 1529.07/.09
+    assert col(between("x", 0.25, 0.75)) == [v >= 0.25 and v <= 0.75 for v in xs]
+    assert col(between("x", 0.25, 0.75, incbounds=False)) == [
+        0.25 < v < 0.75 for v in xs]
+    # 1529.10/.11: NAbounds=NA -> FALSE where provably out, else NA
+    assert col(between("x", 0.25, None, NAbounds=None)) == [
+        False if v < 0.25 else None for v in xs]
+    assert col(between("x", None, 0.75, NAbounds=None)) == [
+        False if v > 0.75 else None for v in xs]
+    # 1529.12/.13: both bounds NA
+    assert col(between("x", None, None, NAbounds=None)) == [None] * 10
+    assert col(between("x", None, None)) == [True] * 10
+    # 1529.14/.15: scalar lower from the data, NA upper
+    lo = xs[2]
+    assert col(between("x", lo, None, incbounds=False, NAbounds=None)) == [
+        False if v <= lo else None for v in xs]
+    assert col(between("x", lo, None, incbounds=True, NAbounds=None)) == [
+        False if v < lo else None for v in xs]
+    # 1695.07-.15: NA x propagates NA; NA bounds unbounded (default
+    # NAbounds=TRUE)
+    idf = spark.createDataFrame(
+        [(0, None), (1, 1), (2, 5)], "i int, x int"
+    )
+
+    def icol(expr):
+        return [r["b"] for r in
+                idf.select("i", expr.alias("b")).orderBy("i").collect()]
+
+    assert icol(between("x", 3, 7)) == [None, False, True]        # 1695.07
+    assert icol(between("x", None, 7)) == [None, True, True]      # 1695.08
+    assert icol(between("x", 3, None)) == [None, False, True]     # 1695.09
+    assert icol(between("x", None, None)) == [None, True, True]   # 1695.11
+
+    # 1695.18-.21: character x = c("foo","bar","paz")
+    cdf = spark.createDataFrame(
+        [(0, "foo", "b"), (1, "bar", "f"), (2, "paz", "a")],
+        "i int, x string, lo string",
+    )
+    got = [r["b"] for r in cdf.select(
+        "i", between("x", "bag", "fog").alias("b")).orderBy("i").collect()]
+    assert got == [False, True, False]                             # 1695.18
+    # 1695.19: per-element vector lower bound (Column)
+    got = [r["b"] for r in cdf.select(
+        "i", between("x", F.col("lo"), F.lit("q")).alias("b")
+    ).orderBy("i").collect()]
+    assert got == [True, False, True]
+    # 1695.22/.23: numeric vector bounds incl. Inf
+    import math
+
+    # x = c(3.14, 3.20, -42, Inf); lower = c(3,4,-60,5);
+    # upper = c(3.14,10,-30,Inf)
+    ndf = spark.createDataFrame(
+        [(0, 3.14, 3.0, 3.14), (1, 3.20, 4.0, 10.0),
+         (2, -42.0, -60.0, -30.0), (3, math.inf, 5.0, math.inf)],
+        "i int, x double, lo double, up double",
+    )
+    got = [r["b"] for r in ndf.select(
+        "i", between("x", F.col("lo"), F.col("up")).alias("b")
+    ).orderBy("i").collect()]
+    assert got == [True, False, True, True]
+    got = [r["b"] for r in ndf.select(
+        "i", between("x", F.col("lo"), F.col("up"), incbounds=False).alias("b")
+    ).orderBy("i").collect()]
+    assert got == [False, False, True, False]
+    # check= scalar validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lower"):
+        between("x", 5, 1, check=True)
+
+
+def test_foverlaps_double_point_intervals(spark):
+    """tests.Rraw 1390.1-1390.2: point intervals (start == end) on
+    DOUBLE types. The reference's C kernel needed a machine-tolerance
+    increment (not +1L) to get these right; the declarative closed-
+    interval predicate here is type-agnostic, so the same vectors pin
+    that no integer-widening bug exists."""
+    from data_table_spark.core import DT
+    from data_table_spark.operators.overlaps import foverlaps
+
+    eps = 2.220446049250313e-16 ** 0.5  # .Machine$double.eps^0.5
+    x = DT(spark.createDataFrame([(0.88, 0.88)], "start double, end double"))
+    y = DT(spark.createDataFrame(
+        [(0.26, 0.61), (0.5, 0.88), (0.55, 0.88 - eps), (0.7, 0.89)],
+        "start double, end double",
+    ))
+    got = sorted(
+        (r["i_start"], r["i_end"])
+        for r in foverlaps(
+            x, y, by_x=["start", "end"], nomatch=None
+        ).df.collect()
+    )
+    # yid 2 and 4 of the keyed y (sorted order): (0.5,0.88), (0.7,0.89)
+    assert got == [(0.5, 0.88), (0.7, 0.89)]
+
+    # 1390.2: no overlap at all -> nomatch=NA keeps both x rows
+    x = DT(spark.createDataFrame(
+        [(0.3, 0.3), (0.5, 0.5)], "start double, end double"
+    ))
+    y = DT(spark.createDataFrame([(0.4, 0.4)], "start double, end double"))
+    rows = foverlaps(
+        x, y, by_x=["start", "end"], nomatch="NA"
+    ).df.collect()
+    assert sorted((r["start"], r["i_start"]) for r in rows) == [
+        (0.3, None), (0.5, None)
+    ]
