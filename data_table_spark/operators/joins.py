@@ -716,7 +716,8 @@ def mergelist(
             raise ValueError(
                 f"'cols' must be same length as 'l' ({len(cols)} != {n})"
             )
-        cols_steps = list(cols)
+        # a bare string is R's length-1 character vector
+        cols_steps = [[c] if isinstance(c, str) else c for c in cols]
         for c in cols_steps:
             if c is None:
                 continue
@@ -749,7 +750,11 @@ def mergelist(
     elif isinstance(on, (list, tuple)) and any(
         e is None or isinstance(e, (list, tuple)) for e in on
     ):
-        on_steps = [list(e) if e is not None else None for e in on]
+        # per-step form; a bare string element is a length-1 name vector
+        on_steps = [
+            [e] if isinstance(e, str) else (list(e) if e is not None else None)
+            for e in on
+        ]
         if len(on_steps) != n - 1:
             raise ValueError(
                 "'on' must be non-NA, non-duplicated, character vector, "
