@@ -77,10 +77,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # #   r10: 50
 # # window covers 50 slots; oldest row left outside: r7
 # # POST-window histogram (window rows counted as r11):
-# #   r7: 25
+# #   r7: 26
 # #   r8: 39
 # #   r9: 38
-# #   r10: 41
+# #   r10: 40
 # #   r11: 50
 _PRIORITY = [
     "mergelist_mixed",  # new
@@ -97,6 +97,7 @@ _PRIORITY = [
     "rowid_counter",  # new
     "froll_narm",  # new
     "filter_between",  # new
+    "tstrsplit_cols",  # new
     "mult_first",  # r5
     "na_omit_cols",  # r5
     "orc_roundtrip",  # r5
@@ -132,7 +133,6 @@ _PRIORITY = [
     "filter_scan",  # r7
     "foverlaps_any",  # r7
     "foverlaps_start",  # r7
-    "foverlaps_within",  # r7
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

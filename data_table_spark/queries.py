@@ -1744,7 +1744,9 @@ def q_tstrsplit(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     ords = t["orders"].query(j=["o_orderkey", "o_orderpriority"])
-    out = tstrsplit(ords, "o_orderpriority", "-", ["prio_num", "prio_name"])
+    # n_parts=2: o_orderpriority is "N-NAME"; skips the part-count probe
+    out = tstrsplit(ords, "o_orderpriority", "-", ["prio_num", "prio_name"],
+                    n_parts=2)
     return out.df
 
 

@@ -620,3 +620,141 @@ def test_foverlaps_double_point_intervals(spark):
     assert sorted((r["start"], r["i_start"]) for r in rows) == [
         (0.3, None), (0.5, None)
     ]
+
+
+def test_fifelse_fcase_vectors(spark):
+    """tests.Rraw 2072 (fifelse) / 2127 (fcase) — the portable
+    semantics: NA test rows yield NA (unless fifelse na=), scalar and
+    per-row Column branches mix freely, no-condition-matches rows are
+    NA without default= and take default= with it, and date arithmetic
+    flows through branches. R's vector-length and type-promotion error
+    contracts are vector-runtime specifics with no Spark analog
+    (Columns are row-aligned by construction; Catalyst raises its own
+    analysis errors on type clashes)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_table_spark.functions import fcase, fifelse
+
+    # test_vec = -5:5 < 0; test_vec_na appends NA
+    rows = [(i, v, v < 0, v > 0) for i, v in enumerate(range(-5, 6))]
+    rows.append((11, None, None, None))
+    df = spark.createDataFrame(rows, "i int, v int, t1 boolean, t2 boolean")
+
+    def col(expr):
+        return [r["o"] for r in
+                df.select("i", expr.alias("o")).orderBy("i").collect()]
+
+    # 2072.001/.020: scalar branches, NA test -> NA
+    assert col(fifelse("t1", F.lit(1), F.lit(0))) == [
+        1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, None]
+    # 2072.005: na stays NA unless na= supplies a value
+    assert col(fifelse("t1", F.lit(True), F.lit(None).cast("boolean")))[:6] \
+        == [True] * 5 + [None]
+    assert col(fifelse("t1", F.lit(1), F.lit(0), na=-1))[-1] == -1
+    # 2072.006-.008/.021-.023: Column-valued branches (R's vector form)
+    assert col(fifelse("t1", F.col("v") * 10, F.col("v"))) == [
+        -50, -40, -30, -20, -10, 0, 1, 2, 3, 4, 5, None]
+    # 2072.018: date arithmetic through branches
+    ddf = spark.createDataFrame(
+        [(i, datetime.date(2011, 1, 1) + datetime.timedelta(days=i))
+         for i in range(5)],
+        "i int, d date",
+    )
+    got = [r["o"] for r in ddf.select(
+        "i",
+        fifelse(F.col("d") == F.lit("2011-01-01").cast("date"),
+                F.date_sub("d", 1), F.col("d")).alias("o"),
+    ).orderBy("i").collect()]
+    assert got[0] == datetime.date(2010, 12, 31)
+    assert got[1:] == [datetime.date(2011, 1, 2) + datetime.timedelta(days=k)
+                       for k in range(4)]
+
+    # fcase 2127.01/.02: out_vec has NA where NEITHER condition holds
+    # (v == 0), and NA where the test row is NA
+    assert col(fcase("t1", F.lit(1), "t2", F.lit(0))) == [
+        1, 1, 1, 1, 1, None, 0, 0, 0, 0, 0, None]
+    # 2127.09/.10: default= fills the no-match rows (NA test rows
+    # match the reference: default applies — R fcase fills them too)
+    assert col(fcase("t1", F.lit(1), "t2", F.lit(0), default=2)) == [
+        1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 2]
+    # 2127.28/.29: Column-valued outputs
+    assert col(fcase("t1", F.col("v") - 1, "t2", F.col("v") + 1)) == [
+        -6, -5, -4, -3, -2, None, 2, 3, 4, 5, 6, None]
+    # 2127.20: odd argument count raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="even|pairs"):
+        fcase("t1", F.lit(1), "t2")
+
+
+def test_tstrsplit_vectors(spark):
+    """tests.Rraw 1507 / 1571 / 2203: tstrsplit names=TRUE auto-naming,
+    keep= part selection with bounds errors, names-length errors,
+    type.convert=TRUE per-part auto-numeric, dict and callable
+    type_convert forms."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.operators.reshape import tstrsplit
+
+    # 1507.1-.3: x = paste(letters[1:5], 1:5, sep="-")
+    d = DT(spark.createDataFrame(
+        [(i, f"{c}-{i + 1}") for i, c in enumerate("abcde")], "i int, s string"
+    ), order_by=["i"])
+    out = tstrsplit(d, "s", "-", names=["p1", "p2"])
+    rows = out.df.orderBy("i").collect()
+    assert [r["p1"] for r in rows] == list("abcde")
+    assert [r["p2"] for r in rows] == [str(k) for k in range(1, 6)]
+    out = tstrsplit(d, "s", "-", names=["p1", "p2"], type_convert=True)
+    rows = out.df.orderBy("i").collect()
+    assert [r["p1"] for r in rows] == list("abcde")      # stays string
+    assert [r["p2"] for r in rows] == [float(k) for k in range(1, 6)]
+
+    # 1571.1/.3/.4/.5/.6/.7: X$a = c("ABCD", "EFG") split on every char
+    # -> 4 parts ("" split means every character; emulate with 1-char
+    # parts via sep="" -> use a regex split on empty pattern)
+    x = DT(spark.createDataFrame([(0, "A-B-C-D"), (1, "E-F-G")],
+                                 "i int, s string"), order_by=["i"])
+    out = tstrsplit(x, "s", "-", names=True)
+    assert [c for c in out.columns if c.startswith("V")] == [
+        "V1", "V2", "V3", "V4"]                           # 1571.1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not equal to"):  # 1571.2
+        tstrsplit(x, "s", "-", names=["a", "b", "c"])
+    out = tstrsplit(x, "s", "-", names=["a", "b", "c", "d"])  # 1571.3
+    assert [c for c in out.columns if c in "abcd"] == ["a", "b", "c", "d"]
+    out = tstrsplit(x, "s", "-", keep=[2, 4])             # 1571.4
+    rows = out.df.orderBy("i").collect()
+    assert [r["V2"] for r in rows] == ["B", "F"]
+    assert [r["V4"] for r in rows] == ["D", None]
+    with _pytest.raises(ValueError, match="should contain integer"):
+        tstrsplit(x, "s", "-", keep=[2, 7])               # 1571.5
+    with _pytest.raises(ValueError, match="not equal to"):   # 1571.6
+        tstrsplit(x, "s", "-", keep=[2, 4], names=["a", "b", "c", "d", "e"])
+    with _pytest.raises(ValueError, match="TRUE/FALSE or a character"):
+        tstrsplit(x, "s", "-", names=1)                   # 1571.7
+
+    # 2203.01/.02: z = c("Yes/1/2", "No/5/3.5")
+    z = DT(spark.createDataFrame([(0, "Yes/1/2"), (1, "No/5/3.5")],
+                                 "i int, s string"), order_by=["i"])
+    out = tstrsplit(z, "s", "/", names=True)
+    rows = out.df.orderBy("i").collect()
+    assert [r["V1"] for r in rows] == ["Yes", "No"]
+    assert [r["V2"] for r in rows] == ["1", "5"]
+    out = tstrsplit(z, "s", "/", names=True, type_convert=True)
+    rows = out.df.orderBy("i").collect()
+    assert [r["V1"] for r in rows] == ["Yes", "No"]       # not numeric
+    assert [r["V2"] for r in rows] == [1.0, 5.0]
+    assert [r["V3"] for r in rows] == [2.0, 3.5]
+    # 2203.06: per-position cast dict (positions 2 and 3 numeric)
+    out = tstrsplit(z, "s", "/", names=True,
+                    type_convert={2: "double", 3: "double"})
+    rows = out.df.orderBy("i").collect()
+    assert [r["V1"] for r in rows] == ["Yes", "No"]
+    assert [r["V2"] for r in rows] == [1.0, 5.0]
+    # 2203.03: callable applied to every part
+    out = tstrsplit(z, "s", "/", names=True,
+                    type_convert=lambda c: F.upper(c))
+    assert [r["V1"] for r in out.df.orderBy("i").collect()] == ["YES", "NO"]
