@@ -758,3 +758,105 @@ def test_tstrsplit_vectors(spark):
     out = tstrsplit(z, "s", "/", names=True,
                     type_convert=lambda c: F.upper(c))
     assert [r["V1"] for r in out.df.orderBy("i").collect()] == ["YES", "NO"]
+
+
+def test_setops_1626_vectors(spark):
+    """tests.Rraw 1626.01-1626.45, 1626.79-1626.81: the set-operator
+    multiset contracts — fintersect/fsetdiff/funion with all= on
+    single- and two-column tables, the precise duplicate-count grids
+    for intersect/setdiff all=TRUE, fsetequal all=False set semantics,
+    and funion(DT, DT, all=TRUE) self-union (#3133). R-type error
+    contracts (list/raw/complex columns) are N/A — Spark's type system
+    has no such columns."""
+    from data_table_spark.operators.setops import (
+        fintersect, fsetdiff, fsetequal, funion,
+    )
+
+    def dtab(*cols):
+        n = len(cols[0])
+        schema = ", ".join(f"c{i} double" for i in range(len(cols)))
+        return DT(spark.createDataFrame(
+            [tuple(float(c[k]) for c in cols) for k in range(n)], schema))
+
+    def rows(dt):
+        return sorted(tuple(r) for r in dt.df.collect())
+
+    # 1626.01-.07: single column
+    x = dtab([1, 2, 2, 2, 3, 4, 4])
+    y = dtab([2, 3, 4, 4, 4, 5])
+    assert rows(fintersect(x, y)) == [(2,), (3,), (4,)]
+    assert rows(fintersect(x, y, all=True)) == [(2,), (3,), (4,), (4,)]
+    assert rows(fsetdiff(x, y)) == [(1,)]
+    assert rows(fsetdiff(x, y, all=True)) == [(1,), (2,), (2,)]
+    assert rows(funion(x, y)) == [(1,), (2,), (3,), (4,), (5,)]
+    assert len(rows(funion(x, y, all=True))) == 13
+    assert fsetequal(x, y) is False
+
+    # 1626.08-.14: two columns
+    x = dtab([1, 2, 2, 2, 3, 4, 4], [1, 1, 1, 3, 3, 3, 3])
+    y = dtab([2, 3, 4, 4, 4, 5], [1, 1, 2, 3, 3, 3])
+    assert rows(fintersect(x, y)) == [(2, 1), (4, 3)]
+    assert rows(fintersect(x, y, all=True)) == [(2, 1), (4, 3), (4, 3)]
+    assert rows(fsetdiff(x, y)) == [(1, 1), (2, 3), (3, 3)]
+    assert rows(fsetdiff(x, y, all=True)) == [
+        (1, 1), (2, 1), (2, 3), (3, 3)]
+    assert rows(funion(x, y)) == [
+        (1, 1), (2, 1), (2, 3), (3, 1), (3, 3), (4, 2), (4, 3), (5, 3)]
+    assert len(rows(funion(x, y, all=True))) == 13
+    assert fsetequal(x, y) is False
+    # 1626.79-.80: all=False treats rows as SET elements
+    x2 = DT(x.df.dropDuplicates())
+    assert fsetequal(x, x2, all=False) is True
+    assert fsetequal(x, y, all=False) is False
+
+    # 1626.22-.45: precise duplicate-count grids on a one-row base
+    one = dtab([1.0])
+
+    def rep(n):
+        return dtab([1.0] * n) if n else DT(one.df.limit(0))
+
+    for n_y, plain, with_all in [
+        (0, 0, 0), (1, 1, 1), (2, 1, 2), (3, 1, 3), (4, 1, 4), (5, 1, 4),
+    ]:
+        assert fintersect(rep(4), rep(n_y)).df.count() == plain, n_y
+        assert fintersect(rep(4), rep(n_y), all=True).df.count() == with_all
+    for n_y, plain, with_all in [
+        (0, 1, 4), (1, 0, 3), (2, 0, 2), (3, 0, 1), (4, 0, 0), (5, 0, 0),
+    ]:
+        assert fsetdiff(rep(4), rep(n_y)).df.count() == plain, n_y
+        assert fsetdiff(rep(4), rep(n_y), all=True).df.count() == with_all
+
+    # 1626.81: self union all keeps both copies
+    d = dtab([1.0])
+    assert funion(d, d, all=True).df.count() == 2
+
+
+def test_rleid_rowid_1464_1563_vectors(spark):
+    """tests.Rraw 1464 (rleid/rleidv) and 1563.401-.405 (rowid/rowidv):
+    exact run-id and within-group-counter vectors, including the
+    multi-column rleidv(1:4) = every row its own run (the payload
+    column breaks every tie) and the two-column rowid grouping."""
+    from data_table_spark.operators.window import rleid, rowid
+
+    # rleid: a = rep(c("A","B","C","A","B"), c(2,2,3,1,2))
+    a = ["A", "A", "B", "B", "C", "C", "C", "A", "B", "B"]
+    d = DT(spark.createDataFrame(
+        [(i, v, i + 1) for i, v in enumerate(a)], "i int, a string, foo int"
+    ), order_by=["i"])
+    got = [r["rleid"] for r in rleid(d, ["a"]).df.orderBy("i").collect()]
+    assert got == [1, 1, 2, 2, 3, 3, 3, 4, 5, 5]            # 1464.01/.02
+    # 1464.10: rleidv over ALL columns -> foo breaks every tie
+    got = [r["rleid"] for r in
+           rleid(d, ["a", "foo"]).df.orderBy("i").collect()]
+    assert got == list(range(1, 11))
+
+    # rowid: x=c(20,10,10,30,30,20), y=c(a,a,a,b,b,b)
+    rows = [(0, 20, "a"), (1, 10, "a"), (2, 10, "a"),
+            (3, 30, "b"), (4, 30, "b"), (5, 20, "b")]
+    d = DT(spark.createDataFrame(rows, "i int, x int, y string"),
+           order_by=["i"])
+    got = [r["rowid"] for r in rowid(d, ["x"]).df.orderBy("i").collect()]
+    assert got == [1, 1, 2, 1, 2, 2]                        # 1563.401/.402
+    got = [r["rowid"] for r in
+           rowid(d, ["x", "y"]).df.orderBy("i").collect()]
+    assert got == [1, 1, 2, 1, 2, 1]                        # 1563.404/.405
