@@ -83,6 +83,14 @@ def asof_join(
     backward = (roll == "nocb") or (
         isinstance(roll, (int, float)) and not isinstance(roll, bool) and roll < 0
     )
+    if not (forward or nearest or backward):
+        # an unrecognized roll (e.g. the string "-inf" instead of
+        # float("-inf")) must fail HERE, not as an unresolved-column
+        # AnalysisException from the dead fill branches downstream
+        raise ValueError(
+            f"roll must be True/+n/float('inf') (forward), -n/"
+            f"float('-inf')/'nocb' (backward), or 'nearest'; got {roll!r}"
+        )
     limit = abs(roll) if isinstance(roll, (int, float)) and not isinstance(roll, bool) and roll not in (
         float("inf"), float("-inf")
     ) else None

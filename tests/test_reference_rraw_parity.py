@@ -860,3 +860,76 @@ def test_rleid_rowid_1464_1563_vectors(spark):
     got = [r["rowid"] for r in
            rowid(d, ["x", "y"]).df.orderBy("i").collect()]
     assert got == [1, 1, 2, 1, 2, 1]                        # 1563.404/.405
+
+
+def test_roll_join_932_941_vectors(spark):
+    """tests.Rraw 932-941: roll=+Inf/-Inf/+n/-n/"nearest" × rollends on
+    an x table with a QUADRUPLICATED time value (a=4 carries four rows)
+    — pins the prevailing-row rule at duplicate times (forward roll
+    takes the last row in declared order) and the finite-limit-at-ends
+    rule (roll=5 applies its staleness limit when rollends extends past
+    the ends: test 936 J(13) is NA though rollends=TRUE)."""
+    from data_table_spark.operators.asof import asof_join
+
+    xa = [1, 3, 4, 4, 4, 4, 7]
+    xb = [5, 5, 6, 6, 9, 9, 2]
+    x = DT(spark.createDataFrame(
+        [(xa[k], xb[k], k + 1) for k in range(7)], "a int, b int, v int"
+    ), key=["a", "b"], order_by=["a", "b"])
+
+    def run(ivals, **kw):
+        i = DT(spark.createDataFrame([(v,) for v in ivals], "a int"),
+               order_by=["a"])
+        out = asof_join(x, i, on=[], time_x="a", time_i="a", **kw)
+        got = {r["a"]: r["v"] for r in out.df.collect()}
+        return [got[v] for v in ivals]
+
+    q = [0, 2, 6, 8]
+    assert run(q, roll=True, rollends=(True, True)) == [1, 1, 6, 7]   # 932
+    assert run(q, roll=float("-inf"), rollends=(True, True)) == [1, 2, 7, 7]  # 933
+    assert run(q, roll=True) == [None, 1, 6, 7]                        # 934
+    assert run(q, roll="nocb") == [1, 2, 7, None]                      # 935
+    q5 = [-10, -1, 2, 12, 13]
+    assert run(q5, roll=5, rollends=(True, True)) == [
+        None, 1, 1, 7, None]                                           # 936
+    q_n = [-10, 2, 6, 7, 8]
+    assert run(q_n, roll="nearest") == [1, 1, 7, 7, 7]                 # 938
+    assert run(q_n, roll="nearest", rollends=(True, False)) == [
+        1, 1, 7, 7, None]                                              # 939
+    assert run(q_n, roll="nearest", rollends=(False, True)) == [
+        None, 1, 7, 7, 7]                                              # 940
+    assert run(q_n, roll="nearest", rollends=(False, False)) == [
+        None, 1, 7, 7, None]                                           # 941
+
+
+def test_roll_backward_1097_1100_rollends_grid(spark):
+    """tests.Rraw 1097-1100: backward roll (nocb) × the rollends grid on
+    the classic two-observation date table — rows BEFORE the first
+    observation are governed by rollends[0], rows AFTER the last by
+    rollends[1]."""
+    import datetime
+
+    from data_table_spark.operators.asof import asof_join
+
+    d = datetime.date
+    x = DT(spark.createDataFrame(
+        [(d(2013, 1, 3), 1), (d(2013, 1, 7), 2)], "t date, ind int"
+    ), order_by=["t"])
+    i = DT(spark.createDataFrame(
+        [(d(2013, 1, 1) + datetime.timedelta(days=k),) for k in range(10)],
+        "t date",
+    ), order_by=["t"])
+
+    def run(re):
+        out = asof_join(x, i, on=[], time_x="t", time_i="t",
+                        roll=float("-inf"), rollends=re)
+        got = {r["t"]: r["ind"] for r in out.df.collect()}
+        return [got[d(2013, 1, 1) + datetime.timedelta(days=k)]
+                for k in range(10)]
+
+    assert run((False, False)) == [
+        None, None, 1, 2, 2, 2, 2, None, None, None]                  # 1097
+    assert run((True, True)) == [1, 1, 1, 2, 2, 2, 2, 2, 2, 2]        # 1098
+    assert run((True, False)) == [
+        1, 1, 1, 2, 2, 2, 2, None, None, None]                        # 1099
+    assert run((False, True)) == [None, None, 1, 2, 2, 2, 2, 2, 2, 2]  # 1100
