@@ -98,6 +98,7 @@ _PRIORITY = [
     "froll_narm",  # new
     "filter_between",  # new
     "tstrsplit_cols",  # new
+    "uniqueN_by",  # new
     "mult_first",  # r5
     "na_omit_cols",  # r5
     "orc_roundtrip",  # r5
@@ -132,7 +133,6 @@ _PRIORITY = [
     "filter_notin",  # r7
     "filter_scan",  # r7
     "foverlaps_any",  # r7
-    "foverlaps_start",  # r7
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

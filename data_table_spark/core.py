@@ -409,7 +409,43 @@ class DT:
 
     # ------------------------------------------------------------- helpers
     def head(self, n: int = 6) -> "DT":
-        return self._wrap(self.df.limit(n))
+        """head.data.table (reference R/data.table.R:2411-2416): first n
+        rows in the declared order; a NEGATIVE n keeps all but the last
+        |n| rows (tests.Rraw 1048 — one count job resolves it). With no
+        declared order the rows are engine-arbitrary (limit), the
+        preview use."""
+        if n < 0:
+            n = max(self.df.count() + n, 0)
+        df = self.df
+        if self.order_by:
+            df = df.orderBy(*[_ocol(c) for c in self.order_by])
+        return self._wrap(df.limit(n), key=self.key, order_by=self.order_by)
+
+    def tail(self, n: int = 6) -> "DT":
+        """tail.data.table (reference R/data.table.R:2417-2422): last n
+        rows in the declared order; negative n drops the first |n|
+        (tests.Rraw 1052). Needs an order — an unordered table has no
+        'last' (SURVEY §1.1)."""
+        if not self.order_by:
+            raise ValueError("tail needs a declared order (SURVEY §1.1)")
+        if n < 0:
+            n = max(self.df.count() + n, 0)
+        rev = self.df.orderBy(
+            *[_ocol(_oflip(c)) for c in self.order_by]
+        ).limit(n)
+        return self._wrap(
+            rev.orderBy(*[_ocol(c) for c in self.order_by]),
+            key=self.key,
+            order_by=self.order_by,
+        )
+
+    def first(self) -> "DT":
+        """first(DT) = head(1) (reference R/utils.R first)."""
+        return self.head(1)
+
+    def last(self) -> "DT":
+        """last(DT) = tail(1) (reference R/utils.R last)."""
+        return self.tail(1)
 
     def which(self, i, na: bool = False) -> DataFrame:
         """``DT[i, which=TRUE]`` — 1-based row numbers of matching rows

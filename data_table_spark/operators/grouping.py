@@ -13,6 +13,7 @@ than a single agg call.
 from __future__ import annotations
 
 from collections.abc import Callable, Mapping, Sequence
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -49,7 +50,9 @@ GFORCE = {
     "sd": F.stddev_samp,
     "prod": F.product,
     "N": lambda _=None: F.count(F.lit(1)),
-    "uniqueN": F.countDistinct,
+    # struct-wrapped: the reference counts NA as a distinct value
+    # (tests.Rraw 1475.03); bare COUNT(DISTINCT x) would skip it
+    "uniqueN": lambda c: F.countDistinct(F.struct(c)),
 }
 
 
@@ -84,10 +87,18 @@ def uniqueN(dt: DT, cols=None, by=None, na_rm: bool = False) -> DT:
     reference is exact); approx_count_distinct is available for the
     100 TB path via ``approx=`` in callers."""
     cols = _namelist(cols) or [c for c in dt.columns if c not in _namelist(by)]
-    target = [F.col(c) for c in cols]
-    if na_rm and len(cols) == 1:
-        dt = DT(dt.df.filter(F.col(cols[0]).isNotNull()), order_by=dt.order_by)
-    expr = F.countDistinct(*target).alias("uniqueN")
+    if na_rm:
+        # reference na.rm=TRUE drops NA values before counting
+        # (tests.Rraw 1475.04/.08/.12)
+        pred = reduce(
+            lambda l, r: l & r, [F.col(c).isNotNull() for c in cols]
+        )
+        dt = DT(dt.df.filter(pred), order_by=dt.order_by)
+    # countDistinct over a STRUCT, not the bare columns: SQL
+    # COUNT(DISTINCT x) skips NULL rows, but the reference counts NA as
+    # a distinct value (tests.Rraw 1475.03: uniqueN(c(NA,TRUE,FALSE)) is
+    # 3) — a struct is never null, so null-carrying rows count
+    expr = F.countDistinct(F.struct(*[F.col(c) for c in cols])).alias("uniqueN")
     if by:
         return DT(dt.df.groupBy(*_namelist(by)).agg(expr))
     return DT(dt.df.agg(expr))

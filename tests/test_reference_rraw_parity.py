@@ -933,3 +933,53 @@ def test_roll_backward_1097_1100_rollends_grid(spark):
     assert run((True, False)) == [
         1, 1, 1, 2, 2, 2, 2, None, None, None]                        # 1099
     assert run((False, True)) == [None, None, 1, 2, 2, 2, 2, 2, 2, 2]  # 1100
+
+
+def test_uniqueN_1475_na_semantics(spark):
+    """tests.Rraw 1475.03-.14: uniqueN counts NA as a DISTINCT value
+    (SQL COUNT(DISTINCT) would skip it); na.rm=TRUE removes NAs first
+    (all-NA -> 0)."""
+    from data_table_spark.operators.grouping import uniqueN
+
+    def un(vals, na_rm=False):
+        d = DT(spark.createDataFrame([(v,) for v in vals], "x boolean"))
+        return uniqueN(d, cols=["x"], na_rm=na_rm).df.collect()[0]["uniqueN"]
+
+    assert un([None, True, False]) == 3                     # 1475.03
+    assert un([None, True, False], na_rm=True) == 2         # 1475.04
+    assert un([True, False], na_rm=True) == 2               # 1475.05
+    assert un([True, False]) == 2                           # 1475.06
+    assert un([True, None]) == 2                            # 1475.07
+    assert un([True, None], na_rm=True) == 1                # 1475.08
+    assert un([None, None]) == 1                            # 1475.11
+    assert un([None, None], na_rm=True) == 0                # 1475.12
+    # 1475.01-.02 shape: distinct rows over a 2-col table, per group
+    rows = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3, 4)]
+    rows += [(1, 1), (3, 4)]  # duplicates
+    d = DT(spark.createDataFrame(rows, "A int, B int"))
+    got = {
+        r["A"]: r["uniqueN"]
+        for r in uniqueN(d, cols=["B"], by=["A"]).df.collect()
+    }
+    assert got == {1: 4, 2: 4, 3: 4}
+
+
+def test_head_tail_negative_n(spark):
+    """tests.Rraw 1048/1052 (utils head/tail contracts): head(DT, -k)
+    keeps all but the LAST k rows in declared order; tail(DT, -k) drops
+    the first k; first/last are head(1)/tail(1)."""
+    d = DT(spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 8)], "i int, v int"
+    ), order_by=["i"])
+
+    def ids(dt):
+        return sorted(r["i"] for r in dt.df.collect())
+
+    assert ids(d.head(3)) == [1, 2, 3]
+    assert ids(d.tail(3)) == [5, 6, 7]
+    assert ids(d.head(-2)) == [1, 2, 3, 4, 5]   # all but last 2
+    assert ids(d.tail(-2)) == [3, 4, 5, 6, 7]   # all but first 2
+    assert ids(d.head(-10)) == []
+    assert ids(d.tail(-10)) == []
+    assert ids(d.first()) == [1]
+    assert ids(d.last()) == [7]
