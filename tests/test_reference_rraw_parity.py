@@ -983,3 +983,51 @@ def test_head_tail_negative_n(spark):
     assert ids(d.tail(-10)) == []
     assert ids(d.first()) == [1]
     assert ids(d.last()) == [7]
+
+
+def test_shift_2067_cyclic_and_negative_n(spark):
+    """tests.Rraw 2067.1-.8 (shapes; the reference vectors use complex
+    numbers, unsupported in Spark — the shift semantics under test are
+    type-independent): default lag, lead, fill=, cyclic wrap in both
+    directions, and NEGATIVE n flipping the direction."""
+    from data_table_spark.operators.window import shift
+
+    d = DT(spark.createDataFrame(
+        [(i, v) for i, v in enumerate([10, 20, 30])], "i int, z int"
+    ), order_by=["i"])
+
+    def col(out, name):
+        return [r[name] for r in out.df.orderBy("i").collect()]
+
+    assert col(shift(d, "z"), "z_lag_1") == [None, 10, 20]          # 2067.1
+    assert col(shift(d, "z", type_="lead"), "z_lead_1") == [
+        20, 30, None]                                               # 2067.2
+    assert col(shift(d, "z", fill=-1), "z_lag_1") == [-1, 10, 20]   # 2067.3
+    assert col(shift(d, "z", n=1, type_="cyclic"), "z_cyclic_1") == [
+        30, 10, 20]                                                 # 2067.5
+    assert col(shift(d, "z", n=-1, type_="cyclic"), "z_cyclic_-1") == [
+        20, 30, 10]                                                 # 2067.6
+    # negative n on lag == lead (reference shift negative-n rule)
+    assert col(shift(d, "z", n=-1), "z_lag_-1") == [20, 30, None]
+    assert col(shift(d, "z", n=-1, fill=-1), "z_lag_-1") == [20, 30, -1]
+
+
+def test_frank_2069_tie_vectors(spark):
+    """tests.Rraw 2069.10-.12 (shapes; reference data is complex-typed,
+    the tie arithmetic is type-independent): average/max ranks on a
+    vector with two tie pairs; min ranks under descending order."""
+    from data_table_spark.operators.window import frank
+
+    # two tie pairs then two singletons, mirroring unq_z multiplicity
+    vals = [1.0, 1.0, 2.0, 2.0, 3.0, 4.0]
+    d = DT(spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, x double"
+    ), order_by=["i"])
+
+    def col(ties, desc=False):
+        out = frank(d, "x", ties=ties, desc=desc, out_col="r")
+        return [r["r"] for r in out.df.orderBy("i").collect()]
+
+    assert col("average") == [1.5, 1.5, 3.5, 3.5, 5.0, 6.0]   # 2069.10
+    assert col("max") == [2, 2, 4, 4, 5, 6]                   # 2069.11
+    assert col("min", desc=True) == [5, 5, 3, 3, 2, 1]        # 2069.12
