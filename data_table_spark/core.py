@@ -351,7 +351,14 @@ class DT:
 
     def setorder(self, *cols: str) -> "DT":
         """setorder / DT[order(...)] (reference R/setkey.R:230). Use
-        '-col' prefix for descending."""
+        '-col' prefix for descending.
+
+        Documented divergence (tests.Rraw 1988.5-.8): the reference's
+        forder places the NA block first and NaN immediately after it
+        (NA < NaN < numbers; na.last moves the block); Spark ascending
+        sorts NULL first but NaN LAST (after +Inf). Rows with NaN sort
+        keys therefore land at the opposite end from the reference —
+        mask NaN to NULL first if the reference placement matters."""
         exprs = [
             F.col(c[1:]).desc() if isinstance(c, str) and c.startswith("-") else _to_col(c)
             for c in cols

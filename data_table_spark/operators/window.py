@@ -691,6 +691,16 @@ def frank(
     column is untouched. nan_is_na=False ranks NaN as Spark orders it
     (after +Inf).
 
+    KNOWN DIVERGENCE (tests.Rraw 1988.1-.4, pinned by
+    test_frank_1988_nan_na_divergence): when a column mixes NaN AND NA,
+    the reference ranks them as two ADJACENT tie groups (values, then
+    NaN, then NA under na.last=TRUE — "we consider NAs to be tied,
+    ditto NaN"), while this masking collapses them into ONE group.
+    Data with only-NaN or only-NA (the overwhelmingly common case)
+    agrees exactly. Splitting the groups needs a two-level sort key
+    threaded through every tie method AND the chunk-stitch twin —
+    queued for the next round rather than rushed.
+
     ``n_chunks=`` (opt-in, SCALE.md "Skewed keys"): hot-key chunk
     stitch for ranking — a rank window runs ONE task per key; with
     n_chunks the rows value-chunk on the ranked column (tie groups

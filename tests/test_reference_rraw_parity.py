@@ -1031,3 +1031,37 @@ def test_frank_2069_tie_vectors(spark):
     assert col("average") == [1.5, 1.5, 3.5, 3.5, 5.0, 6.0]   # 2069.10
     assert col("max") == [2, 2, 4, 4, 5, 6]                   # 2069.11
     assert col("min", desc=True) == [5, 5, 3, 3, 2, 1]        # 2069.12
+
+
+def test_frank_1988_nan_na_divergence(spark):
+    """tests.Rraw 1988.1-.4 DIVERGENCE PIN (documented in the frank
+    docstring): on a column mixing NaN AND NA the reference ranks them
+    as two adjacent tie groups (values, NaN-group 8.5, NA-group 10.5
+    on this exact vector), while this engine's NaN-as-NA masking
+    collapses them into ONE end group (all four rank 9.5 average).
+    Columns with only-NaN or only-NA agree with the reference exactly
+    (asserted below). If this test starts failing on the combined
+    expectation, the divergence was fixed — move the reference
+    expectations in and delete the pin."""
+    import math
+
+    from data_table_spark.operators.window import frank
+
+    xs = [6, 4, 2, None, 1, math.nan, 5, math.nan, 9, 10, None]
+    d = _mk(spark, [float(v) if v is not None else None for v in xs])
+
+    def ranks(dt_, ties):
+        out = frank(dt_, "x", ties=ties, out_col="rk")
+        return [r["rk"] for r in out.df.orderBy("i").collect()]
+
+    # current engine behavior: one combined NaN+NA end group
+    assert ranks(d, "average") == [
+        5.0, 3.0, 2.0, 9.5, 1.0, 9.5, 4.0, 9.5, 6.0, 7.0, 9.5]
+    # reference (1988.1): [5, 3, 2, 10.5, 1, 8.5, 4, 8.5, 6, 7, 10.5]
+
+    # only-NA and only-NaN columns agree with the reference exactly
+    only_na = _mk(spark, [2.0, None, 1.0, None])
+    assert ranks(only_na, "average") == [2.0, 3.5, 1.0, 3.5]
+    only_nan = _mk(spark, [2.0, math.nan, 1.0, math.nan])
+    assert ranks(only_nan, "average") == [2.0, 3.5, 1.0, 3.5]
+    assert ranks(only_nan, "min") == [2, 3, 1, 3]
