@@ -1065,3 +1065,48 @@ def test_frank_1988_nan_na_divergence(spark):
     only_nan = _mk(spark, [2.0, math.nan, 1.0, math.nan])
     assert ranks(only_nan, "average") == [2.0, 3.5, 1.0, 3.5]
     assert ranks(only_nan, "min") == [2, 3, 1, 3]
+
+
+def test_cj_fcoalesce_vectors(spark):
+    """tests.Rraw 575 (CJ named cross product, sorted key), 995-shape
+    (sorted=False keeps argument order), 2060.001-.012 (fcoalesce
+    scalar replacement across types incl. dates)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_table_spark.functions import fcoalesce
+    from data_table_spark.operators.joins import CJ
+
+    out = CJ(spark, x=[1, 2], y=["a", "b"])                 # 575
+    assert out.columns == ["x", "y"] and out.key == ["x", "y"]
+    assert sorted(tuple(r) for r in out.df.collect()) == [
+        (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    out = CJ(spark, sorted_=False, a=[5, 3], b=[5, 1])      # 995 shape
+    assert out.df.count() == 4
+    assert sorted(tuple(r) for r in out.df.collect()) == [
+        (3, 1), (3, 5), (5, 1), (5, 5)]
+
+    # fcoalesce 2060: scalar fallback per type
+    d = spark.createDataFrame(
+        [(0, True, 1, 1.0, "a", datetime.date(1970, 1, 2)),
+         (1, None, 2, 2.0, None, None),
+         (2, False, None, None, "b", datetime.date(1970, 1, 4))],
+        "i int, b boolean, n int, x double, s string, d date",
+    )
+
+    def col(expr):
+        return [r["o"] for r in
+                d.select("i", expr.alias("o")).orderBy("i").collect()]
+
+    assert col(fcoalesce("b", F.lit(True))) == [True, True, False]
+    assert col(fcoalesce("n", F.lit(3))) == [1, 2, 3]
+    assert col(fcoalesce("x", F.lit(3.0))) == [1.0, 2.0, 3.0]
+    assert col(fcoalesce("s", F.lit("b"))) == ["a", "b", "b"]
+    assert col(fcoalesce("d", F.lit(datetime.date(1970, 1, 3)))) == [
+        datetime.date(1970, 1, 2), datetime.date(1970, 1, 3),
+        datetime.date(1970, 1, 4)]
+    # 2060.002 shape: an all-NA middle argument passes through
+    assert col(
+        fcoalesce("b", F.lit(None).cast("boolean"), F.lit(True))
+    ) == [True, True, False]
