@@ -349,20 +349,44 @@ class DT:
             df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         return self._wrap(df, key=cols, order_by=cols)
 
-    def setorder(self, *cols: str) -> "DT":
+    def setorder(self, *cols: str, na_last: bool = False) -> "DT":
         """setorder / DT[order(...)] (reference R/setkey.R:230). Use
         '-col' prefix for descending.
 
-        Documented divergence (tests.Rraw 1988.5-.8): the reference's
-        forder places the NA block first and NaN immediately after it
-        (NA < NaN < numbers; na.last moves the block); Spark ascending
-        sorts NULL first but NaN LAST (after +Inf). Rows with NaN sort
-        keys therefore land at the opposite end from the reference —
-        mask NaN to NULL first if the reference placement matters."""
-        exprs = [
-            F.col(c[1:]).desc() if isinstance(c, str) and c.startswith("-") else _to_col(c)
-            for c in cols
-        ]
+        Missing placement matches the reference's forder (tests.Rraw
+        1988.5-.8): the NA block is outermost with NaN immediately
+        inside it, regardless of direction — na_last=False (reference
+        setorder default) puts NA then NaN FIRST, na_last=True puts
+        NaN then NA LAST. Implemented as a per-column two-level sort
+        key for float/double columns (missing-level 0=value/1=NaN/
+        2=NA) and explicit nulls_first/nulls_last otherwise; Spark's
+        native NaN-after-+Inf ordering only applies inside frank/
+        setorder when ``nan_is_na``-style handling is bypassed."""
+        exprs = []
+        dtypes = dict(self.df.dtypes)
+        for c in cols:
+            if not isinstance(c, str):
+                exprs.append(_to_col(c))
+                continue
+            desc = c.startswith("-")
+            name = c[1:] if desc else c
+            col = F.col(name)
+            if dtypes.get(name) in ("float", "double"):
+                lvl = (
+                    F.when(col.isNull(), F.lit(2))
+                    .when(F.isnan(col), F.lit(1))
+                    .otherwise(F.lit(0))
+                )
+                exprs.append(lvl.asc() if na_last else lvl.desc())
+                exprs.append(col.desc() if desc else col.asc())
+            elif na_last:
+                exprs.append(
+                    col.desc_nulls_last() if desc else col.asc_nulls_last()
+                )
+            else:
+                exprs.append(
+                    col.desc_nulls_first() if desc else col.asc_nulls_first()
+                )
         # keep the '-' prefix in the declared order: _ocol resolves it to
         # a descending sort key in every order consumer
         return self._wrap(

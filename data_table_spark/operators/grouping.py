@@ -87,18 +87,37 @@ def uniqueN(dt: DT, cols=None, by=None, na_rm: bool = False) -> DT:
     reference is exact); approx_count_distinct is available for the
     100 TB path via ``approx=`` in callers."""
     cols = _namelist(cols) or [c for c in dt.columns if c not in _namelist(by)]
+    fields = {f.name: f for f in dt.df.schema.fields}
+    non_nullable = all(
+        c in fields and not fields[c].nullable for c in cols
+    )
     if na_rm:
-        # reference na.rm=TRUE drops NA values before counting
-        # (tests.Rraw 1475.04/.08/.12)
-        pred = reduce(
+        # reference na.rm=TRUE drops rows with NA in ANY counted column
+        # (forderv na.last=NA — tests.Rraw 1475.04/.08/.12) — but a
+        # group whose rows are ALL dropped still appears with uniqueN=0,
+        # so the drop is a conditional distinct INSIDE the agg (a
+        # pre-filter would lose the group): COUNT(DISTINCT ...) skips
+        # the NULL the failed condition yields
+        valid = reduce(
             lambda l, r: l & r, [F.col(c).isNotNull() for c in cols]
         )
-        dt = DT(dt.df.filter(pred), order_by=dt.order_by)
-    # countDistinct over a STRUCT, not the bare columns: SQL
-    # COUNT(DISTINCT x) skips NULL rows, but the reference counts NA as
-    # a distinct value (tests.Rraw 1475.03: uniqueN(c(NA,TRUE,FALSE)) is
-    # 3) — a struct is never null, so null-carrying rows count
-    expr = F.countDistinct(F.struct(*[F.col(c) for c in cols])).alias("uniqueN")
+        expr = F.countDistinct(
+            F.when(valid, F.struct(*[F.col(c) for c in cols]))
+        ).alias("uniqueN")
+    elif non_nullable:
+        # fast path: when the schema proves no counted column can be
+        # NULL the struct wrap below is a semantic no-op — plain
+        # multi-column COUNT(DISTINCT) keeps the narrower hash key
+        expr = F.countDistinct(*[F.col(c) for c in cols]).alias("uniqueN")
+    else:
+        # countDistinct over a STRUCT, not the bare columns: SQL
+        # COUNT(DISTINCT x) skips NULL rows, but the reference counts NA
+        # as a distinct value (tests.Rraw 1475.03: uniqueN(c(NA,TRUE,
+        # FALSE)) is 3) — a struct is never null, so null-carrying rows
+        # count
+        expr = F.countDistinct(
+            F.struct(*[F.col(c) for c in cols])
+        ).alias("uniqueN")
     if by:
         return DT(dt.df.groupBy(*_namelist(by)).agg(expr))
     return DT(dt.df.agg(expr))

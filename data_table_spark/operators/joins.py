@@ -86,6 +86,153 @@ def _resolve_on(x: DT, y: DT, on) -> list[tuple[str, str, str]]:
     return out
 
 
+#: Spark dtype → the reference's mergeType buckets (R/bmerge.R:1-8).
+#: data.table's integer64 maps to bigint; factor has no Spark analog
+#: (factors arrive as string = character).
+_MERGE_TYPE = {
+    "tinyint": "integer", "smallint": "integer", "int": "integer",
+    "bigint": "integer64", "float": "double", "double": "double",
+    "string": "character", "boolean": "logical", "date": "date",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+}
+
+
+def _bmerge_coerce(xdf: DataFrame, ydf: DataFrame, pairs):
+    """Join-column type reconciliation — the reference's bmerge coercion
+    contract (R/bmerge.R:19 coerce_col, :60-160), round-12 port.
+
+    Rules, x = right/lookup table, i = y = the query rows (X[Y]):
+    - same merge type → untouched (incl. both-double: int-as-double
+      joins int-as-double without the fitsInInt32 probe);
+    - character/logical vs anything else → "Incompatible join types"
+      UNLESS the mismatched column is ALL-NA, which coerces to the
+      other side's type (R/bmerge.R:100-110; one bounded count probe,
+      only run when the types already mismatch);
+    - integer64 vs integer → integer widens; integer64 vs double →
+      double side must fit int64 (no fractions) or error;
+    - integer vs double: i-double that fitsInInt32 (no fractions, in
+      range — one bounded agg probe on the i side, the reference's
+      ad-hoc-join convenience for a forgotten L postfix) coerces i to
+      integer AND RETURNS integer; otherwise x widens to double.
+      NaN counts as fractional (floor(NaN) is NULL — masked) so it
+      routes to the widen-x branch;
+    - complex types (array/map/struct) → "not supported" error
+      (reference ORDERING_TYPES gate).
+
+    Probes are single-column bounded aggregates on the i side (the
+    small side of X[Y]) and fire only on mismatched types — zero cost
+    on the typical same-typed join. Returns (xdf, ydf, pairs): casts
+    the reference propagates to the caller (fitsInInt32, all-NA) are
+    applied to the join column in place; join-only casts (double →
+    integer64, which the reference applies to a shallow copy) go
+    through a ``__bm_*__`` shadow column referenced by the rewritten
+    pair so the output keeps the original dtype.
+    """
+    xt, yt = dict(xdf.dtypes), dict(ydf.dtypes)
+
+    def mt(t, name, side):
+        if t not in _MERGE_TYPE:
+            raise ValueError(
+                f"{side}.{name} is type {t} which is not supported by "
+                "data.table join"
+            )
+        return _MERGE_TYPE[t]
+
+    def all_na(df, c):
+        return df.agg(F.count(F.col(c)).alias("n")).collect()[0]["n"] == 0
+
+    new_pairs = []
+    for a, op, b in pairs:
+        new_pairs.append((a, op, b))
+        if op != "==":
+            continue  # non-equi pairs keep SQL numeric comparison rules
+        if xt[a] == yt[b]:
+            # identical Spark dtypes need no reconciliation — this also
+            # lets same-typed columns OUTSIDE the mergeType map (decimal,
+            # binary, struct) join as Spark natively allows, a documented
+            # superset of the reference's ORDERING_TYPES gate
+            continue
+        ta, tb = mt(xt[a], a, "x"), mt(yt[b], b, "i")
+        if ta == tb:
+            continue
+        cfl = ("character", "logical", "date", "timestamp")
+        if ta in cfl or tb in cfl:
+            # all-NA columns coerce to the other side (R/bmerge.R:100)
+            if all_na(ydf, b):
+                ydf = ydf.withColumn(b, F.col(b).cast(xt[a]))
+            elif all_na(xdf, a):
+                xdf = xdf.withColumn(a, F.col(a).cast(yt[b]))
+            else:
+                raise ValueError(
+                    f"Incompatible join types: x.{a} ({ta}) and i.{b} "
+                    f"({tb})"
+                )
+            continue
+        if "integer64" in (ta, tb):
+            if "integer" in (ta, tb):
+                # int vs int64: the reference widens the int side on a
+                # SHALLOW copy (callersi untouched → output type keeps
+                # the original); Spark's implicit int==bigint
+                # comparison is exact, so no cast is needed here
+                continue
+            # double vs integer64: the double must FIT int64 (no
+            # fractions, in range) or the join errors
+            wdf, wc, wside = (
+                (ydf, b, "i") if tb == "double" else (xdf, a, "x")
+            )
+            c = F.col(wc)
+            row = wdf.agg(
+                F.max(
+                    F.when(F.isnan(c), F.lit(1)).otherwise(
+                        (c != F.floor(c)).cast("int")
+                    )
+                ).alias("frac"),
+                F.max(F.abs(c)).alias("mx"),
+            ).collect()[0]
+            if row["frac"] == 1 or (
+                row["mx"] is not None and row["mx"] >= 2.0 ** 63
+            ):
+                raise ValueError(
+                    f"Incompatible join types: {wside}.{wc} is type "
+                    "double and cannot be coerced to integer64 "
+                    "(e.g. has fractions)"
+                )
+            # join-only cast (reference coerces the shallow copy):
+            # match through a shadow column, output keeps the double
+            shadow = f"__bm_{wc}__"
+            if wside == "i":
+                ydf = ydf.withColumn(shadow, F.col(wc).cast("bigint"))
+                new_pairs[-1] = (a, op, shadow)
+            else:
+                xdf = xdf.withColumn(shadow, F.col(wc).cast("bigint"))
+                new_pairs[-1] = (shadow, op, b)
+            continue
+        # just integer and double left
+        if tb == "double":  # i is double: probe fitsInInt32
+            c = F.col(b)
+            row = ydf.agg(
+                F.max(
+                    F.when(F.isnan(c), F.lit(1)).otherwise(
+                        (c != F.floor(c)).cast("int")
+                    )
+                ).alias("frac"),
+                F.max(F.abs(c)).alias("mx"),
+            ).collect()[0]
+            if row["frac"] != 1 and (
+                row["mx"] is None or row["mx"] <= 2 ** 31 - 1
+            ):
+                # ad-hoc-join convenience: i coerces to integer AND the
+                # RESULT returns integer (reference sets callersi)
+                ydf = ydf.withColumn(b, F.col(b).cast(xt[a]))
+            # else: x widens to double — Spark's implicit int==double
+            # comparison already does this exactly; output keeps i's
+            # double (reference coerces x's shallow copy only)
+        # else: i integer vs x double — the reference widens i's
+        # shallow copy "(for join)" without touching callersi; Spark's
+        # implicit comparison is the same widening, output stays as-is
+    return xdf, ydf, new_pairs
+
+
 def lookup(
     x: DT,
     y: DT,
@@ -118,11 +265,17 @@ def lookup(
     equi = [(a, b) for a, op, b in pairs if op == "=="]
     theta = [(a, op, b) for a, op, b in pairs if op != "=="]
 
-    xdf, ydf = x.df, y.df
+    # cpairs may reference __bm_*__ shadow columns (join-only casts);
+    # output assembly below keeps using the ORIGINAL pairs/names
+    xdf, ydf, cpairs = _bmerge_coerce(x.df, y.df, pairs)
 
     if notjoin:
-        cond = _cond(xdf, ydf, pairs, na_matches)
-        return DT(xdf.join(ydf, cond, "left_anti"), key=x.key, order_by=x.order_by)
+        cond = _cond(xdf, ydf, cpairs, na_matches)
+        out = xdf.join(ydf, cond, "left_anti")
+        return DT(
+            out.select(*[out[c] for c in x.columns]),
+            key=x.key, order_by=x.order_by,
+        )
 
     if allow_cartesian is False and equi:
         xk = xdf.groupBy([F.col(a) for a, _ in equi]).count()
@@ -146,7 +299,7 @@ def lookup(
     if need_yid:
         ydf = ydf.withColumn(_YID, F.monotonically_increasing_id())
 
-    cond = _cond(xdf, ydf, pairs, na_matches)
+    cond = _cond(xdf, ydf, cpairs, na_matches)
     how = "left" if nomatch == "NA" else "inner"
     joined = ydf.join(xdf, cond, how)
 
@@ -604,9 +757,13 @@ def mergepair(
     # key through left/right/inner (mergepair .shallow retain.key) —
     # this is what lets default-on chains walk a star schema
     # (mergelist.Rraw 102.611-635). full joins lose the key (102.34).
+    # A KEYLESS baseline yields a keyless result (no fallback to `on`:
+    # the reference drops the key after join subsetting, so a later
+    # default-on merge must raise "'on' is missing" rather than
+    # silently picking the join columns — round-12 ADVICE fix).
     # DT.key is advisory (on-defaults / orderings), never a uniqueness
     # contract, so retaining it under mult="all" is safe.
-    key = None if how == "full" else (list(from_dt.key) or list(on))
+    key = None if how == "full" else (list(from_dt.key) or None)
     return DT(out, key=key)
 
 

@@ -18,7 +18,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..core import DT, _namelist
+from ..core import DT, _namelist, _ocol
 
 __all__ = [
     "dcast",
@@ -410,9 +410,13 @@ def cbindlist(tables: Sequence[DT], on: Sequence[str] | None = None) -> DT:
     bind compiles to key joins, co-partitionable and broadcastable.
 
     Without ``on``: the reference's positional column-bind. Spark rows
-    have no position (SURVEY §2.8), so each table gets a row_number
-    over its current physical order (a single-reducer window —
-    documented small/medium-table path) and the frames join on it.
+    have no position (SURVEY §2.8), so each table gets a row_number —
+    over its DECLARED order when it has one (deterministic), else over
+    its current physical order with a RuntimeWarning: a plan containing
+    a shuffle (e.g. a groupBy result) has no stable physical order, so
+    unordered alignment is nondeterministic across runs (round-12
+    ADVICE fix). Single-reducer window either way — documented
+    small/medium-table path; keyed binds use ``on``.
     Reference contracts ported (mergelist.Rraw 11-13): zero-column
     tables are skipped; unequal row counts raise (recycling is
     unimplemented in the reference too, 12.13-12.16); duplicated
@@ -451,11 +455,28 @@ def cbindlist(tables: Sequence[DT], on: Sequence[str] | None = None) -> DT:
             f"({counts}); recycling is not yet implemented"
         )
     pos_w = Window.orderBy(F.monotonically_increasing_id())
+    if any(not t.order_by for t in live):
+        import warnings
+
+        warnings.warn(
+            "cbindlist positional bind: input table(s) without a "
+            "declared order align by physical order, which is "
+            "nondeterministic when the plan contains a shuffle; "
+            "declare order_by on every input (or bind with on=) for a "
+            "reproducible result",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     acc = None
     out_cols: list = []
     for i, t in enumerate(live):
+        w_i = (
+            Window.orderBy(*[_ocol(c) for c in t.order_by])
+            if t.order_by
+            else pos_w
+        )
         tagged = t.df.withColumn(
-            f"__pos{i}__", F.row_number().over(pos_w)
+            f"__pos{i}__", F.row_number().over(w_i)
         ).alias(f"__c{i}__")
         out_cols += [F.col(f"__c{i}__.`{c}`") for c in t.columns]
         if acc is None:

@@ -347,19 +347,30 @@ def froll(
             w = base.rowsBetween(lo, hi)
             for c in _namelist(cols):
                 name = f"{c}_roll{fun}_{k}" if give_names or len(ns) > 1 else c
+                t = dtypes.get(c)
+                is_f = t in ("double", "float")
+                s = _src(c)
+                if na_rm and fun in ("max", "min", "prod") and not is_f:
+                    # reference frollmax/frollmin/prod always return
+                    # double (src/froll.c computes in double), so the
+                    # na.rm empty-window identities -Inf/+Inf/1 apply
+                    # to INTEGER columns too — cast the source up
+                    # (round-12 ADVICE fix; froll.Rraw 6000.x)
+                    s = s.cast("double")
+                    is_f = True
                 if fun == "median":
                     # F.median rejects window FRAMES (Spark 4.x
                     # INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC);
                     # percentile(0.5) is frame-legal and identical
-                    val = F.percentile(_src(c), F.lit(0.5)).over(w)
+                    val = F.percentile(s, F.lit(0.5)).over(w)
                 elif fun == "prod":
-                    val = F.product(_src(c)).over(w)
+                    val = F.product(s).over(w)
                 else:
-                    val = _ROLL_FNS[fun](_src(c)).over(w)
+                    val = _ROLL_FNS[fun](s).over(w)
                 if not na_rm:
                     # reference default: any NA in the window -> NA result
                     val = F.when(
-                        F.count(_src(c)).over(w) == F.count(F.lit(1)).over(w),
+                        F.count(s).over(w) == F.count(F.lit(1)).over(w),
                         val,
                     )
                 elif fun in ("mean", "sum", "max", "min", "prod"):
@@ -370,21 +381,16 @@ def froll(
                     # Spark's skip-null aggregate yields NULL there; the
                     # partial/full mask below still nulls incomplete
                     # windows, so only full all-NA windows are touched.
-                    # Extrema/prod identities are float-typed, so they
-                    # apply to double/float columns only (integer
-                    # columns cannot hold ±Inf).
-                    t = dtypes.get(c)
-                    is_f = t in ("double", "float")
                     empty = None
                     if fun == "mean":
                         empty = F.lit(float("nan"))
                     elif fun == "sum":
                         empty = F.lit(0).cast("double" if is_f else "bigint")
-                    elif is_f and fun == "max":
+                    elif fun == "max":
                         empty = F.lit(float("-inf"))
-                    elif is_f and fun == "min":
+                    elif fun == "min":
                         empty = F.lit(float("inf"))
-                    elif is_f and fun == "prod":
+                    elif fun == "prod":
                         empty = F.lit(1.0)
                     if empty is not None:
                         val = F.coalesce(val, empty)
@@ -686,20 +692,19 @@ def frank(
     na.last=NA, R/frank.R:70) drops NA rows from the output entirely.
 
     nan_is_na (reference is.na(NaN) is TRUE): NaN in a float/double
-    ranked column is treated as NA — masked to NULL in a temporary
-    rank-source column, so na_last governs NaN too and the original
-    column is untouched. nan_is_na=False ranks NaN as Spark orders it
-    (after +Inf).
-
-    KNOWN DIVERGENCE (tests.Rraw 1988.1-.4, pinned by
-    test_frank_1988_nan_na_divergence): when a column mixes NaN AND NA,
-    the reference ranks them as two ADJACENT tie groups (values, then
-    NaN, then NA under na.last=TRUE — "we consider NAs to be tied,
-    ditto NaN"), while this masking collapses them into ONE group.
-    Data with only-NaN or only-NA (the overwhelmingly common case)
-    agrees exactly. Splitting the groups needs a two-level sort key
-    threaded through every tie method AND the chunk-stitch twin —
-    queued for the next round rather than rushed.
+    ranked column is treated as missing, but NaN and NA form two
+    ADJACENT tie groups, NA outermost (tests.Rraw 1988.1-.4 — "we
+    consider NAs to be tied, ditto NaN"): na_last=True ranks values,
+    then the NaN group, then the NA group; na_last=False ranks the NA
+    group first, then NaN, then values. Implemented as a two-level
+    sort key (missing-level 0=value/1=NaN/2=NA, ascending under
+    na_last=True, descending under False) threaded through every tie
+    method; tie groups themselves need no extra key because Spark's
+    grouping/ordering already treats NaN==NaN and NULL==NULL. Under
+    na_last="keep"/None both NaN and NA are missing (reference
+    is_na(), R/frank.R:32): "keep" ranks both as NA, None drops both —
+    those paths mask NaN to NULL. nan_is_na=False ranks NaN as Spark
+    orders it (a value after +Inf).
 
     ``n_chunks=`` (opt-in, SCALE.md "Skewed keys"): hot-key chunk
     stitch for ranking — a rank window runs ONE task per key; with
@@ -721,7 +726,13 @@ def frank(
     ``n_chunks="auto"``: see ``_resolve_n_chunks``.
     """
     n_chunks = _resolve_n_chunks(dt.df, _namelist(by), n_chunks)
-    if nan_is_na and dict(dt.df.dtypes).get(col) in ("float", "double"):
+    handle_nan = nan_is_na and dict(dt.df.dtypes).get(col) in (
+        "float", "double",
+    )
+    if handle_nan and (na_last == "keep" or na_last is None):
+        # reference is_na() treats NaN as NA (R/frank.R:32): "keep"
+        # ranks both as NA, None drops both — mask NaN to NULL in a
+        # temporary rank-source column and recurse
         src = "__rksrc__"
         masked = dt.df.withColumn(
             src,
@@ -747,23 +758,38 @@ def frank(
     if n_chunks is not None and n_chunks > 1:
         return _frank_chunked(
             dt, col, ties, by, desc, out_col, tiebreak, seed, na_last,
-            n_chunks,
+            n_chunks, handle_nan,
         )
-    if na_last is True:
-        c = (
+    if handle_nan:
+        # two-level missing key (tests.Rraw 1988): NA outermost, NaN
+        # adjacent — na_last=True → values, NaN, NA; False → NA, NaN,
+        # values (block order fixed regardless of desc). Ties need no
+        # extra key: ordering comparison already has NaN==NaN,
+        # NULL==NULL, so rank()/dense_rank() group them.
+        lvl = (
+            F.when(F.col(col).isNull(), F.lit(2))
+            .when(F.isnan(F.col(col)), F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        ocs = [
+            lvl.asc() if na_last is True else lvl.desc(),
+            F.col(col).desc() if desc else F.col(col).asc(),
+        ]
+    elif na_last is True:
+        ocs = [
             F.col(col).desc_nulls_last()
             if desc
             else F.col(col).asc_nulls_last()
-        )
+        ]
     else:
         # False and "keep" both sort nulls first; "keep" masks below
-        c = (
+        ocs = [
             F.col(col).desc_nulls_first()
             if desc
             else F.col(col).asc_nulls_first()
-        )
+        ]
     part = Window.partitionBy(*_namelist(by)) if by else Window.partitionBy()
-    w = part.orderBy(c)
+    w = part.orderBy(*ocs)
     if ties == "random":
         if not tiebreak:
             raise ValueError(
@@ -777,7 +803,7 @@ def frank(
                 *[F.col(t).cast("string") for t in _namelist(tiebreak)],
             )
         )
-        r = F.row_number().over(part.orderBy(c, salt.asc()))
+        r = F.row_number().over(part.orderBy(*ocs, salt.asc()))
     elif ties in ("first", "last"):
         # "last" numbers the tie group in reverse (reference
         # src/frank.c ties.method="last"); with tiebreak= the order
@@ -788,7 +814,7 @@ def frank(
                 F.col(t).asc() if ties == "first" else F.col(t).desc()
                 for t in _namelist(tiebreak)
             ]
-            r = F.row_number().over(part.orderBy(c, *tb))
+            r = F.row_number().over(part.orderBy(*ocs, *tb))
         else:
             r = F.row_number().over(w)
     elif ties == "min":
@@ -818,12 +844,14 @@ def frank(
 
 def _frank_chunked(
     dt: DT, col, ties, by, desc, out_col, tiebreak, seed, na_last,
-    n_chunks: int,
+    n_chunks: int, handle_nan: bool = False,
 ) -> DT:
     """Chunk-stitched frank (see frank's n_chunks doc). Value chunks
     come from the shared _chunked_frame (equal values share a chunk,
     so tie groups never straddle a boundary — tie counts and dense
-    groups stay chunk-local facts); NULLs move to a dedicated chunk
+    groups stay chunk-local facts); NULLs move to a dedicated chunk —
+    and, when NaN is missing (handle_nan), NaNs move to a SECOND
+    dedicated chunk adjacent to it, NA outermost (tests.Rraw 1988) —
     that traverses FIRST for na_last False/"keep" and LAST for
     na_last=True (the reference sorts NAs last as one tie group —
     R/frank.R:52). Global rank = within-(key, chunk) rank + the
@@ -835,23 +863,38 @@ def _frank_chunked(
             "deterministic seeded permutation"
         )
     sdf, keys, _ = _chunked_frame(dt, by, order=[col], n_chunks=n_chunks)
-    sdf = sdf.withColumn(
-        "__chunk__",
-        F.when(F.col(col).isNull(), F.lit(-1)).otherwise(F.col("__chunk__")),
+    chunk = F.when(F.col(col).isNull(), F.lit(-1)).otherwise(
+        F.col("__chunk__")
     )
+    if handle_nan:
+        # NaN gets its own chunk (-2): one tie group adjacent to the
+        # NA chunk, inside it in traversal order (values, NaN, NA
+        # under na_last=True; NA, NaN, values under False)
+        chunk = (
+            F.when(F.col(col).isNull(), F.lit(-1))
+            .when(F.isnan(F.col(col)), F.lit(-2))
+            .otherwise(F.col("__chunk__"))
+        )
+    sdf = sdf.withColumn("__chunk__", chunk)
     # traversal key: ascending value order (or negated for desc), with
-    # the null chunk pinned first (na_last False/"keep") or last
-    # (na_last=True) regardless of direction
+    # the null (and NaN) chunk pinned first (na_last False/"keep") or
+    # last (na_last=True) regardless of direction — NA outermost
     null_first = na_last is not True
     if desc:
-        null_tk = F.lit(-(n_chunks + 1)) if null_first else F.lit(1)
-        tk = F.when(F.col("__chunk__") == -1, null_tk).otherwise(
-            -F.col("__chunk__")
+        null_tk = F.lit(-(n_chunks + 2)) if null_first else F.lit(2)
+        nan_tk = F.lit(-(n_chunks + 1)) if null_first else F.lit(1)
+        tk = (
+            F.when(F.col("__chunk__") == -1, null_tk)
+            .when(F.col("__chunk__") == -2, nan_tk)
+            .otherwise(-F.col("__chunk__"))
         )
     else:
-        null_tk = F.lit(-1) if null_first else F.lit(n_chunks)
-        tk = F.when(F.col("__chunk__") == -1, null_tk).otherwise(
-            F.col("__chunk__")
+        null_tk = F.lit(-2) if null_first else F.lit(n_chunks + 1)
+        nan_tk = F.lit(-1) if null_first else F.lit(n_chunks)
+        tk = (
+            F.when(F.col("__chunk__") == -1, null_tk)
+            .when(F.col("__chunk__") == -2, nan_tk)
+            .otherwise(F.col("__chunk__"))
         )
     sdf = sdf.withColumn("__tk__", tk)
 

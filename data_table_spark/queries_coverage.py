@@ -1125,3 +1125,39 @@ def q_froll_adaptive_chunked(spark, sf_dir):
 from .queries import ORACLE as _ORACLE  # noqa: E402
 
 _ORACLE["froll_adaptive_chunked"] = _ORACLE["froll_adaptive_sum"]
+
+
+@query(
+    "join_coerce_int",
+    """
+    SELECT CAST(n_nationkey AS INT) AS nkey, n_name,
+           c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    """,
+)
+def q_join_coerce_int(spark, sf_dir):
+    """bmerge join-type coercion (reference R/bmerge.R:19 coerce_col,
+    tests.Rraw 2044.60 — round-12 port): the i side joins on a DOUBLE
+    column holding fraction-free values against an int x column; the
+    fitsInInt32 probe (one bounded agg on the i side) coerces i to
+    integer for the join AND the result returns integer (the
+    reference's forgotten-L-postfix convenience). X[Y] row semantics:
+    every nation row survives (nomatch=NA left join from Y); the probe
+    never touches the big side, so the plan stays one broadcastable
+    equi join at any scale."""
+    from .operators.joins import lookup
+
+    t = load_tables(spark, sf_dir)
+    y = t["nation"].query(
+        j={"nkey": F.col("n_nationkey").cast("double"),
+           "n_name": F.col("n_name")}
+    )
+    out = lookup(t["customer"], y, on={"c_nationkey": "nkey"})
+    return out.query(
+        j={
+            "nkey": F.col("nkey"),
+            "n_name": F.col("n_name"),
+            "c_custkey": F.col("c_custkey"),
+            "c_acctbal": F.col("c_acctbal").cast("double"),
+        }
+    ).df

@@ -1011,3 +1011,26 @@ def test_cbindlist_13_key_retention(spark):
     ])
     assert out.key == ["b"]
     _check(out, ["a", "b"], [(1, 3), (2, 4)], "13.4")
+
+
+def test_mergepair_keyless_baseline_drops_key(spark):
+    """Round-12 ADVICE fix: a KEYLESS baseline yields a keyless result
+    (the reference drops the key after join subsetting), so a chained
+    default-on merge raises "'on' is missing" instead of silently
+    reusing the previous join columns; a KEYED baseline still carries
+    its key through left/right/inner (mergelist.Rraw 102.611-635)."""
+    keyless = _dt(spark, "id1 int, v1 int", [(1, 10), (2, 20)])
+    keyed_r = _dt(spark, "id1 int, v2 int", [(1, 100), (2, 200)],
+                  key=["id1"])
+    out = mergepair(keyless, keyed_r, on=["id1"], how="left", mult="all")
+    assert not out.key
+    # how="right" derives on from the LHS key — a keyless prior result
+    # must raise, not silently reuse the previous join columns
+    nxt = _dt(spark, "id1 int, v3 int", [(1, 7)], key=["id1"])
+    with pytest.raises(ValueError, match="necessary key is not present"):
+        mergepair(out, nxt, how="right", mult="all")
+    # keyed baseline: key walks through
+    keyed_l = _dt(spark, "id1 int, v1 int", [(1, 10), (2, 20)],
+                  key=["id1"])
+    out2 = mergepair(keyed_l, keyed_r, on=["id1"], how="left", mult="all")
+    assert list(out2.key) == ["id1"]

@@ -265,8 +265,10 @@ def test_frank_na_last(spark):
 
 
 def test_frank_nan_is_na(spark):
-    """frank NaN rule (reference is.na(NaN) is TRUE): NaN ranks like
-    NA under every na.last, and the original column keeps its NaN."""
+    """frank NaN rule (reference is.na(NaN) is TRUE): NaN is missing
+    but forms its own tie group ADJACENT to the NA group, NA outermost
+    (tests.Rraw 1988); under "keep" both rank NA; the original column
+    keeps its NaN."""
     from data_table_spark.operators.window import frank
 
     dt = _mk(spark, [4.0, float("nan"), 1.0, None, 1.0])
@@ -278,9 +280,9 @@ def test_frank_nan_is_na(spark):
             .orderBy("i").collect()
         ]
 
-    assert ranks() == [3.0, 4.5, 1.5, 4.5, 1.5]          # NaN+NA tie last
+    assert ranks() == [3.0, 4.0, 1.5, 5.0, 1.5]          # values, NaN, NA
     assert ranks(na_last="keep") == [3.0, None, 1.5, None, 1.5]
-    assert ranks(na_last=False) == [5.0, 1.5, 3.5, 1.5, 3.5]
+    assert ranks(na_last=False) == [5.0, 2.0, 3.5, 1.0, 3.5]  # NA, NaN, vals
     # opt-out: Spark orders NaN after +Inf, NULL placement per na_last
     assert ranks(nan_is_na=False) == [3.0, 4.0, 1.5, 5.0, 1.5]
     # original column untouched (NaN still NaN, not NULL)
@@ -406,6 +408,18 @@ def test_froll_extrema_allna_identities(spark):
     assert _col(froll(dt, "min", "x", 3, na_rm=True, give_names=False)) == (
         [None, None] + [math.inf] * 6
     )
+    # round-12 ADVICE fix: INTEGER columns under na.rm get the same
+    # identities — the reference computes froll in double (src/froll.c),
+    # so max/min/prod over an int column return double with -Inf/+Inf/1
+    # on full all-NA windows (previously stayed NULL here)
+    idt = _mk(spark, [1, None, None, None, None, 5], "bigint")
+    got = froll(idt, "max", "x", 3, na_rm=True, give_names=False)
+    assert dict(got.df.dtypes)["x"] == "double"
+    assert _col(got) == [None, None, 1.0, -math.inf, -math.inf, 5.0]
+    assert _col(froll(idt, "min", "x", 3, na_rm=True, give_names=False)) == [
+        None, None, 1.0, math.inf, math.inf, 5.0]
+    assert _col(froll(idt, "prod", "x", 3, na_rm=True, give_names=False)) == [
+        None, None, 1.0, 1.0, 1.0, 5.0]
 
 
 def _roll_oracle(xs, n, fun, na_rm, partial):
@@ -964,6 +978,54 @@ def test_uniqueN_1475_na_semantics(spark):
     assert got == {1: 4, 2: 4, 3: 4}
 
 
+def test_uniqueN_narm_group_survives_and_fastpath(spark):
+    """Round-12 ADVICE fixes. (a) na.rm=TRUE with by=: a group whose
+    counted values are ALL NA still appears with uniqueN=0 (the
+    reference's forderv na.last=NA path keeps the group; a row
+    pre-filter would lose it). (b) non-nullable fast path: when the
+    schema proves no counted column nullable, the plain multi-column
+    COUNT(DISTINCT) gives results identical to the struct wrap."""
+    from pyspark.sql import functions as F
+
+    from data_table_spark.operators.grouping import uniqueN
+
+    d = DT(spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 1), ("b", None), ("b", None)],
+        "g string, x int",
+    ))
+    got = {
+        r["g"]: r["uniqueN"]
+        for r in uniqueN(d, cols=["x"], by=["g"], na_rm=True).df.collect()
+    }
+    assert got == {"a": 2, "b": 0}  # all-NA group survives with 0
+
+    # fast path: a frame whose schema PROVES the counted column
+    # non-nullable (explicit StructType) must give results identical
+    # to the struct-wrapped path on the same data
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = [(i % 7, i % 13) for i in range(100)]
+    nn_schema = StructType([
+        StructField("g", LongType(), False),
+        StructField("x", LongType(), False),
+    ])
+    base = spark.createDataFrame(rows, nn_schema)
+    assert not dict(
+        (f.name, f.nullable) for f in base.schema.fields
+    )["x"]
+    fast = {
+        r["g"]: r["uniqueN"]
+        for r in uniqueN(DT(base), cols=["x"], by=["g"]).df.collect()
+    }
+    # struct path forced via a nullable copy of the same data
+    nullable = spark.createDataFrame(rows, "g long, x long")
+    slow = {
+        r["g"]: r["uniqueN"]
+        for r in uniqueN(DT(nullable), cols=["x"], by=["g"]).df.collect()
+    }
+    assert fast == slow
+
+
 def test_head_tail_negative_n(spark):
     """tests.Rraw 1048/1052 (utils head/tail contracts): head(DT, -k)
     keeps all but the LAST k rows in declared order; tail(DT, -k) drops
@@ -1033,16 +1095,13 @@ def test_frank_2069_tie_vectors(spark):
     assert col("min", desc=True) == [5, 5, 3, 3, 2, 1]        # 2069.12
 
 
-def test_frank_1988_nan_na_divergence(spark):
-    """tests.Rraw 1988.1-.4 DIVERGENCE PIN (documented in the frank
-    docstring): on a column mixing NaN AND NA the reference ranks them
-    as two adjacent tie groups (values, NaN-group 8.5, NA-group 10.5
-    on this exact vector), while this engine's NaN-as-NA masking
-    collapses them into ONE end group (all four rank 9.5 average).
-    Columns with only-NaN or only-NA agree with the reference exactly
-    (asserted below). If this test starts failing on the combined
-    expectation, the divergence was fixed — move the reference
-    expectations in and delete the pin."""
+def test_frank_1988_nan_na_two_groups(spark):
+    """tests.Rraw 1988.1-.4 (divergence FIXED round 12): on a column
+    mixing NaN AND NA the reference ranks them as two ADJACENT tie
+    groups — values, then the NaN group, then the NA group under
+    na.last=TRUE ("we consider NAs to be tied, ditto NaN"). Exact
+    reference vectors for every tie method, both unsplit and through
+    the chunk stitch."""
     import math
 
     from data_table_spark.operators.window import frank
@@ -1050,14 +1109,34 @@ def test_frank_1988_nan_na_divergence(spark):
     xs = [6, 4, 2, None, 1, math.nan, 5, math.nan, 9, 10, None]
     d = _mk(spark, [float(v) if v is not None else None for v in xs])
 
-    def ranks(dt_, ties):
-        out = frank(dt_, "x", ties=ties, out_col="rk")
+    def ranks(dt_, ties, **kw):
+        out = frank(dt_, "x", ties=ties, out_col="rk", **kw)
         return [r["rk"] for r in out.df.orderBy("i").collect()]
 
-    # current engine behavior: one combined NaN+NA end group
-    assert ranks(d, "average") == [
-        5.0, 3.0, 2.0, 9.5, 1.0, 9.5, 4.0, 9.5, 6.0, 7.0, 9.5]
-    # reference (1988.1): [5, 3, 2, 10.5, 1, 8.5, 4, 8.5, 6, 7, 10.5]
+    # reference expectations, 1988.1-.4
+    exp = {
+        "average": [5.0, 3.0, 2.0, 10.5, 1.0, 8.5, 4.0, 8.5, 6.0, 7.0, 10.5],
+        "max": [5, 3, 2, 11, 1, 9, 4, 9, 6, 7, 11],
+        "min": [5, 3, 2, 10, 1, 8, 4, 8, 6, 7, 10],
+        "dense": [5, 3, 2, 9, 1, 8, 4, 8, 6, 7, 9],
+    }
+    for ties, want in exp.items():
+        assert ranks(d, ties) == want, ties
+        # chunk-stitch twin gives the identical answer
+        assert ranks(d, ties, n_chunks=3) == want, f"{ties} chunked"
+
+    # na_last=False mirrors the block order: NA group first, then NaN,
+    # then values (forderv na.last=FALSE places the NA-then-NaN block
+    # first — 1988.5; frank ranks follow the same order)
+    assert ranks(d, "min", na_last=False) == [
+        9, 7, 6, 1, 5, 3, 8, 3, 10, 11, 1]
+    assert ranks(d, "min", na_last=False, n_chunks=3) == [
+        9, 7, 6, 1, 5, 3, 8, 3, 10, 11, 1]
+
+    # "keep"/None treat NaN as NA (reference is_na): NaN ranks NA /
+    # drops
+    keep = ranks(d, "min", na_last="keep")
+    assert keep == [5, 3, 2, None, 1, None, 4, None, 6, 7, None]
 
     # only-NA and only-NaN columns agree with the reference exactly
     only_na = _mk(spark, [2.0, None, 1.0, None])
@@ -1065,6 +1144,52 @@ def test_frank_1988_nan_na_divergence(spark):
     only_nan = _mk(spark, [2.0, math.nan, 1.0, math.nan])
     assert ranks(only_nan, "average") == [2.0, 3.5, 1.0, 3.5]
     assert ranks(only_nan, "min") == [2, 3, 1, 3]
+
+
+def test_setorder_1988_nan_na_placement(spark):
+    """tests.Rraw 1988.5-.8 (divergence FIXED round 12): forderv
+    places the NA block outermost with NaN adjacent — na.last=FALSE
+    (setorder default) puts NA, NaN first in BOTH directions;
+    na.last=TRUE puts NaN, NA last in both. The reference vectors are
+    1-based row permutations; we sort and compare the resulting row
+    ids (0-based)."""
+    import math
+
+    xs = [6, 4, 2, None, 1, math.nan, 5, math.nan, 9, 10, None]
+    d = _mk(spark, [float(v) if v is not None else None for v in xs])
+
+    def order_ids(*cols, **kw):
+        return [r["i"] for r in d.setorder(*cols, **kw).df.collect()]
+
+    def norm(perm):  # reference 1-based → 0-based
+        return [p - 1 for p in perm]
+
+    # NaN rows (5, 7 zero-based) tie; either order within the tie
+    # group is valid — canonicalize both sides by sorting tie spans
+    def canon(ids, spans):
+        out = list(ids)
+        for lo, hi in spans:
+            out[lo:hi] = sorted(out[lo:hi])
+        return out
+
+    # 1988.5: asc, na.last=FALSE → NA(2), NaN(2), values asc
+    got = order_ids("x")
+    want = norm([4, 11, 6, 8, 5, 3, 2, 7, 1, 9, 10])
+    spans = [(0, 2), (2, 4)]
+    assert canon(got, spans) == canon(want, spans)
+    # 1988.6: desc, na.last=FALSE → NA, NaN, values desc
+    got = order_ids("-x")
+    want = norm([4, 11, 6, 8, 10, 9, 1, 7, 2, 3, 5])
+    assert canon(got, spans) == canon(want, spans)
+    # 1988.7: asc, na.last=TRUE → values asc, NaN, NA
+    got = order_ids("x", na_last=True)
+    want = norm([5, 3, 2, 7, 1, 9, 10, 6, 8, 4, 11])
+    spans = [(7, 9), (9, 11)]
+    assert canon(got, spans) == canon(want, spans)
+    # 1988.8: desc, na.last=TRUE → values desc, NaN, NA
+    got = order_ids("-x", na_last=True)
+    want = norm([10, 9, 1, 7, 2, 3, 5, 6, 8, 4, 11])
+    assert canon(got, spans) == canon(want, spans)
 
 
 def test_cj_fcoalesce_vectors(spark):
