@@ -12,6 +12,7 @@ than a single agg call.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Mapping, Sequence
 from functools import reduce
 
@@ -22,6 +23,9 @@ from ..core import DT, _namelist, _ocol, _oflip
 
 __all__ = [
     "agg_exprs",
+    "patterns",
+    "sd_cols",
+    "lapply_sd",
     "uniqueN",
     "unique",
     "duplicated",
@@ -79,6 +83,160 @@ def agg_exprs(spec: Mapping[str, tuple[str, str] | Column]) -> list[Column]:
             fun, col = v
             out.append(GFORCE[fun](F.col(col) if col else None).alias(alias))
     return out
+
+
+class Patterns:
+    """``.SDcols=patterns(...)`` marker (reference R/data.table.R
+    patterns, tests.Rraw 1971): one or more regexes whose matches are
+    INTERSECTED over the column names."""
+
+    def __init__(self, *regexes: str):
+        if not regexes:
+            raise ValueError("patterns() needs at least one regex")
+        self.regexes = regexes
+
+
+def patterns(*regexes: str) -> Patterns:
+    """Build a :class:`Patterns` spec for ``sd_cols``/``lapply_sd``."""
+    return Patterns(*regexes)
+
+
+def sd_cols(dt: DT, spec=None, by=None, invert: bool = False) -> list[str]:
+    """Resolve the reference's ``.SDcols`` mini-language to column names
+    (reference R/data.table.R .SDcols resolution; tests.Rraw 1137,
+    1498, 1971, 2128 — round-12 port).
+
+    Accepted ``spec`` forms:
+    - None → every column not in ``by`` (the default .SD);
+    - list of names → validated as-is; a name prefixed ``-`` drops it
+      (all-or-none: mixing plain and ``-`` names raises, 1137.07);
+    - "a:b" range string → the contiguous column span in table order
+      (reference startcol:endcol);
+    - int / list of ints → 1-based positions; NEGATIVE positions drop
+      (mixing signs raises ".SDcols is numeric but has both", 1137.06);
+    - list of bools → logical mask, length must equal ncol (1498.2);
+    - :class:`Patterns` → intersection of regex matches (1971.2);
+    - callable → applied to each column's SPARK DTYPE STRING (the
+      distributed adaptation of the reference's per-column-vector
+      predicate, e.g. ``is.numeric`` → ``lambda t: t in NUMERIC``);
+      must return a bool or ".SDcols conditions were not met" raises
+      (2128.3-.5).
+
+    ``invert=True`` complements the selection (the reference's ``!`` /
+    ``-`` prefix, 1971.3) while preserving table column order. ``by``
+    columns are excluded from the default and from pattern/callable
+    selections (reference: by columns never enter .SD) but an EXPLICIT
+    name list may include them.
+    """
+    names = list(dt.columns)
+    byn = set(_namelist(by))
+    if spec is None:
+        out = [c for c in names if c not in byn]
+        return [c for c in names if c not in out] if invert else out
+
+    def finish(sel: list[str]) -> list[str]:
+        if invert:
+            sel_set = set(sel)
+            return [c for c in names if c not in sel_set]
+        return sel
+
+    if isinstance(spec, Patterns):
+        sel = [
+            c for c in names
+            if c not in byn
+            and all(re.search(rx, c) for rx in spec.regexes)
+        ]
+        return finish(sel)
+    if callable(spec):
+        dtypes = dict(dt.df.dtypes)
+        sel, bad = [], []
+        for c in names:
+            if c in byn:
+                continue
+            v = spec(dtypes[c])
+            if not isinstance(v, bool):
+                bad.append(c)
+            elif v:
+                sel.append(c)
+        if bad:
+            raise ValueError(
+                ".SDcols conditions were not met for: "
+                f"[{', '.join(bad)}] (the callable must return a bool "
+                "per column dtype)"
+            )
+        return finish(sel)
+    if isinstance(spec, bool):
+        raise ValueError(".SDcols cannot be a single boolean")
+    if isinstance(spec, int):
+        spec = [spec]
+    if isinstance(spec, str):
+        if ":" in spec and spec not in names:
+            lo, hi = (s.strip() for s in spec.split(":", 1))
+            if lo not in names or hi not in names:
+                raise ValueError(f".SDcols range {spec!r}: unknown column")
+            i, j2 = names.index(lo), names.index(hi)
+            step = 1 if j2 >= i else -1
+            return finish(names[i:j2 + step:step])
+        spec = [spec]
+    spec = list(spec)
+    if spec and all(isinstance(v, bool) for v in spec):
+        if len(spec) != len(names):
+            raise ValueError(
+                f".SDcols is a logical vector length {len(spec)} but "
+                f"there are {len(names)} columns"
+            )
+        return finish([c for c, keep in zip(names, spec) if keep])
+    if spec and all(isinstance(v, int) for v in spec):
+        neg = [v for v in spec if v < 0]
+        pos = [v for v in spec if v > 0]
+        if neg and pos:
+            raise ValueError(
+                ".SDcols is numeric but has both +ve and -ve indices"
+            )
+        if any(v == 0 or abs(v) > len(names) for v in spec):
+            raise ValueError(".SDcols position out of range")
+        if neg:
+            drop = {names[-v - 1] for v in neg}
+            return finish([c for c in names if c not in drop])
+        return finish([names[v - 1] for v in pos])
+    if spec and all(isinstance(v, str) for v in spec):
+        minus = [v[1:] for v in spec if v.startswith("-")]
+        plain = [v for v in spec if not v.startswith("-")]
+        if minus and plain:
+            raise ValueError(
+                "invalid unary operator: .SDcols mixes plain and "
+                "'-'-prefixed names"
+            )
+        use = minus or plain
+        missing = [v for v in use if v not in names]
+        if missing:
+            raise ValueError(f"Some items of .SDcols are not column "
+                             f"names: {missing}")
+        if minus:
+            return finish([c for c in names if c not in set(minus)])
+        return finish(list(plain))
+    raise ValueError(f"unsupported .SDcols spec: {spec!r}")
+
+
+def lapply_sd(dt: DT, fun, spec=None, by=None, invert: bool = False) -> DT:
+    """``DT[, lapply(.SD, fun), by=, .SDcols=]`` (reference
+    R/data.table.R dogroups→GForce path; tests.Rraw 1137.12, 1971).
+
+    ``fun`` is a GForce name ("sum", "mean", ...) or a callable
+    Column→Column; it is applied to every ``sd_cols``-resolved column
+    in ONE grouped aggregate (single exchange, map-side partials —
+    the distributed form of the reference's GForce batch loop). Output:
+    by columns then the .SD columns under their own names (reference
+    lapply(.SD) keeps names)."""
+    cols = sd_cols(dt, spec, by=by, invert=invert)
+    f = GFORCE[fun] if isinstance(fun, str) else fun
+    exprs = [f(F.col(c)).alias(c) for c in cols]
+    if not exprs:
+        raise ValueError("lapply_sd: .SDcols resolved to no columns")
+    byn = _namelist(by)
+    if byn:
+        return DT(dt.df.groupBy(*byn).agg(*exprs))
+    return DT(dt.df.agg(*exprs))
 
 
 def uniqueN(dt: DT, cols=None, by=None, na_rm: bool = False) -> DT:

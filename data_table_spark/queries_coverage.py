@@ -1161,3 +1161,36 @@ def q_join_coerce_int(spark, sf_dir):
             "c_acctbal": F.col("c_acctbal").cast("double"),
         }
     ).df
+
+
+@query(
+    "sdcols_patterns",
+    """
+    SELECT l_returnflag,
+           CAST(MAX(l_quantity) AS DOUBLE) AS l_quantity,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS l_extendedprice,
+           CAST(MAX(l_discount) AS DOUBLE) AS l_discount,
+           CAST(MAX(l_tax) AS DOUBLE) AS l_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_sdcols_patterns(spark, sf_dir):
+    """lapply(.SD, max) with the .SDcols MINI-LANGUAGE (reference
+    .SDcols=patterns(), tests.Rraw 1971 — round-12 operator): regex
+    selection + a dtype predicate intersected by sd_cols, one grouped
+    aggregate with map-side partials (max is order/partition-safe, so
+    no decimal detour is needed)."""
+    from .operators.grouping import lapply_sd, patterns, sd_cols
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    # regex ∩ numeric-dtype predicate, reference patterns() semantics
+    cols = [
+        c for c in sd_cols(li, patterns("^l_(quant|extend|disc|tax)"))
+        if dict(li.df.dtypes)[c] in ("double", "float")
+    ]
+    out = lapply_sd(li, "max", cols, by=["l_returnflag"])
+    return out.query(
+        j={"l_returnflag": F.col("l_returnflag"),
+           **{c: F.col(c).cast("double") for c in cols}}
+    ).df

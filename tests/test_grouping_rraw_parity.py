@@ -161,3 +161,66 @@ def test_283_293_by_pair_with_group_values_and_N(spark):
     )
     assert _rows(out, "a", "b", "V1", "N") == [
         (1, 3, 4, 3), (1, 4, 5, 1), (2, 4, 6, 3)]
+
+
+def test_sdcols_minilanguage_1137_1971_2128(spark):
+    """.SDcols mini-language vectors (tests.Rraw 1137.01-.12 negative
+    positions/names, 1498.2/.4 logical masks, 1971.1-.3 patterns with
+    intersection and inversion, 2128.1-.5 type-predicate callables —
+    the callable receives the SPARK DTYPE string, the documented
+    distributed adaptation of the reference's per-vector predicate)."""
+    import pytest as _pytest
+
+    from data_table_spark.operators.grouping import (
+        lapply_sd, patterns, sd_cols,
+    )
+
+    d = DT(spark.createDataFrame(
+        [(i, i + 5, i + 10) for i in range(1, 6)], "x int, y int, z int"
+    ))
+    assert sd_cols(d, -1) == ["y", "z"]                      # 1137.01
+    assert sd_cols(d, [-1, -2]) == ["z"]                     # 1137.02
+    assert sd_cols(d, "-y") == ["x", "z"]                    # 1137.03
+    assert sd_cols(d, ["-y", "-x"]) == ["z"]                 # 1137.04
+    assert sd_cols(d, [-1, -2, -3]) == []                    # 1137.05
+    with _pytest.raises(ValueError, match="both"):           # 1137.06
+        sd_cols(d, [1, -2])
+    with _pytest.raises(ValueError, match="unary"):          # 1137.07
+        sd_cols(d, ["x", "-y"])
+    # 1498.2/.4: logical mask must match ncol; negation via invert
+    with _pytest.raises(ValueError, match="length 2 but"):
+        sd_cols(d, [True, False])
+    assert sd_cols(d, [True, False, True], invert=True) == ["y"]
+    # range form
+    assert sd_cols(d, "x:y") == ["x", "y"]
+    # 1971: patterns / intersection / inversion on a V1..V10 table
+    cols = ["i", "c"] + [f"V{k}" for k in range(1, 11)]
+    dv = DT(spark.createDataFrame(
+        [tuple([1, "a"] + [float(k) for k in range(10)])],
+        ", ".join(
+            [f"{c} int" if c == "i" else f"{c} string" if c == "c"
+             else f"{c} double" for c in cols]
+        ),
+    ))
+    assert sd_cols(dv, patterns("^V")) == [f"V{k}" for k in range(1, 11)]
+    assert sd_cols(dv, patterns("^V[02468]", "^V[48]")) == ["V4", "V8"]
+    assert sd_cols(dv, patterns("^c|i"), invert=True) == [
+        f"V{k}" for k in range(1, 11)]
+    # 2128: dtype-predicate callable
+    dm = DT(spark.createDataFrame(
+        [(1, 2.0, "a")], "a int, b double, c string"
+    ))
+    num = lambda t: t in ("int", "bigint", "double", "float")  # noqa: E731
+    assert sd_cols(dm, num) == ["a", "b"]                     # 2128.1
+    assert sd_cols(dm, num, invert=True) == ["c"]             # 2128.2
+    with _pytest.raises(ValueError, match="conditions were not met"):
+        sd_cols(dm, lambda t: 2)                              # 2128.4
+    # lapply_sd: grouped sum over .SDcols=-"y" == .SDcols="z" (1137.12)
+    dg = DT(spark.createDataFrame(
+        [("A", 1, 0.5), ("A", 2, 1.5), ("C", 3, 2.5), ("C", 4, 3.5)],
+        "x string, y int, z double",
+    ))
+    lhs = lapply_sd(dg, "sum", ["-y", "-x"], by=["x"])
+    rhs = lapply_sd(dg, "sum", ["z"], by=["x"])
+    assert _rows(lhs, "x", "z") == _rows(rhs, "x", "z")
+    assert _rows(lhs, "x", "z") == [("A", 2.0), ("C", 6.0)]
