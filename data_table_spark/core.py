@@ -356,41 +356,17 @@ class DT:
         Missing placement matches the reference's forder (tests.Rraw
         1988.5-.8): the NA block is outermost with NaN immediately
         inside it, regardless of direction — na_last=False (reference
-        setorder default) puts NA then NaN FIRST, na_last=True puts
-        NaN then NA LAST. Implemented as a per-column two-level sort
-        key for float/double columns (missing-level 0=value/1=NaN/
-        2=NA) and explicit nulls_first/nulls_last otherwise; Spark's
-        native NaN-after-+Inf ordering only applies inside frank/
-        setorder when ``nan_is_na``-style handling is bypassed."""
-        exprs = []
-        dtypes = dict(self.df.dtypes)
-        for c in cols:
-            if not isinstance(c, str):
-                exprs.append(_to_col(c))
-                continue
-            desc = c.startswith("-")
-            name = c[1:] if desc else c
-            col = F.col(name)
-            if dtypes.get(name) in ("float", "double"):
-                lvl = (
-                    F.when(col.isNull(), F.lit(2))
-                    .when(F.isnan(col), F.lit(1))
-                    .otherwise(F.lit(0))
-                )
-                exprs.append(lvl.asc() if na_last else lvl.desc())
-                exprs.append(col.desc() if desc else col.asc())
-            elif na_last:
-                exprs.append(
-                    col.desc_nulls_last() if desc else col.asc_nulls_last()
-                )
-            else:
-                exprs.append(
-                    col.desc_nulls_first() if desc else col.asc_nulls_first()
-                )
+        setorder default) puts NA then NaN FIRST, na_last=True (the
+        ``DT[order(.)]`` base-R-consistent default, R/setkey.R:230
+        comment) puts NaN then NA LAST. Implemented as a per-column
+        two-level sort key for float/double columns (missing-level
+        0=value/1=NaN/2=NA) and explicit nulls_first/nulls_last
+        otherwise; Spark's native NaN-after-+Inf ordering only applies
+        when ``nan_is_na``-style handling is bypassed."""
         # keep the '-' prefix in the declared order: _ocol resolves it to
         # a descending sort key in every order consumer
         return self._wrap(
-            self.df.orderBy(*exprs),
+            self.df.orderBy(*_forder_exprs(self.df, cols, na_last)),
             order_by=[c for c in cols if isinstance(c, str)],
         )
 
@@ -517,17 +493,57 @@ def _b_name(c: Column) -> str:
         return ""
 
 
-def fsort(dt: DT, *cols: str, decreasing: bool = False) -> DT:
-    """fsort (reference R/fsort.R:9, src/fsort.c:255 — parallel MSD
-    radix sort). Spark's orderBy IS a distributed sample-based
-    range-partition sort, so the dedicated API is a thin wrapper:
-    sample → range-exchange → per-partition sort, every stage parallel
-    (the cluster form of fsort's thread-per-MSD-bucket design).
-    Records the resulting order (with direction) in the DT metadata."""
+def _forder_exprs(df: DataFrame, cols, na_last: bool) -> list[Column]:
+    """Shared forder sort-key builder (reference src/forder.c NA<NaN<
+    values rule, tests.Rraw 1988.5-.8): per-column two-level key for
+    float/double (missing-level 0=value/1=NaN/2=NA — the NA block
+    outermost, NaN adjacent, in BOTH directions), explicit
+    nulls_first/last otherwise. '-' prefix = descending."""
+    exprs: list[Column] = []
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if not isinstance(c, str):
+            exprs.append(_to_col(c))
+            continue
+        desc = c.startswith("-")
+        name = c[1:] if desc else c
+        col = F.col(name)
+        if dtypes.get(name) in ("float", "double"):
+            lvl = (
+                F.when(col.isNull(), F.lit(2))
+                .when(F.isnan(col), F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            exprs.append(lvl.asc() if na_last else lvl.desc())
+            exprs.append(col.desc() if desc else col.asc())
+        elif na_last:
+            exprs.append(
+                col.desc_nulls_last() if desc else col.asc_nulls_last()
+            )
+        else:
+            exprs.append(
+                col.desc_nulls_first() if desc else col.asc_nulls_first()
+            )
+    return exprs
+
+
+def fsort(dt: DT, *cols: str, decreasing: bool = False,
+          na_last: bool = False) -> DT:
+    """fsort (reference R/setkey.R:210, src/fsort.c:255 — parallel MSD
+    radix sort; with NAs/decreasing it falls back to forderv, so the
+    missing-value placement contract is forder's NA-then-NaN block,
+    na.last=FALSE default). Spark's orderBy IS a distributed
+    sample-based range-partition sort, so the dedicated API is a thin
+    wrapper: sample → range-exchange → per-partition sort, every stage
+    parallel (the cluster form of fsort's thread-per-MSD-bucket
+    design). Records the resulting order (with direction) in the DT
+    metadata."""
     cols = list(cols) or list(dt.order_by) or list(dt.columns[:1])
-    exprs = [F.col(c).desc() if decreasing else F.col(c) for c in cols]
     order = [("-" + c) if decreasing else c for c in cols]
-    return DT(dt.df.orderBy(*exprs), order_by=order)
+    return DT(
+        dt.df.orderBy(*_forder_exprs(dt.df, order, na_last)),
+        order_by=order,
+    )
 
 
 def fread_parquet(spark: SparkSession, path: str, key: Sequence[str] | None = None) -> DT:

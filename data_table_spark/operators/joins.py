@@ -433,12 +433,17 @@ def merge(
         for c in [c for c in ydf.columns if c not in bby and c in bx]:
             ydf = ydf.withColumnRenamed(c, c + suffixes[1])
 
-    cond = [xdf[a] == ydf[b] for a, b in zip(bx, bby)]
+    # merge funnels through the same bmerge coercion contract as X[Y]
+    # (reference R/merge.R → bmerge; tests.Rraw 2044 — round-12): here
+    # y plays the i role, so an all-NA / fitsInInt32 y key coerces
+    pairs = [(a, "==", b) for a, b in zip(bx, bby)]
+    xdf, ydf, cpairs = _bmerge_coerce(xdf, ydf, pairs)
+    cond = [xdf[a] == ydf[b] for a, _, b in cpairs]
     joined = xdf.join(ydf, reduce(lambda l, r: l & r, cond), how)
     # key columns: coalesce both sides so full-outer keeps them non-null
     keys = [F.coalesce(xdf[a], ydf[b]).alias(a) for a, b in zip(bx, bby)]
-    rest_x = [xdf[c] for c in xdf.columns if c not in bx]
-    rest_y = [ydf[c] for c in ydf.columns if c not in bby]
+    rest_x = [xdf[c] for c in xdf.columns if c not in bx and not c.startswith("__bm_")]
+    rest_y = [ydf[c] for c in ydf.columns if c not in bby and not c.startswith("__bm_")]
     return DT(joined.select(*keys, *rest_x, *rest_y), key=bx)
 
 

@@ -217,3 +217,24 @@ def test_2044_80_85_all_na_coercion(spark):
     out = lookup(x, y, on={"b": "ia"})
     assert out.df.count() == 1
     assert lookup(x, y, on={"b": "ia"}, nomatch=None).df.count() == 0
+
+
+def test_merge_routes_through_coercion(spark):
+    """merge() funnels through the same bmerge contract (reference
+    R/merge.R → bmerge): fraction-free y double key joining an x int
+    key coerces and matches exactly; an incompatible char/int merge
+    raises instead of silently null-joining."""
+    from data_table_spark.operators.joins import merge
+
+    x = DT(spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 6)], "k int, vx int"
+    ))
+    y = DT(spark.createDataFrame(
+        [(float(i), i * 100) for i in (2, 3, 9)], "ky double, vy int"
+    ))
+    out = merge(x, y, by_x=["k"], by_y=["ky"])
+    assert sorted((r["k"], r["vx"], r["vy"]) for r in out.df.collect()) == [
+        (2, 20, 200), (3, 30, 300)]
+    ybad = DT(spark.createDataFrame([("2", 1)], "ky string, vy int"))
+    with pytest.raises(ValueError, match="Incompatible join types"):
+        merge(x, ybad, by_x=["k"], by_y=["ky"])
