@@ -35,104 +35,90 @@ def entry(spark: SparkSession) -> DataFrame:
 # tool now prints the post-window histogram too and prose quotes only
 # tool output).
 #
-# Round-10 window = rotate_window.py output for --new = the queries
-# added or plan-changed this round: minhash_lsh_shuffle (new: the
-# onepass verifier's pinned non-broadcast membership join,
-# broadcast="never", same oracle as minhash_lsh_pairs — the r9 verdict
-# "What's wrong" #1 size-cliff fix) + minhash_lsh_pairs (its DEFAULT
-# membership join changed from a hard F.broadcast hint to AQE-decided)
-# + line_dedup_boilerplate / web_curation_pipeline (line_dedup's
-# boilerplate join got the same broadcast="auto" gate — default plan
-# changed) + frank_ties / frank_random / frank_chunked (frank gained
-# reference na.last=TRUE-by-default semantics, ties="last", NaN-as-NA
-# masking, and na_last=True under n_chunks). The n_chunks="auto"
-# resolution added to the ordered operators is a pure pass-through for
-# the integer/None arguments every registry query uses (covered by the
-# stitch-family pytest run + the config-differential sweep), so those
-# queries do NOT re-enter. Then the 8 r4-latest rows and the oldest r5
-# rows fill the remaining slots.
-# froll_auto_chunks is the new driver twin for the n_chunks="auto"
-# resolution (same oracle as froll_mean_sum verbatim); frollapply /
-# frollapply_multi were restructured around the stitch-compatible
-# exprs closure (default plan identical), so frollapply_corr re-enters
-# (frollapply_median is already in the r5 tail); frolladaptive's
-# family was restructured around the chunk-stitches (running-triple
-# carry for sum/mean, halo stitch for extrema, chunked-rank position
-# for median; default plans identical), so froll_adaptive_sum /
-# froll_adaptive_minmax / froll_adaptive_median re-enter too, as does
-# rowid_counter (rowid gained the chunked-rank option; default plan
-# identical). froll_adaptive_chunked / frollapply_chunked are the new
-# stitched-path driver twins (same oracles as froll_adaptive_sum /
-# frollapply_median verbatim); froll_chunked / asof_chunked re-enter
-# because their executed stitch code changed (the NaN/NULL chunk
-# routing fixes).
+# Round-12 window = rotate_window.py output for --new = the queries
+# added or code/plan-changed this round: join_coerce_int (NEW — bmerge
+# join-type coercion, tests.Rraw 2044.60 fitsInInt32 path) +
+# sdcols_patterns (NEW — .SDcols mini-language lapply_sd) +
+# frank_ties / frank_random / frank_chunked (frank's NaN-vs-NA
+# two-level missing key, tests.Rraw 1988.1-.4 — ordering expressions
+# changed for double rank columns) + setorder_topk (setorder/fsort now
+# share the _forder_exprs NA-then-NaN block key, 1988.5-.8) +
+# uniqueN_by (na_rm conditional-distinct rewrite + non-nullable fast
+# path) + froll_narm (froll exprs loop restructured around the
+# int→double identity cast) + lookup_join / join_inner / anti_join /
+# mult_first / mult_last / merge_full / join_coerce_int (lookup and
+# merge now route join keys through _bmerge_coerce; anti_join's
+# notjoin path gained an explicit x-column projection) +
+# mergelist_fold / mergelist_mixed (mergepair keyless-baseline key
+# metadata fix). Fill = the 26 r7-latest rows + the oldest-r8 rows,
+# exactly the r11 verdict's prescription.
 # Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
-# #   r0: 1
-# #   r5: 18
-# #   r7: 44
-# #   r8: 40
-# #   r9: 40
-# #   r10: 50
-# # window covers 50 slots; oldest row left outside: r7
-# # POST-window histogram (window rows counted as r11):
+# #   r0: 2
 # #   r7: 26
 # #   r8: 39
 # #   r9: 38
 # #   r10: 40
 # #   r11: 50
+# # window covers 50 slots; oldest row left outside: r8
+# # POST-window histogram (window rows counted as r12):
+# #   r8: 30
+# #   r9: 37
+# #   r10: 35
+# #   r11: 43
+# #   r12: 50
 _PRIORITY = [
-    "mergelist_mixed",  # new
-    "mergelist_fold",  # new
-    "fdistinct_last",  # new
-    "cbindlist_zip",  # new
-    "froll_auto_chunks",  # new
-    "froll_chunked",  # new
-    "asof_chunked",  # new
+    "join_coerce_int",  # new
+    "sdcols_patterns",  # new
+    "frank_ties",  # new
+    "frank_random",  # new
     "frank_chunked",  # new
-    "rleid_chunked",  # new
-    "froll_adaptive_chunked",  # new
-    "frollapply_chunked",  # new
-    "rowid_counter",  # new
-    "froll_narm",  # new
-    "filter_between",  # new
-    "tstrsplit_cols",  # new
+    "setorder_topk",  # new
     "uniqueN_by",  # new
-    "mult_first",  # r5
-    "na_omit_cols",  # r5
-    "orc_roundtrip",  # r5
-    "pii_scrub",  # r5
-    "setindex_bucketed",  # r5
-    "sketch_quantiles",  # r5
-    "split_leakfree",  # r5
-    "sq8_ann_topk",  # r5
-    "stream_neardup_screen",  # r5
-    "stream_session_agg",  # r5
-    "stream_session_dynamic",  # r5
-    "stream_stream_full_join",  # r5
-    "stream_stream_left_join",  # r5
-    "stream_stream_right_join",  # r5
-    "tfidf_keywords",  # r5
-    "udtf_chunk_lateral",  # r5
-    "which_rows",  # r5
-    "winnow_dup_pairs",  # r5
-    "anti_join",  # r7
-    "cj_cross",  # r7
-    "cube_agg",  # r7
-    "date_parts",  # r7
-    "dcast_drop_false",  # r7
-    "dcast_multi_agg",  # r7
-    "dcast_pivot",  # r7
-    "dedup_exact",  # r7
-    "duplicated_flag",  # r7
-    "epoch_upsample",  # r7
-    "fifelse_fcase",  # r7
-    "filter_chin",  # r7
-    "filter_like",  # r7
-    "filter_notin",  # r7
-    "filter_scan",  # r7
-    "foverlaps_any",  # r7
+    "froll_narm",  # new
+    "lookup_join",  # new
+    "join_inner",  # new
+    "anti_join",  # new
+    "mult_first",  # new
+    "mult_last",  # new
+    "merge_full",  # new
+    "mergelist_fold",  # new
+    "mergelist_mixed",  # new
+    "foverlaps_start",  # r7
+    "foverlaps_within",  # r7
+    "frollapply_adaptive",  # r7
+    "funion_all",  # r7
+    "gforce_minmax_firstlast",  # r7
+    "gforce_var_sd",  # r7
+    "groupingsets_agg",  # r7
+    "inrange_semi",  # r7
+    "let_by_group",  # r7
+    "melt_multi_measure",  # r7
+    "melt_unpivot",  # r7
+    "mixture_sample",  # r7
+    "nonequi_join",  # r7
+    "pq_ann_topk",  # r7
+    "retention_cohorts",  # r7
+    "rollup_agg",  # r7
+    "select_compute",  # r7
+    "semi_join",  # r7
+    "shuffle_shards",  # r7
+    "stream_asof_enrich",  # r7
+    "text_quality",  # r7
+    "transpose_medium",  # r7
+    "unique_first",  # r7
+    "update_on_join",  # r7
+    "weighted_mean",  # r7
+    "ann_cosine_topk",  # r8
+    "cogroup_udtf",  # r8
+    "composite_pipeline",  # r8
+    "curation_pipeline",  # r8
+    "date_round",  # r8
+    "dcast_margins",  # r8
+    "decontaminate_bloom",  # r8
+    "decontaminate_ngrams",  # r8
+    "dedup_keep_best",  # r8
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1145,6 +1145,17 @@ def test_frank_1988_nan_na_two_groups(spark):
     assert ranks(only_nan, "average") == [2.0, 3.5, 1.0, 3.5]
     assert ranks(only_nan, "min") == [2, 3, 1, 3]
 
+    # by= groups: the two-level key applies inside each partition
+    rows = [(i, i % 2, v) for i, v in enumerate(
+        [3.0, math.nan, None, 1.0, math.nan, None, 2.0, 4.0])]
+    dg = DT(spark.createDataFrame(rows, "i int, g int, x double"),
+            order_by=["i"])
+    out = frank(dg, "x", ties="min", by=["g"], out_col="rk")
+    got = {r["i"]: r["rk"] for r in out.df.collect()}
+    # g=0 rows i=0,2,4,6: values 3,2 → 2,1; NaN(i=4) → 3; NA(i=2) → 4
+    # g=1 rows i=1,3,5,7: values 1,4 → 1,2; NaN(i=1) → 3; NA(i=5) → 4
+    assert got == {0: 2, 2: 4, 4: 3, 6: 1, 1: 3, 3: 1, 5: 4, 7: 2}
+
 
 def test_setorder_1988_nan_na_placement(spark):
     """tests.Rraw 1988.5-.8 (divergence FIXED round 12): forderv
