@@ -107,7 +107,34 @@ def dcast(
     gb = df.groupBy(*rowvars)
     piv = gb.pivot(colvar, list(pivot_values) if pivot_values is not None else None)
     if fun_agg is None:
-        out = piv.agg(F.first(value_var))
+        # reference default (R/fcast.R:181): fun.aggregate=NULL with
+        # duplicate row/column combinations warns and defaults to
+        # length(); unique combinations take the value itself (first
+        # of one). One bounded probe, only when fun_agg is omitted.
+        has_dups = (
+            df.groupBy(*rowvars, colvar).count()
+            .filter(F.col("count") > 1).limit(1).count() > 0
+        )
+        if has_dups:
+            import warnings
+
+            warnings.warn(
+                "'fun_agg' is None, but found duplicate row/column "
+                "combinations, so defaulting to length() (count). The "
+                "formula variables do not uniquely identify rows; pass "
+                "fun_agg= to choose the representative value "
+                "(reference R/fcast.R:181).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            # length() counts ROWS (count(1), not count(col): NULL
+            # values still count); empty cells take length(empty) = 0
+            # — the reference's fill default is fun(emptyvector)
+            out = piv.agg(F.count(F.lit(1)))
+            if fill is None:
+                fill = 0
+        else:
+            out = piv.agg(F.first(value_var))
     elif len(fun_agg) == 1:
         ((_, expr),) = fun_agg.items()
         out = piv.agg(expr)

@@ -224,3 +224,36 @@ def test_sdcols_minilanguage_1137_1971_2128(spark):
     rhs = lapply_sd(dg, "sum", ["z"], by=["x"])
     assert _rows(lhs, "x", "z") == _rows(rhs, "x", "z")
     assert _rows(lhs, "x", "z") == [("A", 2.0), ("C", 6.0)]
+
+
+def test_dcast_default_length_on_duplicates(spark):
+    """dcast fun.aggregate=NULL contract (reference R/fcast.R:181):
+    duplicate row/column combinations WARN and default to length()
+    with empty cells filled 0 (= length(empty)); unique combinations
+    keep the value itself."""
+    import warnings
+
+    from data_table_spark.operators.reshape import dcast
+
+    dup = DT(spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 3.0),
+         ("b", "x", 4.0)],
+        "r string, c string, v double",
+    ))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dcast(dup, ["r"], "c", "v")
+        assert any("defaulting to length" in str(x.message) for x in w)
+    got = {r["r"]: (r["x"], r["y"]) for r in out.df.collect()}
+    assert got == {"a": (2, 1), "b": (1, 0)}  # counts; empty cell -> 0
+
+    uniq = DT(spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 3.0), ("b", "x", 4.0)],
+        "r string, c string, v double",
+    ))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dcast(uniq, ["r"], "c", "v")
+        assert not any("defaulting" in str(x.message) for x in w)
+    got = {r["r"]: (r["x"], r["y"]) for r in out.df.collect()}
+    assert got == {"a": (1.0, 3.0), "b": (4.0, None)}

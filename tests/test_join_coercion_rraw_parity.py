@@ -238,3 +238,22 @@ def test_merge_routes_through_coercion(spark):
     ybad = DT(spark.createDataFrame([("2", 1)], "ky string, vy int"))
     with pytest.raises(ValueError, match="Incompatible join types"):
         merge(x, ybad, by_x=["k"], by_y=["ky"])
+
+
+def test_1489_value_join_coercion(spark):
+    """tests.Rraw 1489: DT[.(TRUE)] on an integer key errors with the
+    incompatible-types contract; DT[.(1L)] and DT[.(1)] (int-as-double
+    ad hoc value) both return row 1 — the fitsInInt32 convenience
+    applies to J()-style value joins through the same lookup path."""
+    from data_table_spark.operators.joins import J, lookup
+
+    x = DT(spark.createDataFrame(
+        [(i, i + 5) for i in range(1, 6)], "x int, y int"
+    ), key=["x"])
+    with pytest.raises(ValueError, match="Incompatible join types"):
+        lookup(x, J(spark, x=True), nomatch=None)
+    got = lookup(x, J(spark, x=1), nomatch=None)        # 1489.2
+    assert [(r["x"], r["y"]) for r in got.df.collect()] == [(1, 6)]
+    got = lookup(x, J(spark, x=1.0), nomatch=None)      # 1489.3
+    assert [(r["x"], r["y"]) for r in got.df.collect()] == [(1, 6)]
+    assert dict(got.df.dtypes)["x"] == "int"            # callersi rule

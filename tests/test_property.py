@@ -1152,3 +1152,85 @@ def test_asof_stitch_equivalence_property(spark, xts, its, roll, nc):
         )
 
     assert run(None) == run(nc)
+
+
+def _frank_oracle(xs, ties, na_last):
+    """Pure-Python reference frank oracle (R/frank.R + forder's
+    NA-outermost/NaN-adjacent rule, tests.Rraw 1988): sort key level
+    0=value/1=NaN/2=NA, ascending under na.last=TRUE, descending under
+    FALSE; "keep" ranks missing (NaN AND NA — is.na(NaN) TRUE) as None
+    with non-missing ranked among themselves; None (na.last=NA) drops
+    missing rows."""
+    import math
+
+    def lvl(v):
+        if v is None:
+            return 2
+        if isinstance(v, float) and math.isnan(v):
+            return 1
+        return 0
+
+    n = len(xs)
+    idx = list(range(n))
+    if na_last is None or na_last == "keep":
+        ranked = [i for i in idx if lvl(xs[i]) == 0]
+        key = lambda i: xs[i]  # noqa: E731
+    else:
+        ranked = idx
+        sgn = 1 if na_last is True else -1
+        key = lambda i: (sgn * lvl(xs[i]), 0 if lvl(xs[i]) else xs[i])  # noqa: E731
+    order = sorted(ranked, key=key)
+    out = [None] * n
+    groups = []
+    for i in order:
+        if groups and key(groups[-1][0]) == key(i):
+            groups[-1].append(i)
+        else:
+            groups.append([i])
+    pos = 1
+    for gi, g in enumerate(groups, 1):
+        k = len(g)
+        for i in g:
+            if ties == "min":
+                out[i] = pos
+            elif ties == "max":
+                out[i] = pos + k - 1
+            elif ties == "dense":
+                out[i] = gi
+            elif ties == "average":
+                out[i] = pos + (k - 1) / 2.0
+        pos += k
+    return out
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    xs=st.lists(
+        st.one_of(
+            st.integers(min_value=-2, max_value=2).map(float),
+            st.none(),
+            st.just(float("nan")),
+            st.just(float("inf")),
+            st.just(float("-inf")),
+        ),
+        min_size=1, max_size=10,
+    ),
+    ties=st.sampled_from(["min", "max", "dense", "average"]),
+    na_last=st.sampled_from([True, False, "keep"]),
+    n_chunks=st.sampled_from([None, 3]),
+)
+def test_frank_nan_na_property(spark, xs, ties, na_last, n_chunks):
+    """frank vs the pure-Python reference oracle across random
+    value/NaN/NA/±Inf vectors, every tie method × na_last × the chunk
+    stitch — pins the round-12 two-level missing key end to end."""
+    dt = DT(spark.createDataFrame(
+        [(i, v) for i, v in enumerate(xs)], "i int, x double"
+    ), order_by=["i"])
+    out = frank(dt, "x", ties=ties, na_last=na_last, n_chunks=n_chunks,
+                out_col="rk")
+    got = [r["rk"] for r in out.df.orderBy("i").collect()]
+    exp = _frank_oracle(xs, ties, na_last)
+    if ties == "average":
+        exp = [float(e) if e is not None else None for e in exp]
+    assert got == exp, (xs, ties, na_last, n_chunks)
