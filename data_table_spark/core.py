@@ -261,6 +261,36 @@ class DT:
         if keyby and by_names:
             out = out.orderBy(*[n for n in by_names if n])
             return self._wrap(out, key=by_names, order_by=by_names)
+        if by is None and not isinstance(i, (DT, DataFrame)):
+            # key retention through row-subset / column-select
+            # (reference tests.Rraw 2344.04): the longest key PREFIX
+            # whose columns survive UNTOUCHED is kept, even under
+            # column reorder or new columns. Only plain name
+            # passthroughs count — a computed column reusing a key
+            # name drops the key (reference tracks plain references);
+            # the declared order survives only whole
+            if j is None:
+                passthrough = set(out.columns)
+            elif isinstance(j, (list, tuple)):
+                passthrough = {c for c in j if isinstance(c, str)}
+            else:
+                passthrough = set()
+            key = []
+            for k in self.key or []:
+                if k in passthrough:
+                    key.append(k)
+                else:
+                    break
+            order_by = (
+                self.order_by
+                if self.order_by
+                and all(
+                    (c[1:] if c.startswith("-") else c) in passthrough
+                    for c in self.order_by
+                )
+                else None
+            )
+            return self._wrap(out, key=key or None, order_by=order_by)
         return self._wrap(out)
 
     # ----------------------------------------------------------- := / set*

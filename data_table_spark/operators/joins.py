@@ -244,9 +244,20 @@ def lookup(
     broadcast: bool = False,
     allow_cartesian: bool | None = None,
     prefix: str = "i_",
+    which: bool = False,
 ) -> DT:
     """``X[Y, on=...]`` — right-table-lookup join (reference
     R/data.table.R:842-997).
+
+    ``which=True`` (``DT[i, which=TRUE]`` with a join i — reference
+    R/data.table.R:617, tests.Rraw 1744.1): instead of X's payload,
+    return each matched X row's 1-based position in X's declared
+    key/order (NA for unmatched i rows under nomatch="NA") as a
+    ``which`` column alongside Y's columns. The position needs one
+    unpartitioned row_number over X — the same deliberate
+    single-reducer cost as ``DT.which`` (driver-bound use). The
+    roll-join form (1744.2) is the as-of join carrying a precomputed
+    row-number payload column — no separate surface.
 
     Result: one row per Y row (per match under mult="all"); Y's join-column
     values; X's payload columns; Y's payload columns prefixed ``i_`` on
@@ -268,6 +279,18 @@ def lookup(
     # cpairs may reference __bm_*__ shadow columns (join-only casts);
     # output assembly below keeps using the ORIGINAL pairs/names
     xdf, ydf, cpairs = _bmerge_coerce(x.df, y.df, pairs)
+
+    if which:
+        order_cols = [c for c in (x.key or x.order_by) if c in xdf.columns]
+        if not order_cols:
+            raise ValueError("which=True needs a key/order on x "
+                             "(row positions are order-relative)")
+        from ..core import _ocol
+
+        xdf = xdf.withColumn(
+            "__xrow__",
+            F.row_number().over(Window.orderBy(*[_ocol(c) for c in order_cols])),
+        )
 
     if notjoin:
         cond = _cond(xdf, ydf, cpairs, na_matches)
@@ -323,6 +346,12 @@ def lookup(
                 .filter(F.col("__rn__") == 1)
                 .drop("__rn__", _YID)
             )
+
+    if which:
+        return DT(joined.select(
+            *[ydf[b].alias(b) for b in y.columns],
+            xdf["__xrow__"].alias("which"),
+        ))
 
     # column assembly: y join cols + x payload + y payload (i_ prefix on clash)
     ycols_join = {b for _, _, b in pairs}

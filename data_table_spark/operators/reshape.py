@@ -48,11 +48,19 @@ def dcast(
 ) -> DT:
     """dcast — long→wide pivot (reference R/fcast.R:11,126-253).
 
-    ``fun_agg``: {suffix: aggregate-builder Column over value_var}; default
-    first() (dcast's default when rows are unique, length() otherwise is
-    the caller's choice). ``pivot_values``: pass the expected spread values
-    to keep the plan single-pass (else Spark runs a distinct job first) and
-    the output schema deterministic — matters at 100 TB.
+    ``fun_agg``: {suffix: aggregate-builder Column over value_var};
+    default = the reference's fun.aggregate=NULL rule (first of a
+    unique cell; length() with a warning when combinations duplicate).
+    ``pivot_values``: pass the expected spread values to keep the plan
+    single-pass (else Spark runs a distinct job first) and the output
+    schema deterministic — matters at 100 TB.
+
+    ``colvar`` may be a LIST of columns (the reference's multi-RHS
+    formula ``a ~ b + c``, tests.Rraw 1102.188): the spread columns
+    are the observed combinations named ``b<sep>c`` (values joined by
+    ``sep``, NA printed "NA" like the reference's composite level
+    labels); the pivot runs on ONE derived composite string column, so
+    the plan stays a single groupBy+pivot.
 
     ``drop``: (rows, cols) like the reference's 2-vector
     (R/fcast.R:127,217-226). ``drop[0]=False`` emits every combination
@@ -66,6 +74,19 @@ def dcast(
     drop_rows, _drop_cols = (drop, drop) if isinstance(drop, bool) else drop
     rowvars = _namelist(rowvars)
     df = dt.df
+    if not isinstance(colvar, str):
+        # multi-RHS formula: pivot one composite label column
+        # (reference pastes the RHS combination with sep — R/fcast.R
+        # value_vars naming; NA prints "NA" in the level label)
+        parts = _namelist(colvar)
+        composite = F.concat_ws(
+            sep, *[
+                F.coalesce(F.col(c).cast("string"), F.lit("NA"))
+                for c in parts
+            ]
+        )
+        df = df.withColumn("__dcast_col__", composite)
+        colvar = "__dcast_col__"
     if margins:
         # Subtotal rows — reference declares margins= but marks it "Not
         # implemented yet" (man/dcast.data.table.Rd:25); semantics follow

@@ -257,3 +257,81 @@ def test_dcast_default_length_on_duplicates(spark):
         assert not any("defaulting" in str(x.message) for x in w)
     got = {r["r"]: (r["x"], r["y"]) for r in out.df.collect()}
     assert got == {"a": (1.0, 3.0), "b": (4.0, None)}
+
+
+def test_2344_key_retention_through_select(spark):
+    """tests.Rraw 2344.04: a j column-select keeps the longest key
+    PREFIX whose columns survive untouched — across reorders and new
+    columns; a computed column reusing a key name, or a missing key
+    column, cuts the prefix there. Filters keep key and order."""
+    d = DT(spark.createDataFrame(
+        [(1, 3, 5), (2, 4, 6)], "V1 int, V2 int, V3 int"
+    ), key=["V1", "V2", "V3"], order_by=["V1"])
+    # reorder + new columns, V3 dropped → key = (V1, V2)
+    out = d.query(j=["V2", "V1"])
+    assert list(out.key) == ["V1", "V2"]
+    # middle key column missing → prefix stops at V1
+    out = d.query(j=["V1", "V3"])
+    assert list(out.key) == ["V1"]
+    # computed column under a key name → key dropped (not passthrough)
+    out = d.query(j={"V1": F.col("V1") + 1, "V3": F.col("V3")})
+    assert not out.key
+    # plain filter keeps key AND declared order
+    out = d.query(i=F.col("V3") > 5)
+    assert list(out.key) == ["V1", "V2", "V3"]
+    assert list(out.order_by) == ["V1"]
+
+
+def test_1102_dcast_multi_rhs(spark):
+    """tests.Rraw 1102.188-shape: dcast with a multi-column RHS
+    (year ~ continent + country) spreads the observed combinations as
+    composite sep-joined column names."""
+    from data_table_spark.operators.reshape import dcast
+
+    rows = [
+        (1986, "Europe", "Sweden", 1.0), (1986, "Europe", "Germany", 2.0),
+        (1987, "Asia", "India", 3.0), (1987, "Europe", "France", 4.0),
+        (1988, "Asia", "Japan", 5.0),
+    ]
+    d = DT(spark.createDataFrame(
+        rows, "year int, continent string, country string, v double"
+    ))
+    out = dcast(d, ["year"], ["continent", "country"], "v",
+                fun_agg={"s": F.sum("v")})
+    assert sorted(out.columns) == sorted([
+        "year", "Europe_Sweden", "Europe_Germany", "Asia_India",
+        "Europe_France", "Asia_Japan"])
+    got = {r["year"]: r for r in out.df.collect()}
+    assert got[1986]["Europe_Sweden"] == 1.0
+    assert got[1986]["Asia_India"] is None
+    assert got[1987]["Europe_France"] == 4.0
+    # NA level prints "NA" in the composite label
+    d2 = DT(spark.createDataFrame(
+        [(1, None, "x", 9.0)],
+        "year int, continent string, country string, v double",
+    ))
+    out2 = dcast(d2, ["year"], ["continent", "country"], "v",
+                 fun_agg={"s": F.sum("v")})
+    assert "NA_x" in out2.columns
+
+
+def test_2195_empty_by_means_all_columns(spark):
+    """tests.Rraw 2195 (#4594): by=[] and by=None both mean ALL
+    columns for uniqueN/unique/duplicated/anyDuplicated."""
+    from data_table_spark.operators.grouping import (
+        any_duplicated, duplicated, unique, uniqueN,
+    )
+
+    d = DT(spark.createDataFrame(
+        [(1, "val"), (2, "val"), (1, "val"), (3, "val")],
+        "idx int, value string",
+    ), order_by=["idx"])
+    for by in ([], None):
+        assert uniqueN(d, cols=by or None).df.collect()[0]["uniqueN"] == 3
+        u = unique(d, by=by, order=["idx"])
+        assert sorted(r["idx"] for r in u.df.collect()) == [1, 2, 3]
+        assert any_duplicated(d, by=by) is True
+    dup = duplicated(d, by=[], order=["idx"])
+    # one of the two (1,"val") rows flags duplicate
+    assert sorted(r["dup"] for r in dup.df.collect()) == [
+        False, False, False, True]

@@ -257,3 +257,37 @@ def test_1489_value_join_coercion(spark):
     got = lookup(x, J(spark, x=1.0), nomatch=None)      # 1489.3
     assert [(r["x"], r["y"]) for r in got.df.collect()] == [(1, 6)]
     assert dict(got.df.dtypes)["x"] == "int"            # callersi rule
+
+
+def test_1744_join_which(spark):
+    """tests.Rraw 1744 (#1904, fractional-double join keys): equi join
+    with which=TRUE returns each i row's matched x ROW NUMBER (NA on
+    no match); the roll form is the as-of join carrying a precomputed
+    row-number payload — both on the exact 1744 vectors."""
+    from pyspark.sql import Window
+
+    from data_table_spark.operators.asof import asof_join
+    from data_table_spark.operators.joins import lookup
+
+    a_vals = [1999.917, 2000.417, 2000.917, 2001.417, 2001.917]
+    x = DT(spark.createDataFrame([(v,) for v in a_vals], "A double"),
+           key=["A"])
+    iq = [2000.167, 2000.417, 2000.667, 2000.917, 2001.167]
+    y = DT(spark.createDataFrame(
+        [(j, v) for j, v in enumerate(iq)], "j int, A double"
+    ), order_by=["j"])
+    # 1744.1: roll=FALSE, which=TRUE → NA,2,NA,3,NA
+    out = lookup(x, y, on=["A"], which=True)
+    got = [r["which"] for r in out.df.orderBy("j").collect()]
+    assert got == [None, 2, None, 3, None]
+    # 1744.2: roll=TRUE (LOCF), which via a row-number payload
+    xr = DT(
+        x.df.withColumn(
+            "xrow",
+            F.row_number().over(Window.orderBy("A")),
+        ),
+        key=["A"],
+    )
+    out = asof_join(xr, y, on=[], time_x="A", time_i="A", roll=True)
+    got = [r["xrow"] for r in out.df.orderBy("j").collect()]
+    assert got == [1, 2, 2, 3, 3]
