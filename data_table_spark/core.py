@@ -400,6 +400,13 @@ class DT:
             order_by=[c for c in cols if isinstance(c, str)],
         )
 
+    def order(self, *cols: str) -> "DT":
+        """``DT[order(...)]`` — like :meth:`setorder` but with
+        na_last=True: the reference keeps DT[order(.)] consistent with
+        base R (NA last) while setorder defaults NA first
+        (R/setkey.R:230 comment). Same two-level NaN/NA key."""
+        return self.setorder(*cols, na_last=True)
+
     def setindex(self, *cols: str) -> "DT":
         """setindex (reference R/setkey.R:11-19): metadata-only here —
         Parquet min/max pruning + AQE replace stored order vectors

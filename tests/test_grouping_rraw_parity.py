@@ -335,3 +335,62 @@ def test_2195_empty_by_means_all_columns(spark):
     # one of the two (1,"val") rows flags duplicate
     assert sorted(r["dup"] for r in dup.df.collect()) == [
         False, False, False, True]
+
+
+def test_2250_delete_columns_via_sdcols(spark):
+    """tests.Rraw 2250.08 idiom: delete the columns .SDcols selects
+    (dt[, names(.SD) := NULL, .SDcols=!keep]) — expressed as let(None)
+    over sd_cols(invert=True)."""
+    from data_table_spark.operators.grouping import sd_cols
+
+    d = DT(spark.createDataFrame(
+        [(1, 5, 9.0, "x")], "a int, b int, c double, s string"
+    ))
+    keep = ["a", "b"]
+    out = d.let(**{c: None for c in sd_cols(d, keep, invert=True)})
+    assert out.columns == ["a", "b"]
+
+
+def test_order_method_na_last(spark):
+    """DT.order() = DT[order(...)] with na.last=TRUE (base-R
+    consistent), vs setorder's NA-first default — both with the
+    NA-outermost/NaN-adjacent block rule."""
+    import math
+
+    d = DT(spark.createDataFrame(
+        [(0, 2.0), (1, None), (2, math.nan), (3, 1.0)], "i int, x double"
+    ))
+    assert [r["i"] for r in d.order("x").df.collect()] == [3, 0, 2, 1]
+    assert [r["i"] for r in d.setorder("x").df.collect()] == [1, 2, 3, 0]
+
+
+def test_2362_gforce_arithmetic_in_j(spark):
+    """tests.Rraw 2362.31-.39 (GForce arithmetic over aggregates in
+    j): composite aggregate expressions per group — (max-min)/(max+min),
+    sum/.N, mean*2+sum, mod/intdiv/negation. In this engine the same
+    shapes are single grouped aggregates Catalyst partial-aggregates
+    (the distributed GForce); values pinned to the reference vectors
+    (dt = a=1:4, b=1:2 → groups b=1:{1,3}, b=2:{2,4})."""
+    d = DT(spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 1), (4, 2)], "a int, b int"
+    ))
+
+    def agg(expr):
+        out = d.query(j={"V1": expr}, by=["b"])
+        return {r["b"]: r["V1"] for r in out.df.collect()}
+
+    assert agg(F.max("a") - F.min("a")) == {1: 2, 2: 2}          # .31
+    got = agg((F.max("a") - F.min("a")) / (F.max("a") + F.min("a")))
+    assert got[1] == 0.5 and abs(got[2] - 1 / 3) < 1e-12         # .32
+    assert agg(F.sum("a") / F.count(F.lit(1))) == {1: 2.0, 2: 3.0}  # .33
+    assert agg(F.avg("a") * 2 + F.sum("a")) == {1: 8.0, 2: 12.0}    # .34
+    assert agg(F.sum("a") % 2) == {1: 0, 2: 0}                   # .37
+    assert agg(F.floor(F.sum("a") / 2)) == {1: 2, 2: 3}          # .38
+    assert agg(-F.sum("a")) == {1: -4, 2: -6}                    # .39
+    # .35: multi-name composite
+    out = d.query(
+        j={"range": F.max("a") - F.min("a"), "avg": F.avg("a")},
+        by=["b"],
+    )
+    got = {r["b"]: (r["range"], r["avg"]) for r in out.df.collect()}
+    assert got == {1: (2, 2.0), 2: (2, 3.0)}

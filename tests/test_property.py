@@ -1234,3 +1234,49 @@ def test_frank_nan_na_property(spark, xs, ties, na_last, n_chunks):
     if ties == "average":
         exp = [float(e) if e is not None else None for e in exp]
     assert got == exp, (xs, ties, na_last, n_chunks)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    xs=st.lists(
+        st.one_of(
+            st.integers(min_value=-2, max_value=2).map(float),
+            st.none(),
+            st.just(float("nan")),
+            st.just(float("inf")),
+        ),
+        min_size=1, max_size=10,
+    ),
+    desc=st.booleans(),
+    na_last=st.booleans(),
+)
+def test_setorder_nan_na_property(spark, xs, desc, na_last):
+    """setorder vs the forder rule (NA outermost, NaN adjacent, both
+    directions; tests.Rraw 1988.5-.8) on random vectors — compared as
+    the sorted sequence of (level, value) keys, which is tie-order
+    invariant."""
+    import math
+
+    def lvl(v):
+        if v is None:
+            return 2
+        if isinstance(v, float) and math.isnan(v):
+            return 1
+        return 0
+
+    d = DT(spark.createDataFrame(
+        [(i, v) for i, v in enumerate(xs)], "i int, x double"
+    ))
+    col = "-x" if desc else "x"
+    got = [r["x"] for r in d.setorder(col, na_last=na_last).df.collect()]
+    sgn = 1 if na_last else -1
+    exp = sorted(
+        xs,
+        key=lambda v: (
+            sgn * lvl(v),
+            (-(v or 0) if desc else (v or 0)) if lvl(v) == 0 else 0,
+        ),
+    )
+    key = lambda v: (lvl(v), None if lvl(v) else v)  # noqa: E731
+    assert [key(v) for v in got] == [key(v) for v in exp]
