@@ -430,6 +430,43 @@ def tstrsplit(
     return DT(df, key=dt.key, order_by=dt.order_by)
 
 
+#: reference rbindlist type-promotion ladder (src/rbindlist.c
+#: coerceColumns; factor maps to string here): logical < integer <
+#: integer64 < double < character. Date/timestamp promote to each
+#: other (timestamp wins) or to character against a string.
+_RBIND_RANK = {
+    "boolean": 0, "tinyint": 1, "smallint": 1, "int": 1, "bigint": 2,
+    "float": 3, "double": 3, "string": 4, "date": 10, "timestamp": 11,
+    "timestamp_ntz": 11,
+}
+
+
+def _rbind_common_type(types: list[str]) -> str:
+    """Per-column common type for rbindlist (reference promotion):
+    highest rank wins; date+timestamp → timestamp; temporal+string →
+    string; anything outside the ladder must match exactly."""
+    uniq = sorted(set(types))
+    if len(uniq) == 1:
+        return uniq[0]
+    if any(t not in _RBIND_RANK for t in uniq):
+        raise ValueError(
+            f"rbindlist: column types {uniq} cannot be bound (no "
+            "common type in the promotion ladder)"
+        )
+    temporal = [t for t in uniq if _RBIND_RANK[t] >= 10]
+    plain = [t for t in uniq if _RBIND_RANK[t] < 10]
+    if temporal and plain:
+        if all(p == "string" for p in plain):
+            return "string"  # reference: Date+character → character
+        raise ValueError(
+            f"rbindlist: column types {uniq} cannot be bound "
+            "(temporal vs non-string)"
+        )
+    if temporal:
+        return max(temporal, key=lambda t: _RBIND_RANK[t])
+    return max(plain, key=lambda t: _RBIND_RANK[t])
+
+
 def rbindlist(
     tables: Sequence[DT],
     use_names: bool = True,
@@ -437,16 +474,62 @@ def rbindlist(
     idcol: str | None = None,
 ) -> DT:
     """rbindlist (reference src/rbindlist.c:5) → unionByName; idcol= adds
-    the 1-based source table index."""
+    the 1-based source table index.
+
+    Column TYPE promotion follows the reference ladder (logical <
+    integer < integer64 < double < character; factor arrives as
+    string — tests.Rraw 984/985: factor+character binds to one string
+    column) instead of Spark's positional ANSI union coercion, which
+    would cast a string side to BIGINT and throw CAST_INVALID_INPUT at
+    runtime on non-numeric strings. Casts are applied per column
+    BEFORE the union, so the plan stays a zero-shuffle row-local
+    union."""
     dfs = []
     for i, t in enumerate(tables):
         df = t.df
         if idcol:
             df = df.select(F.lit(i + 1).alias(idcol), *[F.col(c) for c in df.columns])
         dfs.append(df)
+    # reference type promotion per output column name (by-name mode)
+    # or position (use_names=False)
     if use_names:
+        targets: dict[str, list[str]] = {}
+        for df in dfs:
+            for c, typ in df.dtypes:
+                targets.setdefault(c, []).append(typ)
+        common = {c: _rbind_common_type(ts) for c, ts in targets.items()}
+        dfs = [
+            df if all(t == common[c] for c, t in df.dtypes)
+            else df.select(*[
+                F.col(c).cast(common[c]).alias(c)
+                if dict(df.dtypes)[c] != common[c] else F.col(c)
+                for c in df.columns
+            ])
+            for df in dfs
+        ]
         out = reduce(lambda l, r: l.unionByName(r, allowMissingColumns=fill), dfs)
     else:
+        ncols = {len(df.columns) for df in dfs}
+        if len(ncols) > 1:
+            raise ValueError(
+                "rbindlist(use_names=False): tables differ in column "
+                f"count {sorted(ncols)}"
+            )
+        n = ncols.pop()
+        common_pos = [
+            _rbind_common_type([df.dtypes[j][1] for df in dfs])
+            for j in range(n)
+        ]
+        dfs = [
+            df if all(df.dtypes[j][1] == common_pos[j] for j in range(n))
+            else df.select(*[
+                F.col(df.columns[j]).cast(common_pos[j]).alias(df.columns[j])
+                if df.dtypes[j][1] != common_pos[j]
+                else F.col(df.columns[j])
+                for j in range(n)
+            ])
+            for df in dfs
+        ]
         out = reduce(lambda l, r: l.union(r), dfs)
     return DT(out)
 

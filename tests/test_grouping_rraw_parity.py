@@ -394,3 +394,66 @@ def test_2362_gforce_arithmetic_in_j(spark):
     )
     got = {r["b"]: (r["range"], r["avg"]) for r in out.df.collect()}
     assert got == {1: (2, 2.0), 2: (2, 3.0)}
+
+
+def test_rbindlist_type_promotion(spark):
+    """rbindlist type promotion (reference src/rbindlist.c
+    coerceColumns ladder; tests.Rraw 984/985 factor+character → one
+    string column): int+double → double, logical+int → int, int+string
+    → string (Spark's positional ANSI union would instead cast the
+    string side to BIGINT and throw at runtime on non-numeric
+    strings), date+timestamp → timestamp; incompatible (array vs int)
+    raises."""
+    import datetime
+
+    from data_table_spark.operators.reshape import rbindlist
+
+    def bind(*frames):
+        return rbindlist([DT(f) for f in frames])
+
+    out = bind(
+        spark.createDataFrame([(1,)], "x int"),
+        spark.createDataFrame([(2.5,)], "x double"),
+    )
+    assert dict(out.df.dtypes)["x"] == "double"
+    assert sorted(r["x"] for r in out.df.collect()) == [1.0, 2.5]
+
+    out = bind(
+        spark.createDataFrame([(True,)], "x boolean"),
+        spark.createDataFrame([(2,)], "x int"),
+    )
+    assert dict(out.df.dtypes)["x"] == "int"
+    assert sorted(r["x"] for r in out.df.collect()) == [1, 2]
+
+    out = bind(
+        spark.createDataFrame([(1,)], "x int"),
+        spark.createDataFrame([("s",)], "x string"),
+    )
+    assert dict(out.df.dtypes)["x"] == "string"
+    assert sorted(r["x"] for r in out.df.collect()) == ["1", "s"]
+
+    out = bind(
+        spark.createDataFrame([(datetime.date(2020, 1, 1),)], "x date"),
+        spark.createDataFrame(
+            [(datetime.datetime(2020, 1, 2, 3),)], "x timestamp"),
+    )
+    assert dict(out.df.dtypes)["x"] == "timestamp"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cannot be bound"):
+        bind(
+            spark.createDataFrame([([1],)], "x array<int>"),
+            spark.createDataFrame([(1,)], "x int"),
+        )
+    # positional mode promotes by position and checks column counts
+    from data_table_spark.operators.reshape import rbindlist as rb
+    out = rb([
+        DT(spark.createDataFrame([(1, "a")], "p int, q string")),
+        DT(spark.createDataFrame([(2.5, "b")], "r double, s string")),
+    ], use_names=False)
+    assert [t for _, t in out.df.dtypes] == ["double", "string"]
+    with _pytest.raises(ValueError, match="column count"):
+        rb([
+            DT(spark.createDataFrame([(1,)], "p int")),
+            DT(spark.createDataFrame([(1, 2)], "p int, q int")),
+        ], use_names=False)
