@@ -228,12 +228,15 @@ def lapply_sd(dt: DT, fun, spec=None, by=None, invert: bool = False) -> DT:
     the distributed form of the reference's GForce batch loop). Output:
     by columns then the .SD columns under their own names (reference
     lapply(.SD) keeps names)."""
-    cols = sd_cols(dt, spec, by=by, invert=invert)
+    byn = _namelist(by)
+    # by columns never enter .SD (reference dogroups contract) — also
+    # for EXPLICIT name/position selections that happen to include one
+    cols = [c for c in sd_cols(dt, spec, by=by, invert=invert)
+            if c not in byn]
     f = GFORCE[fun] if isinstance(fun, str) else fun
     exprs = [f(F.col(c)).alias(c) for c in cols]
     if not exprs:
         raise ValueError("lapply_sd: .SDcols resolved to no columns")
-    byn = _namelist(by)
     if byn:
         return DT(dt.df.groupBy(*byn).agg(*exprs))
     return DT(dt.df.agg(*exprs))

@@ -146,6 +146,8 @@ def _bmerge_coerce(xdf: DataFrame, ydf: DataFrame, pairs):
         new_pairs.append((a, op, b))
         if op != "==":
             continue  # non-equi pairs keep SQL numeric comparison rules
+        if a not in xt or b not in yt:
+            continue  # unknown name: the join raises Spark's own error
         if xt[a] == yt[b]:
             # identical Spark dtypes need no reconciliation — this also
             # lets same-typed columns OUTSIDE the mergeType map (decimal,
@@ -281,6 +283,9 @@ def lookup(
     xdf, ydf, cpairs = _bmerge_coerce(x.df, y.df, pairs)
 
     if which:
+        if notjoin:
+            raise ValueError("which=True cannot combine with notjoin "
+                             "(X[!Y] returns rows of X, not positions)")
         order_cols = [c for c in (x.key or x.order_by) if c in xdf.columns]
         if not order_cols:
             raise ValueError("which=True needs a key/order on x "
