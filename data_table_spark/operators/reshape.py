@@ -632,18 +632,92 @@ def cbindlist(tables: Sequence[DT], on: Sequence[str] | None = None) -> DT:
 setcbindlist = cbindlist
 
 
-def split_table(dt: DT, by: Sequence[str], values: Sequence) -> dict:
+def split_table(
+    dt: DT,
+    by: Sequence[str],
+    values: Sequence | None = None,
+    sorted_: bool = False,
+    keep_by: bool = True,
+    flatten: bool = True,
+    sep: str = ".",
+) -> dict:
     """split.data.table (reference R/data.table.R:2684-2770): a dict of
     filtered DTs — lazy views, not materialized copies. For write-out the
-    scalable path is df.write.partitionBy(by)."""
+    scalable path is df.write.partitionBy(by).
+
+    Reference contracts (round-12 completion):
+    - ``values=None`` derives the observed level combinations with one
+      distinct job (driver-bound by the number of GROUPS, not rows —
+      the same cardinality the reference's result list has; pass
+      ``values=`` on hot paths to skip the job);
+    - ``sorted_`` orders the dict by key (reference sorted=TRUE;
+      insertion order is the dict order in Python);
+    - ``keep_by=False`` drops the split columns from each part
+      (reference keep.by=FALSE);
+    - multi-column ``by`` with ``flatten=True`` (reference default)
+      keys the flat dict by the sep-joined combination ("a.1"); with
+      ``flatten=False`` returns nested dicts, one level per by column.
+    """
     by = _namelist(by)
+    if values is None:
+        rows = dt.df.select(*by).distinct().collect()
+        values = [
+            tuple(r[c] for c in by) if len(by) > 1 else r[by[0]]
+            for r in rows
+        ]
+    if sorted_:
+        values = sorted(values, key=lambda v: tuple(
+            (x is None, x) for x in (v if isinstance(v, tuple) else (v,))
+        ))
+    if not flatten and len(by) > 1:
+        # nested: split on the first column, recurse on the rest
+        firsts = []
+        for v in values:
+            f0 = v[0] if isinstance(v, (list, tuple)) else v
+            if f0 not in firsts:
+                firsts.append(f0)
+        out = {}
+        for f0 in firsts:
+            subdf = dt.df.filter(F.col(by[0]).eqNullSafe(F.lit(f0)))
+            if not keep_by:
+                # keep.by=FALSE drops EVERY split column; this level's
+                # column goes here, the rest at deeper levels
+                subdf = subdf.drop(by[0])
+            sub = DT(
+                subdf,
+                key=dt.key if keep_by else None,
+                order_by=dt.order_by,
+            )
+            out[f0] = split_table(
+                sub, by[1:],
+                values=[v[1:] if len(v) > 2 else v[1]
+                        for v in values
+                        if (v[0] if isinstance(v, (list, tuple)) else v) == f0],
+                sorted_=sorted_, keep_by=keep_by, flatten=False, sep=sep,
+            )
+        return out
     out = {}
     for v in values:
-        vals = v if isinstance(v, (list, tuple)) else [v]
+        vals = list(v) if isinstance(v, (list, tuple)) else [v]
         pred = reduce(
-            lambda l, r: l & r, [F.col(c) == F.lit(x) for c, x in zip(by, vals)]
+            lambda l, r: l & r,
+            [F.col(c).eqNullSafe(F.lit(x)) for c, x in zip(by, vals)],
         )
-        out[v] = DT(dt.df.filter(pred), key=dt.key, order_by=dt.order_by)
+        part = dt.df.filter(pred)
+        order_by = dt.order_by
+        if not keep_by:
+            part = part.drop(*by)
+            if order_by and any(
+                (c[1:] if c.startswith("-") else c) in by for c in order_by
+            ):
+                order_by = None
+        key = (
+            sep.join("NA" if x is None else str(x) for x in vals)
+            if len(by) > 1
+            else (vals[0])
+        )
+        out[key] = DT(part, key=dt.key if keep_by else None,
+                      order_by=order_by)
     return out
 
 

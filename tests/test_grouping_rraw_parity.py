@@ -457,3 +457,35 @@ def test_rbindlist_type_promotion(spark):
             DT(spark.createDataFrame([(1,)], "p int")),
             DT(spark.createDataFrame([(1, 2)], "p int, q int")),
         ], use_names=False)
+
+
+def test_split_table_full_contract(spark):
+    """split.data.table contracts (reference R/data.table.R:2684-2770,
+    round-12 completion): values auto-derived; sorted= orders the dict;
+    keep.by=FALSE drops the split columns; multi-column by flattens to
+    sep-joined keys ("a.1") or nests with flatten=False."""
+    from data_table_spark.operators.reshape import split_table
+
+    d = DT(spark.createDataFrame(
+        [("b", 2, 20), ("a", 1, 10), ("a", 2, 11), ("b", 1, 21)],
+        "g string, h int, v int",
+    ))
+    parts = split_table(d, ["g"], sorted_=True)
+    assert list(parts.keys()) == ["a", "b"]
+    assert sorted(r["v"] for r in parts["a"].df.collect()) == [10, 11]
+    # keep_by=False drops g
+    parts = split_table(d, ["g"], keep_by=False)
+    assert "g" not in parts["a"].columns
+    # flatten: sep-joined composite keys
+    parts = split_table(d, ["g", "h"], sorted_=True)
+    assert list(parts.keys()) == ["a.1", "a.2", "b.1", "b.2"]
+    assert [r["v"] for r in parts["b.2"].df.collect()] == [20]
+    # nested
+    nested = split_table(d, ["g", "h"], sorted_=True, flatten=False)
+    assert sorted(nested.keys()) == ["a", "b"]
+    assert sorted(nested["a"].keys()) == [1, 2]
+    assert [r["v"] for r in nested["a"][1].df.collect()] == [10]
+    # nested + keep_by=False drops EVERY split column at the leaves
+    nested = split_table(d, ["g", "h"], flatten=False, keep_by=False)
+    leaf = nested["a"][1]
+    assert leaf.columns == ["v"]
