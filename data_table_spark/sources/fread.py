@@ -258,6 +258,7 @@ def fread(
     logical01: bool = False,
     blank_lines_skip: bool = True,
     line_sep: str | None = None,
+    comment_char: str | None = None,
 ) -> DT:
     """Read a CSV/TSV into a DT. See module docstring for the mapping.
 
@@ -272,7 +273,18 @@ def fread(
     not a distributed source (at scale, land the data and use file
     splits); ``dec=","`` (European decimals) reads affected columns as
     strings and casts after comma->dot normalization (Spark's csv
-    parser is dot-only)."""
+    parser is dot-only); ``comment_char=`` (reference R/fread.R
+    comment.char, tests.Rraw 2341) drops full lines STARTING with the
+    character — Spark's native csv ``comment`` option, so the scan
+    stays native; comment lines are also excluded from the sep/header
+    sniff sample and never count toward ``nrows``."""
+    if comment_char is not None:
+        if not isinstance(comment_char, str) or len(comment_char) != 1:
+            raise ValueError(
+                "comment.char= must be a single non-NA character"
+            )
+        if comment_char == quote:
+            raise ValueError("comment.char= must differ from quote=")
     if cmd is not None:
         import subprocess
 
@@ -488,6 +500,12 @@ def fread(
             except OSError:
                 sample = []
         sample = [ln.lstrip("﻿") for ln in sample]
+        if comment_char is not None:
+            # comment lines never participate in sep/header sniffing
+            # (tests.Rraw 2341.14: a comment line above the header)
+            sample = [
+                ln for ln in sample if not ln.startswith(comment_char)
+            ]
         nul_strip = any("\x00" in ln for ln in sample)
         if sep == "auto":
             sep = _detect_sep(sample)
@@ -668,6 +686,15 @@ def fread(
             "yyyy-MM-dd[['T'][ ]HH:mm:ss[.SSSSSS][.SSS]['Z']]",
         )
     )
+    if comment_char is not None:
+        if sep == comment_char:
+            raise ValueError(
+                "comment.char= must differ from sep="
+            )
+        # native Spark csv option: full lines starting with the char
+        # are skipped by the scan itself (no extra pass; comments never
+        # count toward nrows because they never become rows)
+        reader = reader.option("comment", comment_char)
     lines = None
     utf8 = encoding.upper().replace("-", "").replace("_", "") == "UTF8"
     line_path = not (multiline or multiline_charset)
@@ -724,6 +751,17 @@ def fread(
         # stripping there would cost every clean read its native scan.
         lines = (lines if lines is not None else _line_rdd()).map(
             lambda ln: ln.replace("\x00", "")
+        )
+    if comment_char is not None and line_path and (
+        lines is not None or nrows is not None
+    ):
+        # whenever a line RDD is (or must be) materialized, drop
+        # comment lines there too so line-counted features (nrows=,
+        # fill width derivation) never count them (tests.Rraw 2341.15);
+        # the native-scan path needs no filter — the csv comment
+        # option skips them at parse
+        lines = (lines if lines is not None else _line_rdd()).filter(
+            lambda ln, _c=comment_char: not ln.startswith(_c)
         )
     if ws_mode and line_path:
         import re as _re

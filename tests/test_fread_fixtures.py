@@ -580,3 +580,37 @@ def test_nul_stripped_past_sample_with_explicit_sep_header(spark, tmp_path):
     got = {r["a"]: r["b"] for r in df.collect()}
     assert got[75] == "x75"
     assert len(got) == 80
+
+
+def test_comment_char_2341(spark):
+    """tests.Rraw 2341 (comment.char, round-12): full lines starting
+    with the char are skipped — between rows, above the header, with
+    CRLF endings — and never count toward nrows; a comment char equal
+    to sep or longer than one char errors."""
+    import pytest as _pytest
+
+    from data_table_spark.sources.fread import fread
+
+    # 2341.13: CRLF + interior comment
+    out = fread(
+        spark, text="a,b\r\n# cmt\r\n1,2\r\n3,4\r\n", comment_char="#"
+    )
+    rows = sorted(tuple(r) for r in out.df.collect())
+    assert rows == [(1, 2), (3, 4)]
+    # 2341.14: header comment
+    out = fread(
+        spark, text="# hdr cmt\nx,y\n1,2", header=True, comment_char="#"
+    )
+    assert out.columns == ["x", "y"]
+    assert [tuple(r) for r in out.df.collect()] == [(1, 2)]
+    # 2341.15: nrows does not count comments
+    out = fread(
+        spark, text="a,b\n1,2\n# cmt\n3,4\n5,6", nrows=2,
+        comment_char="#",
+    )
+    assert sorted(tuple(r) for r in out.df.collect()) == [(1, 2), (3, 4)]
+    # contracts: single char; differs from sep
+    with _pytest.raises(ValueError, match="single non-NA character"):
+        fread(spark, text="a,b\n1,2", comment_char="##")
+    with _pytest.raises(ValueError, match="differ from sep"):
+        fread(spark, text="a#b\n1#2", sep="#", comment_char="#")
