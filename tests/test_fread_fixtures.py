@@ -614,3 +614,23 @@ def test_comment_char_2341(spark):
         fread(spark, text="a,b\n1,2", comment_char="##")
     with _pytest.raises(ValueError, match="differ from sep"):
         fread(spark, text="a#b\n1#2", sep="#", comment_char="#")
+
+
+def test_inference_pins_2345_1800(spark):
+    """tests.Rraw 2345 (#7366): a single quoted column of datetimes
+    infers as timestamp; 1800.1: a hex-ish token with an embedded 'e'
+    ('6e55693457e549ecfce0') must stay STRING, never scientific
+    notation."""
+    import datetime
+
+    from data_table_spark.sources.fread import fread
+
+    out = fread(spark, text='"this_that"\n"2025-01-01 00:00:01"')
+    assert out.columns == ["this_that"]
+    ((v,),) = [tuple(r) for r in out.df.collect()]
+    assert isinstance(v, datetime.datetime)
+    assert v.replace(tzinfo=None) == datetime.datetime(2025, 1, 1, 0, 0, 1)
+
+    out = fread(spark, text="A\n6e55693457e549ecfce0\n")
+    assert dict(out.df.dtypes)["A"] == "string"
+    assert [r["A"] for r in out.df.collect()] == ["6e55693457e549ecfce0"]
