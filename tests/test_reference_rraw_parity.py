@@ -1246,3 +1246,38 @@ def test_cj_fcoalesce_vectors(spark):
     assert col(
         fcoalesce("b", F.lit(None).cast("boolean"), F.lit(True))
     ) == [True, True, False]
+
+
+def test_frank_1988_first_last_random_nan_na(spark):
+    """Round-12 completion of the 1988 fix for the ROW-NUMBERING tie
+    methods: ties=first/last/random also place the NaN group before
+    the NA group under na_last=True (after, mirrored, under False),
+    with tiebreak= pinning within-group order — unsplit and chunked."""
+    import math
+
+    from data_table_spark.operators.window import frank
+
+    xs = [3.0, math.nan, None, 1.0, math.nan, None]
+    d = DT(spark.createDataFrame(
+        [(i, v) for i, v in enumerate(xs)], "i int, x double"
+    ), order_by=["i"])
+
+    def ranks(ties, **kw):
+        out = frank(d, "x", ties=ties, tiebreak=["i"], out_col="rk", **kw)
+        return [r["rk"] for r in out.df.orderBy("i").collect()]
+
+    # na_last=True: values (1,3) → 1,2; NaN (i=1,4) → 3,4; NA (2,5) → 5,6
+    assert ranks("first") == [2, 3, 5, 1, 4, 6]
+    assert ranks("first", n_chunks=3) == [2, 3, 5, 1, 4, 6]
+    # ties=last numbers each tie group in reverse (tiebreak desc)
+    assert ranks("last") == [2, 4, 6, 1, 3, 5]
+    # na_last=False: NA → 1,2; NaN → 3,4; values → 5,6
+    assert ranks("first", na_last=False) == [6, 3, 1, 5, 4, 2]
+    assert ranks("first", na_last=False, n_chunks=3) == [6, 3, 1, 5, 4, 2]
+    # random: seeded determinism, same group placement
+    r1 = ranks("random", seed=7)
+    r2 = ranks("random", seed=7)
+    assert r1 == r2
+    assert sorted(r1[1:2] + r1[4:5]) == sorted(r1[1:2] + r1[4:5])
+    assert {r1[1], r1[4]} == {3, 4} and {r1[2], r1[5]} == {5, 6}
+    assert ranks("random", seed=7, n_chunks=3) == r1
