@@ -1281,3 +1281,40 @@ def test_frank_1988_first_last_random_nan_na(spark):
     assert sorted(r1[1:2] + r1[4:5]) == sorted(r1[1:2] + r1[4:5])
     assert {r1[1], r1[4]} == {3, 4} and {r1[2], r1[5]} == {5, 6}
     assert ranks("random", seed=7, n_chunks=3) == r1
+
+
+def test_fifelse_2100_na_arg_vectors(spark):
+    """tests.Rraw 2100.01/.07/.09/.14 (#3753): fifelse na= exact
+    vectors — int/double na branch, date-typed branches with a date
+    na, and na=None keeping NULL."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_table_spark.functions import fifelse
+
+    tv = [v < 0 for v in range(-5, 6)] + [None]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tv)], "i int, t boolean"
+    )
+
+    def col(expr):
+        return [r["o"] for r in
+                d.select("i", expr.alias("o")).orderBy("i").collect()]
+
+    assert col(fifelse("t", F.lit(1), F.lit(0), na=2)) == (
+        [1] * 5 + [0] * 6 + [2])                                 # 2100.01
+    assert col(fifelse("t", F.lit(1.0), F.lit(0.0), na=2.0)) == (
+        [1.0] * 5 + [0.0] * 6 + [2.0])                           # .02
+    # .09: date-typed branches; test = (date vec == x) with one NA
+    dd = spark.createDataFrame(
+        [(0, True), (1, False), (2, None)], "i int, t boolean"
+    )
+    y, n, na = (datetime.date(2019, 8, 31), datetime.date(2019, 8, 30),
+                datetime.date(2019, 8, 29))
+    got = [r["o"] for r in dd.select(
+        "i", fifelse("t", F.lit(y), F.lit(n), na=F.lit(na)).alias("o")
+    ).orderBy("i").collect()]
+    assert got == [y, n, na]
+    # .14: na omitted -> NULL on the NA test row
+    assert col(fifelse("t", F.lit(1.0), F.lit(2.0)))[-1] is None
