@@ -291,3 +291,18 @@ def test_1744_join_which(spark):
     out = asof_join(xr, y, on=[], time_x="A", time_i="A", roll=True)
     got = [r["xrow"] for r in out.df.orderBy("j").collect()]
     assert got == [1, 2, 2, 3, 3]
+
+
+def test_2101_zero_row_i_type_mismatch_ok(spark):
+    """tests.Rraw 2101 (#3581): a 0-row i with a mismatched join type
+    coerces fine (the all-NA/empty branch — count probe sees 0
+    non-null values) and returns the empty result with x's columns."""
+    from data_table_spark.operators.joins import lookup
+
+    x = DT(spark.createDataFrame(
+        [(i, i + 3) for i in (1, 2, 3)], "id int, v int"
+    ), key=["id"])
+    y = DT(spark.createDataFrame([], "id boolean"))
+    out = lookup(x, y, on=["id"])
+    assert out.df.count() == 0
+    assert set(out.columns) == {"id", "v"}
