@@ -132,12 +132,22 @@ def sd_cols(dt: DT, spec=None, by=None, invert: bool = False) -> list[str]:
     byn = set(_namelist(by))
     if spec is None:
         out = [c for c in names if c not in byn]
-        return [c for c in names if c not in out] if invert else out
+        if invert:
+            # complement of the default inside .SD-eligible space (by
+            # columns never enter .SD, even inverted — ADVICE r12)
+            return [c for c in names if c not in out and c not in byn]
+        return out
 
-    def finish(sel: list[str]) -> list[str]:
+    def finish(sel: list[str], exclude_by: bool = False) -> list[str]:
         if invert:
             sel_set = set(sel)
-            return [c for c in names if c not in sel_set]
+            # spec forms that exclude by (None/Patterns/callable) keep
+            # excluding it under invert= — the complement must not
+            # re-admit by columns into .SD (ADVICE r12)
+            return [
+                c for c in names
+                if c not in sel_set and not (exclude_by and c in byn)
+            ]
         return sel
 
     if isinstance(spec, Patterns):
@@ -146,7 +156,7 @@ def sd_cols(dt: DT, spec=None, by=None, invert: bool = False) -> list[str]:
             if c not in byn
             and all(re.search(rx, c) for rx in spec.regexes)
         ]
-        return finish(sel)
+        return finish(sel, exclude_by=True)
     if callable(spec):
         dtypes = dict(dt.df.dtypes)
         sel, bad = [], []
@@ -164,7 +174,7 @@ def sd_cols(dt: DT, spec=None, by=None, invert: bool = False) -> list[str]:
                 f"[{', '.join(bad)}] (the callable must return a bool "
                 "per column dtype)"
             )
-        return finish(sel)
+        return finish(sel, exclude_by=True)
     if isinstance(spec, bool):
         raise ValueError(".SDcols cannot be a single boolean")
     if isinstance(spec, int):

@@ -138,8 +138,14 @@ def _bmerge_coerce(xdf: DataFrame, ydf: DataFrame, pairs):
             )
         return _MERGE_TYPE[t]
 
-    def all_na(df, c):
-        return df.agg(F.count(F.col(c)).alias("n")).collect()[0]["n"] == 0
+    def side_counts(df, c):
+        # one bounded agg: (total rows, non-null rows) — empty and
+        # all-NA must be told apart (reference anyNA && allNA is FALSE
+        # on a zero-row column, R/bmerge.R:100)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.count(F.col(c)).alias("nn")
+        ).collect()[0]
+        return row["n"], row["nn"]
 
     new_pairs = []
     for a, op, b in pairs:
@@ -159,10 +165,18 @@ def _bmerge_coerce(xdf: DataFrame, ydf: DataFrame, pairs):
             continue
         cfl = ("character", "logical", "date", "timestamp")
         if ta in cfl or tb in cfl:
-            # all-NA columns coerce to the other side (R/bmerge.R:100)
-            if all_na(ydf, b):
+            # all-NA columns coerce to the other side (R/bmerge.R:100).
+            # A ZERO-ROW i also coerces (the reference skips bmerge
+            # entirely when nrow(i)==0, tests.Rraw 2101 — casting the
+            # empty column keeps the Spark comparison resolvable), but a
+            # zero-row x with a populated i is an ERROR exactly like the
+            # reference's anyNA && allNA (false on empty) requires.
+            yn, ynn = side_counts(ydf, b)
+            if ynn == 0:  # empty i OR all-NA i
                 ydf = ydf.withColumn(b, F.col(b).cast(xt[a]))
-            elif all_na(xdf, a):
+                continue
+            xn, xnn = side_counts(xdf, a)
+            if xn > 0 and xnn == 0:
                 xdf = xdf.withColumn(a, F.col(a).cast(yt[b]))
             else:
                 raise ValueError(

@@ -464,7 +464,13 @@ def _rbind_common_type(types: list[str]) -> str:
         )
     if temporal:
         return max(temporal, key=lambda t: _RBIND_RANK[t])
-    return max(plain, key=lambda t: _RBIND_RANK[t])
+    winner = max(plain, key=lambda t: _RBIND_RANK[t])
+    if winner == "float" and any(_RBIND_RANK[t] <= 2 for t in plain):
+        # float32's 24-bit mantissa cannot hold int32/int64 exactly; the
+        # reference promotes integer/integer64 vs any floating to double
+        # (src/rbindlist.c coerceColumns — R has no float32).
+        return "double"
+    return winner
 
 
 def rbindlist(
@@ -679,14 +685,22 @@ def split_table(
         out = {}
         for f0 in firsts:
             subdf = dt.df.filter(F.col(by[0]).eqNullSafe(F.lit(f0)))
+            order_by = dt.order_by
             if not keep_by:
                 # keep.by=FALSE drops EVERY split column; this level's
-                # column goes here, the rest at deeper levels
+                # column goes here, the rest at deeper levels — so a
+                # declared order naming ANY split column is pruned now
+                # (the leaf parts can't resolve it; ADVICE r12)
                 subdf = subdf.drop(by[0])
+                if order_by and any(
+                    (c[1:] if c.startswith("-") else c) in by
+                    for c in order_by
+                ):
+                    order_by = None
             sub = DT(
                 subdf,
                 key=dt.key if keep_by else None,
-                order_by=dt.order_by,
+                order_by=order_by,
             )
             out[f0] = split_table(
                 sub, by[1:],

@@ -489,3 +489,69 @@ def test_split_table_full_contract(spark):
     nested = split_table(d, ["g", "h"], flatten=False, keep_by=False)
     leaf = nested["a"][1]
     assert leaf.columns == ["v"]
+
+
+def test_rbindlist_float_int_promotes_double(spark):
+    """ADVICE r12 (medium): float32's 24-bit mantissa cannot hold
+    int32/int64 exactly, so binding an integral column with a FLOAT
+    column must promote to DOUBLE (the reference ladder has no float32
+    tier — integer/integer64 vs any floating type → double), not stay
+    float and silently round values above 2^24."""
+    from data_table_spark.operators.reshape import rbindlist
+
+    big = 16_777_217  # 2^24 + 1: not representable in float32
+    out = rbindlist([
+        DT(spark.createDataFrame([(big,)], "x bigint")),
+        DT(spark.createDataFrame([(0.5,)], "x float")),
+    ])
+    assert dict(out.df.dtypes)["x"] == "double"
+    assert sorted(r["x"] for r in out.df.collect()) == [0.5, float(big)]
+    # float+double (no integral input) still takes the double tier
+    out = rbindlist([
+        DT(spark.createDataFrame([(0.5,)], "x float")),
+        DT(spark.createDataFrame([(2.5,)], "x double")),
+    ])
+    assert dict(out.df.dtypes)["x"] == "double"
+
+
+def test_sdcols_invert_never_readmits_by(spark):
+    """ADVICE r12 (low): sd_cols(invert=True) for the spec forms that
+    exclude by (None / Patterns / callable) must complement WITHOUT
+    re-admitting the by columns — 'by columns never enter .SD'.
+    Explicit name/position lists keep the old complement (they may
+    name by columns on purpose)."""
+    from data_table_spark.operators.grouping import patterns, sd_cols
+
+    d = DT(spark.createDataFrame(
+        [(1, 2.0, "s", 3)], "g int, a double, b string, c int"))
+    # callable: numeric columns, inverted, by=g → b only (not g)
+    num = lambda t: t in ("int", "bigint", "double", "float")
+    assert sd_cols(d, num, by=["g"], invert=True) == ["b"]
+    # Patterns: ^a matched, inverted, by=g → b, c (not g)
+    assert sd_cols(d, patterns("^a"), by=["g"], invert=True) == ["b", "c"]
+    # default spec inverted = nothing (the default already takes all
+    # non-by columns; its complement inside .SD-eligible space is empty)
+    assert sd_cols(d, None, by=["g"], invert=True) == []
+    # explicit list complement is unchanged: may re-include by
+    assert sd_cols(d, ["a", "b"], by=["g"], invert=True) == ["g", "c"]
+
+
+def test_split_nested_keep_by_false_prunes_order(spark):
+    """ADVICE r12 (low): nested split with keep_by=False must prune a
+    declared order_by that references any split column — the leaves
+    dropped those columns and a later ordered op would fail to
+    resolve them."""
+    from data_table_spark.operators.reshape import split_table
+
+    d = DT(spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 11), ("b", 1, 20)],
+        "g string, h int, v int",
+    ), order_by=["g", "v"])
+    nested = split_table(d, ["g", "h"], flatten=False, keep_by=False)
+    leaf = nested["a"][1]
+    assert leaf.columns == ["v"]
+    assert not leaf.order_by
+    # an order that references NO split column survives to the leaves
+    d2 = DT(d.df, order_by=["v"])
+    nested = split_table(d2, ["g", "h"], flatten=False, keep_by=False)
+    assert nested["a"][1].order_by == ["v"]

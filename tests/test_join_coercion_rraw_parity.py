@@ -306,3 +306,25 @@ def test_2101_zero_row_i_type_mismatch_ok(spark):
     out = lookup(x, y, on=["id"])
     assert out.df.count() == 0
     assert set(out.columns) == {"id", "v"}
+
+
+def test_zero_row_x_type_mismatch_raises(spark):
+    """ADVICE r12 (low): a ZERO-ROW x side is NOT all-NA (the reference
+    coerces only when anyNA && allNA, false on empty) — joining a
+    populated, genuinely mismatched i against an empty x must raise
+    Incompatible join types, not silently coerce. The 0-row i fast
+    path (tests.Rraw 2101) keeps working."""
+    import pytest
+
+    from data_table_spark.operators.joins import lookup
+
+    x = DT(spark.createDataFrame([], "id string, v int"), key=["id"])
+    y = DT(spark.createDataFrame([(1,)], "id int"))
+    with pytest.raises(ValueError, match="Incompatible join types"):
+        lookup(x, y, on=["id"])
+    # all-NA x (rows present, every value NULL) still coerces
+    x2 = DT(spark.createDataFrame(
+        [(None, 7)], "id string, v int"), key=["id"])
+    out = lookup(x2, y, on=["id"])  # default nomatch=NA keeps the i row
+    row = out.df.collect()[0]
+    assert row["id"] == 1 and row["v"] is None
