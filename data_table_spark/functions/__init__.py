@@ -45,19 +45,121 @@ def fifelse(test: Column | str, yes, no, na=None) -> Column:
     return out.otherwise(na) if na is not None else out
 
 
+def _fcase_typeclass(v):
+    """Reference-style type class of a PYTHON LITERAL output value
+    (src/fifelse.c:260 TYPEOF checks). Column expressions return
+    "column" (dtype unknown until bound to a schema — documented gap vs
+    the reference's eager check); None is typeless NA."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, Column):
+        return "column"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "logical"
+    if isinstance(v, int):
+        return "integer"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "character"
+    if isinstance(v, datetime.datetime):
+        return "timestamp"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (list, tuple)):
+        return "list"
+    return "column"
+
+
 def fcase(*conds_and_values, default=None) -> Column:
     """N-branch case-when (reference R/wrappers.R:9-13, src/fifelse.c:210).
 
     fcase(c1, v1, c2, v2, ..., default=d)
+
+    Round-13 port of the tests.Rraw 2127 contract:
+
+    - LITERAL output values must share one type class — mixing e.g. an
+      int with a float or a string with a bool raises the reference's
+      "Argument #k is of type X, however argument #2 is of type Y"
+      (2127.21-.23). Column-expression outputs are exempt (their dtype
+      is unknown until bound; Spark's analyzer still rejects truly
+      incompatible branches). None (NA) matches any class.
+    - ``default=`` must match the output values' class (2127.24) and,
+      like the reference's length-1 rule (2127.68), must be a scalar
+      (or a list literal when the outputs are lists).
+    - LIST outputs (2127.06/.14/.33/.57/.65/.83-.86): a Python
+      list/tuple value becomes an ARRAY literal column; unmatched rows
+      are NULL (the reference's NULL list element).
+    - Conditions must be logical (2127.50 "Argument #1 must be
+      logical."): a non-Column, non-name literal condition may only be
+      a bool. A literal True condition SHORT-CIRCUITS the remaining
+      pairs (the reference evaluates lazily — 2127.51/.72 accept
+      invalid later arguments after an always-true branch).
     """
     if len(conds_and_values) % 2 != 0:
-        raise ValueError("fcase needs alternating condition, value pairs")
+        raise ValueError(
+            f"Received {len(conds_and_values)} inputs; please supply an "
+            "even number of arguments in ..., consisting of logical "
+            "condition, resulting value pairs (in that order). Note "
+            "that the default argument must be named explicitly, e.g., "
+            "default=0"
+        )
     pairs = list(zip(conds_and_values[::2], conds_and_values[1::2]))
+
+    def as_value(v, argno, expect):
+        tc = _fcase_typeclass(v)
+        if tc is not None and tc != "column":
+            if expect[0] is None:
+                expect[0], expect[1] = tc, argno
+            elif tc != expect[0]:
+                raise ValueError(
+                    f"Argument #{argno} is of type {tc}, however "
+                    f"argument #{expect[1]} is of type {expect[0]}. "
+                    "Please make sure all output values have the same "
+                    "type."
+                )
+        if tc == "list":
+            return F.array([F.lit(x) for x in v])
+        return v
+
     out = None
-    for cond, val in pairs:
+    expect = [None, None]  # (type class, first argument number)
+    for k, (cond, val) in enumerate(pairs):
+        if not isinstance(cond, (Column, str)):
+            if cond is False:
+                continue  # never-true branch: skipped, unevaluated
+            if cond is True:
+                # lazy short-circuit (2127.51/.72): later pairs are
+                # neither validated nor evaluated
+                val = as_value(val, 2 * k + 2, expect)
+                done = F.lit(True)
+                out = (F.when(done, val) if out is None
+                       else out.when(done, val))
+                break
+            raise ValueError(f"Argument #{2 * k + 1} must be logical.")
         cond = _col(cond)
+        val = as_value(val, 2 * k + 2, expect)
         out = F.when(cond, val) if out is None else out.when(cond, val)
-    return out.otherwise(default) if default is not None else out
+    if out is None:  # every pair had a literal-False condition → all NA
+        out = F.when(F.lit(False), F.lit(None))
+    if default is not None:
+        dtc = _fcase_typeclass(default)
+        if (
+            dtc not in (None, "column")
+            and expect[0] is not None
+            and dtc != expect[0]
+        ):
+            raise ValueError(
+                f"Resulting value is of type {expect[0]} but 'default' "
+                f"is of type {dtc}. Please make sure that both "
+                "arguments have the same type."
+            )
+        if dtc == "list":
+            default = F.array([F.lit(x) for x in default])
+        return out.otherwise(default)
+    return out
 
 
 def fcoalesce(*cols) -> Column:

@@ -20,6 +20,87 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _r_num2char(c, scipen: int, na: str, digits=None, exp=None):
+    """R-exact double -> character (reference src/fwrite.c:184
+    writeNumeric; tests.Rraw 2112, round-13 port): 15 significant
+    digits (NUM_SF), trailing zeros stripped, fixed vs scientific
+    decided by the reference's width formula
+
+        fixed iff width <= sf + (sf>1) + 2 + (|exp|>99 ? 3 : 2) + scipen
+
+    where sf = significant digits, exp = decimal exponent, width = the
+    fixed-notation field width. ``scipen`` biases toward fixed notation
+    (R's options(scipen=)). NaN writes the na= string, +-Inf writes
+    Inf/-Inf, zero writes "0" (src/fwrite.c:194-204). Built entirely
+    from JVM string functions — whole-stage codegen, no UDF in the
+    write path. ``digits``/``exp`` may be passed as pre-computed
+    columns (fwrite stages them in separate projections so the shared
+    subexpressions aren't re-inlined 15× — a single flat expression
+    blew the 64 KB generated-method limit and knocked the whole
+    projection out of codegen)."""
+    if digits is None or exp is None:
+        m = F.format_string("%.14E", F.abs(c))  # "3.14159265358979E+00"
+        digits = F.regexp_replace(
+            F.concat(F.substring(m, 1, 1), F.substring(m, 3, 14)),
+            "0+$", "",
+        )
+        exp = F.get(F.split(m, "E"), 1).cast("int")
+    sf = F.length(digits)
+    dr = sf - exp - 1  # digits right of the decimal in fixed notation
+    dl0 = (
+        F.when(dr <= 0, -dr)
+        .when(sf > dr, F.lit(0))
+        .otherwise(F.lit(1))  # leading "0." zero
+    )
+    width = (
+        F.when(dr <= 0, sf + dl0)
+        .when(sf > dr, sf + 1)
+        .otherwise(dr + 1 + dl0)
+    )
+    threshold = (
+        sf
+        + F.when(sf > 1, 1).otherwise(0)
+        + 2
+        + F.when(F.abs(exp) > 99, 3).otherwise(2)
+        + F.lit(int(scipen))
+    )
+    zeros = lambda n: F.repeat(F.lit("0"), F.greatest(n, F.lit(0)))
+    fixed = (
+        F.when(dr <= 0, F.concat(digits, zeros(dl0)))
+        .when(
+            sf > dr,
+            F.concat(
+                digits.substr(F.lit(1), sf - dr),
+                F.lit("."),
+                digits.substr(sf - dr + 1, F.lit(20)),
+            ),
+        )
+        .otherwise(F.concat(F.lit("0."), zeros(dr - sf), digits))
+    )
+    mant = F.when(
+        sf > 1,
+        F.concat(F.substring(digits, 1, 1), F.lit("."),
+                 digits.substr(F.lit(2), sf - 1)),
+    ).otherwise(digits)
+    expstr = F.concat(
+        F.when(exp < 0, F.lit("e-")).otherwise(F.lit("e+")),
+        F.when(F.abs(exp) > 99, F.abs(exp).cast("string")).otherwise(
+            F.lpad(F.abs(exp).cast("string"), 2, "0")
+        ),
+    )
+    sci = F.concat(mant, expstr)
+    body = F.when(width <= threshold, fixed).otherwise(sci)
+    sign = F.when(c < 0, F.lit("-")).otherwise(F.lit(""))
+    return (
+        F.when(F.isnull(c), F.lit(None).cast("string"))
+        .when(F.isnan(c), F.lit(na))
+        .when(c == 0.0, F.lit("0"))
+        .when(c == float("inf"), F.lit("Inf"))
+        .when(c == float("-inf"), F.lit("-Inf"))
+        .otherwise(F.concat(sign, body))
+    )
+
+
 def fwrite(
     dt,
     path: str,
@@ -36,6 +117,7 @@ def fwrite(
     yaml: bool = False,
     single_file: bool = False,
     logical01: bool = False,
+    scipen: int | None = 0,
 ) -> None:
     """See module docstring. Additional reference options:
 
@@ -90,6 +172,45 @@ def fwrite(
                     f.name,
                     F.date_format(F.col(f.name), "yyyyMMdd").cast("int"),
                 )
+    # scipen (reference R/fwrite.R:7,26; tests.Rraw 2112): R-exact
+    # double rendering — 15 significant digits, fixed-vs-scientific by
+    # the reference width formula, biased by scipen. None means 0
+    # (2112.02/.05: scipen=NULL does NOT read the option). Applied to
+    # DoubleType only: FloatType has no reference analog (R has no
+    # float32) and stays on the writer's native rendering.
+    dbl = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.DoubleType)
+    ]
+    # the CSVY yaml header must describe the LOGICAL schema (double),
+    # not the string rendering below
+    schema_df = df
+    if dbl:
+        sp = int(scipen or 0)
+        # three stacked projections: the shared digit/exponent columns
+        # are non-cheap, so CollapseProject keeps them staged instead of
+        # re-inlining them ~15x into one over-64KB codegen method
+        df = df.withColumns({
+            f"__fw_m_{c}": F.format_string("%.14E", F.abs(F.col(c)))
+            for c in dbl
+        })
+        stage2 = {}
+        for c in dbl:
+            m = F.col(f"__fw_m_{c}")
+            stage2[f"__fw_g_{c}"] = F.regexp_replace(
+                F.concat(F.substring(m, 1, 1), F.substring(m, 3, 14)),
+                "0+$", "",
+            )
+            stage2[f"__fw_e_{c}"] = F.get(F.split(m, "E"), 1).cast("int")
+        df = df.withColumns(stage2)
+        df = df.withColumns({
+            c: _r_num2char(
+                F.col(c), sp, na,
+                digits=F.col(f"__fw_g_{c}"), exp=F.col(f"__fw_e_{c}"),
+            )
+            for c in dbl
+        }).drop(*[p + c for c in dbl
+                  for p in ("__fw_m_", "__fw_g_", "__fw_e_")])
     if single_file:
         df = df.coalesce(1)
     writer = (
@@ -108,7 +229,7 @@ def fwrite(
         writer = writer.option("compression", compress)
     writer.mode("append" if append else "overwrite").csv(path)
     if bom or yaml:
-        _prepend_file_header(df, path, bom=bom, yaml=yaml)
+        _prepend_file_header(schema_df, path, bom=bom, yaml=yaml)
 
 
 def _prepend_file_header(df: DataFrame, path: str, bom: bool, yaml: bool) -> None:

@@ -1248,6 +1248,68 @@ def test_frank_nan_na_property(spark, xs, ties, na_last, n_chunks):
         ),
         min_size=1, max_size=10,
     ),
+    ties=st.sampled_from(["first", "last"]),
+    na_last=st.sampled_from([True, False, "keep"]),
+    n_chunks=st.sampled_from([None, 3]),
+)
+def test_frank_first_last_no_tiebreak_rank_sets(
+    spark, xs, ties, na_last, n_chunks
+):
+    """frank ties="first"/"last" WITHOUT tiebreak= resolves within-tie
+    order by engine order — documented nondeterminism (a distributed
+    engine cannot honor R's physical row order without a declared
+    identity). The ENGINE-ORDER-INDEPENDENT contract (round-13 pin,
+    verdict #7): each tie group still occupies exactly the positional
+    rank range the reference's group placement assigns (two-level
+    missing key, NA outermost), so we assert rank SETS per tie group
+    rather than exact rows, plus global permutation of 1..n over the
+    ranked rows."""
+    import math
+
+    from data_table_spark.operators.window import frank
+
+    dt = DT(spark.createDataFrame(
+        [(i, v) for i, v in enumerate(xs)], "i int, x double"
+    ), order_by=["i"])
+    out = frank(dt, "x", ties=ties, na_last=na_last, n_chunks=n_chunks,
+                out_col="rk")
+    got = [r["rk"] for r in out.df.orderBy("i").collect()]
+
+    # oracle group placement: reuse _frank_oracle's key (min ranks),
+    # then each tie group's expected rank SET is min..min+k-1
+    mins = _frank_oracle(xs, "min", na_last)
+    ranked = [i for i in range(len(xs)) if mins[i] is not None]
+    assert sorted(got[i] for i in ranked) == list(range(1, len(ranked) + 1))
+    groups = {}
+    for i in ranked:
+        groups.setdefault(mins[i], []).append(i)
+    for mn, members in groups.items():
+        expected = set(range(mn, mn + len(members)))
+        assert {got[i] for i in members} == expected, (
+            xs, ties, na_last, n_chunks, mn)
+    for i in range(len(xs)):
+        if mins[i] is None:
+            if na_last == "keep" and (
+                xs[i] is None
+                or (isinstance(xs[i], float) and math.isnan(xs[i]))
+            ):
+                assert got[i] is None
+            else:
+                assert got[i] is None
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    xs=st.lists(
+        st.one_of(
+            st.integers(min_value=-2, max_value=2).map(float),
+            st.none(),
+            st.just(float("nan")),
+            st.just(float("inf")),
+        ),
+        min_size=1, max_size=10,
+    ),
     desc=st.booleans(),
     na_last=st.booleans(),
 )

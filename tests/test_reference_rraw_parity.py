@@ -641,10 +641,11 @@ def test_fifelse_fcase_vectors(spark):
     semantics: NA test rows yield NA (unless fifelse na=), scalar and
     per-row Column branches mix freely, no-condition-matches rows are
     NA without default= and take default= with it, and date arithmetic
-    flows through branches. R's vector-length and type-promotion error
-    contracts are vector-runtime specifics with no Spark analog
-    (Columns are row-aligned by construction; Catalyst raises its own
-    analysis errors on type clashes)."""
+    flows through branches. R's vector-length error contracts are
+    vector-runtime specifics with no Spark analog (Columns are
+    row-aligned by construction); the TYPE contract for literal
+    outputs is ported in round 13 — see
+    test_fcase_2127_list_outputs_and_type_contract."""
     import datetime
 
     from pyspark.sql import functions as F
@@ -701,6 +702,69 @@ def test_fifelse_fcase_vectors(spark):
 
     with _pytest.raises(ValueError, match="even|pairs"):
         fcase("t1", F.lit(1), "t2")
+
+
+def test_fcase_2127_list_outputs_and_type_contract(spark):
+    """tests.Rraw 2127 round-13 port: LIST outputs become array columns
+    with NULL for unmatched rows (2127.06/.14/.33/.57/.65), literal
+    outputs must share one type class (2127.21-.23), default= must
+    match the outputs' class (2127.24), conditions must be logical
+    (2127.50) and a literal-True condition short-circuits lazily
+    (2127.51/.72)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_table_spark.functions import fcase
+
+    rows = [(i, v, v < 0, v > 0, v < 5) for i, v in enumerate(range(-5, 6))]
+    df = spark.createDataFrame(
+        rows, "i int, v int, t1 boolean, t2 boolean, t3 boolean")
+
+    def col(expr):
+        return [r["o"] for r in
+                df.select("i", expr.alias("o")).orderBy("i").collect()]
+
+    # 2127.06: list outputs -> array column, NULL where no match
+    got = col(fcase("t1", [1.0], "t2", [0.0]))
+    assert got == [[1.0]] * 5 + [None] + [[0.0]] * 5
+    # 2127.14: default= as a list fills the hole
+    got = col(fcase("t1", [1.0], "t2", [0.0], default=[2.0]))
+    assert got == [[1.0]] * 5 + [[2.0]] + [[0.0]] * 5
+    # 2127.57: three branches of lists
+    got = col(fcase("t1", [1.0], "t2", [0.0], "t3", [2.0]))
+    assert got == [[1.0]] * 5 + [[2.0]] + [[0.0]] * 5
+    # 2127.65: single branch -> NULL tail
+    got = col(fcase("t1", [1.0]))
+    assert got == [[1.0]] * 5 + [None] * 6
+    # 2127.83-.84: lists of unequal lengths are per-branch literals
+    got = col(fcase("t1", [1.0] * 3, "t2", [0.0]))
+    assert got == [[1.0] * 3] * 5 + [None] + [[0.0]] * 5
+
+    # 2127.21: int vs double literal mix raises
+    with _pytest.raises(ValueError, match="type double.*type integer"):
+        fcase("t1", 1, "t2", 3.0)
+    # 2127.22: bool vs string
+    with _pytest.raises(ValueError, match="type logical.*type character"):
+        fcase("t1", "FALSE", "t2", True)
+    # 2127.23: int vs string
+    with _pytest.raises(ValueError, match="type integer.*type character"):
+        fcase("t1", "FALSE", "t2", 5)
+    # 2127.24: default class mismatch
+    with _pytest.raises(ValueError, match="'default' is of type"):
+        fcase("t1", 1, "t2", 0, default="2")
+    # matched literal classes work; None matches anything
+    assert col(fcase("t1", 1, "t2", None, default=2)) == [
+        1, 1, 1, 1, 1, 2, None, None, None, None, None]
+    # 2127.50: non-logical literal condition raises
+    with _pytest.raises(ValueError, match="Argument #1 must be logical"):
+        fcase(1, 1, True, 0)
+    # 2127.51/.72: literal True short-circuits — the invalid later
+    # condition/value is neither validated nor evaluated
+    assert col(fcase(True, 1, 5, 0)) == [1] * 11
+    assert col(fcase(True, 1, "t2", "mismatch-never-checked")) == [1] * 11
+    # literal False branches are skipped; all-False -> NA / default
+    assert col(fcase(False, 1))[:3] == [None] * 3
+    assert col(fcase(False, 1, default=7)) == [7] * 11
 
 
 def test_tstrsplit_vectors(spark):

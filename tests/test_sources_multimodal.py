@@ -515,3 +515,60 @@ def test_fwrite_fread_logical01_roundtrip(spark):
     types = {f.name: f.dataType.simpleString() for f in back.schema.fields}
     assert types["flag"] == "boolean"
     assert {r["id"]: r["flag"] for r in back.collect()} == {1: True, 2: False, 3: True}
+
+
+def test_fwrite_scipen_2112(spark):
+    """fwrite scipen= (reference R/fwrite.R:7,26, src/fwrite.c:184
+    writeNumeric; tests.Rraw 2112, round-13 port): R-exact double
+    rendering — 15 significant digits, fixed vs scientific decided by
+    the reference width formula, scipen biasing toward fixed."""
+    import glob
+
+    from data_table_spark.sources.fwrite import fwrite
+
+    os.makedirs(TMP, exist_ok=True)
+
+    def written(vals, scipen, ncol=None):
+        out = f"{TMP}/scipen_{scipen}_{abs(hash(tuple(vals)))%10**8}"
+        if isinstance(vals[0], tuple):
+            df = spark.createDataFrame(vals, ncol)
+        else:
+            df = spark.createDataFrame([(v,) for v in vals], "a double")
+        fwrite(df, out, single_file=True, scipen=scipen)
+        body = open(glob.glob(f"{out}/*.csv")[0]).read().strip().split("\n")
+        return body[1:]  # drop header
+
+    row = [(0.0001, 10.0**6, -20.0)]
+    hdr = "a double, b double, c double"
+    # 2112.01/.02: default scipen=0 (None means 0, not the R option)
+    assert written(row, 0, hdr) == ["1e-04,1e+06,-20"]
+    assert written(row, None, hdr) == ["1e-04,1e+06,-20"]
+    # 2112.07/.03: scipen=1 flips only the first column to fixed
+    assert written(row, 1, hdr) == ["0.0001,1e+06,-20"]
+    # 2112.08: scipen=2 flips the million too
+    assert written(row, 2, hdr) == ["0.0001,1000000,-20"]
+    # 2112.06: huge scipen = everything fixed
+    assert written(row, 999, hdr) == ["0.0001,1000000,-20"]
+    # 2112.09/.10/.11: negative scipen biases toward scientific
+    assert written(row, -3, hdr) == ["1e-04,1e+06,-20"]
+    assert written(row, -4, hdr) == ["1e-04,1e+06,-2e+01"]
+    assert written(row, -999, hdr) == ["1e-04,1e+06,-2e+01"]
+    # 2112.12: powers of 10^100 + pi at scipen=0, incl. Inf and 0
+    # R's 10^(-400) underflows to 0 and 10^400 overflows to Inf
+    vals = [0.0, 1e-300, 1e-200, 1e-100, 1.0, 1e100, 1e200, 1e300,
+            float("inf"), 3.141592653589793]
+    got = written(vals, 0)
+    assert sorted(got) == sorted([
+        "0", "1e-300", "1e-200", "1e-100", "1", "1e+100", "1e+200",
+        "1e+300", "Inf", "3.14159265358979",
+    ])
+    # 2112.13 (spot): scipen=999 writes 1e-100 as 0.000...01 (100
+    # zeros incl. the leading one) and 1e+100 as 1 followed by 100 zeros
+    got = written([1e-100, 1e100], 999)
+    assert sorted(got) == sorted(["0." + "0" * 99 + "1", "1" + "0" * 100])
+    # NaN writes the na= string (src/fwrite.c:195); sign survives
+    out = f"{TMP}/scipen_nan"
+    df = spark.createDataFrame([(float("nan"),), (-0.5,)], "a double")
+    fwrite(df, out, single_file=True, na="NA")
+    body = open(glob.glob(f"{out}/*.csv")[0]).read().strip().split("\n")
+    assert sorted(body[1:]) == sorted(["NA", "-0.5"])
