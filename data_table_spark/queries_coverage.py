@@ -1194,3 +1194,37 @@ def q_sdcols_patterns(spark, sf_dir):
         j={"l_returnflag": F.col("l_returnflag"),
            **{c: F.col(c).cast("double") for c in cols}}
     ).df
+
+
+@query(
+    "fcase_list",
+    """
+    SELECT o_orderkey,
+           array_to_string(
+             CASE WHEN o_orderpriority = '1-URGENT' THEN [1, 10]
+                  WHEN o_orderpriority = '2-HIGH'   THEN [2, 20]
+                  ELSE [9] END, '|') AS tags
+    FROM orders
+    """,
+)
+def q_fcase_list(spark, sf_dir):
+    """fcase with LIST outputs (reference src/fifelse.c:210 list
+    branch; tests.Rraw 2127.06/.14/.57 — round-13 operator): Python
+    list literals become ARRAY columns per branch, unmatched rows NULL
+    (here covered by a list default). Serialized with concat_ws for
+    the oracle compare — str(array) reprs differ between pandas and
+    DuckDB, the VALUES are what's checked."""
+    from .functions import fcase
+
+    t = load_tables(spark, sf_dir)
+    arr = fcase(
+        F.col("o_orderpriority") == "1-URGENT", [1, 10],
+        F.col("o_orderpriority") == "2-HIGH", [2, 20],
+        default=[9],
+    )
+    return t["orders"].query(
+        j={
+            "o_orderkey": F.col("o_orderkey"),
+            "tags": F.concat_ws("|", arr.cast("array<string>")),
+        }
+    ).df
