@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _r_num2char(c, scipen: int, na: str, digits=None, exp=None):
+def _r_num2char(c, scipen: int, na: str, digits=None, exp=None,
+                dec: str = ".", force_decimal: bool = False):
     """R-exact double -> character (reference src/fwrite.c:184
     writeNumeric; tests.Rraw 2112, round-13 port): 15 significant
     digits (NUM_SF), trailing zeros stripped, fixed vs scientific
@@ -37,7 +38,12 @@ def _r_num2char(c, scipen: int, na: str, digits=None, exp=None):
     columns (fwrite stages them in separate projections so the shared
     subexpressions aren't re-inlined 15× — a single flat expression
     blew the 64 KB generated-method limit and knocked the whole
-    projection out of codegen)."""
+    projection out of codegen). ``dec`` replaces the decimal
+    separator (tests.Rraw 1733.2); ``force_decimal`` appends a bare
+    separator to whole-number doubles — "1." / "0." — matching the
+    reference forceDecimal=TRUE (tests.Rraw 2338, src/fwrite.c
+    isWholeNumber branch; integers and scientific notation are
+    untouched)."""
     if digits is None or exp is None:
         m = F.format_string("%.14E", F.abs(c))  # "3.14159265358979E+00"
         digits = F.regexp_replace(
@@ -65,21 +71,22 @@ def _r_num2char(c, scipen: int, na: str, digits=None, exp=None):
         + F.lit(int(scipen))
     )
     zeros = lambda n: F.repeat(F.lit("0"), F.greatest(n, F.lit(0)))
+    whole_tail = F.lit(dec if force_decimal else "")
     fixed = (
-        F.when(dr <= 0, F.concat(digits, zeros(dl0)))
+        F.when(dr <= 0, F.concat(digits, zeros(dl0), whole_tail))
         .when(
             sf > dr,
             F.concat(
                 digits.substr(F.lit(1), sf - dr),
-                F.lit("."),
+                F.lit(dec),
                 digits.substr(sf - dr + 1, F.lit(20)),
             ),
         )
-        .otherwise(F.concat(F.lit("0."), zeros(dr - sf), digits))
+        .otherwise(F.concat(F.lit("0" + dec), zeros(dr - sf), digits))
     )
     mant = F.when(
         sf > 1,
-        F.concat(F.substring(digits, 1, 1), F.lit("."),
+        F.concat(F.substring(digits, 1, 1), F.lit(dec),
                  digits.substr(F.lit(2), sf - 1)),
     ).otherwise(digits)
     expstr = F.concat(
@@ -94,7 +101,7 @@ def _r_num2char(c, scipen: int, na: str, digits=None, exp=None):
     return (
         F.when(F.isnull(c), F.lit(None).cast("string"))
         .when(F.isnan(c), F.lit(na))
-        .when(c == 0.0, F.lit("0"))
+        .when(c == 0.0, F.lit("0" + (dec if force_decimal else "")))
         .when(c == float("inf"), F.lit("Inf"))
         .when(c == float("-inf"), F.lit("-Inf"))
         .otherwise(F.concat(sign, body))
@@ -118,6 +125,8 @@ def fwrite(
     single_file: bool = False,
     logical01: bool = False,
     scipen: int | None = 0,
+    dec: str = ".",
+    force_decimal: bool = False,
 ) -> None:
     """See module docstring. Additional reference options:
 
@@ -178,6 +187,10 @@ def fwrite(
     # (2112.02/.05: scipen=NULL does NOT read the option). Applied to
     # DoubleType only: FloatType has no reference analog (R has no
     # float32) and stays on the writer's native rendering.
+    if dec == sep and len(df.columns) > 1 and not df.isEmpty():
+        # reference R/fwrite.R:48 — zero-row / single-column frames
+        # never need both characters, so they are allowed
+        raise ValueError("dec and sep must be distinct")
     dbl = [
         f.name for f in df.schema.fields
         if isinstance(f.dataType, T.DoubleType)
@@ -207,6 +220,7 @@ def fwrite(
             c: _r_num2char(
                 F.col(c), sp, na,
                 digits=F.col(f"__fw_g_{c}"), exp=F.col(f"__fw_e_{c}"),
+                dec=dec, force_decimal=force_decimal,
             )
             for c in dbl
         }).drop(*[p + c for c in dbl

@@ -572,3 +572,51 @@ def test_fwrite_scipen_2112(spark):
     fwrite(df, out, single_file=True, na="NA")
     body = open(glob.glob(f"{out}/*.csv")[0]).read().strip().split("\n")
     assert sorted(body[1:]) == sorted(["NA", "-0.5"])
+
+
+def test_fwrite_dec_and_force_decimal(spark):
+    """fwrite dec= (tests.Rraw 1733.2/2337) and forceDecimal=
+    (tests.Rraw 2338, #2864): the decimal separator is swappable and
+    whole-number doubles can carry a bare trailing separator; integers
+    never do; dec==sep with >1 populated column raises."""
+    import glob
+
+    import pytest as _pytest
+
+    from data_table_spark.sources.fwrite import fwrite
+
+    os.makedirs(TMP, exist_ok=True)
+
+    def written(df, tag, **kw):
+        out = f"{TMP}/dec_{tag}"
+        fwrite(df, out, single_file=True, **kw)
+        return open(glob.glob(f"{out}/*.csv")[0]).read().strip().split("\n")
+
+    # 1733.2: dec="," sep=";" — whole-number double drops the dec,
+    # pi keeps 15 significant digits with a comma
+    df = spark.createDataFrame(
+        [(1.2, 1), (-8.0, 2), (3.141592653589793, 3), (67.99, 4)],
+        "V1 double, V2 int",
+    )
+    assert written(df, "1733", dec=",", sep=";") == [
+        "V1;V2", "1,2;1", "-8;2", "3,14159265358979;3", "67,99;4"]
+    # 2338.1/.2: forceDecimal appends a bare separator to whole doubles
+    dd = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    assert written(dd, "2338a", force_decimal=True) == [
+        "x", "1.", "2.", "3."]
+    assert written(dd, "2338b", force_decimal=True, dec=",", sep="\t") == [
+        "x", "1,", "2,", "3,"]
+    assert written(dd, "2338c", force_decimal=False) == ["x", "1", "2", "3"]
+    # 2338.4: integer columns unaffected
+    di = spark.createDataFrame([(1,), (2,), (3,)], "x int")
+    assert written(di, "2338d", force_decimal=True) == ["x", "1", "2", "3"]
+    # 2338.5-.7: zero writes "0."
+    dz = spark.createDataFrame([(0.0,), (-0.0,)], "x double")
+    assert written(dz, "2338e", force_decimal=True) == ["x", "0.", "0."]
+    # 2337.2: dec==sep with two populated columns raises
+    with _pytest.raises(ValueError, match="dec and sep must be distinct"):
+        fwrite(spark.createDataFrame([(0.1, 0.2)], "a double, b double"),
+               f"{TMP}/dec_err", dec=",", sep=",")
+    # 2337.4: zero-row frame is allowed even with dec==sep
+    written(spark.createDataFrame([], "a double, b double"),
+            "2337d", dec=",", sep=",")
