@@ -108,6 +108,31 @@ def _r_num2char(c, scipen: int, na: str, digits=None, exp=None,
     )
 
 
+def _iso_ts(c, dec: str = "."):
+    """Reference-exact ISO-8601 UTC timestamp rendering (src/fwrite.c
+    writePOSIXct, tests.Rraw 2281 — round-13 port): subseconds are
+    OMITTED when zero, written as 3 digits when whole milliseconds,
+    else 6 digits (microseconds), separated by ``dec`` — the writer's
+    fixed .SSSSSS format always wrote 6. Codegen string expression;
+    nulls propagate through concat to the writer's nullValue."""
+    us = F.unix_micros(c)
+    sub = F.pmod(us, F.lit(1_000_000))
+    base = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+    subsec = (
+        F.when(sub == 0, F.lit(""))
+        .when(
+            sub % 1000 == 0,
+            F.concat(F.lit(dec),
+                     F.lpad((sub / 1000).cast("int").cast("string"),
+                            3, "0")),
+        )
+        .otherwise(
+            F.concat(F.lit(dec), F.lpad(sub.cast("string"), 6, "0"))
+        )
+    )
+    return F.concat(base, subsec, F.lit("Z"))
+
+
 def fwrite(
     dt,
     path: str,
@@ -163,9 +188,17 @@ def fwrite(
         for f in df.schema.fields:
             if isinstance(f.dataType, T.BooleanType):
                 df = df.withColumn(f.name, F.col(f.name).cast("int"))
+    # the CSVY yaml header must describe the LOGICAL schema (double,
+    # timestamp), not the string renderings below
+    schema_df = df
     # column transforms happen BEFORE the writer is built so every
     # branch keeps the full option set (quote/emptyValue/etc.)
-    if date_time_as == "epoch":
+    if date_time_as == "ISO":
+        # reference-exact subsecond rule + dec support (writePOSIXct)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.TimestampType):
+                df = df.withColumn(f.name, _iso_ts(F.col(f.name), dec))
+    elif date_time_as == "epoch":
         for f in df.schema.fields:
             if isinstance(f.dataType, T.TimestampType):
                 df = df.withColumn(f.name, F.unix_timestamp(F.col(f.name)))
@@ -236,6 +269,8 @@ def fwrite(
         .option("escape", '"' if qmethod == "double" else "\\")
     )
     if date_time_as == "ISO":
+        # TimestampType columns were already string-rendered above;
+        # this option still covers TIMESTAMP_NTZ columns
         writer = writer.option(
             "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
         )

@@ -620,3 +620,38 @@ def test_fwrite_dec_and_force_decimal(spark):
     # 2337.4: zero-row frame is allowed even with dec==sep
     written(spark.createDataFrame([], "a double, b double"),
             "2337d", dec=",", sep=",")
+
+
+def test_fwrite_iso_subsecond_and_dec_2281(spark):
+    """fwrite ISO timestamps follow writePOSIXct (src/fwrite.c:421;
+    tests.Rraw 2281): zero subseconds are omitted, whole milliseconds
+    write 3 digits, microseconds write 6, and dec=',' swaps the
+    subsecond separator ("...00:00:00,001Z")."""
+    import glob
+    from datetime import datetime
+
+    from data_table_spark.sources.fwrite import fwrite
+
+    os.makedirs(TMP, exist_ok=True)
+    df = spark.createDataFrame(
+        [
+            (1, datetime(1970, 1, 1, 0, 0, 0, 1000)),    # 2281.1: 1ms
+            (2, datetime(1970, 1, 1, 0, 0, 0, 100)),     # 2281.2: 100µs
+            (3, datetime(2016, 9, 12, 18, 12, 16)),      # whole second
+        ],
+        ["k", "ts"],
+    )
+    out = f"{TMP}/iso_dec"
+    fwrite(df, out, single_file=True, dec=",", sep=";")
+    lines = open(glob.glob(f"{out}/*.csv")[0]).read().strip().split("\n")
+    got = dict(ln.split(";") for ln in lines[1:])
+    assert got["1"] == "1970-01-01T00:00:00,001Z"
+    assert got["2"] == "1970-01-01T00:00:00,000100Z"
+    assert got["3"] == "2016-09-12T18:12:16Z"
+    # default dec="." keeps the same 0/3/6-digit rule
+    out = f"{TMP}/iso_dot"
+    fwrite(df, out, single_file=True)
+    lines = open(glob.glob(f"{out}/*.csv")[0]).read().strip().split("\n")
+    got = dict(ln.split(",") for ln in lines[1:])
+    assert got["1"] == "1970-01-01T00:00:00.001Z"
+    assert got["3"] == "2016-09-12T18:12:16Z"
