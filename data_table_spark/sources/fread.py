@@ -251,7 +251,7 @@ def fread(
     key: Sequence[str] | None = None,
     text: str | None = None,
     cmd: str | None = None,
-    dec: str = ".",
+    dec: str = "auto",
     multiline: bool = False,
     yaml: bool = False,
     strip_white: bool = True,
@@ -352,33 +352,58 @@ def fread(
         if header == "auto" and "header" in meta:
             header = bool(meta["header"])
     if dec == ",":
-        # parse everything as string, normalize, cast double columns
+        # Spark's csv parser is dot-only, so comma decimals are read as
+        # strings and normalized , -> . before the double cast.
         want = dict(col_classes or {})
-        if not want:
-            raise ValueError(
-                "fread(dec=',') needs col_classes: Spark's csv parser is"
-                " dot-only, so comma decimals are read as strings and"
-                " cast per the declared types (silent string columns"
-                " otherwise)"
-            )
         back = fread(
             spark, path, sep=sep, header=header, nrows=nrows,
             select=select, drop=drop,
             col_classes={k: "character" for k in want} if want else None,
             col_names=col_names, na_strings=na_strings, skip=skip,
             quote=quote, fill=fill, encoding=encoding, key=key,
-            strip_white=strip_white, logical01=logical01,
+            strip_white=strip_white, logical01=logical01, dec=".",
         )
         from pyspark.sql import functions as _F
 
         df = back.df
-        for name, cls in want.items():
-            t = _TYPE_MAP.get(cls, T.StringType())
-            if not isinstance(t, T.StringType):
-                df = df.withColumn(
-                    name,
-                    _F.regexp_replace(name, ",", ".").cast(t),
-                )
+        if want:
+            for name, cls in want.items():
+                t = _TYPE_MAP.get(cls, T.StringType())
+                if not isinstance(t, T.StringType):
+                    df = df.withColumn(
+                        name,
+                        _F.regexp_replace(name, ",", ".").cast(t),
+                    )
+            return DT(df, key=key)
+        # No col_classes (the reference's auto-detected dec=',' path,
+        # tests.Rraw 2256): Spark's inference already typed dot-clean
+        # columns; remaining STRING columns whose every non-null value
+        # is a comma-decimal/plain number (with at least one actual
+        # comma) become double. One exact aggregate pass, the repo rule
+        # for type promises (same posture as _retype_strings).
+        strc = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, T.StringType)]
+        if strc:
+            num_re = r"^[+-]?([0-9]+|[0-9]*,[0-9]+)([eE][+-]?[0-9]+)?$"
+            aggs = []
+            for c in strc:
+                nn = _F.col(c).isNotNull()
+                aggs.append(_F.sum(nn.cast("int")).alias(f"nn_{c}"))
+                aggs.append(_F.sum(
+                    (nn & ~_F.col(c).rlike(num_re)).cast("int")
+                ).alias(f"bad_{c}"))
+                aggs.append(_F.sum(
+                    _F.col(c).contains(",").cast("int")
+                ).alias(f"com_{c}"))
+            row = df.agg(*aggs).collect()[0]
+            casts = {
+                c: _F.regexp_replace(c, ",", ".").cast("double")
+                for c in strc
+                if row[f"nn_{c}"] and not row[f"bad_{c}"]
+                and row[f"com_{c}"]
+            }
+            if casts:
+                df = df.withColumns(casts)
         return DT(df, key=key)
     if encoding == "UTF-8" and not path.endswith((".gz", ".bz2", ".zst")):
         # BOM-based charset sniff (reference src/fread.c:~1370 detects
@@ -472,7 +497,9 @@ def fread(
         col_classes = None
     fill_short_rows = False
     nul_strip = False
-    if sep == "auto" or header == "auto":
+    if sep == "auto" or header == "auto" or (
+        dec == "auto" and sep != ","
+    ):
         # tiny driver-side sample (the reference samples on the driver
         # thread too before the parallel pass). The text datasource is
         # UTF-8-only, so other encodings sample via a local open() —
@@ -530,6 +557,47 @@ def fread(
                     # are trailing pad, a single-column file (reference
                     # falls back to sep="\n" here, src/fread.c:1610)
                     sep = r"\s+"
+        if dec == "auto":
+            # dec auto-detection (reference src/fread.c:1322-1371,
+            # 2167 and tests.Rraw 2256): per sampled field, balance
+            # dot-decimal vs comma-decimal parses; ties go to '.';
+            # never attempted when sep==',' (src/fread.c:2058)
+            import csv as _csv
+            import re as _re
+
+            dot_re = _re.compile(
+                r"^[+-]?[0-9]*\.[0-9]+([eE][+-]?[0-9]+)?$")
+            com_re = _re.compile(
+                r"^[+-]?[0-9]*,[0-9]+([eE][+-]?[0-9]+)?$")
+            balance = 0
+            if sep not in (",", r"\s+"):
+                for ln in sample:
+                    if not ln.strip():
+                        continue
+                    try:
+                        toks = next(_csv.reader(
+                            [ln], delimiter=sep, quotechar=quote or '"'
+                        ))
+                    except Exception:
+                        toks = ln.split(sep)
+                    for tok in toks:
+                        t = tok.strip()
+                        if dot_re.match(t):
+                            balance += 1
+                        elif com_re.match(t):
+                            balance -= 1
+            dec = "," if balance < 0 else "."
+            if dec == ",":
+                # re-enter through the comma-decimal branch above with
+                # everything now resolved
+                return fread(
+                    spark, path, sep=sep, header=header, nrows=nrows,
+                    select=select, drop=drop, col_classes=col_classes,
+                    col_names=col_names, na_strings=na_strings,
+                    skip="auto" if auto_skip else skip, quote=quote,
+                    fill=fill, encoding=encoding, key=key, dec=",",
+                    strip_white=strip_white, logical01=logical01,
+                )
         if auto_skip and sample and not fill and not multiline:
             # skip="auto" (reference default; src/fread.c jumps to the
             # block of consistent-field-count lines): start the read

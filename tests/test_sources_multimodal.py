@@ -655,3 +655,37 @@ def test_fwrite_iso_subsecond_and_dec_2281(spark):
     got = dict(ln.split(",") for ln in lines[1:])
     assert got["1"] == "1970-01-01T00:00:00.001Z"
     assert got["3"] == "2016-09-12T18:12:16Z"
+
+
+def test_fread_auto_dec_2256(spark):
+    """fread auto-detects dec=',' from a balance of comma-decimal vs
+    dot-decimal sampled fields (reference src/fread.c:1322/2167;
+    tests.Rraw 2256): a ';'-separated file with comma decimals reads
+    the column as DOUBLE with no col_classes; sep=',' never attempts
+    detection; dot files keep dec='.'."""
+    os.makedirs(TMP, exist_ok=True)
+    # 2256.05/.06 shape: letters, fractional doubles, ints
+    p = f"{TMP}/autodec.csv"
+    with open(p, "w") as f:
+        f.write("a;b;c\n")
+        for i in range(1, 27):
+            f.write(f"x{i};{i},5;{i}\n")
+    dt = fread(spark, p)
+    types = dict(dt.df.dtypes)
+    assert types["b"] == "double" and types["c"] in ("int", "bigint")
+    rows = {r["a"]: r["b"] for r in dt.collect()}
+    assert rows["x1"] == 1.5 and rows["x26"] == 26.5
+    # one-line form of 2256.06
+    dt = fread(spark, text="a;b\n1,14;5\n", sep=";")
+    row = dt.collect()[0]
+    assert row["a"] == 1.14 and row["b"] == 5
+    # sep=',' disables detection: quoted comma-decimals stay strings
+    p2 = f"{TMP}/autodec_comma.csv"
+    with open(p2, "w") as f:
+        f.write('a,b\n"1,14",5\n"2,5",6\n')
+    dt = fread(spark, p2)
+    assert dict(dt.df.dtypes)["a"] == "string"
+    # dot-decimal ';' file keeps dec='.'
+    dt = fread(spark, text="a;b\n1.14;5\n", sep=";")
+    row = dt.collect()[0]
+    assert row["a"] == 1.14 and row["b"] == 5
