@@ -35,90 +35,88 @@ def entry(spark: SparkSession) -> DataFrame:
 # tool now prints the post-window histogram too and prose quotes only
 # tool output).
 #
-# Round-12 window = rotate_window.py output for --new = the queries
-# added or code/plan-changed this round: join_coerce_int (NEW — bmerge
-# join-type coercion, tests.Rraw 2044.60 fitsInInt32 path) +
-# sdcols_patterns (NEW — .SDcols mini-language lapply_sd) +
-# frank_ties / frank_random / frank_chunked (frank's NaN-vs-NA
-# two-level missing key, tests.Rraw 1988.1-.4 — ordering expressions
-# changed for double rank columns) + setorder_topk (setorder/fsort now
-# share the _forder_exprs NA-then-NaN block key, 1988.5-.8) +
-# uniqueN_by (na_rm conditional-distinct rewrite + non-nullable fast
-# path) + froll_narm (froll exprs loop restructured around the
-# int→double identity cast) + lookup_join / join_inner / anti_join /
-# mult_first / mult_last / merge_full / join_coerce_int (lookup and
-# merge now route join keys through _bmerge_coerce; anti_join's
-# notjoin path gained an explicit x-column projection) +
-# mergelist_fold / mergelist_mixed (mergepair keyless-baseline key
-# metadata fix). Fill = the 26 r7-latest rows + the oldest-r8 rows,
-# exactly the r11 verdict's prescription.
+# Round-13 window = rotate_window.py output for --new = the queries
+# added or code-changed this round: fcase_list (NEW — fcase LIST
+# outputs, tests.Rraw 2127.06/.14/.57) + fifelse_fcase (fcase gained
+# the 2127 literal type contract + lazy short-circuit) +
+# fread_fwrite_roundtrip (fwrite scipen/dec/forceDecimal rendering,
+# ISO sub-second rule 2281; fread dec auto-detection 2256) +
+# join_coerce_int / lookup_join / join_inner / merge_full / anti_join
+# / semi_join / mergelist_fold / mergelist_mixed (_bmerge_coerce now
+# tells empty from all-NA — zero-row x raises, ADVICE r12) +
+# sdcols_patterns / sdcols_agg (sd_cols invert= by-exclusion, ADVICE
+# r12) + rbindlist_fill (float+int promotes to double, ADVICE r12).
+# Plan-fingerprint diff vs the r12-close tree: 0 real changes
+# (setindex_bucketed appId-path known-diff only; fcase_list new).
+# Fill = the 30 r8-latest rows + the oldest-r9 rows, exactly the r12
+# verdict's prescription.
 # Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
-# #   r0: 2
-# #   r7: 26
-# #   r8: 39
-# #   r9: 38
-# #   r10: 40
-# #   r11: 50
-# # window covers 50 slots; oldest row left outside: r8
-# # POST-window histogram (window rows counted as r12):
+# #   r0: 1
 # #   r8: 30
 # #   r9: 37
 # #   r10: 35
 # #   r11: 43
 # #   r12: 50
+# # window covers 50 slots; oldest row left outside: r9
+# # POST-window histogram (window rows counted as r13):
+# #   r9: 28
+# #   r10: 35
+# #   r11: 42
+# #   r12: 41
+# #   r13: 50
 _PRIORITY = [
+    "fcase_list",  # new
+    "fifelse_fcase",  # new
+    "fread_fwrite_roundtrip",  # new
     "join_coerce_int",  # new
-    "sdcols_patterns",  # new
-    "frank_ties",  # new
-    "frank_random",  # new
-    "frank_chunked",  # new
-    "setorder_topk",  # new
-    "uniqueN_by",  # new
-    "froll_narm",  # new
     "lookup_join",  # new
     "join_inner",  # new
-    "anti_join",  # new
-    "mult_first",  # new
-    "mult_last",  # new
     "merge_full",  # new
+    "anti_join",  # new
+    "semi_join",  # new
     "mergelist_fold",  # new
     "mergelist_mixed",  # new
-    "foverlaps_start",  # r7
-    "foverlaps_within",  # r7
-    "frollapply_adaptive",  # r7
-    "funion_all",  # r7
-    "gforce_minmax_firstlast",  # r7
-    "gforce_var_sd",  # r7
-    "groupingsets_agg",  # r7
-    "inrange_semi",  # r7
-    "let_by_group",  # r7
-    "melt_multi_measure",  # r7
-    "melt_unpivot",  # r7
-    "mixture_sample",  # r7
-    "nonequi_join",  # r7
-    "pq_ann_topk",  # r7
-    "retention_cohorts",  # r7
-    "rollup_agg",  # r7
-    "select_compute",  # r7
-    "semi_join",  # r7
-    "shuffle_shards",  # r7
-    "stream_asof_enrich",  # r7
-    "text_quality",  # r7
-    "transpose_medium",  # r7
-    "unique_first",  # r7
-    "update_on_join",  # r7
-    "weighted_mean",  # r7
-    "ann_cosine_topk",  # r8
-    "cogroup_udtf",  # r8
-    "composite_pipeline",  # r8
-    "curation_pipeline",  # r8
-    "date_round",  # r8
-    "dcast_margins",  # r8
-    "decontaminate_bloom",  # r8
-    "decontaminate_ngrams",  # r8
-    "dedup_keep_best",  # r8
+    "sdcols_patterns",  # new
+    "sdcols_agg",  # new
+    "rbindlist_fill",  # new
+    "doc_chunking",  # r8
+    "doc_fingerprint",  # r8
+    "dogroups_udtf",  # r8
+    "dsir_select",  # r8
+    "dup_ngram_spans",  # r8
+    "dup_span_removal",  # r8
+    "dup_span_removal_keepfirst",  # r8
+    "embedding_cosine_pairs",  # r8
+    "embedding_dup_clusters",  # r8
+    "foverlaps_bucketed",  # r8
+    "hash_sample",  # r8
+    "heavy_hitters_cm",  # r8
+    "inrange_bucketed",  # r8
+    "ivfpq_ann_topk",  # r8
+    "jaccard_prefix_pairs",  # r8
+    "kmeans_clusters",  # r8
+    "lang_id",  # r8
+    "length_batches",  # r8
+    "multimodal_features",  # r8
+    "ngram_jaccard_pairs",  # r8
+    "pack_sequences",  # r8
+    "quality_quantile_filter",  # r8
+    "salted_skew_agg",  # r8
+    "sample_n_per_source",  # r8
+    "simhash_pairs",  # r8
+    "stream_span_screen",  # r8
+    "stream_stateful_stats",  # r8
+    "stream_static_join",  # r8
+    "token_counts",  # r8
+    "token_mixture_sample",  # r8
+    "asof_roll_backward",  # r9
+    "asof_roll_forward",  # r9
+    "asof_roll_limit",  # r9
+    "asof_roll_nearest",  # r9
+    "asof_roll_rollends",  # r9
+    "cumsum_running",  # r9
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
