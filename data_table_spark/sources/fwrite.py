@@ -34,7 +34,16 @@ def _r_num2char(c, scipen: int, na: str, digits=None, exp=None,
     (R's options(scipen=)). NaN writes the na= string, +-Inf writes
     Inf/-Inf, zero writes "0" (src/fwrite.c:194-204). Built entirely
     from JVM string functions — whole-stage codegen, no UDF in the
-    write path. ``digits``/``exp`` may be passed as pre-computed
+    write path.
+
+    Known divergence (documented, property-tested): Java's %.14E —
+    this expression's digit source — pads/rounds the SHORTEST
+    round-trip repr, which is correctly rounded to 15 significant
+    digits for every NORMAL double but can differ from the reference's
+    trailing digits on SUBNORMALS (|x| < 2.23e-308), where binary ULPs
+    dwarf the 15th-digit place. Values still parse back within one
+    unit of the 15th significant digit (15-sf doubles are lossy in the
+    reference too). ``digits``/``exp`` may be passed as pre-computed
     columns (fwrite stages them in separate projections so the shared
     subexpressions aren't re-inlined 15× — a single flat expression
     blew the 64 KB generated-method limit and knocked the whole

@@ -1342,3 +1342,126 @@ def test_setorder_nan_na_property(spark, xs, desc, na_last):
     )
     key = lambda v: (lvl(v), None if lvl(v) else v)  # noqa: E731
     assert [key(v) for v in got] == [key(v) for v in exp]
+
+
+def _r_num2char_oracle(x, scipen=0, na="", dec=".", force_decimal=False):
+    """Pure-Python reimplementation of src/fwrite.c writeNumeric (15
+    significant digits, trailing-zero strip, the width formula) —
+    independent of the Spark expression in sources/fwrite.py, so
+    substr/lpad off-by-ones there can't hide."""
+    import math
+
+    if x is None:
+        return None
+    if math.isnan(x):
+        return na
+    if x == 0.0:
+        return "0" + (dec if force_decimal else "")
+    if math.isinf(x):
+        return "Inf" if x > 0 else "-Inf"
+    sign = "-" if x < 0 else ""
+    # 15 significant digits rounded HALF-UP from the SHORTEST
+    # round-trip repr: Java's %.14E (the Spark expression's digit
+    # source) pads/rounds the shortest repr, and the reference C
+    # equivalently rounds a 16-digit intermediate half-up
+    # (src/fwrite.c: l%10>=5 -> bump) — neither re-expands the exact
+    # binary value, so neither does the oracle. Python's format()
+    # rounds half-even and the exact expansion differs at knife-edge
+    # digit-16 halves; both would be wrong here.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    d = Decimal(repr(abs(x)))
+    exp = d.adjusted()
+    q = d.scaleb(-exp).quantize(
+        Decimal("1.00000000000000"), rounding=ROUND_HALF_UP)
+    if q >= 10:
+        q = q.scaleb(-1).quantize(
+            Decimal("1.00000000000000"), rounding=ROUND_HALF_UP)
+        exp += 1
+    digits = str(q).replace(".", "").rstrip("0") or "0"
+    sf = len(digits)
+    dr = sf - exp - 1
+    if dr <= 0:
+        dl0, drr = -dr, 0
+        width = sf + dl0
+    elif sf > dr:
+        dl0, drr = 0, dr
+        width = sf + 1
+    else:
+        dl0, drr = 1, dr
+        width = dr + 2
+    threshold = sf + (sf > 1) + 2 + (3 if abs(exp) > 99 else 2) + scipen
+    if width <= threshold:
+        if drr == 0:
+            body = digits + "0" * dl0 + (dec if force_decimal else "")
+        elif sf > drr:
+            body = digits[: sf - drr] + dec + digits[sf - drr:]
+        else:
+            body = "0" + dec + "0" * (drr - sf) + digits
+    else:
+        body = digits[0] + (dec + digits[1:] if sf > 1 else "")
+        body += ("e-" if exp < 0 else "e+") + (
+            str(abs(exp)) if abs(exp) > 99 else f"{abs(exp):02d}")
+    return sign + body
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    xs=st.lists(
+        st.one_of(
+            st.floats(allow_nan=False, allow_infinity=False,
+                      allow_subnormal=False, width=64),
+            st.floats(min_value=-1e6, max_value=1e6),
+            st.integers(min_value=-10**15, max_value=10**15).map(float),
+            st.sampled_from([0.0, -0.0, 1e-300, 1e300, float("inf"),
+                             float("-inf"), float("nan"), 0.1, -20.0,
+                             16777217.0, 3.141592653589793, 5e-324]),
+        ),
+        min_size=1, max_size=25,
+    ),
+    scipen=st.sampled_from([0, 1, 2, -4, 999, -999]),
+    force_decimal=st.booleans(),
+)
+def test_r_num2char_matches_python_oracle(spark, xs, scipen,
+                                          force_decimal):
+    """The fwrite double renderer (Spark expression) vs an independent
+    pure-Python port of src/fwrite.c writeNumeric across random
+    doubles × scipen × forceDecimal — plus a value-roundtrip sanity
+    check. SUBNORMALS are excluded from digit equality (documented
+    divergence: Java's %.14E zero-pads the shortest round-trip repr,
+    which is correctly rounded for every NORMAL double — the deviation
+    is ≪ half the 15th-digit place — but not below 2.2e-308 where
+    binary ULPs are huge; the C reference expands true digits there).
+    For subnormals we assert value round-trip within one unit of the
+    15th significant digit instead (15-sf writes are lossy on 16-17
+    digit shortest reprs — reference behavior: fwrite doubles are not
+    guaranteed lossless)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_table_spark.sources.fwrite import _r_num2char
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(xs)], "i int, x double")
+    out = df.select(
+        "i",
+        _r_num2char(F.col("x"), scipen, "NA",
+                    force_decimal=force_decimal).alias("s"),
+    )
+    got = {r["i"]: r["s"] for r in out.collect()}
+    MIN_NORMAL = 2.2250738585072014e-308
+    for i, v in enumerate(xs):
+        if v != 0 and abs(v) < MIN_NORMAL:  # subnormal: value-near only
+            tol = max(abs(v) * 1e-14, 1e-323)
+            assert abs(float(got[i]) - v) <= tol, (v, got[i])
+            continue
+        exp = _r_num2char_oracle(v, scipen=scipen, na="NA",
+                                 force_decimal=force_decimal)
+        assert got[i] == exp, (v, scipen, force_decimal, got[i], exp)
+        if math.isfinite(v) and v != 0:
+            back = float(got[i])
+            if math.isfinite(back):  # 15-sf rounding near DBL_MAX can
+                # overflow to inf — reference behavior, not a bug
+                assert abs(back - v) <= abs(v) * 1e-14, (v, got[i])
