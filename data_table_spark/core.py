@@ -349,6 +349,17 @@ class DT:
             mapping = dict(old)
         else:
             mapping = dict(zip(_namelist(old), _namelist(new)))
+        # renaming onto an existing (un-renamed) column would create
+        # duplicate names — the reference errors when that collides
+        # with key columns (tests.Rraw 2374.04 "duplicated key
+        # columns"); Spark duplicates break every downstream resolver,
+        # so the guard applies to all columns (documented superset)
+        kept = [c for c in self.df.columns if c not in mapping]
+        clash = [v for v in mapping.values() if v in kept]
+        if clash:
+            raise ValueError(
+                f"setnames would create duplicated column names: {clash}"
+            )
         df = self.df.withColumnsRenamed(mapping)
         ren = lambda n: mapping.get(n, n)
         return self._wrap(
@@ -374,14 +385,27 @@ class DT:
         elides redundant sorts on the sorted-within-partitions output).
         """
         cols = [c for c in cols]
+        if len(set(cols)) != len(cols):
+            # reference #4888/#4891 (tests.Rraw 2374.01/.03)
+            raise ValueError("cols contains duplicate column names")
         df = self.df
         if repartition:
             df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         return self._wrap(df, key=cols, order_by=cols)
 
-    def setorder(self, *cols: str, na_last: bool = False) -> "DT":
+    def setorder(
+        self, *cols: str, na_last: bool = False, order=None
+    ) -> "DT":
         """setorder / DT[order(...)] (reference R/setkey.R:230). Use
         '-col' prefix for descending.
+
+        ``order=`` (reference setorderv order= named mapping, #6932,
+        tests.Rraw 2385 — round-13 port): a {column: +1/-1} mapping or
+        a sequence of (column, +1/-1) pairs REPLACES ``cols`` — +1
+        ascending, -1 descending. Errors match the reference: unknown
+        columns ("some columns are not in the data.table"), duplicate
+        names ("order argument has named duplicates"), values outside
+        ±1 ("Must be +1 or -1").
 
         Missing placement matches the reference's forder (tests.Rraw
         1988.5-.8): the NA block is outermost with NaN immediately
@@ -393,6 +417,24 @@ class DT:
         0=value/1=NaN/2=NA) and explicit nulls_first/nulls_last
         otherwise; Spark's native NaN-after-+Inf ordering only applies
         when ``nan_is_na``-style handling is bypassed."""
+        if order is not None:
+            items = (
+                list(order.items()) if hasattr(order, "items")
+                else [(str(k), v) for k, v in order]
+            )
+            names = [k for k, _ in items]
+            if len(set(names)) != len(names):
+                raise ValueError("order argument has named duplicates")
+            missing = [k for k in names if k not in self.columns]
+            if missing:
+                raise ValueError(
+                    f"some columns are not in the data.table: {missing}"
+                )
+            if any(int(v) not in (1, -1) for _, v in items):
+                raise ValueError("order values: Must be +1 or -1")
+            cols = tuple(
+                ("-" if int(v) == -1 else "") + k for k, v in items
+            )
         # keep the '-' prefix in the declared order: _ocol resolves it to
         # a descending sort key in every order consumer
         return self._wrap(
@@ -415,6 +457,8 @@ class DT:
         elide their exchange). Records the index name like the
         reference's ``__col1__col2`` attribute so ``indices()`` can
         report it."""
+        if len(set(cols)) != len(cols):
+            raise ValueError("cols contains duplicate column names")
         name = "__" + "__".join(cols)
         if cols and name not in self.index_names:
             self.index_names.append(name)

@@ -310,6 +310,31 @@ def fctr(x: Column | str) -> Column:
     return _col(x).cast("string")
 
 
+def yearqtr(x: Column | str, format: str = "numeric") -> Column:
+    """yearqtr (reference R/IDateTime.R yearqtr; tests.Rraw 2369,
+    #7694 — round-13 port): numeric year + (quarter-1)/4 by default;
+    format="character" renders "2019Q1". NULL propagates."""
+    c = _col(x)
+    y, q = F.year(c), F.quarter(c)
+    if format == "character":
+        return F.concat(y.cast("string"), F.lit("Q"), q.cast("string"))
+    return (y + (q - 1) / F.lit(4.0)).cast("double")
+
+
+def yearmon(x: Column | str, format: str = "numeric") -> Column:
+    """yearmon (reference R/IDateTime.R yearmon; tests.Rraw 2370):
+    numeric year + (month-1)/12 by default; format="character"
+    renders "2019M01" (zero-padded month)."""
+    c = _col(x)
+    y, m = F.year(c), F.month(c)
+    if format == "character":
+        return F.concat(
+            y.cast("string"), F.lit("M"),
+            F.lpad(m.cast("string"), 2, "0"),
+        )
+    return (y + (m - 1) / F.lit(12.0)).cast("double")
+
+
 def plike(x: Column | str, pattern: str) -> Column:
     """%plike% — perl-flavored regex (reference R/like.R:24). Java regex
     covers the perl syntax the reference delegates to PCRE."""

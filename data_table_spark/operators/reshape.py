@@ -318,6 +318,7 @@ def tstrsplit(
     type_convert=False,
     n_parts: int | None = None,
     drop_source: bool = True,
+    rev: bool = False,
 ) -> DT:
     """tstrsplit — split a string column into typed columns (reference
     R/transpose.R:26-77, src/transpose.c). Row-local; no shuffle.
@@ -346,8 +347,15 @@ def tstrsplit(
     reference's meaning)."""
     import re as _re
 
+    if not isinstance(rev, bool):
+        raise ValueError("'rev' must be TRUE or FALSE.")
     pat = _re.escape(sep) if fixed else sep
     parts = F.split(F.col(col), pat)
+    if rev:
+        # rev=TRUE (reference #7694 sibling, tests.Rraw 2380): parts
+        # align from the END — part 1 is the LAST component, shorter
+        # rows get NA at the deep positions
+        parts = F.reverse(parts)
 
     if n_parts is None:
         # the reference scans to learn the part count (transpose of

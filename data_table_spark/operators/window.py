@@ -668,6 +668,7 @@ def frank(
     by=None,
     desc: bool = False,
     out_col: str = "rank",
+    order: int | None = None,
     tiebreak=None,
     seed: int = 0,
     na_last=True,
@@ -725,6 +726,22 @@ def frank(
     is only well-defined relative to stable row identity.
     ``n_chunks="auto"``: see ``_resolve_n_chunks``.
     """
+    if order is not None:
+        # frankv order= (reference #5489, tests.Rraw 2386): -1 ranks
+        # descending; takes precedence over desc= with the reference's
+        # warning when both are given
+        order = int(order)
+        if order not in (1, -1):
+            raise ValueError("order must be +1 or -1")
+        if desc:
+            import warnings
+
+            warnings.warn(
+                "Both desc= and 'order' argument are provided; 'order'"
+                " will take precedence.",
+                RuntimeWarning,
+            )
+        desc = order == -1
     n_chunks = _resolve_n_chunks(dt.df, _namelist(by), n_chunks)
     handle_nan = nan_is_na and dict(dt.df.dtypes).get(col) in (
         "float", "double",

@@ -1382,3 +1382,105 @@ def test_fifelse_2100_na_arg_vectors(spark):
     assert got == [y, n, na]
     # .14: na omitted -> NULL on the NA test row
     assert col(fifelse("t", F.lit(1.0), F.lit(2.0)))[-1] is None
+
+
+def test_tail_ports_2369_2386(spark):
+    """Round-13 tail mining of tests.Rraw 2369-2386:
+
+    - 2369/2370: yearqtr/yearmon format="character" ("2019Q1" /
+      "2019M01", zero-padded month), numeric default unchanged;
+    - 2373: group-by on an EMPTY table yields an empty grouped frame
+      with the aggregate's schema (no rows fabricated);
+    - 2374: duplicate columns in setkey/setindex raise; setnames that
+      would create duplicate names raises;
+    - 2380: tstrsplit rev=TRUE aligns parts from the END (part 1 =
+      last component; short rows get NA deep); rev must be boolean;
+    - 2385: setorder(order={col: ±1}) named mapping with the three
+      reference errors;
+    - 2386: frank(order=-1) == descending rank; order takes
+      precedence over desc= with a warning.
+    """
+    import datetime
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_table_spark.functions import yearmon, yearqtr
+    from data_table_spark.operators.reshape import tstrsplit
+    from data_table_spark.operators.window import frank
+
+    # 2369/2370 vectors (subset of the reference's x)
+    dates = ["1111-11-11", "2019-01-01", "2019-12-31", "2020-02-29",
+             "2040-12-31", "2100-03-01", None]
+    df = spark.createDataFrame(
+        [(i, d and datetime.date.fromisoformat(d)) for i, d in
+         enumerate(dates)],
+        "i int, d date",
+    )
+    got = [tuple(r) for r in df.select(
+        yearqtr("d").alias("qn"), yearqtr("d", "character").alias("qc"),
+        yearmon("d").alias("mn"), yearmon("d", "character").alias("mc"),
+    ).orderBy(F.col("qn").asc_nulls_last()).collect()]
+    assert got[0] == (1111.75, "1111Q4", 1111 + 10 / 12, "1111M11")
+    assert got[1] == (2019.0, "2019Q1", 2019.0, "2019M01")
+    assert got[2] == (2019.75, "2019Q4", 2019 + 11 / 12, "2019M12")
+    assert got[3] == (2020.0, "2020Q1", 2020 + 1 / 12, "2020M02")
+    assert got[-1] == (None, None, None, None)  # 2369.5/2370.5
+
+    # 2373: empty-table group-by
+    empty = DT(spark.createDataFrame([], "g int, v int"))
+    out = empty.query(j={"n": F.count(F.lit(1))}, by=["g"])
+    assert out.df.count() == 0 and out.columns == ["g", "n"]
+
+    # 2374: duplicate key/index columns raise
+    d = DT(spark.createDataFrame([(1, 2)], "a int, b int"))
+    with _pytest.raises(ValueError, match="duplicate column names"):
+        d.setkey("a", "a")
+    with _pytest.raises(ValueError, match="duplicate column names"):
+        d.setindex("a", "a")
+    with _pytest.raises(ValueError, match="duplicated column names"):
+        d.setnames("b", "a")
+
+    # 2380: tstrsplit rev=
+    sdf = DT(spark.createDataFrame(
+        [(1, "ABC-DEF"), (2, "ABC-DEF-GHI"), (3, "ABC-DEF-GHI-JKL"),
+         (4, "ABC-DEF-GHI-JKL-MNO")], "i int, s string"))
+    out = tstrsplit(sdf, "s", "-", keep=[1, 2, 3], rev=True,
+                    drop_source=True)
+    rows = {r["i"]: (r["V1"], r["V2"], r["V3"])
+            for r in out.df.collect()}
+    assert rows[1] == ("DEF", "ABC", None)          # 2380.01 row 1
+    assert rows[2] == ("GHI", "DEF", "ABC")
+    assert rows[4] == ("MNO", "JKL", "GHI")
+    with _pytest.raises(ValueError, match="'rev' must be TRUE or FALSE"):
+        tstrsplit(sdf, "s", "-", rev="maybe")       # 2380.03
+
+    # 2385: setorder order= named mapping
+    d = DT(spark.createDataFrame(
+        [(2, 2), (1, 1), (2, 1)], "x int, y int"))
+    got = [(r["x"], r["y"]) for r in
+           d.setorder(order={"x": 1, "y": -1}).df.collect()]
+    assert got == [(1, 1), (2, 2), (2, 1)]          # 2385.02
+    with _pytest.raises(ValueError, match="not in the data.table"):
+        d.setorder(order={"z": 1})                  # 2385.03
+    with _pytest.raises(ValueError, match="named duplicates"):
+        d.setorder(order=[("x", 1), ("x", -1)])     # 2385.04
+    with _pytest.raises(ValueError, match="\\+1 or -1"):
+        d.setorder(order={"x": 2})                  # 2385.05
+
+    # 2386: frank order=-1 == descending; precedence warning
+    fd = DT(spark.createDataFrame(
+        [(i, v) for i, v in enumerate([3.0, 1.0, 3.0, 5.0, 2.0])],
+        "i int, x double"), order_by=["i"])
+    asc = [r["rank"] for r in
+           frank(fd, "x", ties="min").df.orderBy("i").collect()]
+    desc = [r["rank"] for r in
+            frank(fd, "x", ties="min", order=-1).df.orderBy("i").collect()]
+    assert asc == [3, 1, 3, 5, 2] and desc == [2, 5, 2, 1, 4]
+    with _pytest.warns(RuntimeWarning, match="precedence"):
+        got = [r["rank"] for r in
+               frank(fd, "x", ties="min", desc=True, order=1)
+               .df.orderBy("i").collect()]
+    assert got == asc                               # 2386.07
+    with _pytest.raises(ValueError, match="\\+1 or -1"):
+        frank(fd, "x", order=2)
