@@ -689,3 +689,24 @@ def test_fread_auto_dec_2256(spark):
     dt = fread(spark, text="a;b\n1.14;5\n", sep=";")
     row = dt.collect()[0]
     assert row["a"] == 1.14 and row["b"] == 5
+
+
+def test_fread_tail_edges_2345_2359(spark):
+    """tests.Rraw tail fread edges (round-13): 2345 — a single QUOTED
+    column whose values are quoted datetimes infers timestamp; 2359 —
+    a trailing \\x1A (ASCII SUB, DOS EOF marker) does not become data.
+    (2355's skip=0 ragged-header nuance intentionally differs: with
+    header='auto' a names-looking first line IS the header here; the
+    reference demotes it when the field count disagrees — documented,
+    fill=TRUE keeps all data rows either way.)"""
+    import datetime
+
+    dt = fread(spark, text='"this_that"\n"2025-01-01 00:00:01"')
+    assert dict(dt.df.dtypes)["this_that"] == "timestamp"
+    assert dt.collect()[0]["this_that"] == datetime.datetime(
+        2025, 1, 1, 0, 0, 1)
+
+    txt = "foo\n" + "a" * 1000 + "\x1a"
+    dt = fread(spark, text=txt)
+    rows = dt.collect()
+    assert len(rows) == 1 and len(rows[0]["foo"]) == 1000
