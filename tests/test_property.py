@@ -1465,3 +1465,48 @@ def test_r_num2char_matches_python_oracle(spark, xs, scipen,
             if math.isfinite(back):  # 15-sf rounding near DBL_MAX can
                 # overflow to inf — reference behavior, not a bug
                 assert abs(back - v) <= abs(v) * 1e-14, (v, got[i])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.floats(min_value=-1e6, max_value=1e6,
+                      allow_nan=False).map(lambda v: round(v, 6)),
+            st.integers(min_value=-10**6, max_value=10**6),
+            st.sampled_from(["alpha", "beta", "g g", ""]),
+        ),
+        min_size=2, max_size=20,
+    ),
+    sep=st.sampled_from([";", "|", "\t"]),
+    dec=st.sampled_from([".", ","]),
+)
+def test_fwrite_dec_fread_autodec_roundtrip(spark, vals, sep, dec):
+    """Round-13 closing property: fwrite(dec=) → fread with NO dec
+    argument auto-detects the decimal separator from the sampled field
+    balance (tests.Rraw 2256) and recovers the exact doubles, ints and
+    strings — the write and read halves of the dec contract verified
+    against each other on random frames."""
+    import glob
+    import os
+    import tempfile
+
+    from data_table_spark.sources.fread import fread
+    from data_table_spark.sources.fwrite import fwrite
+
+    rows = [(i, a, b, c) for i, (a, b, c) in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "i int, x double, n int, s string")
+    out = os.path.join(tempfile.mkdtemp(dir="/root/repo/.tmp"), "rt")
+    fwrite(df, out, sep=sep, dec=dec, single_file=True, na="NA")
+    back = fread(spark, glob.glob(f"{out}/*.csv")[0], sep=sep,
+                 na_strings=("NA",))
+    got = {r["i"]: (r["x"], r["n"], r["s"]) for r in back.collect()}
+    for i, a, b, c in rows:
+        ga, gb, gc = got[i]
+        # doubles survive to 15 significant digits (they were rounded
+        # to 6 decimals before write, so equality is exact here)
+        assert ga == pytest.approx(a, rel=1e-13), (a, ga, dec, sep)
+        assert gb == b
+        assert (gc or "") == c  # empty string reads back as NULL
