@@ -37,23 +37,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Round-13 window = rotate_window.py output for --new = the queries
 # added or code-changed this round: fcase_list (NEW — fcase LIST
-# outputs, tests.Rraw 2127.06/.14/.57) + fifelse_fcase (fcase gained
-# the 2127 literal type contract + lazy short-circuit) +
-# fread_fwrite_roundtrip (fwrite scipen/dec/forceDecimal rendering,
-# ISO sub-second rule 2281; fread dec auto-detection 2256) +
-# join_coerce_int / lookup_join / join_inner / merge_full / anti_join
-# / semi_join / mergelist_fold / mergelist_mixed (_bmerge_coerce now
-# tells empty from all-NA — zero-row x raises, ADVICE r12) +
+# outputs, tests.Rraw 2127.06/.14/.57) + frank_multi (NEW — frankv
+# multi-column cols=/order=, 2386.05) + fifelse_fcase (fcase 2127
+# literal type contract + lazy short-circuit) + fread_fwrite_roundtrip
+# (fwrite scipen/dec/forceDecimal rendering, ISO sub-second rule 2281;
+# fread dec auto-detection 2256) + join_coerce_int / lookup_join /
+# join_inner / merge_full / anti_join / semi_join / mergelist_fold /
+# mergelist_mixed (_bmerge_coerce empty-vs-all-NA, ADVICE r12) +
 # sdcols_patterns / sdcols_agg (sd_cols invert= by-exclusion, ADVICE
-# r12) + rbindlist_fill (float+int promotes to double, ADVICE r12).
-# Plan-fingerprint diff vs the r12-close tree: 0 real changes
-# (setindex_bucketed appId-path known-diff only; fcase_list new).
-# Fill = the 30 r8-latest rows + the oldest-r9 rows, exactly the r12
-# verdict's prescription.
+# r12) + rbindlist_fill (float+int -> double, ADVICE r12) + frank_ties
+# / frank_random / frank_chunked (frank body gained the order= /
+# multi-col dispatch) + setorder_topk (setorder order= mapping, 2385)
+# + tstrsplit_cols (tstrsplit rev=, 2380). Plan-fingerprint diffs at
+# every step: 0 real changes (setindex_bucketed appId-path known-diff
+# only; fcase_list/frank_multi new). Fill = the 30 r8-latest rows,
+# exactly the r12 verdict's prescription.
 # Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
-# #   r0: 1
+# #   r0: 2
 # #   r8: 30
 # #   r9: 37
 # #   r10: 35
@@ -61,10 +63,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # #   r12: 50
 # # window covers 50 slots; oldest row left outside: r9
 # # POST-window histogram (window rows counted as r13):
-# #   r9: 28
+# #   r9: 34
 # #   r10: 35
-# #   r11: 42
-# #   r12: 41
+# #   r11: 41
+# #   r12: 37
 # #   r13: 50
 _PRIORITY = [
     "fcase_list",  # new
@@ -81,6 +83,12 @@ _PRIORITY = [
     "sdcols_patterns",  # new
     "sdcols_agg",  # new
     "rbindlist_fill",  # new
+    "frank_multi",  # new
+    "frank_ties",  # new
+    "frank_random",  # new
+    "frank_chunked",  # new
+    "setorder_topk",  # new
+    "tstrsplit_cols",  # new
     "doc_chunking",  # r8
     "doc_fingerprint",  # r8
     "dogroups_udtf",  # r8
@@ -111,12 +119,6 @@ _PRIORITY = [
     "stream_static_join",  # r8
     "token_counts",  # r8
     "token_mixture_sample",  # r8
-    "asof_roll_backward",  # r9
-    "asof_roll_forward",  # r9
-    "asof_roll_limit",  # r9
-    "asof_roll_nearest",  # r9
-    "asof_roll_rollends",  # r9
-    "cumsum_running",  # r9
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

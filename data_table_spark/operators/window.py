@@ -726,6 +726,12 @@ def frank(
     is only well-defined relative to stable row identity.
     ``n_chunks="auto"``: see ``_resolve_n_chunks``.
     """
+    if isinstance(col, (list, tuple)):
+        return _frank_multi(
+            dt, list(col), ties=ties, by=by, desc=desc, out_col=out_col,
+            tiebreak=tiebreak, seed=seed, na_last=na_last, order=order,
+            n_chunks=n_chunks,
+        )
     if order is not None:
         # frankv order= (reference #5489, tests.Rraw 2386): -1 ranks
         # descending; takes precedence over desc= with the reference's
@@ -856,6 +862,119 @@ def frank(
         nn = F.sum(F.col(col).isNull().cast("int")).over(part).cast("int")
         shift = (nn > 0).cast("int") if ties == "dense" else nn
         r = F.when(F.col(col).isNull(), F.lit(None)).otherwise(r - shift)
+    return DT(dt.df.withColumn(out_col, r), key=dt.key, order_by=dt.order_by)
+
+
+def _frank_multi(
+    dt: DT, cols, ties, by, out_col, na_last, order=None, desc=False,
+    tiebreak=None, seed: int = 0, n_chunks=None,
+) -> DT:
+    """frankv(cols=, order=) — MULTI-COLUMN lexicographic ranking
+    (reference R/frank.R frankv cols=; tests.Rraw 2386.05, round-13
+    port). A tie is a row equal on ALL ranked columns (Spark's
+    ordering/grouping already treats NaN==NaN and NULL==NULL). Per
+    float/double column the NaN/NA two-level key applies (NA outermost,
+    NaN adjacent — the 1988 forder rule), other dtypes use
+    nulls_first/last placement. ``order`` is ±1 per column (a scalar
+    recycles); ``desc=True`` recycles -1 and yields to ``order=`` with
+    the same precedence warning as the single-column form.
+
+    Documented subset: ``na_last`` must be True or False ("keep"/None
+    are single-column semantics — whether a row is "missing" is
+    ambiguous across columns) and ``n_chunks=`` is single-column only
+    (the value-chunk spine needs one ranked domain)."""
+    if n_chunks not in (None, 1):
+        raise ValueError(
+            "n_chunks= chunk-stitching is single-column only"
+        )
+    if na_last not in (True, False):
+        raise ValueError(
+            "multi-column frank supports na_last=True/False only "
+            "(row-missingness is ambiguous across columns)"
+        )
+    n = len(cols)
+    if order is None:
+        orders = [-1 if desc else 1] * n
+    else:
+        if desc:
+            import warnings
+
+            warnings.warn(
+                "Both desc= and 'order' argument are provided; 'order'"
+                " will take precedence.",
+                RuntimeWarning,
+            )
+        orders = (
+            [int(order)] * n
+            if isinstance(order, int)
+            else [int(o) for o in order]
+        )
+        if len(orders) != n:
+            raise ValueError("order length must match cols")
+    if any(o not in (1, -1) for o in orders):
+        raise ValueError("order must be +1 or -1")
+    dtypes = dict(dt.df.dtypes)
+    ocs = []
+    for c, o in zip(cols, orders):
+        d = o == -1
+        if dtypes.get(c) in ("float", "double"):
+            lvl = (
+                F.when(F.col(c).isNull(), F.lit(2))
+                .when(F.isnan(F.col(c)), F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            ocs.append(lvl.asc() if na_last else lvl.desc())
+            ocs.append(F.col(c).desc() if d else F.col(c).asc())
+        elif na_last:
+            ocs.append(
+                F.col(c).desc_nulls_last() if d
+                else F.col(c).asc_nulls_last()
+            )
+        else:
+            ocs.append(
+                F.col(c).desc_nulls_first() if d
+                else F.col(c).asc_nulls_first()
+            )
+    part = (
+        Window.partitionBy(*_namelist(by)) if by else Window.partitionBy()
+    )
+    w = part.orderBy(*ocs)
+    tie_w = Window.partitionBy(*(_namelist(by) + [str(c) for c in cols]))
+    if ties == "random":
+        if not tiebreak:
+            raise ValueError(
+                "ties='random' needs tiebreak= unique-key columns for a "
+                "deterministic seeded permutation"
+            )
+        salt = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(seed)),
+                *[F.col(t).cast("string") for t in _namelist(tiebreak)],
+            )
+        )
+        r = F.row_number().over(part.orderBy(*ocs, salt.asc()))
+    elif ties in ("first", "last"):
+        if tiebreak:
+            tb = [
+                F.col(t).asc() if ties == "first" else F.col(t).desc()
+                for t in _namelist(tiebreak)
+            ]
+            r = F.row_number().over(part.orderBy(*ocs, *tb))
+        else:
+            r = F.row_number().over(w)
+    elif ties == "min":
+        r = F.rank().over(w)
+    elif ties == "dense":
+        r = F.dense_rank().over(w)
+    elif ties == "max":
+        r = F.rank().over(w) + F.count(F.lit(1)).over(tie_w).cast("int") - 1
+    elif ties == "average":
+        r = (
+            (2 * F.rank().over(w) + F.count(F.lit(1)).over(tie_w) - 1) / 2
+        ).cast("double")
+    else:
+        raise ValueError(f"bad ties: {ties}")
     return DT(dt.df.withColumn(out_col, r), key=dt.key, order_by=dt.order_by)
 
 

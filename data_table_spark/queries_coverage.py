@@ -1228,3 +1228,33 @@ def q_fcase_list(spark, sf_dir):
             "tags": F.concat_ws("|", arr.cast("array<string>")),
         }
     ).df
+
+
+@query(
+    "frank_multi",
+    """
+    SELECT o_orderkey,
+           CAST(RANK() OVER (
+             PARTITION BY o_orderstatus
+             ORDER BY o_orderpriority ASC, o_totalprice DESC
+           ) AS INT) AS rnk
+    FROM orders
+    """,
+)
+def q_frank_multi(spark, sf_dir):
+    """frankv(cols=, order=) MULTI-COLUMN lexicographic ranking
+    (reference R/frank.R frankv cols=; tests.Rraw 2386.05 — round-13
+    operator): rank by (o_orderpriority asc, o_totalprice desc) within
+    o_orderstatus groups, ties=min. One Window over the by-partition —
+    no extra shuffle beyond the partition exchange."""
+    from .operators.window import frank
+
+    t = load_tables(spark, sf_dir)
+    out = frank(
+        t["orders"], ["o_orderpriority", "o_totalprice"],
+        ties="min", by=["o_orderstatus"], order=[1, -1], out_col="rnk",
+    )
+    return out.query(
+        j={"o_orderkey": F.col("o_orderkey"),
+           "rnk": F.col("rnk").cast("int")}
+    ).df

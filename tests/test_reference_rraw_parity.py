@@ -1484,3 +1484,57 @@ def test_tail_ports_2369_2386(spark):
     assert got == asc                               # 2386.07
     with _pytest.raises(ValueError, match="\\+1 or -1"):
         frank(fd, "x", order=2)
+
+
+def test_frank_multicolumn_2386_05(spark):
+    """frankv(cols=, order=) multi-column lexicographic ranking
+    (tests.Rraw 2386.05/.06/.08, round-13 port): frank(DT, cols,
+    order=[-1, 1]) == rank over (x desc, y asc); ties are rows equal
+    on ALL columns; the NaN/NA two-level key applies per double
+    column; desc= recycles and yields to order= with a warning."""
+    import pytest as _pytest
+
+    from data_table_spark.operators.window import frank
+
+    # 2386.05: x=c(2,1,2,1,3), y=c(5,4,3,2,1); order=c(-1,1)
+    d = DT(spark.createDataFrame(
+        [(0, 2.0, 5), (1, 1.0, 4), (2, 2.0, 3), (3, 1.0, 2), (4, 3.0, 1)],
+        "i int, x double, y int"), order_by=["i"])
+    got = [r["rank"] for r in
+           frank(d, ["x", "y"], ties="min", order=[-1, 1])
+           .df.orderBy("i").collect()]
+    assert got == [3, 2, 2, 4, 1] or got == [3, 5, 2, 4, 1]
+    # exact: order by x desc (3,2,2,1,1), y asc within: rows sorted =
+    # (3,1),(2,3),(2,5),(1,2),(1,4) -> ranks i4=1,i2=2,i0=3,i3=4,i1=5
+    assert got == [3, 5, 2, 4, 1]
+
+    # 2386.06: scalar order recycles over all columns
+    d2 = DT(spark.createDataFrame(
+        [(0, 1.0, 1), (1, 2.0, 1), (2, 1.0, 2)],
+        "i int, a double, b int"), order_by=["i"])
+    got = [r["rank"] for r in frank(d2, ["a", "b"], ties="min", order=-1)
+           .df.orderBy("i").collect()]
+    assert got == [3, 1, 2]  # desc lexicographic: (2,1) (1,2) (1,1)
+
+    # ties: full-row duplicates share a rank; average halves
+    d3 = DT(spark.createDataFrame(
+        [(0, 1.0, 1), (1, 1.0, 1), (2, 2.0, 0)],
+        "i int, a double, b int"), order_by=["i"])
+    got = [r["rank"] for r in frank(d3, ["a", "b"], ties="average")
+           .df.orderBy("i").collect()]
+    assert got == [1.5, 1.5, 3.0]
+    # NA outermost per double column under na_last=True
+    d4 = DT(spark.createDataFrame(
+        [(0, None, 1), (1, 1.0, 1), (2, float("nan"), 1)],
+        "i int, a double, b int"), order_by=["i"])
+    got = [r["rank"] for r in frank(d4, ["a", "b"], ties="min")
+           .df.orderBy("i").collect()]
+    assert got == [3, 1, 2]  # value, NaN, NA
+    # 2386.08: precedence warning when both desc= and order= given
+    with _pytest.warns(RuntimeWarning, match="precedence"):
+        frank(d2, ["a", "b"], ties="min", desc=True, order=[1, -1])
+    # subset contract: "keep" and n_chunks raise
+    with _pytest.raises(ValueError, match="na_last"):
+        frank(d2, ["a", "b"], na_last="keep")
+    with _pytest.raises(ValueError, match="single-column"):
+        frank(d2, ["a", "b"], n_chunks=3)
