@@ -356,9 +356,14 @@ class DT:
         # so the guard applies to all columns (documented superset)
         kept = [c for c in self.df.columns if c not in mapping]
         clash = [v for v in mapping.values() if v in kept]
-        if clash:
+        # renaming TWO different columns to the same new name is the
+        # same duplicate-creation hazard (ADVICE r13)
+        vals = list(mapping.values())
+        dup_new = sorted({v for v in vals if vals.count(v) > 1})
+        if clash or dup_new:
             raise ValueError(
-                f"setnames would create duplicated column names: {clash}"
+                "setnames would create duplicated column names: "
+                f"{sorted(set(clash)) + dup_new}"
             )
         df = self.df.withColumnsRenamed(mapping)
         ren = lambda n: mapping.get(n, n)

@@ -362,6 +362,8 @@ def fread(
             col_names=col_names, na_strings=na_strings, skip=skip,
             quote=quote, fill=fill, encoding=encoding, key=key,
             strip_white=strip_white, logical01=logical01, dec=".",
+            comment_char=comment_char, multiline=multiline,
+            blank_lines_skip=blank_lines_skip, line_sep=line_sep,
         )
         from pyspark.sql import functions as _F
 
@@ -594,9 +596,14 @@ def fread(
                     spark, path, sep=sep, header=header, nrows=nrows,
                     select=select, drop=drop, col_classes=col_classes,
                     col_names=col_names, na_strings=na_strings,
-                    skip="auto" if auto_skip else skip, quote=quote,
+                    # a yaml front-matter count is already folded into
+                    # skip — don't revert it to "auto"
+                    skip="auto" if auto_skip and not yaml else skip,
+                    quote=quote,
                     fill=fill, encoding=encoding, key=key, dec=",",
                     strip_white=strip_white, logical01=logical01,
+                    comment_char=comment_char, multiline=multiline,
+                    blank_lines_skip=blank_lines_skip, line_sep=line_sep,
                 )
         if auto_skip and sample and not fill and not multiline:
             # skip="auto" (reference default; src/fread.c jumps to the

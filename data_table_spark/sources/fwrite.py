@@ -67,8 +67,12 @@ def _r_num2char(c, scipen: int, na: str, digits=None, exp=None,
         .when(sf > dr, F.lit(0))
         .otherwise(F.lit(1))  # leading "0." zero
     )
+    # reference src/fwrite.c:270: forceDecimal appends "." to whole
+    # numbers (the dr<=0 branch), so their decimal-format width is one
+    # wider BEFORE the fixed-vs-scientific threshold compare
+    whole_pad = 1 if force_decimal else 0
     width = (
-        F.when(dr <= 0, sf + dl0)
+        F.when(dr <= 0, sf + dl0 + whole_pad)
         .when(sf > dr, sf + 1)
         .otherwise(dr + 1 + dl0)
     )
@@ -237,9 +241,6 @@ def fwrite(
         f.name for f in df.schema.fields
         if isinstance(f.dataType, T.DoubleType)
     ]
-    # the CSVY yaml header must describe the LOGICAL schema (double),
-    # not the string rendering below
-    schema_df = df
     if dbl:
         sp = int(scipen or 0)
         # three stacked projections: the shared digit/exponent columns

@@ -1383,7 +1383,9 @@ def _r_num2char_oracle(x, scipen=0, na="", dec=".", force_decimal=False):
     dr = sf - exp - 1
     if dr <= 0:
         dl0, drr = -dr, 0
-        width = sf + dl0
+        # src/fwrite.c:270 — forceDecimal widens whole numbers by the
+        # appended dec BEFORE the threshold compare
+        width = sf + dl0 + (1 if force_decimal else 0)
     elif sf > dr:
         dl0, drr = 0, dr
         width = sf + 1

@@ -1440,6 +1440,12 @@ def test_tail_ports_2369_2386(spark):
         d.setindex("a", "a")
     with _pytest.raises(ValueError, match="duplicated column names"):
         d.setnames("b", "a")
+    # ADVICE r13: renaming TWO different columns to the SAME new name
+    # is the same duplicate-creation hazard and must raise too
+    with _pytest.raises(ValueError, match="duplicated column names"):
+        d.setnames({"a": "x", "b": "x"})
+    # a plain swap-free rename of both columns still works
+    assert d.setnames({"a": "p", "b": "q"}).columns == ["p", "q"]
 
     # 2380: tstrsplit rev=
     sdf = DT(spark.createDataFrame(

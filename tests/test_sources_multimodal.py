@@ -419,6 +419,50 @@ def test_fwrite_fread_csvy_roundtrip(spark):
     assert got == {0: (0.0, "s0"), 1: (1.5, "s1"), 2: (3.0, "s2")}
 
 
+def test_fwrite_csvy_timestamp_keeps_logical_type(spark):
+    """ADVICE r13 (fwrite.py:242): the CSVY yaml header must describe
+    the LOGICAL schema captured before the date_time_as / double
+    renderings — a timestamp column is declared `timestamp`, not the
+    string/bigint of its ISO/epoch rendering, so fread(yaml=True)
+    round-trips the type."""
+    import datetime
+    import glob
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2021, 6, 1, 12, 30, 5), 2.5),
+         (2, datetime.datetime(2021, 6, 2, 0, 0, 0), -8.0)],
+        "id int, ts timestamp, x double",
+    )
+    out = f"{TMP}/csvy_ts"
+    fwrite(df, out, single_file=True, yaml=True)
+    head = open(glob.glob(f"{out}/*.csv")[0]).read().split("---")[1]
+    assert "type: timestamp" in head and "type: double" in head
+    back = fread(spark, out, yaml=True)
+    assert [f.dataType.simpleString() for f in back.df.schema.fields] == [
+        "int", "timestamp", "double"]
+    got = {r["id"]: (r["ts"], r["x"]) for r in back.collect()}
+    assert got[1] == (datetime.datetime(2021, 6, 1, 12, 30, 5), 2.5)
+    assert got[2] == (datetime.datetime(2021, 6, 2), -8.0)
+
+
+def test_fread_dec_auto_keeps_comment_char(spark):
+    """ADVICE r13 (fread.py:593): the dec-auto re-entry forwards
+    comment_char / blank_lines_skip, so a comma-decimal file with
+    comment lines keeps dropping them after detection."""
+    p = f"{TMP}/dec_auto_comment.csv"
+    with open(p, "w") as f:
+        f.write("# report header\n"
+                "a;b\n"
+                "1,5;x\n"
+                "\n"
+                "# mid comment\n"
+                "2,25;y\n")
+    dt = fread(spark, p, sep=";", comment_char="#")
+    assert [f.dataType.simpleString() for f in dt.df.schema.fields] == [
+        "double", "string"]
+    assert {r["a"]: r["b"] for r in dt.collect()} == {1.5: "x", 2.25: "y"}
+
+
 def test_fread_csvy_handwritten(spark):
     """A csvy.org-style hand-written front matter: sep + field types are
     honored without inference."""
@@ -613,6 +657,17 @@ def test_fwrite_dec_and_force_decimal(spark):
     # 2338.5-.7: zero writes "0."
     dz = spark.createDataFrame([(0.0,), (-0.0,)], "x double")
     assert written(dz, "2338e", force_decimal=True) == ["x", "0.", "0."]
+    # ADVICE r13 (src/fwrite.c:270): forceDecimal widens whole numbers
+    # by the appended separator BEFORE the fixed-vs-scientific
+    # threshold compare — 1e4 (width 5==threshold without the pad)
+    # flips to scientific under forceDecimal; 1e3 stays fixed
+    db = spark.createDataFrame([(10000.0,), (1200000.0,)], "x double")
+    assert written(db, "2338f", force_decimal=False) == [
+        "x", "10000", "1200000"]
+    assert written(db, "2338g", force_decimal=True) == [
+        "x", "1e+04", "1.2e+06"]
+    assert written(spark.createDataFrame([(1000.0,)], "x double"),
+                   "2338h", force_decimal=True) == ["x", "1000."]
     # 2337.2: dec==sep with two populated columns raises
     with _pytest.raises(ValueError, match="dec and sep must be distinct"):
         fwrite(spark.createDataFrame([(0.1, 0.2)], "a double, b double"),
