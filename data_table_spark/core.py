@@ -91,8 +91,51 @@ def _to_col(c: Column | str) -> Column:
 
 def _ocol(c: str) -> Column:
     """Order-list entry → sort Column. A '-' prefix means descending —
-    the representation frev/setorder use for reversed declared order."""
+    the representation frev/setorder use for reversed declared order.
+
+    NOTE: this maps to Spark's DEFAULT null placement (asc→nulls
+    first, desc→nulls last) and Spark's native NaN order. Re-applying
+    a DECLARED order or an explicit order= argument must instead go
+    through :func:`_order_exprs`, which reproduces the forder missing
+    placement (NA/NaN block per na_last, tests.Rraw 1988.5-.8) the
+    sort that established the order used — the round-14 composition
+    harness caught head-after-order losing na_last through this."""
     return F.col(c[1:]).desc() if c.startswith("-") else F.col(c)
+
+
+class _OrderList(list):
+    """Declared-order entries ('-' prefix = desc) plus the na_last flag
+    of the sort that established them, so order-sensitive operators
+    downstream (head/tail/positional/print/unique fromLast/...) can
+    re-apply the SAME total order. Propagates automatically wherever a
+    DT is built with ``order_by=<src>.order_by``."""
+
+    __slots__ = ("na_last",)
+
+    def __init__(self, items=(), na_last: bool = False):
+        super().__init__(items)
+        self.na_last = na_last
+
+
+def _order_exprs(df: DataFrame, order, na_last: bool | None = None,
+                 flip: bool = False) -> list[Column]:
+    """Sort expressions reproducing an order list's TOTAL order:
+    forder's per-double-column two-level NaN/NA key plus the na_last
+    placement (reference src/forder.c, tests.Rraw 1988.5-.8).
+
+    ``na_last=None`` reads the list's own flag (an _OrderList from a
+    declared order carries it; a plain user-passed list defaults to
+    False — the forder default). ``flip=True`` mirrors the total order
+    — direction AND missing-block placement — the take-last-n /
+    fromLast reversal."""
+    if na_last is None:
+        na_last = getattr(order, "na_last", False)
+    if flip:
+        order = [
+            _oflip(c) if isinstance(c, str) else c for c in order
+        ]
+        na_last = not na_last
+    return _forder_exprs(df, order, na_last)
 
 
 def _oflip(c: str) -> str:
@@ -105,6 +148,9 @@ def _namelist(x: str | Sequence[str] | None) -> list[str]:
         return []
     if isinstance(x, str):
         return [x]
+    if isinstance(x, _OrderList):
+        # keep the establishing sort's na_last flag riding along
+        return _OrderList(x, na_last=x.na_last)
     return list(x)
 
 
@@ -134,8 +180,12 @@ class DT:
         self.df = df
         #: primary key / physical sort metadata (setkey, R/setkey.R:88)
         self.key: list[str] = _namelist(key)
-        #: declared row order for order-sensitive operators
-        self.order_by: list[str] = _namelist(order_by) or list(self.key)
+        #: declared row order for order-sensitive operators (carries
+        #: the establishing sort's na_last flag — see _OrderList)
+        self.order_by: _OrderList = _OrderList(
+            _namelist(order_by) or list(self.key),
+            na_last=getattr(order_by, "na_last", False),
+        )
         #: secondary-index metadata (setindex, R/setkey.R:11-19)
         self.index_names: list[str] = []
 
@@ -189,7 +239,7 @@ class DT:
         start = sl.start or 1
         stop = sl.stop
         step = sl.step or 1
-        w = Window.orderBy(*[_ocol(c) for c in self.order_by])
+        w = Window.orderBy(*_order_exprs(self.df, self.order_by))
         df = self.df.withColumn("__pos__", F.row_number().over(w))
         pred = F.col("__pos__") >= start
         if stop is not None:
@@ -368,7 +418,11 @@ class DT:
         df = self.df.withColumnsRenamed(mapping)
         ren = lambda n: mapping.get(n, n)
         return self._wrap(
-            df, key=[ren(k) for k in self.key], order_by=[ren(o) for o in self.order_by]
+            df, key=[ren(k) for k in self.key],
+            order_by=_OrderList(
+                [ren(o) for o in self.order_by],
+                na_last=self.order_by.na_last,
+            ),
         )
 
     def setcolorder(self, neworder: Sequence[str]) -> "DT":
@@ -440,11 +494,14 @@ class DT:
             cols = tuple(
                 ("-" if int(v) == -1 else "") + k for k, v in items
             )
-        # keep the '-' prefix in the declared order: _ocol resolves it to
-        # a descending sort key in every order consumer
+        # keep the '-' prefix in the declared order; the na_last flag
+        # rides along so order consumers (_order_exprs) re-apply the
+        # SAME missing-value placement
         return self._wrap(
             self.df.orderBy(*_forder_exprs(self.df, cols, na_last)),
-            order_by=[c for c in cols if isinstance(c, str)],
+            order_by=_OrderList(
+                [c for c in cols if isinstance(c, str)], na_last=na_last
+            ),
         )
 
     def order(self, *cols: str) -> "DT":
@@ -511,7 +568,7 @@ class DT:
             n = max(self.df.count() + n, 0)
         df = self.df
         if self.order_by:
-            df = df.orderBy(*[_ocol(c) for c in self.order_by])
+            df = df.orderBy(*_order_exprs(self.df, self.order_by))
         return self._wrap(df.limit(n), key=self.key, order_by=self.order_by)
 
     def tail(self, n: int = 6) -> "DT":
@@ -524,10 +581,10 @@ class DT:
         if n < 0:
             n = max(self.df.count() + n, 0)
         rev = self.df.orderBy(
-            *[_ocol(_oflip(c)) for c in self.order_by]
+            *_order_exprs(self.df, self.order_by, flip=True)
         ).limit(n)
         return self._wrap(
-            rev.orderBy(*[_ocol(c) for c in self.order_by]),
+            rev.orderBy(*_order_exprs(rev, self.order_by)),
             key=self.key,
             order_by=self.order_by,
         )
@@ -551,7 +608,7 @@ class DT:
         (small/driver-bound outputs)."""
         if not self.order_by:
             raise ValueError("which needs a declared order (SURVEY §1.1)")
-        w = Window.orderBy(*[_ocol(c) for c in self.order_by])
+        w = Window.orderBy(*_order_exprs(self.df, self.order_by))
         # NULL predicate rows are non-matches (data.table which=NA
         # semantics): compare null-safely so ~pred doesn't drop them
         matched = _to_col(i).eqNullSafe(F.lit(True))
@@ -628,7 +685,7 @@ def fsort(dt: DT, *cols: str, decreasing: bool = False,
     order = [("-" + c) if decreasing else c for c in cols]
     return DT(
         dt.df.orderBy(*_forder_exprs(dt.df, order, na_last)),
-        order_by=order,
+        order_by=_OrderList(order, na_last=na_last),
     )
 
 
@@ -940,10 +997,11 @@ def format_dt(
     printdots = (topn * 2 + 1) < n and (n > nrows or topn_given)
     if printdots:
         if dt.order_by:
-            ob = [_ocol(c) for c in dt.order_by]
+            ob = _order_exprs(dt.df, dt.order_by)
             head = dt.df.orderBy(*ob).limit(topn).collect()
             tail = list(reversed(
-                dt.df.orderBy(*[_ocol(_oflip(c)) for c in dt.order_by])
+                dt.df.orderBy(*_order_exprs(dt.df, dt.order_by,
+                                            flip=True))
                 .limit(topn).collect()
             ))
         else:
@@ -953,7 +1011,7 @@ def format_dt(
         rows += [(n - topn + i + 1, r) for i, r in enumerate(tail)]
     else:
         src = (
-            dt.df.orderBy(*[_ocol(c) for c in dt.order_by])
+            dt.df.orderBy(*_order_exprs(dt.df, dt.order_by))
             if dt.order_by else dt.df
         )
         rows = [(i + 1, r) for i, r in enumerate(src.limit(n).collect())]

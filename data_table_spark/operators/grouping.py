@@ -19,7 +19,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..core import DT, _namelist, _ocol, _oflip
+from ..core import DT, _namelist, _ocol, _oflip, _order_exprs
 
 __all__ = [
     "agg_exprs",
@@ -307,7 +307,7 @@ def unique(dt: DT, by=None, fromLast: bool = False, order=None) -> DT:
     if not order:
         # pure distinct on all columns — order-free, safe
         return DT(dt.df.dropDuplicates(by))
-    ordering = [_ocol(_oflip(c)) if fromLast else _ocol(c) for c in order]
+    ordering = _order_exprs(dt.df, order, flip=fromLast)
     w = Window.partitionBy(*by).orderBy(*ordering)
     out = (
         dt.df.withColumn("__rn__", F.row_number().over(w))
@@ -324,7 +324,7 @@ def duplicated(dt: DT, by=None, fromLast: bool = False, order=None, out_col="dup
     order = _namelist(order) or dt.order_by
     if not order:
         raise ValueError("duplicated needs a declared order")
-    ordering = [_ocol(_oflip(c)) if fromLast else _ocol(c) for c in order]
+    ordering = _order_exprs(dt.df, order, flip=fromLast)
     w = Window.partitionBy(*by).orderBy(*ordering)
     return DT(
         dt.df.withColumn(out_col, F.row_number().over(w) > 1),
@@ -383,7 +383,9 @@ def ghead(dt: DT, n: int, by, order=None) -> DT:
     """head(.SD, n) per group — GForce ghead (reference src/gsumm.c:1004).
     Window row_number ≤ n; no driver collect, distributes per group."""
     order = _namelist(order) or dt.order_by
-    w = Window.partitionBy(*_namelist(by)).orderBy(*[_ocol(c) for c in order])
+    w = Window.partitionBy(*_namelist(by)).orderBy(
+        *_order_exprs(dt.df, order)
+    )
     return DT(
         dt.df.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= n)
@@ -396,7 +398,7 @@ def gtail(dt: DT, n: int, by, order=None) -> DT:
     """tail(.SD, n) per group — GForce gtail (reference src/gsumm.c:1010)."""
     order = _namelist(order) or dt.order_by
     w = Window.partitionBy(*_namelist(by)).orderBy(
-        *[_ocol(_oflip(c)) for c in order]
+        *_order_exprs(dt.df, order, flip=True)
     )
     return DT(
         dt.df.withColumn("__rn__", F.row_number().over(w))
@@ -607,6 +609,42 @@ def cube(dt: DT, by: Sequence[str], j: Mapping[str, Column], id_col=None, label=
     return DT(relabel(dt.df.cube(*by).agg(*exprs, *hidden)))
 
 
+def _pandas_sort(pdf, order):
+    """Sort a per-group pandas frame by an order list: '-' prefix =
+    descending, null placement from the list's na_last flag (forder
+    default first) — the pandas half of _order_exprs' contract (NaN/NA
+    are one class in pandas, so the two-level key collapses)."""
+    names = [c[1:] if c.startswith("-") else c for c in order]
+    asc = [not c.startswith("-") for c in order]
+    keep = [(n, a) for n, a in zip(names, asc) if n in pdf.columns]
+    if not keep:
+        return pdf
+    return pdf.sort_values(
+        [n for n, _ in keep], ascending=[a for _, a in keep],
+        kind="mergesort",
+        na_position="last" if getattr(order, "na_last", False) else "first",
+    )
+
+
+def _arrow_sort(tbl, order):
+    """Arrow twin of _pandas_sort (pyarrow sort_by keys +
+    null_placement)."""
+    keys = [
+        ((c[1:], "descending") if c.startswith("-") else (c, "ascending"))
+        for c in order
+    ]
+    keys = [(n, d) for n, d in keys if n in tbl.column_names]
+    if not keys:
+        return tbl
+    return tbl.sort_by(
+        keys,
+        null_placement=(
+            "at_end" if getattr(order, "na_last", False) else "at_start"
+        ),
+    )
+
+
+
 def dogroups(
     dt: DT,
     by,
@@ -628,7 +666,7 @@ def dogroups(
 
     def wrapped(pdf):
         if order:
-            pdf = pdf.sort_values(order, kind="mergesort")
+            pdf = _pandas_sort(pdf, order)
         return fn(pdf)
 
     return DT(dt.df.groupBy(*by).applyInPandas(wrapped, schema=schema))
@@ -653,7 +691,7 @@ def dogroups_arrow(
 
     def wrapped(tbl):
         if order:
-            tbl = tbl.sort_by([(c, "ascending") for c in order])
+            tbl = _arrow_sort(tbl, order)
         return fn(tbl)
 
     return DT(dt.df.groupBy(*by).applyInArrow(wrapped, schema=schema))
@@ -715,11 +753,9 @@ def cogroup_apply(
 
     def wrapped(key, xp, yp):
         if ox:
-            xp = xp.sort_values([c for c in ox if c in xp.columns],
-                                kind="mergesort")
+            xp = _pandas_sort(xp, ox)
         if oy:
-            yp = yp.sort_values([c for c in oy if c in yp.columns],
-                                kind="mergesort")
+            yp = _pandas_sort(yp, oy)
         return fn(key, xp, yp)
 
     cg = x.df.groupBy(*by).cogroup(y.df.groupBy(*by))
@@ -742,11 +778,9 @@ def cogroup_apply_arrow(
 
     def wrapped(key, xt, yt):
         if ox:
-            xt = xt.sort_by([(c, "ascending") for c in ox
-                             if c in xt.column_names])
+            xt = _arrow_sort(xt, ox)
         if oy:
-            yt = yt.sort_by([(c, "ascending") for c in oy
-                             if c in yt.column_names])
+            yt = _arrow_sort(yt, oy)
         return fn(key, xt, yt)
 
     cg = x.df.groupBy(*by).cogroup(y.df.groupBy(*by))

@@ -249,6 +249,54 @@ def _bmerge_coerce(xdf: DataFrame, ydf: DataFrame, pairs):
     return xdf, ydf, new_pairs
 
 
+def _qualified_order_exprs(xdf, entries, na_last: bool, flip: bool):
+    """X's declared order rebuilt with xdf-QUALIFIED columns (the
+    joined frame holds both sides, so bare F.col is ambiguous) —
+    forder's two-level NaN/NA key + na_last placement, mirrored
+    (direction AND missing block) when ``flip`` (mult='last')."""
+    dtypes = dict(xdf.dtypes)
+    eff_last = (not na_last) if flip else na_last
+    exprs = []
+    for e in entries:
+        desc = e.startswith("-")
+        name = e[1:] if desc else e
+        if flip:
+            desc = not desc
+        col = xdf[name]
+        if dtypes.get(name) in ("float", "double"):
+            lvl = (
+                F.when(col.isNull(), F.lit(2))
+                .when(F.isnan(col), F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            exprs.append(lvl.asc() if eff_last else lvl.desc())
+            exprs.append(col.desc() if desc else col.asc())
+        elif eff_last:
+            exprs.append(
+                col.desc_nulls_last() if desc else col.asc_nulls_last()
+            )
+        else:
+            exprs.append(
+                col.desc_nulls_first() if desc else col.asc_nulls_first()
+            )
+    return exprs
+
+
+def _declared_entries(source_list, available):
+    """Filter an order/key entry list to available columns, matching on
+    the '-'-stripped name (a '-col' declared-desc entry used to be
+    silently dropped by the bare membership test) and carrying the
+    source's na_last flag."""
+    from ..core import _OrderList
+
+    kept = [
+        c for c in source_list
+        if (c[1:] if c.startswith("-") else c) in available
+    ]
+    return _OrderList(kept, na_last=getattr(source_list, "na_last", False))
+
+
+
 def lookup(
     x: DT,
     y: DT,
@@ -300,15 +348,17 @@ def lookup(
         if notjoin:
             raise ValueError("which=True cannot combine with notjoin "
                              "(X[!Y] returns rows of X, not positions)")
-        order_cols = [c for c in (x.key or x.order_by) if c in xdf.columns]
+        order_cols = _declared_entries(x.key or x.order_by, xdf.columns)
         if not order_cols:
             raise ValueError("which=True needs a key/order on x "
                              "(row positions are order-relative)")
-        from ..core import _ocol
+        from ..core import _order_exprs
 
         xdf = xdf.withColumn(
             "__xrow__",
-            F.row_number().over(Window.orderBy(*[_ocol(c) for c in order_cols])),
+            F.row_number().over(
+                Window.orderBy(*_order_exprs(xdf, order_cols))
+            ),
         )
 
     if notjoin:
@@ -347,7 +397,7 @@ def lookup(
 
     # mult: keep first/last X match per Y row in X's declared order
     if need_yid:
-        order_cols = [c for c in (x.key or x.order_by) if c in xdf.columns]
+        order_cols = _declared_entries(x.key or x.order_by, xdf.columns)
         if not order_cols:
             order_cols = [a for a, _ in equi]
         if mult == "error":
@@ -356,9 +406,11 @@ def lookup(
                 raise ValueError('mult="error": some i rows match multiple x rows')
             joined = joined.drop(_YID)
         else:
-            ordering = [
-                xdf[c].desc() if mult == "last" else xdf[c].asc() for c in order_cols
-            ]
+            ordering = _qualified_order_exprs(
+                xdf, order_cols,
+                na_last=getattr(order_cols, "na_last", False),
+                flip=(mult == "last"),
+            )
             w = Window.partitionBy(_YID).orderBy(*ordering)
             joined = (
                 joined.withColumn("__rn__", F.row_number().over(w))
@@ -1026,7 +1078,11 @@ def _apply_mult(t: DT, by: Sequence[str], mult: str) -> DT:
         return t
     from .grouping import unique
 
-    order_cols = [c for c in (t.key or t.order_by) if c in t.columns and c not in by]
+    src_list = t.key or t.order_by
+    order_cols = _declared_entries(
+        src_list,
+        set(t.columns) - set(by),
+    )
     if order_cols:
         return unique(t, by=by, fromLast=(mult == "last"), order=order_cols)
     tagged = DT(

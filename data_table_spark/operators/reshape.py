@@ -18,7 +18,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..core import DT, _namelist, _ocol
+from ..core import DT, _namelist, _ocol, _order_exprs
 
 __all__ = [
     "dcast",
@@ -616,7 +616,7 @@ def cbindlist(tables: Sequence[DT], on: Sequence[str] | None = None) -> DT:
     out_cols: list = []
     for i, t in enumerate(live):
         w_i = (
-            Window.orderBy(*[_ocol(c) for c in t.order_by])
+            Window.orderBy(*_order_exprs(t.df, t.order_by))
             if t.order_by
             else pos_w
         )

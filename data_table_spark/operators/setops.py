@@ -150,11 +150,11 @@ def all_equal(
                 "ignore_row_order=False needs BOTH sides to declare an "
                 "order (Spark frames have no memory order to compare in)"
             )
-        from ..core import _ocol
+        from ..core import _order_exprs
         from pyspark.sql import Window
 
-        wx = Window.orderBy(*[_ocol(c) for c in target.order_by])
-        wy = Window.orderBy(*[_ocol(c) for c in current.order_by])
+        wx = Window.orderBy(*_order_exprs(x, target.order_by))
+        wy = Window.orderBy(*_order_exprs(y, current.order_by))
         xr = x.withColumn("__rn__", F.row_number().over(wx))
         yr = y.withColumn("__rn__", F.row_number().over(wy))
         conds = [

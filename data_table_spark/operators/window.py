@@ -45,7 +45,16 @@ __all__ = [
 
 
 def win(dt: DT, by=None, order=None) -> WindowSpec:
-    """Window spec over the DT's declared order (or an override)."""
+    """Window spec over the DT's declared order (or an override).
+
+    Missing ORDER VALUES inside window operators keep Spark-native
+    placement (NULL first asc, NaN after +Inf) rather than the forder
+    two-level key _order_exprs re-applies for row-subsetting
+    operators: the reference computes shift/froll/cum in TABLE order
+    where "missing order value" has no meaning, the chunk-stitch twins
+    assign chunks by the same Spark-native rule (_chunked_frame), and
+    the stitched==unsplit equality properties depend on the two paths
+    agreeing. One convention per operator family, documented here."""
     order = _namelist(order) or dt.order_by
     if not order:
         raise ValueError(

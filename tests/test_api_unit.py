@@ -3204,3 +3204,44 @@ def test_asof_chunked_nan_time(spark):
         ),
     )
     assert w.select("c").distinct().count() == 4
+
+
+def test_declared_order_na_placement_survives_reapplication(spark):
+    """Round-14 composition-harness regression: re-applying a DECLARED
+    order (head/tail/positional/unique fromLast/...) must reproduce
+    the establishing sort's missing-value placement — DT.order's
+    na_last=True (NA block LAST, R/setkey.R:230) and setorder's
+    default (NA first), plus the forder NaN/NA two-level key for
+    doubles. The bug: _ocol re-sorted with Spark defaults (asc = NULLS
+    FIRST), so order("s").head(1) returned the NULL row the order had
+    placed last."""
+    from data_table_spark.operators.grouping import unique
+
+    dt = DT(spark.createDataFrame(
+        [(0, None, 10), (1, "x", 11), (2, "a", 12), (3, None, 13)],
+        "i int, s string, v int",
+    ))
+    # order() = na_last=True: NULLs last, in BOTH directions
+    assert [r["s"] for r in dt.order("s").head(2).collect()] == ["a", "x"]
+    assert [r["s"] for r in dt.order("s").tail(2).collect()] == [None, None]
+    assert [r["s"] for r in dt.order("-s").head(3).collect()] == [
+        "x", "a", None]
+    # setorder default na_last=False: NULLs first
+    assert [r["s"] for r in dt.setorder("s").head(2).collect()] == [
+        None, None]
+    # positional subset follows the same placement
+    assert [r["i"] for r in dt.order("s")[1:2].collect()] == [2, 1]
+    # the flag survives _namelist round-trips into unique(fromLast):
+    # last row per constant group under NA-last order = a NULL-s row
+    one = dt.order("s").let(g=F.lit(1))
+    last = unique(one, by=["g"], fromLast=True)
+    assert [r["s"] for r in last.collect()] == [None]
+    # double columns keep the two-level NaN/NA key on re-application:
+    # values < NaN < NA under na_last=True
+    dd = DT(spark.createDataFrame(
+        [(0, 1.5), (1, float("nan")), (2, None), (3, -2.0)],
+        "i int, x double",
+    ))
+    assert [r["i"] for r in dd.order("x").head(4).collect()] == [3, 0, 1, 2]
+    assert [r["i"] for r in dd.setorder("x").head(4).collect()] == [
+        2, 1, 3, 0]
