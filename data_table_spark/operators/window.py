@@ -1728,14 +1728,17 @@ def _chunked_row_number(dt: DT, by, order, n_chunks: int, out: str = "__pos__"):
     )
 
 
-def _adaptive_running_chunked(dt: DT, c, by, order, n_chunks: int):
+def _adaptive_running_chunked(dt: DT, c, by, order, n_chunks: int,
+                              c2=None):
     """Chunk-stitched (__pos__, __cs__, __cc__) for frolladaptive (see
     its n_chunks doc): per-(key, value-chunk) row_number / running
     DECIMAL sum / running non-null count, plus one tiny spine of
     per-chunk totals combined by an EXCLUSIVE running window and
     broadcast back. All three carries are associative (integer adds and
     DECIMAL adds), so the stitched columns equal the unsplit plan's
-    bit-for-bit."""
+    bit-for-bit. ``c2=`` threads a SECOND running DECIMAL sum (the sum
+    of squares var/sd needs) through the same windows and spine — one
+    more associative carry, no extra shuffle."""
     from ..core import _ocol
 
     sdf, keys, ordn = _chunked_frame(dt, by, order, n_chunks)
@@ -1748,10 +1751,13 @@ def _adaptive_running_chunked(dt: DT, c, by, order, n_chunks: int):
         .withColumn("__cs_in__", F.sum(c).over(cum_in))
         .withColumn("__cc_in__", F.count(c).over(cum_in))
     )
+    if c2 is not None:
+        base = base.withColumn("__cs2_in__", F.sum(c2).over(cum_in))
     ends = sdf.groupBy(*keys, "__chunk__").agg(
         F.count(F.lit(1)).alias("__n_tot__"),
         F.sum(c).alias("__s_tot__"),
         F.count(c).alias("__c_tot__"),
+        *([F.sum(c2).alias("__s2_tot__")] if c2 is not None else []),
     )
     # value-based chunk index: reverse the spine under a desc first
     # order key (global traversal is high chunk -> low there)
@@ -1771,8 +1777,14 @@ def _adaptive_running_chunked(dt: DT, c, by, order, n_chunks: int):
             F.sum("__s_tot__").over(wsp), F.lit(0).cast("decimal(18,4)")
         ).alias("__s_car__"),
         F.coalesce(F.sum("__c_tot__").over(wsp), F.lit(0)).alias("__c_car__"),
+        *([
+            F.coalesce(
+                F.sum("__s2_tot__").over(wsp),
+                F.lit(0).cast("decimal(38,8)"),
+            ).alias("__s2_car__")
+        ] if c2 is not None else []),
     )
-    return (
+    out = (
         base.join(F.broadcast(carry), [*keys, "__chunk__"], "left")
         .withColumn("__pos__", (F.col("__pos_in__") + F.col("__n_car__")).cast("int"))
         .withColumn(
@@ -1786,10 +1798,22 @@ def _adaptive_running_chunked(dt: DT, c, by, order, n_chunks: int):
             ),
         )
         .withColumn("__cc__", F.col("__cc_in__") + F.col("__c_car__"))
-        .drop(
-            "__pos_in__", "__cs_in__", "__cc_in__", "__n_car__", "__s_car__",
-            "__c_car__", "__chunk__",
-        )
+    )
+    if c2 is not None:
+        out = out.withColumn(
+            "__cs2__",
+            F.when(
+                F.col("__cs2_in__").isNull() & (F.col("__c_car__") == 0),
+                F.lit(None).cast("decimal(38,8)"),
+            ).otherwise(
+                F.coalesce(F.col("__cs2_in__"),
+                           F.lit(0).cast("decimal(38,8)"))
+                + F.col("__s2_car__")
+            ),
+        ).drop("__cs2_in__", "__s2_car__")
+    return out.drop(
+        "__pos_in__", "__cs_in__", "__cc_in__", "__n_car__", "__s_car__",
+        "__c_car__", "__chunk__",
     )
 
 
@@ -1797,7 +1821,7 @@ def _adaptive_running_chunked(dt: DT, c, by, order, n_chunks: int):
 def frolladaptive(
     dt: DT, col, n_col, by=None, order=None, out_col: str | None = None,
     fun: str = "sum", na_rm: bool = False, nan_is_na: bool = True,
-    n_chunks: int | str | None = None,
+    n_chunks: int | str | None = None, partial: bool = False, fill=None,
 ) -> DT:
     """Adaptive (variable-width) rolling sum/mean (reference
     src/frolladaptive.c: per-row window size vector `n`).
@@ -1834,25 +1858,52 @@ def frolladaptive(
     DECIMAL sums make the regrouped fold bit-identical, not just
     ulp-close. The cumsum-difference self-join downstream is a shuffle
     join, unaffected. "auto" probes the break-even
-    (``_resolve_n_chunks``)."""
+    (``_resolve_n_chunks``).
+
+    Round-14 additions (froll.Rraw 6001/6006):
+
+    - ``partial=True`` (reference adaptive partial, 6006.902 "trimming
+      n"): n_i is trimmed to the rows available (min(n_i, pos)), so no
+      leading window is incomplete.
+    - ``fill=`` (reference fill): replaces ONLY the incomplete-window
+      leading rows (pos < n_i), never NA-poisoned complete windows
+      (6001.730: fill=99, na.rm -> c(99,NA,NA)).
+    - ``fun="var"/"sd"`` (frolladaptivevarExact, 6001.72x/.82x): one
+      extra running DECIMAL sum of squares through the same windows
+      and self-join; var = (S2 - S1^2/m)/(m-1) computed in double from
+      the two EXACT sums, clamped at 0 — the reference's stability
+      contract is exactly non-negativity (6001.731-.734). m < 2 -> NA.
+    - ``fun="prod"/"median"`` route to the expansion path; width-0
+      windows yield each aggregate's empty identity (sum 0, mean NaN,
+      max -Inf, min Inf, prod 1, var/sd/median NA — 6001.x21 rows).
+    """
     if fun in ("max", "min"):
         return frolladaptive_extrema(
             dt, col, n_col, by=by, order=order, out_col=out_col, fun=fun,
             na_rm=na_rm, nan_is_na=nan_is_na, n_chunks=n_chunks,
+            partial=partial, fill=fill,
         )
-    if fun == "median":
-        return frolladaptive_median(
+    if fun in ("median", "prod"):
+        return _frolladaptive_expand(
             dt, col, n_col, by=by, order=order, out_col=out_col,
-            na_rm=na_rm, nan_is_na=nan_is_na, n_chunks=n_chunks,
+            kind=fun, na_rm=na_rm, nan_is_na=nan_is_na, n_chunks=n_chunks,
+            partial=partial, fill=fill,
+        )
+    if fun not in ("sum", "mean", "var", "sd"):
+        raise ValueError(
+            "frolladaptive fun must be sum/mean/max/min/prod/var/sd/"
+            f"median: {fun}"
         )
     grp = _namelist(by)
     src = F.col(col)
     if nan_is_na and dict(dt.df.dtypes).get(col) in ("double", "float"):
         src = F.when(F.isnan(F.col(col)), F.lit(None)).otherwise(F.col(col))
     c = src.cast("decimal(18,4)")
+    need2 = fun in ("var", "sd")
+    c2 = (c * c) if need2 else None  # decimal(37,8): exact squares
     n_chunks = _resolve_n_chunks(dt.df, grp, n_chunks)
     if n_chunks is not None and n_chunks > 1:
-        base = _adaptive_running_chunked(dt, c, by, order, n_chunks)
+        base = _adaptive_running_chunked(dt, c, by, order, n_chunks, c2=c2)
     else:
         w = win(dt, by=by, order=order)
         cum = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -1861,12 +1912,18 @@ def frolladaptive(
             .withColumn("__cs__", F.sum(c).over(cum))
             .withColumn("__cc__", F.count(c).over(cum))
         )
-    base = base.withColumn("__nn__", F.col(n_col).cast("int"))
+        if need2:
+            base = base.withColumn("__cs2__", F.sum(c2).over(cum))
+    nn_e = F.col(n_col).cast("int")
+    if partial:
+        nn_e = F.least(nn_e, F.col("__pos__"))
+    base = base.withColumn("__nn__", nn_e)
     prev = base.select(
         *[F.col(g).alias(f"__pg_{g}__") for g in grp],
         F.col("__pos__").alias("__ppos__"),
         F.col("__cs__").alias("__pcs__"),
         F.col("__cc__").alias("__pcc__"),
+        *([F.col("__cs2__").alias("__pcs2__")] if need2 else []),
     )
     cond = F.col("__pos__") - F.col("__nn__") == F.col("__ppos__")
     for g in grp:
@@ -1889,20 +1946,38 @@ def frolladaptive(
         else:
             # complete windows hold exactly n_i rows (the poison mask
             # below nulls any window with an NA, so dividing by n_i is
-            # exact for the surviving rows)
-            diff = (diff / F.col("__nn__")).cast("double")
+            # exact for the surviving rows); width 0 -> NaN like R's
+            # mean(numeric(0)) (froll.Rraw 6001.121 row 2), not the
+            # NULL a decimal 0/0 would give
+            diff = F.when(
+                F.col("__nn__") == 0, F.lit(float("nan"))
+            ).otherwise((diff / F.col("__nn__")).cast("double"))
     elif fun == "sum":
         diff = diff.cast("double")
-    else:
-        raise ValueError(f"frolladaptive fun must be sum/mean/max/min: {fun}")
+    else:  # var / sd
+        s2 = (
+            F.coalesce(F.col("__cs2__"), F.lit(0).cast("decimal(38,8)"))
+            - F.coalesce(F.col("__pcs2__"), F.lit(0).cast("decimal(38,8)"))
+        )
+        s1d = diff.cast("double")
+        vard = F.greatest(
+            (s2.cast("double") - s1d * s1d / nn_cnt) / (nn_cnt - 1),
+            F.lit(0.0),
+        )
+        diff = F.when(nn_cnt >= 2, vard)
+        if fun == "sd":
+            diff = F.sqrt(diff)
     full = F.col("__pos__") >= F.col("__nn__")
     if na_rm:
         val = F.when(full, diff)
     else:
         val = F.when(full & (nn_cnt == F.col("__nn__")), diff)
+    if fill is not None:
+        # incomplete leading windows only (see docstring)
+        val = F.when(~full, F.lit(fill).cast("double")).otherwise(val)
     out = joined.withColumn(name, val).drop(
         "__pos__", "__cs__", "__cc__", "__nn__", "__ppos__", "__pcs__",
-        "__pcc__",
+        "__pcc__", *(["__cs2__", "__pcs2__"] if need2 else []),
     )
     return DT(out, key=dt.key, order_by=dt.order_by)
 
@@ -1912,7 +1987,7 @@ def frolladaptive_extrema(
     dt: DT, col, n_col, by=None, order=None, out_col: str | None = None,
     fun: str = "max", n_max: int | None = None,
     na_rm: bool = False, nan_is_na: bool = True,
-    n_chunks: int | str | None = None,
+    n_chunks: int | str | None = None, partial: bool = False, fill=None,
 ) -> DT:
     """Adaptive rolling max/min (reference src/frolladaptive.c).
 
@@ -1948,7 +2023,12 @@ def frolladaptive_extrema(
     comb = F.greatest if fun == "max" else F.least
     if n_max is None:
         n_max = dt.df.agg(F.max(F.col(n_col).cast("int"))).collect()[0][0] or 1
-    J = max(0, (int(n_max) - 1).bit_length() - 1)  # floor(log2(n_max))
+    # J must reach the PER-ROW j = floor(log2(n_i)) for every n_i <=
+    # n_max; (n_max-1).bit_length()-1 (= ceil(log2)-1) is one short
+    # exactly when n_max is a power of two (n=2 indexed past the array
+    # — caught by the round-14 6001 vectors), where the row's own j
+    # uses the full-width frame with pos' == pos
+    J = max(0, int(n_max).bit_length() - 1)  # floor(log2(n_max))
 
     src = F.col(col)
     if nan_is_na and dict(dt.df.dtypes).get(col) in ("double", "float"):
@@ -1976,14 +2056,19 @@ def frolladaptive_extrema(
             },
             by=by, order=order, n_chunks=n_chunks,
             hw_lo=2 ** J - 1, hw_hi=0, with_rank=True,
-        ).df.withColumn("__nn__", F.col(n_col).cast("int"))
+        ).df
     else:
         w = win(dt, by=by, order=order)
         base = (
             dtv.df.withColumn("__pos__", F.row_number().over(w))
-            .withColumn("__nn__", F.col(n_col).cast("int"))
             .withColumns(mj_exprs(w))
         )
+    nn_e = F.col(n_col).cast("int")
+    if partial:
+        # reference adaptive partial (froll.Rraw 6006.902): trim n_i
+        # to the rows available
+        nn_e = F.least(nn_e, F.col("__pos__"))
+    base = base.withColumn("__nn__", nn_e)
     # dynamic j per row: index the [M_0..M_J] array by floor(log2(n_i))
     base = base.withColumn(
         "__j__", F.floor(F.log2(F.col("__nn__"))).cast("int")
@@ -2019,6 +2104,17 @@ def frolladaptive_extrema(
         val = F.when(full & ~anyna, comb(cur, pre))
     else:
         val = F.when(full, comb(cur, pre))
+    if fill is not None:
+        # fill replaces ONLY incomplete leading windows (pos < n_i)
+        val = F.when(
+            (~full) & (F.col("__nn__") >= 1), F.lit(fill).cast("double")
+        ).otherwise(val)
+    # width-0 window -> R's empty extremum (froll.Rraw 6001.321/.421:
+    # max(numeric(0)) = -Inf, min = Inf), NA-free by construction
+    val = F.when(
+        F.col("__nn__") == 0,
+        F.lit(float("-inf") if fun == "max" else float("inf")),
+    ).otherwise(val)
     out = joined.withColumn(name, val).drop(
         "__v__", "__pos__", "__nn__", "__j__", "__marr__", "__ppos__",
         "__pmarr__",
@@ -2035,7 +2131,21 @@ def frolladaptive_extrema(
 def frolladaptive_median(
     dt: DT, col, n_col, by=None, order=None, out_col: str | None = None,
     na_rm: bool = False, nan_is_na: bool = True,
-    n_chunks: int | str | None = None,
+    n_chunks: int | str | None = None, partial: bool = False, fill=None,
+) -> DT:
+    """Adaptive rolling median — thin wrapper over the shared expansion
+    path (see _frolladaptive_expand)."""
+    return _frolladaptive_expand(
+        dt, col, n_col, by=by, order=order, out_col=out_col,
+        kind="median", na_rm=na_rm, nan_is_na=nan_is_na,
+        n_chunks=n_chunks, partial=partial, fill=fill,
+    )
+
+
+def _frolladaptive_expand(
+    dt: DT, col, n_col, by=None, order=None, out_col: str | None = None,
+    kind: str = "median", na_rm: bool = False, nan_is_na: bool = True,
+    n_chunks: int | str | None = None, partial: bool = False, fill=None,
 ) -> DT:
     """Adaptive rolling median (reference src/frolladaptive.c
     fadaptiverollmedian). Median is not a semigroup (two overlapping
@@ -2047,10 +2157,18 @@ def frolladaptive_median(
     pays; here it shuffle-partitions across the cluster. Keep n_i
     bounded (it is a STALENESS window, not an unbounded history).
 
+    ``kind="prod"`` (reference frolladaptiveprod, froll.Rraw 6001.52x
+    — round-14 port) rides the same expansion with F.product: product
+    is a semigroup, but a cumprod-difference identity dies on zeros
+    (division by a zero prefix), so the honest expansion is also the
+    EXACT one; width-0 windows yield R's prod(numeric(0)) = 1.
+
     na_rm=False (reference default) poisons windows containing an NA —
     one count comparison inside the per-target aggregate, no extra
     shuffle; na_rm=True skips NAs (F.median's native rule). nan_is_na:
-    NaN participates as NA.
+    NaN participates as NA. ``partial=True`` trims n_i to the rows
+    available (6006.902); ``fill=`` replaces only incomplete leading
+    windows.
 
     ``n_chunks=``: the expansion/join/aggregate are shuffle-parallel
     already; the one whole-key piece is the row_number position
@@ -2068,7 +2186,10 @@ def frolladaptive_median(
         base = dt.df.withColumn(
             "__pos__", F.row_number().over(win(dt, by=by, order=order))
         )
-    base = base.withColumn("__nn__", F.col(n_col).cast("int"))
+    nn_e = F.col(n_col).cast("int")
+    if partial:
+        nn_e = F.least(nn_e, F.col("__pos__"))
+    base = base.withColumn("__nn__", nn_e)
     need = base.select(
         *[F.col(g).alias(f"__tg_{g}__") for g in grp],
         F.col("__pos__").alias("__tpos__"),
@@ -2087,11 +2208,12 @@ def frolladaptive_median(
     vals = need.join(
         base.select(*grp, "__pos__", srcv.alias("__v__")), on=cond
     )
-    med_expr = F.median("__v__")
+    agg_fn = F.median if kind == "median" else F.product
+    med_expr = agg_fn("__v__")
     if not na_rm:
         # poison: any NULL among the window's n_i fetched rows
         med_expr = F.when(
-            F.count("__v__") == F.count(F.lit(1)), F.median("__v__")
+            F.count("__v__") == F.count(F.lit(1)), agg_fn("__v__")
         )
     med = vals.groupBy(
         *[F.col(f"__tg_{g}__") for g in grp], F.col("__tpos__")
@@ -2100,8 +2222,19 @@ def frolladaptive_median(
     back = F.col("__tpos__") == F.col("__pos__")
     for g in grp:
         back = back & (F.col(f"__tg_{g}__") == F.col(g))
+    val = F.col("__med__")
+    if fill is not None:
+        # incomplete leading windows only (pos < n_i, n_i >= 1)
+        val = F.when(
+            (F.col("__pos__") < F.col("__nn__")) & (F.col("__nn__") >= 1),
+            F.lit(fill).cast("double"),
+        ).otherwise(val)
+    if kind == "prod":
+        # width-0 window: R prod(numeric(0)) = 1 (6001.521 row 2);
+        # median of an empty window stays NA
+        val = F.when(F.col("__nn__") == 0, F.lit(1.0)).otherwise(val)
     out = base.join(med, on=back, how="left").withColumn(
-        name, F.col("__med__")
+        name, val
     ).drop(
         "__pos__", "__nn__", "__med__", "__tpos__",
         *[f"__tg_{g}__" for g in grp],
@@ -2112,6 +2245,7 @@ def frolladaptive_median(
 @_carries_probe
 def frollapply_adaptive(
     dt: DT, col, n_col, fn, by=None, order=None, out_col: str | None = None,
+    partial: bool = False,
 ) -> DT:
     """Adaptive frollapply (reference src/frolladaptive.c composed with
     R/frollapply.R:128): an ARBITRARY function over a PER-ROW window
@@ -2131,14 +2265,20 @@ def frollapply_adaptive(
     NULL source values reach `fn` as NaN (frollapply's convention); a
     NaN return maps back to NULL (pandas->Arrow NaN-as-NA — i.e. the
     reference's NA-poisoning under na.rm=FALSE); rows with pos < n_i
-    (incomplete window) yield NULL."""
+    (incomplete window) yield NULL. ``partial=True`` (reference
+    adaptive partial, froll.Rraw 6006.902) trims n_i to the available
+    rows; a width-0 window calls ``fn`` on the EMPTY window (reference
+    applies FUN to numeric(0): sum -> 0, max -> -Inf; a NaN return —
+    mean of empty — maps to NULL like every NaN return here)."""
     from pyspark.sql.functions import pandas_udf
 
     grp = _namelist(by)
     w = win(dt, by=by, order=order)
-    base = dt.df.withColumn("__pos__", F.row_number().over(w)).withColumn(
-        "__nn__", F.col(n_col).cast("int")
-    )
+    nn_e = F.col(n_col).cast("int")
+    base = dt.df.withColumn("__pos__", F.row_number().over(w))
+    if partial:
+        nn_e = F.least(nn_e, F.col("__pos__"))
+    base = base.withColumn("__nn__", nn_e)
     need = base.select(
         *[F.col(g).alias(f"__tg_{g}__") for g in grp],
         F.col("__pos__").alias("__tpos__"),
@@ -2173,15 +2313,17 @@ def frollapply_adaptive(
     def apply_fn(s: pd.Series) -> pd.Series:
         return s.map(lambda a: None if a is None else float(fn(a)))
 
-    packed = packed.withColumn("__out__", apply_fn(F.col("__warr__")))
     name = out_col or f"{col}_adaptive"
     back = F.col("__tpos__") == F.col("__pos__")
     for g in grp:
         back = back & (F.col(f"__tg_{g}__") == F.col(g))
+    arr = F.when(
+        F.col("__nn__") == 0, F.array().cast("array<double>")
+    ).otherwise(F.col("__warr__"))
     out = base.join(
-        packed.drop("__warr__"), on=back, how="left"
-    ).withColumn(name, F.col("__out__")).drop(
-        "__pos__", "__nn__", "__out__", "__tpos__",
+        packed, on=back, how="left"
+    ).withColumn(name, apply_fn(arr)).drop(
+        "__pos__", "__nn__", "__warr__", "__tpos__",
         *[f"__tg_{g}__" for g in grp],
     )
     return DT(out, key=dt.key, order_by=dt.order_by)

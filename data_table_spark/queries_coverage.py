@@ -216,6 +216,70 @@ def q_froll_adaptive_median(spark, sf_dir):
 
 
 @query(
+    "froll_adaptive_var",
+    """
+    WITH b AS (
+      SELECT event_id, user_id,
+             CAST(value AS DECIMAL(18,4)) AS d,
+             1 + CAST(event_id % 6 AS INT) AS nn,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS pos
+      FROM events
+    )
+    SELECT a.event_id, a.user_id,
+      CASE WHEN LEAST(a.nn, a.pos) >= 2 THEN (
+        SELECT GREATEST((CAST(SUM(b2.d * b2.d) AS DOUBLE)
+                 - CAST(SUM(b2.d) AS DOUBLE) * CAST(SUM(b2.d) AS DOUBLE)
+                   / COUNT(*)) / (COUNT(*) - 1), 0.0)
+        FROM b b2
+        WHERE b2.user_id = a.user_id
+          AND b2.pos BETWEEN a.pos - LEAST(a.nn, a.pos) + 1 AND a.pos)
+      END AS roll_var,
+      CASE WHEN LEAST(a.nn, a.pos) >= 2 THEN (
+        SELECT SQRT(GREATEST((CAST(SUM(b2.d * b2.d) AS DOUBLE)
+                 - CAST(SUM(b2.d) AS DOUBLE) * CAST(SUM(b2.d) AS DOUBLE)
+                   / COUNT(*)) / (COUNT(*) - 1), 0.0))
+        FROM b b2
+        WHERE b2.user_id = a.user_id
+          AND b2.pos BETWEEN a.pos - LEAST(a.nn, a.pos) + 1 AND a.pos)
+      END AS roll_sd
+    FROM b a
+    """,
+)
+def q_froll_adaptive_var(spark, sf_dir):
+    """Adaptive rolling var+sd with partial= trimming (reference
+    frolladaptivevarExact, froll.Rraw 6001.72x/.82x — round-14 port):
+    one extra running DECIMAL sum of squares through the cumsum-
+    difference self-join; var = (S2 - S1^2/m)/(m-1) computed in double
+    from the two EXACT decimal sums, clamped at 0. The oracle mirrors
+    the FORMULA, not just the value: both engines cast the same exact
+    DECIMAL sums to double and run identical FP ops, so the compare is
+    bit-exact — no rounding tolerance hides a real divergence.
+    partial=True trims n_i to the rows available (6006.902), so every
+    width>=2 window produces a value."""
+    from .operators.window import frolladaptive
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].query(
+        j={
+            "event_id": F.col("event_id"),
+            "user_id": F.col("user_id"),
+            "value": F.col("value"),
+            "nn": (1 + F.col("event_id") % 6).cast("int"),
+        }
+    )
+    out = frolladaptive(
+        ev, "value", "nn", by=["user_id"], order=["event_id"],
+        out_col="roll_var", fun="var", partial=True,
+    )
+    out = frolladaptive(
+        out, "value", "nn", by=["user_id"], order=["event_id"],
+        out_col="roll_sd", fun="sd", partial=True,
+    )
+    return out.df.select("event_id", "user_id", "roll_var", "roll_sd")
+
+
+@query(
     "frollapply_adaptive",
     """
     WITH b AS (

@@ -1544,3 +1544,110 @@ def test_frank_multicolumn_2386_05(spark):
         frank(d2, ["a", "b"], na_last="keep")
     with _pytest.raises(ValueError, match="single-column"):
         frank(d2, ["a", "b"], n_chunks=3)
+
+
+def test_frolladaptive_extended_vectors(spark):
+    """froll.Rraw 6001 adaptive tail (round-14 port): partial= (trims
+    n_i to available rows, 6006.902/6001.x29), fill= (incomplete
+    leading windows only, 6001.x22/.730), fun="prod" (6001.52x),
+    fun="var"/"sd" (6001.72x/.82x incl. the non-negativity stability
+    vectors .731-.734), and the width-0 empty-window identities
+    (6001.x21: sum 0, mean NaN, max -Inf, min Inf, prod 1,
+    var/sd/median NA)."""
+    import math
+
+    from data_table_spark.operators.window import (
+        frolladaptive, frollapply_adaptive)
+
+    def run(xs, ns, fun, **kw):
+        df = spark.createDataFrame(
+            [(i, x, n) for i, (x, n) in enumerate(zip(xs, ns))],
+            "i int, x double, n int",
+        )
+        out = frolladaptive(DT(df), "x", "n", order=["i"], fun=fun, **kw)
+        rows = out.df.orderBy("i").collect()
+        return [r["x_adaptive"] for r in rows]
+
+    def near(got, want):
+        assert len(got) == len(want), (got, want)
+        for g, w in zip(got, want):
+            if w is None or g is None:
+                assert g == w, (got, want)
+            elif isinstance(w, float) and math.isnan(w):
+                assert isinstance(g, float) and math.isnan(g), (got, want)
+            elif isinstance(w, float) and math.isinf(w):
+                assert g == w, (got, want)
+            else:
+                assert abs(g - w) <= 1e-12 * max(1.0, abs(w)), (got, want)
+
+    NA, NaN = None, float("nan")
+    x13, xNA = [1.0, 2.0, 3.0], [1.0, 2.0, None]
+    n202 = [2, 0, 2]
+    r05 = math.sqrt(0.5)
+
+    # mean (6001.121-.129)
+    near(run(x13, n202, "mean"), [NA, NaN, 2.5])
+    near(run(x13, n202, "mean", fill=99), [99, NaN, 2.5])
+    near(run(xNA, n202, "mean"), [NA, NaN, NA])
+    near(run(xNA, n202, "mean", na_rm=True), [NA, NaN, 2.0])
+    near(run(xNA, n202, "mean", na_rm=True, partial=True), [1.0, NaN, 2.0])
+    # sum (6001.221-.229)
+    near(run(x13, n202, "sum"), [NA, 0.0, 5.0])
+    near(run(x13, n202, "sum", fill=99), [99, 0.0, 5.0])
+    near(run(xNA, n202, "sum"), [NA, 0.0, NA])
+    near(run(xNA, n202, "sum", na_rm=True), [NA, 0.0, 2.0])
+    near(run(xNA, n202, "sum", na_rm=True, partial=True), [1.0, 0.0, 2.0])
+    # max / min (6001.321-.429)
+    inf = float("inf")
+    near(run(x13, n202, "max"), [NA, -inf, 3.0])
+    near(run(x13, n202, "max", fill=99), [99, -inf, 3.0])
+    near(run(xNA, n202, "max"), [NA, -inf, NA])
+    near(run(xNA, n202, "max", na_rm=True), [NA, -inf, 2.0])
+    near(run(xNA, n202, "max", na_rm=True, partial=True), [1.0, -inf, 2.0])
+    near(run(x13, n202, "min"), [NA, inf, 2.0])
+    near(run(xNA, n202, "min", na_rm=True, partial=True), [1.0, inf, 2.0])
+    # prod (6001.521-.529)
+    near(run(x13, n202, "prod"), [NA, 1.0, 6.0])
+    near(run(x13, n202, "prod", fill=99), [99, 1.0, 6.0])
+    near(run(xNA, n202, "prod"), [NA, 1.0, NA])
+    near(run(xNA, n202, "prod", na_rm=True), [NA, 1.0, 2.0])
+    near(run(xNA, n202, "prod", na_rm=True, partial=True), [1.0, 1.0, 2.0])
+    # median (6001.621-.629, .6212)
+    near(run(x13, n202, "median"), [NA, NA, 2.5])
+    near(run(x13, [0, 0, 0], "median"), [NA, NA, NA])
+    near(run(x13, n202, "median", fill=99), [99, NA, 2.5])
+    near(run(xNA, n202, "median", na_rm=True), [NA, NA, 2.0])
+    near(run(xNA, n202, "median", na_rm=True, partial=True),
+         [1.0, NA, 2.0])
+    # var (6001.721-.730, .7241)
+    near(run(x13, n202, "var"), [NA, NA, 0.5])
+    near(run(x13, n202, "var", fill=99), [99, NA, 0.5])
+    near(run(xNA, n202, "var"), [NA, NA, NA])
+    near(run(xNA, n202, "var", na_rm=True), [NA, NA, NA])
+    near(run(xNA, n202, "var", na_rm=True, partial=True), [NA, NA, NA])
+    near(run(xNA, n202, "var", na_rm=True, fill=99), [99, NA, NA])
+    near(run(xNA, [2, 2, 2], "var"), [NA, 0.5, NA])
+    # sd (6001.8201-.830)
+    near(run(x13, [2, 2, 2], "sd"), [NA, r05, r05])
+    near(run(x13, n202, "sd"), [NA, NA, r05])
+    near(run(xNA, n202, "sd", na_rm=True, fill=99), [99, NA, NA])
+    # numerical stability (6001.733/.734): equal large values -> 0
+    y = [1e8 + 2.980232e-8, 1e8, 1e8, 1e8]
+    assert run(y, [3, 3, 3, 3], "var")[3] == 0.0
+    assert run(y, [3, 3, 3, 3], "sd")[3] == 0.0
+
+    # frollapply adaptive partial (6001.295-ish): fn over trimmed /
+    # empty windows; NaN returns (mean of empty) map to NULL — the
+    # documented engine NA spelling on the pandas-UDF path
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(i, x, n) for i, (x, n) in enumerate(zip(xNA, n202))],
+        "i int, x double, n int",
+    )
+    out = frollapply_adaptive(
+        DT(df), "x", "n", lambda a: float(np.nansum(a)),
+        order=["i"], partial=True,
+    )
+    got = [r["x_adaptive"] for r in out.df.orderBy("i").collect()]
+    near(got, [1.0, 0.0, 2.0])
