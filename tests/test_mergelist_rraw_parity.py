@@ -1034,3 +1034,41 @@ def test_mergepair_keyless_baseline_drops_key(spark):
                   key=["id1"])
     out2 = mergepair(keyed_l, keyed_r, on=["id1"], how="left", mult="all")
     assert list(out2.key) == ["id1"]
+
+
+def test_cbindlist_13_key_index_retention(spark):
+    """mergelist.Rraw 13.1-13.4 (round-14 pin): the positional bind
+    keeps the FIRST surviving key and concatenates index names; 13.3's
+    originals-untouched check is immutability here. (13.5 — combining
+    keys from several tables — is the reference's own TODO #7116.)"""
+    a = DT(spark.createDataFrame(
+        [(i, 6 - i, i, i) for i in range(1, 6)],
+        "id1 int, id2 int, id3 int, v1 int",
+    )).setkey("id1")
+    a = a.setindex("id1").setindex("id2").setindex("id3") \
+         .setindex("id1", "id2", "id3")
+    b = DT(spark.createDataFrame(
+        [(6 - i, i, i) for i in range(1, 6)],
+        "id4 int, id5 int, v2 int",
+    ), order_by=["id5"])
+    c = DT(spark.createDataFrame(
+        [(6 - i, i, i) for i in range(1, 6)],
+        "id6 int, id7 int, v3 int",
+    ), order_by=["id7"]).setindex("id6").setindex("id7")
+    d = DT(spark.createDataFrame(
+        [(6 - i, 6 - i, i) for i in range(1, 6)],
+        "id8 int, id9 int, v4 int",
+    ), order_by=["v4"]).setindex("id9")
+    out = cbindlist([a, b, c, d])
+    assert out.key == ["id1"]  # 13.1
+    assert out.indices() == [  # 13.2
+        "__id1", "__id2", "__id3", "__id1__id2__id3", "__id6", "__id7",
+        "__id9",
+    ]
+    # 13.4: first table unkeyed -> the first KEYED table's key survives
+    p = DT(spark.createDataFrame([(1,), (2,)], "a int"),
+           order_by=["a"])
+    q = DT(spark.createDataFrame([(3,), (4,)], "b int")).setkey("b")
+    out2 = cbindlist([p, q])
+    assert out2.key == ["b"]
+    assert {tuple(r) for r in out2.collect()} == {(1, 3), (2, 4)}
