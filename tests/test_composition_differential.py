@@ -40,7 +40,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from data_table_spark import DT
-from data_table_spark.functions import fcoalesce, fifelse
+from data_table_spark.functions import between, fcoalesce, fifelse
 from data_table_spark.operators.grouping import unique as dt_unique
 from data_table_spark.operators.joins import join as dt_join
 from data_table_spark.operators.window import cumfn, shift
@@ -120,10 +120,18 @@ def _gen_atom(draw, state):
     strs = _strings(state)
     kinds = []
     if num:
-        kinds += ["cmp", "notnull_n"]
+        kinds += ["cmp", "notnull_n", "between"]
     if strs:
         kinds += ["isin", "like", "notnull_s"]
     kind = draw(st.sampled_from(kinds))
+    if kind == "between":
+        c = draw(st.sampled_from(num))
+        lo = draw(st.integers(-10, 5))
+        hi = lo + draw(st.integers(0, 10))
+        if state["cols"][c] == "double":
+            lo, hi = lo / 2.0, hi / 2.0
+        return (between(F.col(c), lo, hi),
+                f'"{c}" BETWEEN {_sql_lit(lo)} AND {_sql_lit(hi)}')
     if kind == "cmp":
         c = draw(st.sampled_from(num))
         op = draw(st.sampled_from([">", "<", ">=", "<="]))
@@ -400,6 +408,45 @@ def _gen_sort_limit(draw, state):
     )
 
 
+def _gen_mid_sort_limit(draw, state):
+    """DT.order(...).head(n) MID-pipeline: later stages consume the
+    result of the declared-order limit (the r14 bug class: na_last
+    placement lost on re-application)."""
+    return _gen_sort_limit(draw, state)
+
+
+def _gen_unique_by(draw, state):
+    """unique(by=) keeping the FIRST row per group in the DECLARED
+    order — exercises the _OrderList na_last flag riding through
+    order() into grouping.unique. Declares a fresh total order (all
+    cols, i last when present) so both engines agree on 'first'."""
+    from data_table_spark.operators.grouping import unique as dt_unique
+
+    cols = [c for c in state["cols"] if c != "i"]
+    tail = ["i"] if state["has_i"] else []
+    order_cols = draw(st.permutations(cols))
+    descs = [draw(st.booleans()) for _ in order_cols]
+    specs = [("-" + c) if d else c
+             for c, d in zip(order_cols, descs)] + tail
+    osql = ", ".join(
+        f'"{c}" {"DESC" if d else "ASC"} NULLS LAST'
+        for c, d in zip(order_cols, descs)
+    ) + ("".join(f', "{t}" ASC NULLS LAST' for t in tail))
+    by = draw(st.lists(st.sampled_from(cols), unique=True,
+                       min_size=1, max_size=2))
+    bysql = ", ".join(f'"{b}"' for b in by)
+    return (
+        lambda dt, dim, _s=specs, _b=by: dt_unique(
+            dt.order(*_s), by=list(_b)),
+        lambda q, _o=osql, _b=bysql: (
+            f"SELECT * EXCLUDE (__rn) FROM (SELECT *, ROW_NUMBER() "
+            f"OVER (PARTITION BY {_b} ORDER BY {_o}) AS __rn "
+            f"FROM ({q})) WHERE __rn = 1"
+        ),
+        f"unique_by[{by} order={specs}]",
+    )
+
+
 def _gen_stage(draw, state, idx, forced=None):
     opts = ["filter", "compute"]
     if not state["joined"] and state["cols"].get("k") == "int":
@@ -410,6 +457,8 @@ def _gen_stage(draw, state, idx, forced=None):
         opts += ["window"]
     if len(state["cols"]) > (1 if state["has_i"] else 0):
         opts += ["distinct"]
+    if len(state["cols"]) > (1 if state["has_i"] else 0):
+        opts += ["sort_limit_mid", "unique_by"]
     kind = forced if forced in opts else draw(st.sampled_from(opts))
     if kind == "filter":
         return _gen_filter(draw, state)
@@ -421,6 +470,10 @@ def _gen_stage(draw, state, idx, forced=None):
         return _gen_agg(draw, state)
     if kind == "window":
         return _gen_window(draw, state)
+    if kind == "sort_limit_mid":
+        return _gen_mid_sort_limit(draw, state)
+    if kind == "unique_by":
+        return _gen_unique_by(draw, state)
     return _gen_distinct(draw, state)
 
 
