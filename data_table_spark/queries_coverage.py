@@ -272,11 +272,13 @@ def q_froll_adaptive_var(spark, sf_dir):
         ev, "value", "nn", by=["user_id"], order=["event_id"],
         out_col="roll_var", fun="var", partial=True,
     )
-    out = frolladaptive(
-        out, "value", "nn", by=["user_id"], order=["event_id"],
-        out_col="roll_sd", fun="sd", partial=True,
+    # sd IS sqrt(var) in both engines (fun="sd" sqrt-wraps the same
+    # expression), so derive it from the computed column — one window
+    # pass + one self-join instead of two of each
+    return out.df.select(
+        "event_id", "user_id", "roll_var",
+        F.sqrt(F.col("roll_var")).alias("roll_sd"),
     )
-    return out.df.select("event_id", "user_id", "roll_var", "roll_sd")
 
 
 @query(
