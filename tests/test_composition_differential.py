@@ -447,6 +447,58 @@ def _gen_unique_by(draw, state):
     )
 
 
+def _gen_melt(draw, state):
+    """melt (wide->long unpivot, §2.8) with a UNION ALL SQL twin. Rows
+    duplicate per measure, so the unique-i invariant ends here."""
+    from data_table_spark.operators.reshape import melt
+
+    cols = state["cols"]
+    measures = [c for c in ("v", "k") if cols.get(c) in ("int",)]
+    ids = [c for c in cols if c not in measures]
+    idsql = ", ".join(f'"{c}"' for c in ids)
+    arms = " UNION ALL ".join(
+        f"SELECT {idsql}, '{m}' AS \"variable\", \"{m}\" AS \"value\""
+        f" FROM __q" for m in measures
+    )
+    state["cols"] = {**{c: cols[c] for c in ids},
+                     "variable": "string", "value": "int"}
+    state["has_i"] = False
+    return (
+        lambda dt, dim, _i=ids, _m=measures: melt(dt, _i, _m),
+        lambda q, _a=arms: f"WITH __q AS ({q}) {_a}",
+        f"melt[{measures}]",
+    )
+
+
+def _gen_dcast(draw, state):
+    """dcast (long->wide pivot, §2.8): sum(v) spread over the g levels
+    (NULL coalesced to 'na'), conditional-aggregation SQL twin."""
+    from data_table_spark.operators.reshape import dcast
+
+    cols = state["cols"]
+    by = draw(st.sampled_from([c for c in ("k", "s") if c in cols]))
+    vals = ["a", "b", "c", "na"]
+    arms = ", ".join(
+        f"CAST(SUM(CASE WHEN COALESCE(\"g\", 'na') = '{lv}' THEN \"v\""
+        f" END) AS BIGINT) AS \"{lv}\"" for lv in vals
+    )
+    state["cols"] = {by: cols[by], **{lv: "bigint" for lv in vals}}
+    state["has_i"] = False
+    state["agged"] = True
+    return (
+        lambda dt, dim, _b=by, _v=vals: dcast(
+            dt.let(g2=F.coalesce(F.col("g"), F.lit("na"))),
+            [_b], "g2", "v", fun_agg={"s": F.sum("v")},
+            pivot_values=_v,
+        ),
+        lambda q, _b=by, _a=arms: (
+            f'SELECT "{_b}", {_a} FROM ({q}) GROUP BY "{_b}"'
+        ),
+        f"dcast[by={by}]",
+    )
+
+
+
 def _gen_stage(draw, state, idx, forced=None):
     opts = ["filter", "compute"]
     if not state["joined"] and state["cols"].get("k") == "int":
@@ -558,4 +610,31 @@ def test_composition_join_window_agg(spark, data):
         _gen_stage(draw, state, 2, forced="agg"),
     ]
     stages.append(_gen_sort_limit(draw, state))
+    _run_pipeline(spark, rows, dim_rows, stages)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.data_too_large,
+                                 HealthCheck.too_slow,
+                                 HealthCheck.filter_too_much])
+@given(data=st.data())
+def test_composition_reshape(spark, data):
+    """30 pipelines through the reshape dimension: optional filter ->
+    melt or dcast -> 0-2 generic stages -> optional sort/limit."""
+    draw = data.draw
+    rows = _main_rows(draw)
+    dim_rows = _dim_rows(draw)
+    state = {"cols": dict(MAIN_SCHEMA), "has_i": True,
+             "joined": False, "agged": False}
+    stages = []
+    if draw(st.booleans()):
+        stages.append(_gen_filter(draw, state))
+    if draw(st.booleans()):
+        stages.append(_gen_melt(draw, state))
+    else:
+        stages.append(_gen_dcast(draw, state))
+    for j in range(draw(st.integers(0, 2))):
+        stages.append(_gen_stage(draw, state, 10 + j))
+    if draw(st.booleans()):
+        stages.append(_gen_sort_limit(draw, state))
     _run_pipeline(spark, rows, dim_rows, stages)
