@@ -69,56 +69,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # #   r12: 37
 # #   r13: 50
 _PRIORITY = [
-    "fcase_list",  # new
-    "fifelse_fcase",  # new
+    "froll_adaptive_var",  # new
+    "duplicated_flag",  # new
+    "froll_adaptive_minmax",  # new
+    "frollapply_adaptive",  # new
+    "ghead_per_group",  # new
+    "mult_first",  # new
+    "mult_last",  # new
     "fread_fwrite_roundtrip",  # new
-    "join_coerce_int",  # new
-    "lookup_join",  # new
-    "join_inner",  # new
-    "merge_full",  # new
-    "anti_join",  # new
-    "semi_join",  # new
-    "mergelist_fold",  # new
-    "mergelist_mixed",  # new
-    "sdcols_patterns",  # new
-    "sdcols_agg",  # new
-    "rbindlist_fill",  # new
-    "frank_multi",  # new
-    "frank_ties",  # new
-    "frank_random",  # new
-    "frank_chunked",  # new
-    "setorder_topk",  # new
-    "tstrsplit_cols",  # new
-    "doc_chunking",  # r8
-    "doc_fingerprint",  # r8
-    "dogroups_udtf",  # r8
-    "dsir_select",  # r8
-    "dup_ngram_spans",  # r8
-    "dup_span_removal",  # r8
-    "dup_span_removal_keepfirst",  # r8
-    "embedding_cosine_pairs",  # r8
-    "embedding_dup_clusters",  # r8
-    "foverlaps_bucketed",  # r8
-    "hash_sample",  # r8
-    "heavy_hitters_cm",  # r8
-    "inrange_bucketed",  # r8
-    "ivfpq_ann_topk",  # r8
-    "jaccard_prefix_pairs",  # r8
-    "kmeans_clusters",  # r8
-    "lang_id",  # r8
-    "length_batches",  # r8
-    "multimodal_features",  # r8
-    "ngram_jaccard_pairs",  # r8
-    "pack_sequences",  # r8
-    "quality_quantile_filter",  # r8
-    "salted_skew_agg",  # r8
-    "sample_n_per_source",  # r8
-    "simhash_pairs",  # r8
-    "stream_span_screen",  # r8
-    "stream_stateful_stats",  # r8
-    "stream_static_join",  # r8
-    "token_counts",  # r8
-    "token_mixture_sample",  # r8
+    "asof_roll_backward",  # r9
+    "asof_roll_forward",  # r9
+    "asof_roll_limit",  # r9
+    "asof_roll_nearest",  # r9
+    "asof_roll_rollends",  # r9
+    "cumsum_running",  # r9
+    "dedup_clusters",  # r9
+    "dedup_clusters_star",  # r9
+    "embedding_lsh_pairs",  # r9
+    "fcoalesce_nafill",  # r9
+    "fintersect_all",  # r9
+    "frame_sample_counts",  # r9
+    "froll_mean_sum",  # r9
+    "fsetdiff_all",  # r9
+    "gopher_quality",  # r9
+    "gtail_per_group",  # r9
+    "json_extract_props",  # r9
+    "lsh_ann_topk",  # r9
+    "mutation_let",  # r9
+    "nafill_locf_nocb",  # r9
+    "quantiles_by",  # r9
+    "repetition_metrics",  # r9
+    "rleid_runs",  # r9
+    "rollup_label",  # r9
+    "rowwise_literal",  # r9
+    "semdedup_prune",  # r9
+    "semdedup_prune_capped",  # r9
+    "sequence_packing",  # r9
+    "sessionize_batch",  # r9
+    "shift_lag_lead",  # r9
+    "sketch_distinct_tokens",  # r9
+    "stratified_sample",  # r9
+    "stream_decontaminate",  # r9
+    "stream_dedup",  # r9
+    "bigram_lm_score",  # r10
+    "bm25_topk",  # r10
+    "chgroup_first_appearance",  # r10
+    "chmatch_rank",  # r10
+    "chunk_dedup_pairs",  # r10
+    "dedup_cluster_sizes",  # r10
+    "dedup_exact_ids",  # r10
+    "dogroups_arrow_udtf",  # r10
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
