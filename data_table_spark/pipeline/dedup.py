@@ -169,9 +169,18 @@ def ngram_jaccard_pairs(
     bit-identical to the oracle."""
     # NOTE: no persist() here — caching pins the static shuffle
     # partitioning and disables AQE coalescing above it, which measured
-    # slower than recomputing this cheap codegen pipeline.
-    sr = shingle_rows(docs, n)
-    ex = sr.join(shingle_sizes(sr), "doc_id").select("doc_id", "sz", "s")
+    # slower than recomputing this cheap codegen pipeline. Instead
+    # (r14) the shingle rows are anchored below one hash(doc_id)
+    # Exchange: the size aggregate and the size join consume that
+    # clustering directly, so the gram assembly materializes once and
+    # is stage-reused across every consumer branch (4x before).
+    sr = shingle_rows(docs, n).repartition("doc_id")
+    # count("s") not count(1): s (concat_ws output) is never null so the
+    # counts are identical, but consuming s keeps the size branch's
+    # column set equal to the join probe's below the anchor — the
+    # column-pruning symmetry exchange reuse needs (see _dup_gram_set)
+    sz = sr.groupBy("doc_id").agg(F.count("s").alias("sz"))
+    ex = sr.join(sz, "doc_id").select("doc_id", "sz", "s")
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(
@@ -229,7 +238,28 @@ def dup_span_profile(
     toks = spread(docs).select(
         "doc_id", F.size(tokens_col("text")).alias("n_tokens")
     )
-    pg = positional_ngrams(docs, n)
+    # r14 optimization: anchor the positional-gram pipeline below ONE
+    # keyed Exchange on the gram so its two consumers (the duplicated-
+    # gram aggregate and the hits probe) share a single materialization
+    # (AQE stage reuse of canonically-identical exchanges) instead of
+    # each re-running posexplode + the lead() gram window. The gram
+    # rows were ALREADY being shuffled on `g` inside the aggregate
+    # branch, so this adds no shuffle bytes at any scale — it removes
+    # one full gram-assembly pass and one doc_id shuffle of all token
+    # rows. The aggregate and the equi-join both consume the hash(g)
+    # clustering directly (no further exchange on g).
+    #
+    # The explicit doc_id IS NOT NULL filter exists to keep the two
+    # branches CANONICALLY IDENTICAL: the final left join infers
+    # isnotnull(doc_id) into the probe branch only, and one asymmetric
+    # filter below the anchor defeats exchange reuse (measured: the
+    # gram window ran twice without it, once with it). It is output-
+    # invariant: a null-doc_id row can never reach the output through
+    # the hits path (cov joins back on doc_id), and min/max/distinct-df
+    # aggregates all skip nulls, so no gram's duplicated-status changes.
+    pg = positional_ngrams(
+        docs.filter(F.col("doc_id").isNotNull()), n
+    ).repartition("g")
     hits = pg.join(_dup_gram_set(pg, min_df, max_df), "g").select(
         "doc_id", "pos"
     )
@@ -280,17 +310,32 @@ def _dup_gram_set(
     or a higher min_df needs the df COUNT, paying an extra distinct
     pre-shuffle — that is the cap's honest price."""
     if min_df == 2 and max_df is None:
+        # min/max over struct(doc_id, pos), not bare doc_id: the struct
+        # min's lexicographic order still yields the min/max doc_id in
+        # its first field (identical filter result), and the aggregate
+        # then CONSUMES pos — which keeps this branch's column set
+        # identical to the hits-probe branch below the callers' shared
+        # hash(g) anchor exchange. Asymmetric column pruning was the
+        # last thing defeating exchange reuse (r14, measured: gram
+        # window 2x with bare min/max, 1x with the struct form).
         return (
             pg.groupBy("g")
-            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-            .filter(F.col("lo") != F.col("hi"))
+            .agg(
+                F.min(F.struct("doc_id", "pos")).alias("lo"),
+                F.max(F.struct("doc_id", "pos")).alias("hi"),
+            )
+            .filter(F.col("lo.doc_id") != F.col("hi.doc_id"))
             .select("g")
         )
     out = (
         pg.select("g", "doc_id")
         .distinct()
         .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
+        # count("doc_id"), not count(1): df counts distinct DOCUMENTS,
+        # and a null doc_id is not a document — this also makes the
+        # callers' doc_id-notnull pre-filter provably output-invariant
+        # (r14; previously a (g, NULL) pair counted toward df)
+        .agg(F.count("doc_id").alias("df"))
         .filter(F.col("df") >= min_df)
     )
     if max_df is not None:
@@ -326,15 +371,28 @@ def dedup_spans_remove(
         "doc_id",
         F.posexplode(tokens_col("text")).alias("pos", "tok"),
     )
-    pg = positional_ngrams(docs, n)
+    # r14 optimization: same shared-exchange anchoring (and the same
+    # output-invariant doc_id-notnull symmetry filter) as
+    # dup_span_profile — the holder/dup-gram aggregate and the hits
+    # probe read one materialized hash(g) shuffle of the gram rows
+    # instead of re-running the gram assembly per branch. Null-doc_id
+    # hits could never survive the (doc_id, pos) anti-join anyway.
+    pg = positional_ngrams(
+        docs.filter(F.col("doc_id").isNotNull()), n
+    ).repartition("g")
     if keep_first:
         if min_df != 2:
             raise ValueError("keep_first requires min_df=2")
+        # struct min/max for the same column-set symmetry as
+        # _dup_gram_set (see there): lo.doc_id IS the min doc_id
         holders = (
             pg.groupBy("g")
-            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-            .filter(F.col("lo") != F.col("hi"))
-            .select("g", "lo")
+            .agg(
+                F.min(F.struct("doc_id", "pos")).alias("lo_s"),
+                F.max(F.struct("doc_id", "pos")).alias("hi_s"),
+            )
+            .filter(F.col("lo_s.doc_id") != F.col("hi_s.doc_id"))
+            .select("g", F.col("lo_s.doc_id").alias("lo"))
         )
         hits = (
             pg.join(holders, "g")
@@ -424,7 +482,8 @@ def minhash_signature(shingles: Column) -> Column:
 
 
 def lsh_band_index(
-    docs: DataFrame, n: int = 3, with_shingles: bool = False
+    docs: DataFrame, n: int = 3, with_shingles: bool = False,
+    sr: DataFrame | None = None,
 ) -> DataFrame:
     """LSH band index over a corpus: (doc_id, band, bh) rows, one per
     (document, band), where bh = xxhash64 of the band's LSH_ROWS
@@ -443,8 +502,14 @@ def lsh_band_index(
     `sh` — the join-time verification payload for the streaming screen,
     where Spark's single-streaming-aggregation limit rules out the
     batch onepass roll-up. Batch callers should leave it off: arrays
-    riding a candidate shuffle was the r2 OOM lesson."""
-    sr = shingle_rows(docs, n)
+    riding a candidate shuffle was the r2 OOM lesson.
+
+    ``sr`` (r14 optimization) lets a caller that ALSO consumes the
+    shingle rows pass its own (typically exchange-anchored) shingle
+    table so the expensive gram assembly is shared instead of
+    recomputed per consumer; None keeps the self-contained behavior."""
+    if sr is None:
+        sr = shingle_rows(docs, n)
     ex = sr.select(
         "doc_id", F.xxhash64("s").bitwiseAND(F.lit(_P31)).alias("h")
     )
@@ -508,9 +573,36 @@ def minhash_lsh_pairs(
     F.broadcast hint (small corpora where even the first shuffle of
     mem is not worth it); "never" pins the shuffle merge join (the
     posture the `minhash_lsh_shuffle` driver twin runs against the
-    same oracle)."""
-    sr = shingle_rows(docs, n)
-    bands = lsh_band_index(docs, n)
+    same oracle).
+
+    r14 optimization (plan-shape, identical output): the r13 plan ran
+    the shingle pipeline (posexplode + lead-window gram assembly +
+    distinct) THREE times — once per band-self-join side and once for
+    verification — and the 126-permutation signature aggregate TWICE
+    (once per join side), because the expensive compute sat above the
+    highest shared exchange where Spark's reuse machinery cannot see
+    it. Two explicit keyed exchanges fix both:
+    - `sr.repartition("doc_id")` anchors the distinct shingle rows; the
+      signature aggregate and the verification join are its two
+      consumers (both need the doc_id clustering, so neither adds an
+      exchange of its own);
+    - `bands.repartition("band","bh")` anchors the band index; both
+      sides of the candidate self-join read the one materialized
+      shuffle (which the join needs on exactly that key anyway).
+    Net at any scale: one gram-assembly pass instead of three, one
+    signature computation instead of two, and no new shuffle bytes —
+    the band join and the signature input were already shuffling on
+    these keys inside the duplicated branches.
+
+    The doc_id-notnull pre-filter keeps every consumer branch
+    canonically identical (the verification join infers
+    isnotnull(doc_id) into only one branch otherwise, which defeats
+    exchange reuse — measured). Output-invariant: every emitted pair
+    satisfies doc_a < doc_b, which a null doc_id can never do."""
+    sr = shingle_rows(
+        docs.filter(F.col("doc_id").isNotNull()), n
+    ).repartition("doc_id")
+    bands = lsh_band_index(docs, n, sr=sr).repartition("band", "bh")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -672,6 +764,13 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bv")
+    # r14 optimization: anchor the band rows below the (band, bv)
+    # Exchange the self-join needs anyway, so both join sides read ONE
+    # materialization of the 48-bit-vote simhash aggregate instead of
+    # re-running it per side (the a.doc_id < b.doc_id condition infers
+    # isnotnull(doc_id) into both sides symmetrically, and both sides
+    # consume identical columns, so the exchanges canonicalize equal)
+    bands = bands.repartition("band", "bv")
     a, b = bands.alias("a"), bands.alias("b")
     hd = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -725,8 +824,17 @@ def jaccard_prefix_pairs(
     def _fceil(x):
         return F.ceil(x - F.lit(_EPS))
 
-    sr = shingle_rows(docs, n)
-    df_freq = sr.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # r14 optimization: one anchored shingle table for the FIVE
+    # consumer branches (df ranking, the ranked join probe, both
+    # verification sides, and the prefix self-join) — same recipe as
+    # minhash_lsh_pairs: doc_id-notnull symmetry filter (output-
+    # invariant: pairs require doc_a < doc_b), keyed anchor exchange,
+    # and count("doc_id") so the frequency branch consumes the same
+    # columns as every other branch (pruning symmetry).
+    sr = shingle_rows(
+        docs.filter(F.col("doc_id").isNotNull()), n
+    ).repartition("doc_id")
+    df_freq = sr.groupBy("s").agg(F.count("doc_id").alias("df"))
     ranked = (
         sr.join(df_freq, "s")
         .withColumn(
@@ -1163,17 +1271,43 @@ def line_dedup(
     sort_array(collect_list(...)) bounded by DOCUMENT size, the same
     bound dedup_spans_remove rides.
     """
-    h = F.md5(F.col(line_col)).alias("line_h")
+    # r14 optimization: anchor the line rows below ONE hash(line_h)
+    # Exchange. The boilerplate aggregate and the join probe are the
+    # two consumers; previously each re-ran the upstream line synthesis
+    # (lineify's posexplode over every document) from scratch. The
+    # aggregate was already shuffling every line row on the digest, so
+    # the explicit exchange adds no bytes — it removes one full
+    # line-splitting pass, and the df>=max_df join becomes
+    # co-partitioned on line_h. Three details exist ONLY to keep the
+    # two branches canonically identical (the precondition for
+    # exchange/stage reuse — each was measured to defeat it alone):
+    # - line_h is NON-NULLABLE (null lines get a sentinel that no md5
+    #   hex string can collide with), so the left join cannot infer an
+    #   isnotnull(line_h) filter into just the aggregate branch;
+    # - the df aggregate goes through a per-(line_h, doc_id) pre-
+    #   aggregate whose min(struct(line_no, line)) CONSUMES the payload
+    #   columns, keeping column pruning symmetric with the probe (the
+    #   always-true _w filter conjunct stops the optimizer pruning it);
+    # - null lines are kept by an explicit line-is-null override in the
+    #   reassembly (they previously never matched the join; the
+    #   sentinel group could now be flagged), so the output is
+    #   identical for EVERY input, null lines included.
+    h = F.coalesce(F.md5(F.col(line_col)), F.lit("__null_line__")).alias(
+        "line_h"
+    )
     keyed = lines.select(
         F.col(doc_col).alias("doc_id"),
         F.col(order_col).alias("line_no"),
         F.col(line_col).alias("line"),
         h,
+    ).repartition("line_h")
+    per_doc = keyed.groupBy("line_h", "doc_id").agg(
+        F.min(F.struct("line_no", "line")).alias("_w")
     )
     boiler = (
-        keyed.groupBy("line_h")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= max_df)
+        per_doc.groupBy("line_h")
+        .agg(F.count("doc_id").alias("df"), F.min("_w").alias("_w2"))
+        .filter((F.col("df") >= max_df) & F.col("_w2").isNotNull())
         .select("line_h")
         .withColumn("__boiler__", F.lit(True))
     )
@@ -1184,6 +1318,7 @@ def line_dedup(
     elif broadcast != "auto":
         raise ValueError(f"bad broadcast: {broadcast}")
     flagged = keyed.join(boiler, "line_h", "left")
+    keep = lambda s: s["__boiler__"].isNull() | s["line"].isNull()
     return (
         flagged.groupBy("doc_id")
         .agg(
@@ -1195,17 +1330,24 @@ def line_dedup(
                                 F.struct("line_no", "__boiler__", "line")
                             )
                         ),
-                        lambda s: s["__boiler__"].isNull(),
+                        keep,
                     ),
                     lambda s: s["line"],
                 ),
                 line_sep,
             ).alias("text_clean"),
             F.sum(
-                F.when(F.col("__boiler__").isNull(), 1).otherwise(0)
+                F.when(
+                    F.col("__boiler__").isNull() | F.col("line").isNull(),
+                    1,
+                ).otherwise(0)
             ).cast("long").alias("kept_lines"),
             F.sum(
-                F.when(F.col("__boiler__").isNotNull(), 1).otherwise(0)
+                F.when(
+                    F.col("__boiler__").isNotNull()
+                    & F.col("line").isNotNull(),
+                    1,
+                ).otherwise(0)
             ).cast("long").alias("dropped_lines"),
         )
     )

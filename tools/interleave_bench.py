@@ -24,6 +24,18 @@ HEADLINE = [
     "minhash_lsh_pairs", "ann_cosine_topk", "text_quality",
 ]
 
+# focused A/B: a comma-separated SPARK_GRAFT_INTERLEAVE_QUERIES
+# overrides the default list (r14 — the optimization-round queries are
+# not all in the legacy-14 set)
+import os as _os
+
+if _os.environ.get("SPARK_GRAFT_INTERLEAVE_QUERIES"):
+    HEADLINE = [
+        q.strip()
+        for q in _os.environ["SPARK_GRAFT_INTERLEAVE_QUERIES"].split(",")
+        if q.strip()
+    ]
+
 
 def _purge():
     for mod in list(sys.modules):
