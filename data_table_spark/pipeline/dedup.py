@@ -1212,11 +1212,22 @@ def winnow_dup_pairs(
     uncapped join degenerates quadratically. The cap bounds the join
     at sum(min(df, max_df)^2) — the same hot-bucket discipline as the
     LSH band joins."""
-    fp = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    # r14 optimization: anchor the fingerprint rows below one hash(h)
+    # Exchange — the max_df cap aggregate and both self-join sides
+    # consumed three separate re-runs of the winnowing pipeline
+    # (char-gram md5 + rolling-window min). Same symmetry recipe as
+    # the other pair generators: id-notnull pre-filter (output-
+    # invariant — pairs require doc_a < doc_b, and a null id is not a
+    # document for df_h either) and count(id_col) so the cap branch
+    # consumes the same columns as the join branches.
+    fp = winnow_fingerprints(
+        df.filter(F.col(id_col).isNotNull()), k=k, w=w,
+        text_col=text_col, id_col=id_col,
+    ).repartition("h")
     if max_df is not None:
         keep = (
             fp.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("df_h"))
+            .agg(F.count(id_col).alias("df_h"))
             .filter(F.col("df_h") <= max_df)
             .select("h")
         )

@@ -1563,10 +1563,17 @@ def q_chunk_dedup_pairs(spark, sf_dir):
     from .pipeline import chunk_documents
 
     t = load_tables(spark, sf_dir)
+    # r14 optimization: anchor the chunk rows below the hash(chunk_text)
+    # Exchange the self-join needs anyway — both join sides and the
+    # distinct consume ONE materialization of the chunking explode
+    # instead of re-running it per side (the distinct's (doc_id,
+    # chunk_text) keys are clustered by the chunk_text hash, so it adds
+    # no exchange of its own)
     ch = (
         chunk_documents(t["documents"].df, size=32, overlap=8)
         .filter(F.col("n_tokens") == 32)
         .select("doc_id", "chunk_text")
+        .repartition("chunk_text")
         .distinct()
     )
     a = ch.select(F.col("doc_id").alias("doc_a"), "chunk_text")
