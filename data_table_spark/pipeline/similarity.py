@@ -157,6 +157,11 @@ def blocked_cosine_pairs(
     Replication factor is (B+1)/2 per side; bucket work is (n/B)²,
     uniform by hashing, so the quadratic compute spreads evenly over
     the cluster instead of nesting under one broadcast loop."""
+    # (r14 note: anchoring the corpus prep below a vec_id exchange so
+    # both grid replicas share one materialization was measured 10x
+    # SLOWER at sf0.1 — the duplicated prep is a cheap narrow pass,
+    # and the anchor degraded the block join's execution — reverted;
+    # see OPTIMIZATION_r14.md)
     c = _corpus(emb)
     blk = F.pmod(F.hash(F.col("vec_id")), F.lit(n_blocks))
     grid = F.array(*[F.lit(k) for k in range(n_blocks)])
@@ -1244,6 +1249,17 @@ def semdedup_prune(
     n = asg.withColumn(
         "nrm", (_norm_batch() if batched else norm)(F.col("v"))
     )
+    # r14 optimization: FOUR consumers (pair side a, pair side b, the
+    # capped path's representatives, and the final kept-flag join) each
+    # replayed the full iterative k-means lineage — the docstring's
+    # "a 100 TB run would persist/checkpoint kmeans_assign's output
+    # once" posture, now actually done. localCheckpoint (lazy) rather
+    # than an anchor exchange because the consumers prune
+    # HETEROGENEOUS column sets (reps also reads _rep, the flag join
+    # only ids), which defeats exchange-reuse canonicalization; the
+    # checkpoint materializes the assignment exactly once per run,
+    # inside the computation (nothing persists across invocations).
+    n = n.localCheckpoint(eager=False)
 
     def _side(df, suffix):
         cols = [
@@ -1305,6 +1321,6 @@ def semdedup_prune(
         .distinct()
         .withColumn("_dup", F.lit(True))
     )
-    return asg.join(dup_b, "vec_id", "left").select(
+    return n.join(dup_b, "vec_id", "left").select(
         "vec_id", "cluster_id", F.col("_dup").isNull().alias("kept")
     )
