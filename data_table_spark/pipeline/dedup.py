@@ -170,11 +170,14 @@ def ngram_jaccard_pairs(
     # NOTE: no persist() here — caching pins the static shuffle
     # partitioning and disables AQE coalescing above it, which measured
     # slower than recomputing this cheap codegen pipeline. Instead
-    # (r14) the shingle rows are anchored below one hash(doc_id)
-    # Exchange: the size aggregate and the size join consume that
-    # clustering directly, so the gram assembly materializes once and
-    # is stage-reused across every consumer branch (4x before).
-    sr = shingle_rows(docs, n).repartition("doc_id")
+    # (r14) the distinct shingle rows are materialized ONCE per run by
+    # a lazy localCheckpoint and every consumer branch (sizes, size
+    # join, both self-join sides — 4x recomputed before) reads the
+    # same blocks. A repartition("doc_id") anchor is a silent no-op
+    # here — the distinct's output is already hash(doc_id)-partitioned,
+    # so the optimizer removes it and the duplication returns; the
+    # checkpoint vs anchor A/B read 0.88x (OPTIMIZATION_r14.md).
+    sr = shingle_rows(docs, n).localCheckpoint(eager=False)
     # count("s") not count(1): s (concat_ws output) is never null so the
     # counts are identical, but consuming s keeps the size branch's
     # column set equal to the join probe's below the anchor — the
@@ -581,11 +584,13 @@ def minhash_lsh_pairs(
     verification — and the 126-permutation signature aggregate TWICE
     (once per join side), because the expensive compute sat above the
     highest shared exchange where Spark's reuse machinery cannot see
-    it. Two explicit keyed exchanges fix both:
-    - `sr.repartition("doc_id")` anchors the distinct shingle rows; the
-      signature aggregate and the verification join are its two
-      consumers (both need the doc_id clustering, so neither adds an
-      exchange of its own);
+    it. Two materialization points fix both:
+    - the distinct shingle rows are lazily localCheckpoint'ed — one
+      computation for the signature aggregate and the verification
+      join (an explicit repartition("doc_id") anchor is a silent
+      no-op: the distinct's output is already hash(doc_id)-partitioned
+      so the optimizer removes it, and the checkpoint also beat it for
+      the shuffle twin, 0.86x);
     - `bands.repartition("band","bh")` anchors the band index; both
       sides of the candidate self-join read the one materialized
       shuffle (which the join needs on exactly that key anyway).
@@ -601,7 +606,7 @@ def minhash_lsh_pairs(
     satisfies doc_a < doc_b, which a null doc_id can never do."""
     sr = shingle_rows(
         docs.filter(F.col("doc_id").isNotNull()), n
-    ).repartition("doc_id")
+    ).localCheckpoint(eager=False)
     bands = lsh_band_index(docs, n, sr=sr).repartition("band", "bh")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -824,16 +829,17 @@ def jaccard_prefix_pairs(
     def _fceil(x):
         return F.ceil(x - F.lit(_EPS))
 
-    # r14 optimization: one anchored shingle table for the FIVE
+    # r14 optimization: ONE materialized shingle table for the FIVE
     # consumer branches (df ranking, the ranked join probe, both
-    # verification sides, and the prefix self-join) — same recipe as
-    # minhash_lsh_pairs: doc_id-notnull symmetry filter (output-
-    # invariant: pairs require doc_a < doc_b), keyed anchor exchange,
-    # and count("doc_id") so the frequency branch consumes the same
-    # columns as every other branch (pruning symmetry).
+    # verification sides, and the prefix self-join) via a lazy
+    # localCheckpoint — the checkpoint-vs-recompute A/B read 0.74x
+    # (OPTIMIZATION_r14.md; a repartition("doc_id") anchor is a silent
+    # no-op on the already-doc_id-partitioned distinct). The
+    # doc_id-notnull filter is output-invariant (pairs require
+    # doc_a < doc_b) and count("doc_id") == count(1) under it.
     sr = shingle_rows(
         docs.filter(F.col("doc_id").isNotNull()), n
-    ).repartition("doc_id")
+    ).localCheckpoint(eager=False)
     df_freq = sr.groupBy("s").agg(F.count("doc_id").alias("df"))
     ranked = (
         sr.join(df_freq, "s")
