@@ -1288,43 +1288,24 @@ def line_dedup(
     sort_array(collect_list(...)) bounded by DOCUMENT size, the same
     bound dedup_spans_remove rides.
     """
-    # r14 optimization: anchor the line rows below ONE hash(line_h)
-    # Exchange. The boilerplate aggregate and the join probe are the
-    # two consumers; previously each re-ran the upstream line synthesis
-    # (lineify's posexplode over every document) from scratch. The
-    # aggregate was already shuffling every line row on the digest, so
-    # the explicit exchange adds no bytes — it removes one full
-    # line-splitting pass, and the df>=max_df join becomes
-    # co-partitioned on line_h. Three details exist ONLY to keep the
-    # two branches canonically identical (the precondition for
-    # exchange/stage reuse — each was measured to defeat it alone):
-    # - line_h is NON-NULLABLE (null lines get a sentinel that no md5
-    #   hex string can collide with), so the left join cannot infer an
-    #   isnotnull(line_h) filter into just the aggregate branch;
-    # - the df aggregate goes through a per-(line_h, doc_id) pre-
-    #   aggregate whose min(struct(line_no, line)) CONSUMES the payload
-    #   columns, keeping column pruning symmetric with the probe (the
-    #   always-true _w filter conjunct stops the optimizer pruning it);
-    # - null lines are kept by an explicit line-is-null override in the
-    #   reassembly (they previously never matched the join; the
-    #   sentinel group could now be flagged), so the output is
-    #   identical for EVERY input, null lines included.
-    h = F.coalesce(F.md5(F.col(line_col)), F.lit("__null_line__")).alias(
-        "line_h"
-    )
+    # r14 optimization: materialize the line rows ONCE per run (lazy
+    # localCheckpoint) — the boilerplate aggregate and the join probe
+    # previously each re-ran the upstream line synthesis (lineify's
+    # posexplode over every document) from scratch. The checkpoint
+    # measured 0.82x vs recompute and a further 0.92x vs the
+    # exchange-anchor form, while needing none of the anchor's
+    # canonicalization scaffolding (OPTIMIZATION_r14.md).
+    h = F.md5(F.col(line_col)).alias("line_h")
     keyed = lines.select(
         F.col(doc_col).alias("doc_id"),
         F.col(order_col).alias("line_no"),
         F.col(line_col).alias("line"),
         h,
-    ).repartition("line_h")
-    per_doc = keyed.groupBy("line_h", "doc_id").agg(
-        F.min(F.struct("line_no", "line")).alias("_w")
-    )
+    ).localCheckpoint(eager=False)
     boiler = (
-        per_doc.groupBy("line_h")
-        .agg(F.count("doc_id").alias("df"), F.min("_w").alias("_w2"))
-        .filter((F.col("df") >= max_df) & F.col("_w2").isNotNull())
+        keyed.groupBy("line_h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= max_df)
         .select("line_h")
         .withColumn("__boiler__", F.lit(True))
     )
@@ -1335,7 +1316,6 @@ def line_dedup(
     elif broadcast != "auto":
         raise ValueError(f"bad broadcast: {broadcast}")
     flagged = keyed.join(boiler, "line_h", "left")
-    keep = lambda s: s["__boiler__"].isNull() | s["line"].isNull()
     return (
         flagged.groupBy("doc_id")
         .agg(
@@ -1347,24 +1327,17 @@ def line_dedup(
                                 F.struct("line_no", "__boiler__", "line")
                             )
                         ),
-                        keep,
+                        lambda s: s["__boiler__"].isNull(),
                     ),
                     lambda s: s["line"],
                 ),
                 line_sep,
             ).alias("text_clean"),
             F.sum(
-                F.when(
-                    F.col("__boiler__").isNull() | F.col("line").isNull(),
-                    1,
-                ).otherwise(0)
+                F.when(F.col("__boiler__").isNull(), 1).otherwise(0)
             ).cast("long").alias("kept_lines"),
             F.sum(
-                F.when(
-                    F.col("__boiler__").isNotNull()
-                    & F.col("line").isNotNull(),
-                    1,
-                ).otherwise(0)
+                F.when(F.col("__boiler__").isNotNull(), 1).otherwise(0)
             ).cast("long").alias("dropped_lines"),
         )
     )
