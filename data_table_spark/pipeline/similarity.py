@@ -222,7 +222,13 @@ def lsh_pairs(
     continuous through 0.45 — see SCALE.md). Exact baseline + oracle
     duty: cosine_pairs."""
     tables = _hyperplanes(dim, n_tables, n_planes)
-    corpus = _corpus(emb, batched_norm=True)
+    # r14 optimization: three consumers (the bucket index and both
+    # verification vector fetches) each re-ran the corpus prep — and
+    # its Arrow-batched norm is a Python round-trip per run. One lazy
+    # localCheckpoint materializes it once per invocation (consumers
+    # prune heterogeneous columns, so the exchange-anchor form cannot
+    # canonicalize — same reasoning as semdedup's assignment).
+    corpus = _corpus(emb, batched_norm=True).localCheckpoint(eager=False)
     # SLIM candidate generation: only (tbl, bucket, vec_id) flows through
     # the bucket self-join — never the vectors. Carrying both dim-sized
     # arrays through the candidate shuffle multiplies its payload by
