@@ -222,6 +222,11 @@ def tfidf_topterms(
     """
     toks = tokens_col(text_col)
     exploded = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    # r14: lazy-checkpointing tf (consumed by the doc-freq rollup and
+    # the scoring probe) measured flat at sf0.1 and 2.15x WORSE at sf1
+    # in the interleaved A/B — the (doc, term) table grows with the
+    # corpus, so the materialization barrier costs more than re-running
+    # the map-side-combined aggregate. Left as-is.
     tf = exploded.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -381,6 +386,11 @@ def bigram_lm_scores(
     # table (c2 = sum k over docs, c1 = sum c2 over w2), so occurrence
     # rows are shuffled exactly once; the two corpus aggregates run on
     # type-level rows
+    # r14: a lazy-checkpoint of this table (consumed by the corpus-count
+    # rollup and the scoring probe) measured 1.13x WORSE in the
+    # interleaved A/B — the duplicated branches are map-side-combined
+    # aggregates over type-level rows, cheaper to recompute than to
+    # materialize. Left as-is (anchor precondition 3 also fails here).
     db = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
     c2 = db.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))

@@ -524,8 +524,21 @@ def q_embedding_lsh_pairs(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].df
-    approx = lsh_pairs(emb, threshold=0.4505, n_tables=16, n_planes=4)
-    exact = cosine_pairs(emb, threshold=0.4505).select("vec_a", "vec_b")
+    # r14: `exact` (the O(n²) block-grid baseline) is consumed three
+    # times (count, semi-probe, anti-probe) and `approx` (the LSH
+    # candidate join) twice — and none of the duplication is exchange-
+    # reusable (the probes broadcast `exact` and STREAM `approx`, the
+    # counts aggregate). Both outputs are pair-sized (hundreds of
+    # rows); one lazy materialization each removes whole corpus-scale
+    # passes.
+    approx = lsh_pairs(
+        emb, threshold=0.4505, n_tables=16, n_planes=4
+    ).localCheckpoint(eager=False)
+    exact = (
+        cosine_pairs(emb, threshold=0.4505)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)
+    )
     ex_n = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     hit_n = approx.join(exact, ["vec_a", "vec_b"], "left_semi").agg(
         F.count(F.lit(1)).alias("hits")
@@ -554,7 +567,13 @@ def _ann_recall_result(approx, exact, bound: float):
     """Aggregate recall@k of an ANN result against the exact top-k:
     (n_queries, recall_ok). n_queries counts queries the ANN path
     actually answered (a broken bucket join drops queries → row-count /
-    hash mismatch); recall_ok asserts total hits >= bound · |exact|."""
+    hash mismatch); recall_ok asserts total hits >= bound · |exact|.
+
+    r14: lazy-checkpointing both inputs (each consumed twice: semi-join
+    + own count) measured WORSE in the interleaved A/B (lsh_ann 1.12x,
+    sq8 1.17x, ivf/pq/ivfpq flat) — the candidate pipelines end in
+    small top-k tables whose recomputation is cheaper than the
+    materialization barrier. Left as-is."""
     hits = approx.join(
         exact.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],
