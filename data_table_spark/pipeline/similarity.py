@@ -615,20 +615,41 @@ def pq_encode(
     try:
         dim = len(c.select("v").first()["v"])
         sub = dim // m
-        assigned = c
-        centroids = []
-        for s in range(m):
+
+        # r14: the m subspace fits are INDEPENDENT — each consumes only
+        # its own slice of the cached corpus (KMeans reads featuresCol
+        # alone, so fitting on `c` instead of the accumulating
+        # `assigned` feeds it the same rows, same partition layout,
+        # same seed => bit-identical centroids; verified by exact
+        # output comparison at sf0.001/0.01/0.1). Submitting them from
+        # driver threads overlaps their many tiny jobs (each fit is
+        # ~a dozen 8-task jobs — pure scheduler latency when run
+        # back-to-back), collapsing training wall time from the sum of
+        # the fits to roughly the longest one.
+        def _fit(s: int):
             sl = F.slice(F.col("v"), s * sub + 1, sub)
-            feat = assigned.withColumn("fv", array_to_vector(sl))
+            feat = c.withColumn("fv", array_to_vector(sl))
             km = KMeans(
                 k=k_centroids, seed=seed + s, featuresCol="fv",
                 predictionCol=f"c{s}", maxIter=10, initMode="random",
             )
-            model = km.fit(feat)
-            assigned = model.transform(feat).drop("fv")
-            centroids.append(
-                [list(map(float, ct)) for ct in model.clusterCenters()]
-            )
+            return km.fit(feat)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=m) as ex:
+            models = list(ex.map(_fit, range(m)))
+
+        assigned = c
+        for s, model in enumerate(models):
+            sl = F.slice(F.col("v"), s * sub + 1, sub)
+            assigned = model.transform(
+                assigned.withColumn("fv", array_to_vector(sl))
+            ).drop("fv")
+        centroids = [
+            [list(map(float, ct)) for ct in model.clusterCenters()]
+            for model in models
+        ]
         # materialize the full code table off the cached lineage before
         # unpersisting (16 chained transforms over the cache)
         assigned = assigned.localCheckpoint(eager=True)
@@ -804,17 +825,25 @@ def ivfpq_ann_topk(
     if rerank is None:
         rerank = 8 * k
 
-    # coarse quantizer (IVF): cell per corpus vector
+    # coarse quantizer (IVF): cell per corpus vector. The coarse fit
+    # and the PQ training are independent (r14) — overlapping them in
+    # two driver threads hides the shorter behind the longer without
+    # touching either's input, seed, or partitioning (outputs
+    # bit-identical to the sequential order).
+    from concurrent.futures import ThreadPoolExecutor
+
     c = _corpus(emb)
     feat = c.withColumn("fv", array_to_vector(F.col("v")))
     km = KMeans(k=n_centroids, seed=42, featuresCol="fv",
                 predictionCol="cell")
-    model = km.fit(feat)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        coarse_fut = ex.submit(km.fit, feat)
+        pq_fut = ex.submit(pq_encode, emb, m, k_centroids)
+        model = coarse_fut.result()
+        # fine quantizer (PQ): code table + cell id, no full vectors
+        encoded, centroids = pq_fut.result()
     cells = model.transform(feat).select("vec_id", "cell")
     centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
-
-    # fine quantizer (PQ): code table + cell id, no full vectors
-    encoded, centroids = pq_encode(emb, m=m, k_centroids=k_centroids)
     sub = len(centroids[0][0])
     coded = encoded.select(
         "vec_id", "nrm", *[f"c{s}" for s in range(m)]

@@ -2308,6 +2308,32 @@ def test_kmeans_deterministic_and_margin(spark, tables):
         kmeans_assign(emb, k=0)
 
 
+def test_pq_encode_parallel_fit_determinism(spark, tables):
+    """pq_encode (r14): the m subspace KMeans fits run concurrently
+    from driver threads — seeds, data and partitioning are unchanged,
+    so two invocations must produce identical centroids AND identical
+    code tables (catches any thread-scheduling nondeterminism the
+    parallel submission could introduce). Codes must also be valid
+    indices into the returned centroid tables."""
+    from data_table_spark.pipeline.similarity import pq_encode
+
+    emb = tables["embeddings"].df
+    enc1, cents1 = pq_encode(emb, m=8, k_centroids=16)
+    enc2, cents2 = pq_encode(emb, m=8, k_centroids=16)
+    assert cents1 == cents2
+    rows1 = sorted(
+        (r.asDict() for r in enc1.collect()), key=lambda d: d["vec_id"]
+    )
+    rows2 = sorted(
+        (r.asDict() for r in enc2.collect()), key=lambda d: d["vec_id"]
+    )
+    assert rows1 == rows2
+    assert len(cents1) == 8 and all(len(t) == 16 for t in cents1)
+    for r in rows1:
+        for s in range(8):
+            assert 0 <= r[f"c{s}"] < 16
+
+
 def test_semdedup_prune_keepfirst(spark):
     """semdedup_prune on a constructed corpus: near-identical vectors
     land in one cluster and only the lowest id survives; a same-cluster
