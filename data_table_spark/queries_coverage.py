@@ -729,15 +729,25 @@ def q_quantiles(spark, sf_dir):
     """,
 )
 def q_cogroup(spark, sf_dir):
-    """Cogrouped applyInPandas: per customer key, pandas sees the
-    customer row AND all their orders and emits a custom summary row —
-    arbitrary two-table per-key logic (the oracle is the equivalent
-    relational join+agg). Decimal-exact spend via pandas Decimal sum."""
+    """Cogrouped per-key map: for each customer key the function sees
+    the customer row AND all their orders and emits a custom summary
+    row — arbitrary two-table per-key logic (the oracle is the
+    equivalent relational join+agg). Decimal-exact spend via Python
+    Decimal sum (exact, hence order-independent).
+
+    Runs on the Arrow twin (`cogroup().applyInArrow`): the measured
+    decomposition showed the applyInPandas cogroup machinery alone
+    (per-key Arrow→pandas conversion of BOTH sides + per-key pandas
+    result serialization, ~15k keys at sf0.1) cost 20.3s of the 25.9s
+    query, while the identical per-key logic on pyarrow Tables runs in
+    3.8s — the guide-§4 boundary cost, not the fn. The pandas cogroup
+    surface stays exercised by `cogroup_apply` (unit tests) and the
+    pandas dogroups path by `dogroups_udtf`."""
     from decimal import Decimal
 
-    import pandas as pd
+    import pyarrow as pa
 
-    from .operators.grouping import cogroup_apply
+    from .operators.grouping import cogroup_apply_arrow
 
     t = load_tables(spark, sf_dir)
     cust = t["customer"].query(j=["c_custkey", "c_mktsegment"])
@@ -745,25 +755,37 @@ def q_cogroup(spark, sf_dir):
     cust = cust.setnames({"c_custkey": "custkey"})
     orders = orders.setnames({"o_custkey": "custkey"})
 
-    def fn(key, cp, op):
-        if len(cp) == 0:
-            return pd.DataFrame(
-                columns=["custkey", "segment", "n_orders", "total_spend"]
-            )
+    empty = pa.table(
+        {
+            "custkey": pa.array([], pa.int64()),
+            "segment": pa.array([], pa.string()),
+            "n_orders": pa.array([], pa.int64()),
+            "total_spend": pa.array([], pa.float64()),
+        }
+    )
+
+    def fn(key, ct, ot):
+        if ct.num_rows == 0:
+            return empty
         spend = sum(
-            (Decimal(str(round(v, 4))) for v in op["o_totalprice"]),
+            (
+                Decimal(str(round(v, 4)))
+                for v in ot.column("o_totalprice").to_pylist()
+            ),
             Decimal(0),
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "custkey": [key[0]],
-                "segment": [cp["c_mktsegment"].iloc[0]],
-                "n_orders": [len(op)],
-                "total_spend": [float(spend)],
+                "custkey": pa.array([ct.column("custkey")[0].as_py()],
+                                    pa.int64()),
+                "segment": pa.array([ct.column("c_mktsegment")[0].as_py()],
+                                    pa.string()),
+                "n_orders": pa.array([ot.num_rows], pa.int64()),
+                "total_spend": pa.array([float(spend)], pa.float64()),
             }
         )
 
-    out = cogroup_apply(
+    out = cogroup_apply_arrow(
         cust, orders, by=["custkey"], fn=fn,
         schema="custkey bigint, segment string, n_orders bigint,"
         " total_spend double",

@@ -96,6 +96,24 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spread_stream(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of pipeline.dedup.spread(): a file-source
+    micro-batch arrives with ONE partition per input file, which
+    serializes every stateless expression-heavy stage (shingling,
+    positional grams, signatures) onto one core until the first
+    shuffle — measured 20s of stream_neardup_screen's 27s at bench SF.
+    One round-robin repartition to the session's BUILD-TIME shuffle
+    parallelism spreads that work; the partition count is resolved
+    here, so run_available_now()'s small state-store override (4)
+    still applies to the stateful operators downstream. (A streaming
+    DataFrame cannot probe .rdd.getNumPartitions(), hence no
+    already-parallel short-circuit; at production ingest the batch is
+    many files and the extra stateless shuffle is the standard price
+    of balancing map work across the cluster.)"""
+    target = int(sdf.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return sdf.repartition(target)
+
+
 def stream_decontaminate(
     docs_stream: DataFrame, bench_grams: DataFrame, n: int = 4
 ) -> DataFrame:
@@ -111,7 +129,7 @@ def stream_decontaminate(
     side)."""
     from ..pipeline.text import tokens_col, word_shingles
 
-    ex = docs_stream.select(
+    ex = spread_stream(docs_stream).select(
         "doc_id", F.explode(word_shingles(tokens_col("text"), n)).alias("s")
     )
     return (
@@ -161,7 +179,7 @@ def stream_span_screen(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:bigint,g:string>>"))
-    ex = docs_stream.select(
+    ex = spread_stream(docs_stream).select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.explode(grams).alias("m"),
@@ -253,9 +271,16 @@ def stream_neardup_screen(
             out.append(((A * hh + B) % _P31).min(axis=1))
         return pd.Series(out)
 
-    s = docs_stream.select(
-        "doc_id", word_shingles(tokens_col("text"), n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # equivalent to filtering size(sh) > 0 AFTER shingling (shingles are
+    # nonempty iff the doc has >= n tokens), but phrased on the raw
+    # token count so the predicate that Catalyst pushes below the
+    # spread_stream repartition is the cheap split+size, not a full
+    # word_shingles evaluation on the unspread single-file partition
+    # (measured: the pushed-down size(sh)>0 form re-ran the shingle
+    # assembly serially and cost ~8s of this query at bench SF)
+    s = spread_stream(
+        docs_stream.filter(F.size(tokens_col("text")) >= F.lit(n))
+    ).select("doc_id", word_shingles(tokens_col("text"), n).alias("sh"))
     hs = F.transform(F.col("sh"), lambda x: F.xxhash64(x).bitwiseAND(F.lit(_P31)))
     sig = s.select("doc_id", "sh", _sig(hs).alias("sig"))
     bb = F.explode(

@@ -126,3 +126,157 @@ def test_minhash_null_docid_invariance(spark):
         for r in minhash_lsh_pairs(_docs(spark, with_null), 0.8).collect()
     }
     assert p1 == p2 == {(1, 2)}
+
+
+def test_word_shingles_nonempty_iff_token_count(spark):
+    """Pins the stream_neardup_screen pre-filter rewrite: the pushed
+    predicate `size(tokens) >= n` admits EXACTLY the rows the old
+    post-shingle `size(sh) > 0` filter admitted — word_shingles is
+    empty iff the doc has fewer than n tokens (null/empty text rows
+    fail both forms)."""
+    from data_table_spark.pipeline.text import tokens_col, word_shingles
+
+    n = 3
+    rows = [
+        (1, "a b c d"),      # > n tokens
+        (2, "a b c"),        # exactly n
+        (3, "a b"),          # n - 1
+        (4, ""),             # empty text
+        (5, None),           # null text
+        (6, "   a   b   c   "),  # padded whitespace, exactly n
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = tokens_col("text")
+    old = {
+        r.doc_id
+        for r in df.select(
+            "doc_id", word_shingles(toks, n).alias("sh")
+        ).filter(F.size("sh") > 0).collect()
+    }
+    new = {
+        r.doc_id
+        for r in df.filter(F.size(toks) >= F.lit(n)).collect()
+    }
+    assert old == new == {1, 2, 6}
+
+
+def test_spread_stream_is_row_preserving(spark):
+    """spread_stream is a pure round-robin repartition: the streaming
+    result through it is the exact row multiset of the batch input."""
+    import tempfile
+
+    from data_table_spark.streaming import (
+        DOCUMENTS_SCHEMA,
+        run_available_now,
+        spread_stream,
+    )
+
+    rows = [
+        (i, f"text {i} body words", "en", "src", 20) for i in range(25)
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/docs")
+        stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(
+            f"{d}/docs"
+        )
+        out = run_available_now(
+            spread_stream(stream), output_mode="append"
+        ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, docs.collect()))
+
+
+def test_cogroup_arrow_query_fn_matches_pandas_twin(spark):
+    """Pins the q_cogroup pandas->Arrow switch: the Arrow per-key fn
+    (pyarrow Tables, Python-Decimal spend sum) emits the SAME rows as
+    the pandas form it replaced, including the customer-with-no-orders
+    and orders-with-no-customer key shapes."""
+    from decimal import Decimal
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from data_table_spark.operators.grouping import (
+        cogroup_apply,
+        cogroup_apply_arrow,
+    )
+    from data_table_spark.core import as_data_table
+
+    cust = as_data_table(
+        spark.createDataFrame(
+            [(1, "AUTO"), (2, "BLDG"), (3, "MACH")],
+            "custkey long, c_mktsegment string",
+        )
+    )
+    orders = as_data_table(
+        spark.createDataFrame(
+            [(1, 10.1234), (1, 20.5), (3, 0.0001), (9, 5.0)],
+            "custkey long, o_totalprice double",
+        )
+    )
+    schema = (
+        "custkey bigint, segment string, n_orders bigint,"
+        " total_spend double"
+    )
+
+    def fn_pd(key, cp, op):
+        if len(cp) == 0:
+            return pd.DataFrame(
+                columns=["custkey", "segment", "n_orders", "total_spend"]
+            )
+        spend = sum(
+            (Decimal(str(round(v, 4))) for v in op["o_totalprice"]),
+            Decimal(0),
+        )
+        return pd.DataFrame(
+            {
+                "custkey": [key[0]],
+                "segment": [cp["c_mktsegment"].iloc[0]],
+                "n_orders": [len(op)],
+                "total_spend": [float(spend)],
+            }
+        )
+
+    empty = pa.table(
+        {
+            "custkey": pa.array([], pa.int64()),
+            "segment": pa.array([], pa.string()),
+            "n_orders": pa.array([], pa.int64()),
+            "total_spend": pa.array([], pa.float64()),
+        }
+    )
+
+    def fn_pa(key, ct, ot):
+        if ct.num_rows == 0:
+            return empty
+        spend = sum(
+            (
+                Decimal(str(round(v, 4)))
+                for v in ot.column("o_totalprice").to_pylist()
+            ),
+            Decimal(0),
+        )
+        return pa.table(
+            {
+                "custkey": pa.array(
+                    [ct.column("custkey")[0].as_py()], pa.int64()
+                ),
+                "segment": pa.array(
+                    [ct.column("c_mktsegment")[0].as_py()], pa.string()
+                ),
+                "n_orders": pa.array([ot.num_rows], pa.int64()),
+                "total_spend": pa.array([float(spend)], pa.float64()),
+            }
+        )
+
+    a = sorted(
+        map(tuple, cogroup_apply(cust, orders, ["custkey"], fn_pd, schema).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            cogroup_apply_arrow(cust, orders, ["custkey"], fn_pa, schema).collect(),
+        )
+    )
+    assert a == b
+    assert [r[0] for r in b] == [1, 2, 3]  # custkey 9 has no customer row
