@@ -252,6 +252,49 @@ def foverlaps_bucketed(
     return DT(out, order_by=x.order_by)
 
 
+def _merge_ranges(
+    rdf, lower: str, upper: str, keys: Sequence[str], incbounds: bool
+):
+    """Disjoint interval union of a ranges table, per key group — the
+    inrange pre-pass (see inrange docstring for the invariance
+    argument). Classic sweep: sort by (lo, hi), a range starts a new
+    merge group iff its lo clears the running max of all PRIOR his
+    (strictly above for incbounds — touching endpoints share the
+    closed point x = b; at-or-above for exclusive bounds — (a,b),(b,c)
+    exclude x = b, so they must NOT merge), then one (group) aggregate
+    takes min(lo)/max(hi). Empty ranges (lo > hi, or lo >= hi when
+    exclusive) and NULL bounds/keys match nothing under either
+    predicate form and are dropped up front — also what keeps the
+    running-max comparison two-valued."""
+    from pyspark.sql import Window as _W
+
+    lo, hi = F.col(lower), F.col(upper)
+    valid = lo.isNotNull() & hi.isNotNull() & (
+        (lo <= hi) if incbounds else (lo < hi)
+    )
+    for k in keys:
+        valid = valid & F.col(k).isNotNull()
+    r = rdf.select(*keys, lower, upper).filter(valid)
+    order = _W.partitionBy(*keys).orderBy(lower, upper)
+    prev_max = F.max(hi).over(
+        order.rowsBetween(_W.unboundedPreceding, -1)
+    )
+    new_grp = F.when(
+        prev_max.isNull()
+        | ((lo > prev_max) if incbounds else (lo >= prev_max)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    grp = F.sum(new_grp).over(
+        order.rowsBetween(_W.unboundedPreceding, 0)
+    )
+    return (
+        r.withColumn("__grp__", grp)
+        .groupBy(*keys, "__grp__")
+        .agg(F.min(lo).alias(lower), F.max(hi).alias(upper))
+        .drop("__grp__")
+    )
+
+
 def inrange(
     dt: DT,
     col: str,
@@ -276,9 +319,29 @@ def inrange(
     BroadcastNestedLoopJoin, and semi-join semantics make the
     replicated matches free (no dedup needed). Pick a width on the
     order of the typical range length, as for foverlaps_bucketed.
+
+    r14 optimization (broadcast path only): the ranges are pre-merged
+    into their DISJOINT interval union per key group before the join.
+    Membership in ANY range depends only on the union of the ranges,
+    so the output is invariant (pinned by
+    test_inrange_merged_equals_naive); what changes is the
+    BroadcastNestedLoopJoin's inner loop — |merged| disjoint intervals
+    instead of |ranges| overlapping ones. On the declared inrange_semi
+    the ~3.6k overlapping [size, size+2] ranges collapse to ONE
+    interval (measured 9.1s -> sub-second at sf0.1; the bound at scale
+    is rows x disjoint-intervals instead of rows x ranges). Touching
+    endpoints merge only under incbounds (x = b is in [a,b] u [b,c]
+    but NOT in (a,b) u (b,c)); empty and NULL-bound ranges match
+    nothing and are dropped. The merge itself is two windows + one
+    aggregate over the RANGES side, which this path already declares
+    broadcastable-small; the bucketed big-big path is untouched (a
+    global sort of an unbroadcastable ranges table is the exact
+    anti-pattern this operator's bucketing avoids).
     """
     keys = _namelist(keys)
     xdf, rdf = dt.df, ranges.df
+    if bucket_width is None:
+        rdf = _merge_ranges(rdf, lower, upper, keys, incbounds)
     if bucket_width is not None:
         if bucket_width <= 0:
             raise ValueError("bucket_width must be > 0")

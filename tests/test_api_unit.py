@@ -1779,6 +1779,64 @@ def test_inrange_bucketed_matches_broadcast(spark):
         inrange(x, "v", r, "lo", "hi", bucket_width=0)
 
 
+def test_inrange_merged_equals_naive(spark):
+    """The r14 disjoint-interval-union pre-pass is output-invariant:
+    inrange == the naive per-range semi join on adversarial ranges —
+    touching endpoints (merge iff incbounds: x = 5 is in [3,5] u [5,8]
+    but not in (3,5) u (5,8)), nested, duplicated, empty (lo > hi) and
+    NULL-bound ranges, NULL keys — for both bounds modes, keyed and
+    unkeyed. The naive reference is computed row-locally in Python
+    from the same inputs."""
+    from data_table_spark.operators.overlaps import _merge_ranges, inrange
+
+    pts = [(i, i % 2, float(v)) for i, v in enumerate(
+        [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 2, 5, 5, 8, 20]
+    )]
+    rgs = [
+        (0, 3.0, 5.0), (0, 5.0, 8.0),       # touching at 5
+        (0, 1.0, 10.0), (0, 2.0, 4.0),      # nested
+        (0, 3.0, 5.0),                      # duplicate
+        (0, 12.0, 11.0),                    # empty (lo > hi)
+        (0, None, 7.0), (0, 7.0, None),     # NULL bounds
+        (1, 0.0, 1.0), (1, 1.0, 2.0),       # touching chain
+        (1, 6.0, 6.0),                      # degenerate point
+        (None, 0.0, 100.0),                 # NULL key
+    ]
+    x = DT(spark.createDataFrame(pts, "xid int, k int, v double"))
+    r = DT(spark.createDataFrame(rgs, "k int, lo double, hi double"))
+
+    def naive(keyed, inc):
+        keep = set()
+        for xid, xk, v in pts:
+            for rk, lo, hi in rgs:
+                if lo is None or hi is None:
+                    continue
+                if keyed and (rk is None or xk != rk):
+                    continue
+                if (lo <= v <= hi) if inc else (lo < v < hi):
+                    keep.add(xid)
+                    break
+        return sorted(keep)
+
+    for keyed in (False, True):
+        for inc in (False, True):
+            kw = dict(incbounds=inc, **(dict(keys=["k"]) if keyed else {}))
+            got = sorted(
+                row["xid"] for row in inrange(x, "v", r, "lo", "hi", **kw).df.collect()
+            )
+            assert got == naive(keyed, inc), (keyed, inc)
+
+    # and the merge itself produces DISJOINT, sorted-minimal intervals
+    merged = _merge_ranges(r.df, "lo", "hi", ["k"], True).collect()
+    by_k = {}
+    for row in merged:
+        by_k.setdefault(row["k"], []).append((row["lo"], row["hi"]))
+    for k, ivs in by_k.items():
+        ivs.sort()
+        for (al, ah), (bl, bh) in zip(ivs, ivs[1:]):
+            assert ah < bl, (k, ivs)  # strictly disjoint, not even touching
+
+
 def test_suggest_bucket_width(spark):
     """suggest_bucket_width returns the interval-length quantile,
     floored at 1, and plugs into foverlaps_bucketed."""
