@@ -8,6 +8,30 @@ from data_table_spark import get_spark, load_tables
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Driver-verify fast path (see pytest.ini): node ids listed in
+# slow_tests.txt (the measured >=5s tail of the full run) get the
+# `slow` marker at collection time, and the default `-m "not slow"`
+# deselects them. Tests may also carry @pytest.mark.slow directly.
+_SLOW_LIST = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    try:
+        with open(_SLOW_LIST) as fh:
+            slow_ids = {
+                ln.strip() for ln in fh
+                if ln.strip() and not ln.startswith("#")
+            }
+    except FileNotFoundError:
+        return
+    # node ids in the list are rootdir-relative ("tests/test_x.py::t");
+    # normalize both sides to "<basename>::<test>" so the match holds
+    # regardless of the invocation directory
+    norm = {i.split("/")[-1] for i in slow_ids}
+    for item in items:
+        if item.nodeid.split("/")[-1] in norm:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():
