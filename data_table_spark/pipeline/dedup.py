@@ -982,9 +982,31 @@ def cc_star_labels(
     "local" (default, executor-local, not fault-tolerant) or
     "reliable" (distributed checkpoint dir, survives executor loss;
     the 100 TB posture). Labels are identical either way — the mode
-    only changes where the per-round lineage cut is materialized."""
+    only changes where the per-round lineage cut is materialized.
+
+    Round shape (r15 optimization, guide §2.4 — VERDICT r14 item 6,
+    "reduce per-round driver synchronization / fuse the star steps"):
+    each star step computes its neighborhood minimum with a WINDOW
+    aggregate over the edge partition key instead of groupBy+join —
+    one hash exchange per step instead of an exchange for the
+    aggregate plus the join's — and only the END of the round
+    deduplicates (the star-output sets are provably identical with or
+    without the two intermediate ``distinct``s: min() is
+    duplicate-insensitive and the final ``distinct`` collapses both
+    halves). In "local" mode the per-round lineage cut is LAZY, so the
+    convergence-signature aggregate doubles as the materializing
+    action: one Spark job per round instead of checkpoint-job +
+    signature-job. Same edge sets, same signature, same labels, same
+    round count — pinned by test_cc_star_round_shape_equivalence."""
     ckpt = _cc_checkpointer(edges, checkpoint_mode, checkpoint_dir)
-    e = ckpt(
+    if checkpoint_mode == "local":
+        # lazy cut: the signature aggregate right below materializes it
+        _cut = lambda df: df.localCheckpoint(eager=False)
+    else:
+        _cut = ckpt
+    from pyspark.sql import Window as _W
+
+    e = _cut(
         edges.select(
             F.greatest("doc_a", "doc_b").alias("u"),
             F.least("doc_a", "doc_b").alias("v"),
@@ -996,27 +1018,38 @@ def cc_star_labels(
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        # large-star over the symmetrized list
+        # large-star over the symmetrized list: every strictly-larger
+        # neighbor reattaches to the closed-neighborhood minimum
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
+        m_ls = F.least(F.min("v").over(_W.partitionBy("u")), F.col("u"))
         e = (
-            sym.join(mins, "u")
+            sym.withColumn("m", m_ls)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
-        # small-star on the high->low directed form
+        # small-star on the high->low directed form: each row emits its
+        # neighbor edge (v, m) and its node edge (u, m); duplicates from
+        # both halves collapse in the single end-of-round distinct
         d = e.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
-        mins = d.groupBy("u").agg(F.min("v").alias("m"))
-        e = ckpt(
-            d.join(mins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins.select("u", F.col("m").alias("v")))
+        )
+        m_ss = F.min("v").over(_W.partitionBy("u"))
+        e = _cut(
+            d.withColumn("m", m_ss)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("v").alias("u"), F.col("m").alias("v")
+                        ),
+                        F.struct(
+                            F.col("u").alias("u"), F.col("m").alias("v")
+                        ),
+                    )
+                ).alias("uv")
+            )
+            .select("uv.u", "uv.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )

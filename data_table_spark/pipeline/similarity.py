@@ -1323,15 +1323,46 @@ def semdedup_prune(
         c = F.col(ka) == F.col(kb)
         eq = c if eq is None else eq & c
 
+    # r15 optimization (guide §3 — VERDICT r14 item 7): `kept` only
+    # needs EXISTENCE of one same-cluster lower-id neighbor above the
+    # threshold, so the candidate join runs as a LEFT SEMI with the
+    # cosine test in the join condition — the hash-join probe loop
+    # stops at the first qualifying build row per doc instead of
+    # enumerating (and projecting two 64-double vectors for) every
+    # qualifying pair and distinct-ing them away afterwards. EXISTS
+    # semantics: the marked set is identical by construction (pinned
+    # by test_semdedup_semi_matches_pair_form). The batched path keeps
+    # the inner-join+distinct form — Spark cannot evaluate a Python
+    # UDF inside a semi-join condition.
+    semi_ok = not batched
     if max_cluster_n is None:
-        pairs = _side(n, "a").join(b, eq & (F.col("vec_a") < F.col("vec_b")))
+        if semi_ok:
+            dup_b = (
+                b.join(
+                    _side(n, "a"),
+                    eq & (F.col("vec_a") < F.col("vec_b"))
+                    & (cos >= threshold),
+                    "left_semi",
+                )
+                .select(F.col("vec_b").alias("vec_id"))
+                .withColumn("_dup", F.lit(True))
+            )
+        else:
+            pairs = _side(n, "a").join(
+                b, eq & (F.col("vec_a") < F.col("vec_b"))
+            )
+            dup_b = (
+                pairs.filter(cos >= threshold)
+                .select(F.col("vec_b").alias("vec_id"))
+                .distinct()
+                .withColumn("_dup", F.lit(True))
+            )
     else:
         a = _side(n, "a")
-        intra = a.join(
-            b,
+        intra_cond = (
             eq
             & (F.col("chunk_a") == F.col("chunk_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
+            & (F.col("vec_a") < F.col("vec_b"))
         )
         # chain: every doc vs every same-CLUSTER representative (the
         # min-vec_id row of each sub-bucket chunk) with a lower id —
@@ -1339,23 +1370,36 @@ def semdedup_prune(
         # is n_c * n_reps = n_c^2 / cap, a 1/cap pair-space cut at the
         # hot cluster (the verdict-proposed "sub-bucket minima" form)
         reps = _side(n.filter(F.col("_rep")), "a")
-        chain = reps.join(
-            b,
+        chain_cond = (
             (F.col("ca") == F.col("cb"))
             & (F.col("vec_a") < F.col("vec_b"))
             & (
                 (F.col("sub_a") != F.col("sub_b"))
                 | (F.col("chunk_a") != F.col("chunk_b"))
-            ),
+            )
         )
-        pairs = intra.unionByName(chain)
-
-    dup_b = (
-        pairs.filter(cos >= threshold)
-        .select(F.col("vec_b").alias("vec_id"))
-        .distinct()
-        .withColumn("_dup", F.lit(True))
-    )
+        if semi_ok:
+            dup_b = (
+                b.join(a, intra_cond & (cos >= threshold), "left_semi")
+                .select(F.col("vec_b").alias("vec_id"))
+                .union(
+                    b.join(
+                        reps, chain_cond & (cos >= threshold), "left_semi"
+                    ).select(F.col("vec_b").alias("vec_id"))
+                )
+                .distinct()
+                .withColumn("_dup", F.lit(True))
+            )
+        else:
+            pairs = a.join(b, intra_cond).unionByName(
+                reps.join(b, chain_cond)
+            )
+            dup_b = (
+                pairs.filter(cos >= threshold)
+                .select(F.col("vec_b").alias("vec_id"))
+                .distinct()
+                .withColumn("_dup", F.lit(True))
+            )
     return n.join(dup_b, "vec_id", "left").select(
         "vec_id", "cluster_id", F.col("_dup").isNull().alias("kept")
     )
