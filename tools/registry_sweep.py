@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import force_count  # same timed action as the bench
+from bench import force_count, _release_persisted  # same timed action as the bench
 from data_table_spark import get_spark
 from data_table_spark.queries import QUERIES
 
@@ -31,11 +31,21 @@ def main() -> None:
     reps = 1
     if "--reps" in args:
         i = args.index("--reps")
+        if i + 1 >= len(args):
+            sys.exit("usage: registry_sweep.py [sf_dir] [--reps N] [q1 q2 ...]")
         reps = int(args[i + 1])
         del args[i : i + 2]
+    # a path-looking first arg that is NOT a directory is a typo, not a
+    # query name — fail loudly instead of sweeping a query called "/rooot/…"
+    if args and ("/" in args[0] or args[0].startswith(".")) and not os.path.isdir(args[0]):
+        sys.exit(f"not a directory: {args[0]}")
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     names = args[1:] if args and os.path.isdir(args[0]) else args
     names = names or list(QUERIES)
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"# UNKNOWN (skipped): {' '.join(unknown)}", flush=True)
+        names = [n for n in names if n in QUERIES]
 
     spark = get_spark("registry-sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,6 +68,10 @@ def main() -> None:
                 break
             finally:
                 spark.sparkContext.setJobDescription(None)
+        # same between-entries checkpoint-block hygiene as bench.py
+        # (r15): without it a long one-session sweep contaminates later
+        # entries up to 5x (OPTIMIZATION_r14.md re-opened session)
+        _release_persisted(spark)
         if samples:
             samples.sort()
             med = samples[len(samples) // 2]
