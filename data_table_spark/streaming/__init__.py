@@ -327,6 +327,9 @@ def run_available_now(
     (Trigger.AvailableNow) into a memory sink; return the batch result.
     Unique sink name per call — repeated runs in one session don't
     collide."""
+    import shutil
+    import tempfile
+
     name = name or f"stream_out_{next(_RUN_COUNTER)}"
     spark = sdf.sparkSession
     # harness-only: the state store creates one store per shuffle
@@ -338,17 +341,37 @@ def run_available_now(
         "spark.sql.shuffle.partitions",
         os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"),
     )
+    # r15 (guide §6, VERDICT r14 item 9): the offset/commit logs and
+    # HDFS-backed state-store deltas of even a two-batch AvailableNow
+    # run are a dozen small fsync'd files; with no checkpointLocation
+    # they land on java.io.tmpdir (ext4 on this box, with measured
+    # 70-80ms fsync spikes). Point the throwaway checkpoint at a
+    # memory-backed dir instead — SPARK_GRAFT_STREAM_CKPT overrides,
+    # e.g. a durable path for a real deployment; checkpoint placement
+    # never changes what a query computes, only where its WAL lives.
+    ckpt_root = os.environ.get("SPARK_GRAFT_STREAM_CKPT")
+    if ckpt_root is None and os.path.isdir("/dev/shm"):
+        ckpt_root = "/dev/shm"
+    ckpt_dir = (
+        tempfile.mkdtemp(prefix=f"dts_stream_ckpt_{name}_", dir=ckpt_root)
+        if ckpt_root
+        else None
+    )
     try:
-        q = (
+        w = (
             sdf.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .start()
         )
+        if ckpt_dir is not None:
+            w = w.option("checkpointLocation", ckpt_dir)
+        q = w.start()
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if ckpt_dir is not None:
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
     return spark.table(name)
 
 
