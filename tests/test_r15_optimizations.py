@@ -208,3 +208,37 @@ def test_stream_checkpoint_location_is_result_invariant(spark, tables):
             os.environ["SPARK_GRAFT_STREAM_CKPT"] = old
         shutil.rmtree(tmp, ignore_errors=True)
     assert a == b
+
+
+def test_jaccard_prefix_local_verify_matches_bruteforce(spark, tables):
+    """jaccard_prefix_pairs r15 verification rewrite (array_intersect
+    on per-doc sorted shingle arrays instead of the relational
+    explode-join-aggregate): pin the END-TO-END output against an
+    independent brute-force all-pairs jaccard over the same shingle
+    sets, including bit-identical doubles (|A∩B| is the same exact
+    integer either way, so the one division must agree exactly)."""
+    from data_table_spark.pipeline.dedup import (
+        jaccard_prefix_pairs, shingle_rows,
+    )
+
+    docs = tables["documents"].df
+    got = sorted(
+        map(tuple, jaccard_prefix_pairs(docs, 0.8, 3).collect())
+    )
+
+    sets: dict = {}
+    for doc_id, s in shingle_rows(
+        docs.filter(F.col("doc_id").isNotNull()), 3
+    ).collect():
+        sets.setdefault(doc_id, set()).add(s)
+    ids = sorted(sets)
+    exp = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = float(inter) / float(len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.8:
+                exp.append((a, b, j))
+    assert got == sorted(exp)
