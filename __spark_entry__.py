@@ -35,90 +35,80 @@ def entry(spark: SparkSession) -> DataFrame:
 # tool now prints the post-window histogram too and prose quotes only
 # tool output).
 #
-# Round-13 window = rotate_window.py output for --new = the queries
-# added or code-changed this round: fcase_list (NEW — fcase LIST
-# outputs, tests.Rraw 2127.06/.14/.57) + frank_multi (NEW — frankv
-# multi-column cols=/order=, 2386.05) + fifelse_fcase (fcase 2127
-# literal type contract + lazy short-circuit) + fread_fwrite_roundtrip
-# (fwrite scipen/dec/forceDecimal rendering, ISO sub-second rule 2281;
-# fread dec auto-detection 2256) + join_coerce_int / lookup_join /
-# join_inner / merge_full / anti_join / semi_join / mergelist_fold /
-# mergelist_mixed (_bmerge_coerce empty-vs-all-NA, ADVICE r12) +
-# sdcols_patterns / sdcols_agg (sd_cols invert= by-exclusion, ADVICE
-# r12) + rbindlist_fill (float+int -> double, ADVICE r12) + frank_ties
-# / frank_random / frank_chunked (frank body gained the order= /
-# multi-col dispatch) + setorder_topk (setorder order= mapping, 2385)
-# + tstrsplit_cols (tstrsplit rev=, 2380). Plan-fingerprint diffs at
-# every step: 0 real changes (setindex_bucketed appId-path known-diff
-# only; fcase_list/frank_multi new). Fill = the 30 r8-latest rows,
-# exactly the r12 verdict's prescription.
+# Round-15 window = rotate_window.py output for --new = the 26 queries
+# whose internals changed this optimization round (jaccard_prefix_pairs
+# local verification; the cc_star_labels fused-round consumers —
+# dedup_clusters family, split_leakfree, embedding_dup_clusters,
+# curation pipelines; semdedup_prune/_capped semi-join form; every
+# streaming query — checkpoint relocation + hygiene). Fill = the
+# 24 stalest rows (r10 latest evidence — the VERDICT r14 item-8
+# re-sampling of rows whose driver ground truth aged out).
 # Tool output:
 #
 # # latest-evidence histogram (0 = never driver-checked):
-# #   r0: 2
-# #   r8: 30
-# #   r9: 37
-# #   r10: 35
-# #   r11: 43
-# #   r12: 50
-# # window covers 50 slots; oldest row left outside: r9
-# # POST-window histogram (window rows counted as r13):
-# #   r9: 34
-# #   r10: 35
-# #   r11: 41
-# #   r12: 37
-# #   r13: 50
+# #   r10: 25
+# #   r11: 40
+# #   r12: 34
+# #   r13: 49
+# #   r14: 50
+# # window covers 50 slots; oldest row left outside: r11
+# # POST-window histogram (window rows counted as r15):
+# #   r11: 30
+# #   r12: 31
+# #   r13: 44
+# #   r14: 43
+# #   r15: 50
 _PRIORITY = [
-    "froll_adaptive_var",  # new
-    "duplicated_flag",  # new
-    "froll_adaptive_minmax",  # new
-    "frollapply_adaptive",  # new
-    "ghead_per_group",  # new
-    "mult_first",  # new
-    "mult_last",  # new
-    "fread_fwrite_roundtrip",  # new
-    "asof_roll_backward",  # r9
-    "asof_roll_forward",  # r9
-    "asof_roll_limit",  # r9
-    "asof_roll_nearest",  # r9
-    "asof_roll_rollends",  # r9
-    "cumsum_running",  # r9
-    "dedup_clusters",  # r9
-    "dedup_clusters_star",  # r9
-    "embedding_lsh_pairs",  # r9
-    "fcoalesce_nafill",  # r9
-    "fintersect_all",  # r9
-    "frame_sample_counts",  # r9
-    "froll_mean_sum",  # r9
-    "fsetdiff_all",  # r9
-    "gopher_quality",  # r9
-    "gtail_per_group",  # r9
-    "json_extract_props",  # r9
-    "lsh_ann_topk",  # r9
-    "mutation_let",  # r9
-    "nafill_locf_nocb",  # r9
-    "quantiles_by",  # r9
-    "repetition_metrics",  # r9
-    "rleid_runs",  # r9
-    "rollup_label",  # r9
-    "rowwise_literal",  # r9
-    "semdedup_prune",  # r9
-    "semdedup_prune_capped",  # r9
-    "sequence_packing",  # r9
-    "sessionize_batch",  # r9
-    "shift_lag_lead",  # r9
-    "sketch_distinct_tokens",  # r9
-    "stratified_sample",  # r9
-    "stream_decontaminate",  # r9
-    "stream_dedup",  # r9
-    "bigram_lm_score",  # r10
-    "bm25_topk",  # r10
-    "chgroup_first_appearance",  # r10
-    "chmatch_rank",  # r10
-    "chunk_dedup_pairs",  # r10
-    "dedup_cluster_sizes",  # r10
-    "dedup_exact_ids",  # r10
-    "dogroups_arrow_udtf",  # r10
+    "jaccard_prefix_pairs",  # new
+    "curation_pipeline",  # new
+    "dedup_cluster_sizes",  # new
+    "dedup_clusters",  # new
+    "dedup_clusters_star",  # new
+    "dedup_keep_best",  # new
+    "embedding_dup_clusters",  # new
+    "semdedup_prune",  # new
+    "semdedup_prune_capped",  # new
+    "split_leakfree",  # new
+    "stream_asof_enrich",  # new
+    "stream_decontaminate",  # new
+    "stream_dedup",  # new
+    "stream_neardup_screen",  # new
+    "stream_session_agg",  # new
+    "stream_session_dynamic",  # new
+    "stream_sliding_agg",  # new
+    "stream_span_screen",  # new
+    "stream_stateful_stats",  # new
+    "stream_static_join",  # new
+    "stream_stream_full_join",  # new
+    "stream_stream_join",  # new
+    "stream_stream_left_join",  # new
+    "stream_stream_right_join",  # new
+    "stream_tumbling_agg",  # new
+    "web_curation_pipeline",  # new
+    "eachi_join_agg",  # r10
+    "embedding_centroids",  # r10
+    "foverlaps_end",  # r10
+    "foverlaps_equal",  # r10
+    "froll_adaptive_median",  # r10
+    "froll_adaptive_sum",  # r10
+    "frollapply_corr",  # r10
+    "frollapply_median",  # r10
+    "fsetequal_check",  # r10
+    "funnel_stages",  # r10
+    "gforce_q1",  # r10
+    "ivf_ann_topk",  # r10
+    "jsonl_roundtrip",  # r10
+    "line_dedup_boilerplate",  # r10
+    "melt_narm",  # r10
+    "minhash_lsh_pairs",  # r10
+    "minhash_lsh_shuffle",  # r10
+    "time_parts",  # r10
+    "transpose_small",  # r10
+    "vecseq_expand",  # r10
+    "vocab_topk",  # r10
+    "asof_chunked",  # r11
+    "cbindlist_zip",  # r11
+    "cj_cross",  # r11
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -127,6 +127,19 @@ def main():
                     break
                 finally:
                     _uninstall(tree)
+                    # same between-reps checkpoint-block hygiene as
+                    # bench.py (r15): at sf1 a single jaccard rep
+                    # leaves ~2.6M rows of lazy-localCheckpoint blocks
+                    # behind; 10 interleaved reps without release made
+                    # LATER reps 3-6x slower than an isolated warm run,
+                    # poisoning both sides' medians (outside the timed
+                    # region, applied identically to A and B)
+                    df = sdf = None
+                    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+                    for rid in list(jmap.keySet().toArray()):
+                        rdd = jmap.get(rid)
+                        if rdd is not None:
+                            rdd.unpersist(False)
             if broken:
                 break
         if broken or not ta or not tb:
