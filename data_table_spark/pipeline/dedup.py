@@ -562,7 +562,15 @@ def minhash_lsh_pairs(
       are independent stages Spark runs CONCURRENTLY with the signature
       branch — worth trying on a cluster with idle slots.
     (A persisted-shingles variant loses badly at this SF — persist()
-    disables AQE above the cache and pins 32-partition shuffles.)
+    disables AQE above the cache and pins 32-partition shuffles.
+    NEGATIVE RESULT, r15 session 2: porting jaccard_prefix_pairs' r15
+    row-local array_intersect verify here measured ~1.0x at sf1
+    (interleaved decomposition, quietest rep 8.2s onepass vs 8.6s
+    local; candidates-only 4.8s). LSH blocking already prunes to ~2.5k
+    candidates at sf1 — vs jaccard_prefix's 2.29M — so the pair-side
+    explode the local form removes is negligible here, and BOTH forms
+    pay the same second corpus-scale pass over the shingle rows
+    (membership join vs per-doc set aggregate). Do not re-try.)
 
     ``broadcast`` governs how the onepass membership frame joins the
     shingle rows. The candidate count scales with near-dup DENSITY,
