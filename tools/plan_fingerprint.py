@@ -42,6 +42,12 @@ def main():
             df = fn(spark, sf)
             plan = df._jdf.queryExecution().optimizedPlan().toString()
             norm = re.sub(r"#\d+", "#x", plan)
+            # HOF lambda variable names carry a SESSION-GLOBAL counter
+            # (`lambda x_71` in a fresh session vs `lambda x_91` after
+            # other queries built lambdas) — the r15 "one-session
+            # run-order context" spurious-diff mechanism, confirmed by
+            # plan-text diff (round-close re-verification session)
+            norm = re.sub(r"lambda ([a-zA-Z]+)_\d+", r"lambda \1_n", norm)
             norm = re.sub(r"plan_id=\d+", "plan_id=x", norm)
             norm = re.sub(r"application_\d+", "app", norm)
             norm = re.sub(r"appattempt[^ ,\)\]]*", "app", norm)
